@@ -1,0 +1,107 @@
+"""Configuration objects for the engine.
+
+``TokenizerRules`` is the analog of the reference's per-store
+``KeywordRules`` (ignoring / mappings / rewritings — reference:
+modules/service/src/main/scala/.../MediaServiceLive.scala:1641-1668 and
+service/model/KeywordRules.scala): an ordered list of regex rewritings
+applied before splitting, a post-split synonym mapping table, and a
+stopword set. All regexes are RE2-compatible (pyarrow.compute uses RE2,
+as does DuckDB — this keeps the engine and the SQL oracle semantics
+identical).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TokenizerRules:
+    """Code-aware analyzer configuration.
+
+    The default chain (no rewritings/mappings/stopwords) is:
+      1. ordered regex rewritings (sed-like, applied to the raw text)
+      2. camelCase boundary insertion (``fooBar`` -> ``foo Bar``,
+         ``XMLHttp`` -> ``XML Http``)
+      3. lowercase
+      4. split on ``[^a-z0-9]+`` (this covers snake_case, kebab-case,
+         whitespace, punctuation and string-literal quotes)
+      5. drop empty and pure-number tokens (``^[0-9]*$``)
+      6. post-split synonym mapping
+      7. stopword removal
+    """
+
+    rewritings: tuple[tuple[str, str], ...] = ()
+    mappings: tuple[tuple[str, str], ...] = ()
+    stopwords: frozenset[str] = frozenset()
+
+    def mapping_dict(self) -> dict[str, str]:
+        return dict(self.mappings)
+
+    def version_hash(self) -> str:
+        """Fingerprint of the tokenizer config; stored in per-partition
+        lineage so a resume after a config change is detected instead of
+        silently mixing two tokenizations (the reference's
+        non-transactional checkpoint TODO, MediaServiceLive.scala:1480,
+        is the cautionary tale)."""
+        payload = json.dumps(
+            {
+                "rewritings": list(self.rewritings),
+                "mappings": sorted(self.mappings),
+                "stopwords": sorted(self.stopwords),
+                "chain": "v1",
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """Lucene-style BM25 (the scoring the reference delegates to
+    Elasticsearch — modules/search/ElasticOperations.scala)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
+class IndexConfig:
+    """Physical layout knobs for the index build.
+
+    num_term_shards: term dictionary shards (``term_shard =
+        crc32(term) % S``). Sized so one shard's merged postings fit a
+        merge task's heap; at 100 TB this is thousands, at test scale
+        dozens.
+    block_size: docs per posting block (block-max granularity).
+    salt_rows: partial-posting rows for one term inside one input
+        partition are chunked into sub-rows ("salts") of at most this
+        many postings. Salt chunks are docID-contiguous, so the merge
+        can concatenate them without a global re-sort; this bounds the
+        size of any single shuffled row for hot terms
+        (``def``/``import``/``{``).
+    codec: "varint" (delta + LEB128) or "pfor" (delta + per-block
+        frame-of-reference bit packing).
+    """
+
+    num_term_shards: int = 32
+    block_size: int = 128
+    salt_rows: int = 65536
+    codec: str = "varint"
+    tokenizer: TokenizerRules = field(default_factory=TokenizerRules)
+    bm25: BM25Params = field(default_factory=BM25Params)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "num_term_shards": self.num_term_shards,
+                "block_size": self.block_size,
+                "salt_rows": self.salt_rows,
+                "codec": self.codec,
+                "tokenizer_version": self.tokenizer.version_hash(),
+                "bm25": {"k1": self.bm25.k1, "b": self.bm25.b},
+            },
+            sort_keys=True,
+        )

@@ -1,0 +1,254 @@
+"""Posting-list compression codecs (numpy-vectorized, no Python loops
+over postings).
+
+Two codecs behind one interface (public-literature algorithms —
+delta + LEB128 varint, and delta + per-block frame-of-reference bit
+packing, the exception-free core of PForDelta):
+
+- ``varint``: docID gaps and tf values LEB128-encoded.
+- ``pfor``: per block, gaps stored as fixed ``b``-bit integers where
+  ``b = bits(max gap in block)`` (one byte header), tfs likewise.
+
+Posting lists are stored in docID-sorted blocks of ``block_size`` docs.
+Per block we keep skip metadata (last_doc, byte offset, max BM25 score
+upper bound) so query-time block-max WAND can skip whole blocks without
+decoding them.
+
+Reference analog: sotohp's sortable binary key packing
+(model/package.scala:48-100 — monotone byte encodings so lexicographic
+order == logical order) is the same discipline applied here to docID
+gap encodings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- varint
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # 7-bit groups per value (>=1); bit_length via a shift loop (<=10 iters,
+    # log2 is unsafe for uint64)
+    tmp = v.copy()
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(v.shape, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        mask = nbytes > j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > (j + 1)).astype(np.uint8) << 7
+        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 buffer into a uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = b < 0x80
+    # value index per byte: 0-based, increments after each end byte
+    vidx = np.zeros(b.shape, dtype=np.int64)
+    vidx[1:] = np.cumsum(is_end[:-1])
+    nvals = int(is_end.sum())
+    starts = np.zeros(nvals, dtype=np.int64)
+    # start position of each value = positions where previous byte ended
+    end_pos = np.flatnonzero(is_end)
+    starts[1:] = end_pos[:-1] + 1
+    pos_in_group = np.arange(b.size, dtype=np.int64) - starts[vidx]
+    out = np.zeros(nvals, dtype=np.uint64)
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * pos_in_group.astype(np.uint64)
+    )
+    np.add.at(out, vidx, contrib)
+    if count is not None and nvals != count:
+        raise ValueError(f"varint_decode: expected {count} values, got {nvals}")
+    return out
+
+
+# ------------------------------------------------------------------ pfor
+
+
+def _bits_needed(maxval: int) -> int:
+    return max(1, int(maxval).bit_length())
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Frame-of-reference bit packing: 1-byte width header + count as
+    varint is NOT stored (caller knows count) + packed little-endian
+    bitstream. Values must fit in 32 bits after delta (docID gaps and
+    tfs do; enforced)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"\x00"
+    mx = int(v.max())
+    if mx >= (1 << 32):
+        # fall back to varint for pathological gaps; tag width=0xFF
+        return b"\xff" + varint_encode(v)
+    width = _bits_needed(mx)
+    # pack: place each value's bits into a flat bit buffer
+    nbits_total = width * v.size
+    out = np.zeros((nbits_total + 7) // 8 + 1, dtype=np.uint8)
+    out[0] = width
+    bitpos = np.arange(v.size, dtype=np.int64) * width
+    # write up to ceil(width/8)+1 bytes per value
+    for j in range((width + 7) // 8 + 1):
+        byte_idx = (bitpos >> 3) + j
+        shift = (bitpos & 7).astype(np.uint64)
+        part = (v << shift) >> np.uint64(8 * j)
+        valid = byte_idx < (out.size - 1)
+        np.bitwise_or.at(
+            out[1:], byte_idx[valid], (part[valid] & np.uint64(0xFF)).astype(np.uint8)
+        )
+    return out.tobytes()
+
+
+def pfor_decode(buf: bytes | memoryview, count: int) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    width = int(b[0])
+    if width == 0xFF:
+        return varint_decode(b[1:].tobytes(), count)
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    data = b[1:]
+    bitpos = np.arange(count, dtype=np.int64) * width
+    out = np.zeros(count, dtype=np.uint64)
+    nbytes = (width + 7) // 8 + 1
+    padded = np.zeros(data.size + nbytes, dtype=np.uint8)
+    padded[: data.size] = data
+    for j in range(nbytes):
+        byte_idx = (bitpos >> 3) + j
+        out |= padded[byte_idx].astype(np.uint64) << np.uint64(8 * j)
+    shift = (bitpos & 7).astype(np.uint64)
+    out >>= shift
+    out &= np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    return out
+
+
+CODECS = {
+    "varint": (varint_encode, varint_decode),
+    "pfor": (pfor_encode, pfor_decode),
+}
+
+
+# ------------------------------------------------- block-level structure
+
+
+def encode_postings_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    scores: np.ndarray,
+    block_size: int,
+    codec: str = "varint",
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode one term's docID-sorted postings into block format.
+
+    Returns (blob, block_last_docs:uint64[], block_offsets:uint32[],
+    block_max_scores:float32[]). ``scores`` are the exact float64 BM25
+    per-posting scores (computable at merge time because df, N and avgdl
+    are known then); the stored per-block bound is the block max rounded
+    UP to float32 so it stays an upper bound.
+
+    Each block encodes: gaps(varint/pfor) then tfs(varint/pfor), where
+    gap[0] of block k is relative to last doc of block k-1 (or -1).
+    """
+    enc, _ = CODECS[codec]
+    n = doc_ids.size
+    doc_ids = doc_ids.astype(np.uint64)
+    tfs = tfs.astype(np.uint64)
+    nblocks = (n + block_size - 1) // block_size
+    parts: list[bytes] = []
+    last_docs = np.zeros(nblocks, dtype=np.uint64)
+    offsets = np.zeros(nblocks, dtype=np.uint32)
+    maxscores = np.zeros(nblocks, dtype=np.float32)
+    # all gaps computed at once (prev of first posting = doc_ids[0]+? use -1 semantics)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    pos = 0
+    for k in range(nblocks):
+        lo, hi = k * block_size, min(n, (k + 1) * block_size)
+        g = enc(gaps[lo:hi])
+        t = enc(tfs[lo:hi])
+        offsets[k] = pos
+        parts.append(len(g).to_bytes(4, "little"))
+        parts.append(g)
+        parts.append(t)
+        pos += 4 + len(g) + len(t)
+        last_docs[k] = doc_ids[hi - 1]
+        m = float(scores[lo:hi].max())
+        f32 = np.float32(m)
+        if float(f32) < m:
+            f32 = np.nextafter(f32, np.float32(np.inf))
+        maxscores[k] = f32
+    return b"".join(parts), last_docs, offsets, maxscores
+
+
+def decode_postings(
+    blob: bytes | memoryview,
+    block_counts: np.ndarray,
+    block_offsets: np.ndarray,
+    codec: str = "varint",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ALL blocks of a term -> (doc_ids, tfs), vectorized per
+    block."""
+    _, dec = CODECS[codec]
+    mv = memoryview(blob)
+    total = int(block_counts.sum())
+    doc_ids = np.empty(total, dtype=np.uint64)
+    tfs = np.empty(total, dtype=np.uint64)
+    pos = 0
+    nblocks = block_counts.size
+    for k in range(nblocks):
+        off = int(block_offsets[k])
+        end = int(block_offsets[k + 1]) if k + 1 < nblocks else len(mv)
+        cnt = int(block_counts[k])
+        glen = int.from_bytes(mv[off : off + 4], "little")
+        gaps = dec(mv[off + 4 : off + 4 + glen], cnt)
+        t = dec(mv[off + 4 + glen : end], cnt)
+        d = np.cumsum(gaps, dtype=np.uint64)
+        if pos > 0:
+            d += doc_ids[pos - 1]
+        doc_ids[pos : pos + cnt] = d
+        tfs[pos : pos + cnt] = t
+        pos += cnt
+    return doc_ids, tfs
+
+
+def decode_one_block(
+    blob: bytes | memoryview,
+    block_idx: int,
+    block_counts: np.ndarray,
+    block_offsets: np.ndarray,
+    block_last_docs: np.ndarray,
+    codec: str = "varint",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block (for WAND skipping) -> (doc_ids, tfs)."""
+    _, dec = CODECS[codec]
+    mv = memoryview(blob)
+    off = int(block_offsets[block_idx])
+    end = (
+        int(block_offsets[block_idx + 1])
+        if block_idx + 1 < block_offsets.size
+        else len(mv)
+    )
+    cnt = int(block_counts[block_idx])
+    glen = int.from_bytes(mv[off : off + 4], "little")
+    gaps = dec(mv[off + 4 : off + 4 + glen], cnt)
+    tfs = dec(mv[off + 4 + glen : end], cnt)
+    d = np.cumsum(gaps, dtype=np.uint64)
+    if block_idx > 0:
+        d += block_last_docs[block_idx - 1]
+    return d, tfs

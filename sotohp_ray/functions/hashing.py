@@ -1,0 +1,123 @@
+"""Hashing primitives: content sha256 (the per-row invariant vs the
+input table — reference analog: streaming SHA-256 file digest,
+core/HashOperations.scala:39-60), deterministic doc UUIDs (reference:
+name-based UUID from owner:path, core/OriginalBuilder.scala:33-40),
+stable term-shard routing (reference: SHA-1 string hash,
+core/HashOperations.scala:18-37), and MinHash/SimHash fingerprints for
+near-dup detection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 URL ns
+
+
+def sha256_column(content: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """hex sha256 per row. hashlib releases the GIL per call and the
+    loop is over row count (not bytes); content bytes are accessed
+    zero-copy via the Arrow buffers."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    out = [hashlib.sha256(v.as_buffer()).hexdigest() for v in content]
+    return pa.array(out, type=pa.string())
+
+
+def doc_uuid_column(repo, path, commit) -> pa.Array:
+    """uuid5(url_ns, f"{repo}:{path}@{commit}") per row — same file =>
+    same id across runs (idempotent re-sync, the reference's
+    insert-if-absent discipline, MediaServiceLive.scala:1286-1292)."""
+    out = [
+        str(uuid.uuid5(_NS, f"{r}:{p}@{c}"))
+        for r, p, c in zip(
+            repo.to_pylist(), path.to_pylist(), commit.to_pylist()
+        )
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def term_shard_ids(terms: pa.Array, num_shards: int) -> np.ndarray:
+    """Stable (process-independent) shard id per term: crc32 % S.
+    Computed once per UNIQUE term via dictionary encoding."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(terms)
+    d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+    uniq = d.dictionary
+    shards = np.array(
+        [zlib.crc32(u.as_py().encode()) % num_shards for u in uniq],
+        dtype=np.uint32,
+    )
+    return shards[d.indices.to_numpy(zero_copy_only=False)]
+
+
+def term_shard_of(term: str, num_shards: int) -> int:
+    return zlib.crc32(term.encode()) % num_shards
+
+
+# ------------------------------------------------------------- near-dup
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Coefficients < 2^31 so that a*h + b with 32-bit shingle hashes is
+    exact in uint64 (no 128-bit arithmetic needed)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Distinct crc32 hashes of word n-gram shingles."""
+    if len(tokens) < n:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    return np.unique(
+        np.array([zlib.crc32(s.encode()) for s in joined], dtype=np.uint64)
+    )
+
+
+def minhash_signature(
+    hashes: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """num_perm-wide MinHash signature of a 32-bit shingle-hash set.
+    Vectorized outer product (num_perm, n_shingles); a*h+b < 2^63 so
+    uint64 arithmetic is exact."""
+    if hashes.size == 0:
+        return np.full(a.size, np.uint64(_MERSENNE), dtype=np.uint64)
+    h = hashes.astype(np.uint64)
+    vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token multiset (weights = tf)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for tok, w in Counter(tokens).items():
+        hv = int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+        )
+        bits = (hv >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), w, -w)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
