@@ -1,0 +1,318 @@
+"""Query serving: top-k BM25 over the compressed index.
+
+Two scoring paths over the SAME postings:
+- ``exact``: decode every query term's full postings, accumulate
+  float64 scores (term-at-a-time), top-k with (score desc, doc_id asc)
+  tie-break. The verification baseline.
+- ``wand``: block-max WAND (Ding & Suel, SIGIR 2011 — public
+  literature): document-at-a-time pivoting on per-term score upper
+  bounds, refined by per-block maxima; skips whole blocks without
+  decoding. MUST return rank-identical results to ``exact`` — WAND
+  changes the work done, never the answer.
+
+Float determinism (FIXTURES.md F4): per-doc score = sum of per-term
+contributions accumulated in FIRST-APPEARANCE query-term order in
+float64 in both paths (and in the brute-force oracle), so sums are
+bit-identical. Duplicate query terms contribute multiplicity (qtf).
+
+Reference analog: search is delegated to Elasticsearch in the
+reference (ElasticOperations.scala); this module is the from-scratch
+replacement; tie-break-by-id and bounded page caps mirror the
+reference's ordered navigation (ApiApp.scala:749-753).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from sotohp_ray.config import IndexConfig
+from sotohp_ray.functions import codec as pcodec
+from sotohp_ray.functions.tokenizer import CodeTokenizer
+
+
+class _TermCursor:
+    """Lazy block-decoding cursor over one term's postings."""
+
+    __slots__ = (
+        "blob", "block_last", "block_offs", "block_counts", "df",
+        "codec", "cur_block", "docs", "tfs", "pos", "cur_doc", "exhausted",
+    )
+
+    def __init__(self, row: dict, codec: str):
+        self.blob = row["blob"]
+        self.block_last = row["block_last"]
+        self.block_offs = row["block_offs"]
+        self.df = int(row["df"])
+        nblocks = self.block_last.size
+        bs = row["block_size"]
+        self.block_counts = np.full(nblocks, bs, dtype=np.int64)
+        self.block_counts[-1] = self.df - bs * (nblocks - 1)
+        self.codec = codec
+        self.cur_block = -1
+        self.docs = None
+        self.tfs = None
+        self.pos = 0
+        self.cur_doc = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, k: int):
+        if k >= self.block_last.size:
+            self.exhausted = True
+            self.cur_doc = np.iinfo(np.int64).max
+            return
+        self.docs, self.tfs = pcodec.decode_one_block(
+            self.blob, k, self.block_counts, self.block_offs,
+            self.block_last, codec=self.codec,
+        )
+        self.cur_block = k
+        self.pos = 0
+        self.cur_doc = int(self.docs[0])
+
+    def next(self):
+        self.pos += 1
+        if self.pos < self.docs.size:
+            self.cur_doc = int(self.docs[self.pos])
+        else:
+            self._load_block(self.cur_block + 1)
+
+    def seek(self, target: int):
+        """Advance to the first doc >= target (block-skipping)."""
+        if self.exhausted or self.cur_doc >= target:
+            return
+        if int(self.block_last[self.cur_block]) < target:
+            k = int(np.searchsorted(self.block_last, target, side="left"))
+            if k >= self.block_last.size:
+                self.exhausted = True
+                self.cur_doc = np.iinfo(np.int64).max
+                return
+            self._load_block(k)
+        p = int(np.searchsorted(self.docs, target, side="left"))
+        if p >= self.docs.size:
+            self._load_block(self.cur_block + 1)
+        else:
+            self.pos = p
+            self.cur_doc = int(self.docs[p])
+
+    def block_max_at(self, block_max: np.ndarray) -> float:
+        return float(block_max[self.cur_block])
+
+    def block_last_doc(self) -> int:
+        return int(self.block_last[self.cur_block])
+
+    def tf(self) -> float:
+        return float(self.tfs[self.pos])
+
+
+class Searcher:
+    """Loads the dictionary + doc lengths once (init-once worker state —
+    at cluster scale this is one actor per dictionary shard group;
+    single-node it is one in-process object)."""
+
+    def __init__(self, index_dir: str, config: IndexConfig | None = None):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        cfgp = os.path.join(index_dir, "config.json")
+        if config is None:
+            with open(cfgp) as f:
+                cj = json.load(f)
+            from sotohp_ray.config import BM25Params, TokenizerRules
+
+            config = IndexConfig(
+                num_term_shards=cj["num_term_shards"],
+                block_size=cj["block_size"],
+                salt_rows=cj["salt_rows"],
+                codec=cj["codec"],
+                bm25=BM25Params(k1=cj["bm25"]["k1"], b=cj["bm25"]["b"]),
+            )
+            # NOTE: tokenizer rules beyond defaults are not serialized in
+            # config.json (only the version hash); pass `config` when
+            # querying an index built with custom rules.
+        self.config = config
+        self.tok = CodeTokenizer(config.tokenizer)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+
+        t = pq.read_table(os.path.join(index_dir, "dictionary"))
+        self._dict: dict[str, dict] = {}
+        terms = t["term"].to_pylist()
+        dfs = t["df"].to_numpy(zero_copy_only=False)
+        maxs = t["max_score"].to_numpy(zero_copy_only=False)
+        blobs = t["blob"].to_pylist()
+        blast = t["block_last"].to_pylist()
+        boffs = t["block_offs"].to_pylist()
+        bmax = t["block_max"].to_pylist()
+        bs = config.block_size
+        for i, term in enumerate(terms):
+            self._dict[term] = {
+                "df": int(dfs[i]),
+                "max_score": float(maxs[i]),
+                "blob": blobs[i],
+                "block_last": np.array(blast[i], dtype=np.uint64).astype(np.int64),
+                "block_offs": np.array(boffs[i], dtype=np.uint32),
+                "block_max": np.array(bmax[i], dtype=np.float32),
+                "block_size": bs,
+            }
+        dm = pq.read_table(
+            os.path.join(index_dir, "docmeta"), columns=["doc_id", "doc_len"]
+        )
+        dl = np.zeros(self.n_docs, dtype=np.float64)
+        dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
+            "doc_len"
+        ].to_numpy(zero_copy_only=False)
+        self.doc_len = dl
+
+    # ---- shared helpers --------------------------------------------
+
+    def _idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _query_terms(self, query: str) -> list[tuple[str, float]]:
+        """-> [(term, qtf)] in first-appearance order, present terms only."""
+        toks = self.tok.tokens_of(query)
+        qtf = Counter(toks)
+        seen: list[str] = []
+        for t in toks:
+            if t not in seen:
+                seen.append(t)
+        return [(t, float(qtf[t])) for t in seen if t in self._dict]
+
+    def _decode_full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        r = self._dict[term]
+        nblocks = r["block_last"].size
+        counts = np.full(nblocks, r["block_size"], dtype=np.int64)
+        counts[-1] = r["df"] - r["block_size"] * (nblocks - 1)
+        return pcodec.decode_postings(
+            r["blob"], counts, r["block_offs"], codec=self.config.codec
+        )
+
+    def _contrib(self, qw: float, df: int, tf, dl):
+        k1, b = self.config.bm25.k1, self.config.bm25.b
+        idf = self._idf(df)
+        denom = tf + k1 * (1.0 - b + b * dl / self.avgdl)
+        return qw * idf * (tf * (k1 + 1.0)) / denom
+
+    # ---- exact (term-at-a-time) ------------------------------------
+
+    def search_exact(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        qterms = self._query_terms(query)
+        if not qterms:
+            return []
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        for term, qw in qterms:
+            d, f = self._decode_full(term)
+            dli = self.doc_len[d]
+            scores[d] += self._contrib(qw, self._dict[term]["df"], f.astype(np.float64), dli)
+        nz = np.flatnonzero(scores > 0.0)
+        if nz.size == 0:
+            return []
+        order = np.lexsort((nz, -scores[nz]))
+        top = nz[order[:k]]
+        return [(int(d), float(scores[d])) for d in top]
+
+    # ---- block-max WAND --------------------------------------------
+
+    def search_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        import heapq
+
+        qterms = self._query_terms(query)
+        if not qterms:
+            return []
+        cursors = []
+        for qi, (term, qw) in enumerate(qterms):
+            r = self._dict[term]
+            cur = _TermCursor(r, self.config.codec)
+            ub = qw * r["max_score"]
+            cursors.append(
+                {"c": cur, "qw": qw, "ub": ub, "df": r["df"],
+                 "bmax": r["block_max"], "qi": qi}
+            )
+        MAXD = np.iinfo(np.int64).max
+        # heap of (score, -doc_id): smallest = weakest result
+        heap: list[tuple[float, int]] = []
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else 0.0
+
+        while True:
+            live = [x for x in cursors if not x["c"].exhausted]
+            if not live:
+                break
+            live.sort(key=lambda x: x["c"].cur_doc)
+            th = theta()
+            acc = 0.0
+            pivot = -1
+            for i, x in enumerate(live):
+                acc += x["ub"]
+                if acc > th:
+                    pivot = i
+                    break
+            if pivot < 0:
+                break  # even all upper bounds together can't beat theta
+            pivot_doc = live[pivot]["c"].cur_doc
+            if pivot_doc == MAXD:
+                break
+            # block-max refinement (Ding & Suel BMW): align each prefix
+            # cursor to the block that would contain pivot_doc; sum
+            # those blocks' maxima and record their boundaries.
+            bm_sum = 0.0
+            boundary = MAXD
+            for x in live[: pivot + 1]:
+                c = x["c"]
+                kb = int(
+                    np.searchsorted(c.block_last, pivot_doc, side="left")
+                )
+                if kb < c.block_last.size:
+                    bm_sum += x["qw"] * float(x["bmax"][kb])
+                    boundary = min(boundary, int(c.block_last[kb]))
+            if bm_sum <= th:
+                # no doc in [pivot_doc, d) can beat theta; d is capped
+                # at the next (non-prefix) cursor's current doc so docs
+                # in the skipped range are covered by prefix terms only
+                d = boundary + 1
+                if pivot + 1 < len(live):
+                    d = min(d, live[pivot + 1]["c"].cur_doc)
+                if d > pivot_doc:
+                    for x in live[: pivot + 1]:
+                        x["c"].seek(d)
+                    continue
+                # d == pivot_doc (next cursor shares the pivot doc):
+                # fall through to evaluation/advance — always correct
+            if live[0]["c"].cur_doc == pivot_doc:
+                # fully evaluate pivot_doc; deterministic sum order by qi
+                scorers = [
+                    x for x in live if x["c"].cur_doc == pivot_doc
+                ]
+                scorers.sort(key=lambda x: x["qi"])
+                dl = self.doc_len[pivot_doc]
+                s = 0.0
+                for x in scorers:
+                    s += self._contrib(x["qw"], x["df"], x["c"].tf(), dl)
+                if s > 0.0:
+                    if len(heap) < k:
+                        heapq.heappush(heap, (s, -pivot_doc))
+                    elif s > heap[0][0] or (
+                        s == heap[0][0] and -pivot_doc > heap[0][1]
+                    ):
+                        heapq.heapreplace(heap, (s, -pivot_doc))
+                for x in scorers:
+                    x["c"].next()
+            else:
+                # advance pre-pivot cursors up to pivot_doc
+                for x in live[:pivot]:
+                    if x["c"].cur_doc < pivot_doc:
+                        x["c"].seek(pivot_doc)
+        out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+        return [(-d, s) for s, d in out]
+
+    def search(self, query: str, k: int = 10, mode: str = "wand"):
+        if mode == "exact":
+            return self.search_exact(query, k)
+        return self.search_wand(query, k)

@@ -1,0 +1,199 @@
+"""SPIMI partition indexing stage: one input partition -> docmeta +
+partial postings + lineage.
+
+The per-partition work is the analog of the reference's synchronize
+chain (scan -> originalFromFile parse -> sha256 state -> tokenize ->
+publish; MediaServiceLive.scala:1503-1535), re-expressed as vectorized
+Arrow kernels:
+
+  read partition -> sort by (repo,path,commit) -> dense docIDs =
+  partition base offset + row index (the positional-index /
+  zipWithIndex pattern, MediaServiceLive.scala:1591-1600) -> sha256 +
+  uuid5 -> tokenize -> per-(doc,term) tf -> delta+varint-encoded
+  partial posting rows keyed by (term_shard, term, salt).
+
+Salt chunks: one term's postings within a partition are chunked into
+docID-contiguous sub-rows of <= salt_rows postings, so a hot term
+(``def`` in ~100% of docs) never produces an unboundedly large shuffled
+row. Chunks stay docID-sorted, so the merge concatenates them without
+a global re-sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from sotohp_ray.config import IndexConfig
+from sotohp_ray.functions import codec as pcodec
+from sotohp_ray.functions.hashing import (
+    doc_uuid_column,
+    sha256_column,
+    term_shard_ids,
+)
+from sotohp_ray.functions.tokenizer import CodeTokenizer
+
+DOCMETA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("doc_uuid", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content_sha256", pa.string()),
+        ("doc_len", pa.uint32()),
+        ("partition_id", pa.uint32()),
+    ]
+)
+
+PARTIALS_SCHEMA = pa.schema(
+    [
+        ("term_shard", pa.uint32()),
+        ("term", pa.string()),
+        ("salt", pa.uint32()),
+        ("partition_id", pa.uint32()),
+        ("count", pa.uint32()),
+        ("doc_blob", pa.large_binary()),
+        ("tf_blob", pa.large_binary()),
+        ("dl_blob", pa.large_binary()),
+        ("cf_partial", pa.uint64()),
+        ("max_tf", pa.uint32()),
+    ]
+)
+
+
+def index_partition_table(
+    t: pa.Table, partition_id: int, base_doc_id: int, config: IndexConfig,
+    tokenizer: CodeTokenizer | None = None,
+) -> tuple[pa.Table, pa.Table, dict]:
+    """Pure function: input-partition table -> (docmeta, partials,
+    metrics). Separated from I/O so it is unit-testable and reusable in
+    a plain ``read_parquet -> map_batches`` pipeline."""
+    tok = tokenizer or CodeTokenizer(config.tokenizer)
+    n = t.num_rows
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("repo", "ascending"),
+            ("path", "ascending"),
+            ("commit", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    doc_ids = np.arange(base_doc_id, base_doc_id + n, dtype=np.uint64)
+    content = t["content"].combine_chunks()
+    sha = sha256_column(content)
+    uuids = doc_uuid_column(t["repo"], t["path"], t["commit"])
+
+    tf_tbl = tok.term_frequencies(content)
+    rows = tf_tbl["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = tf_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    terms = tf_tbl["term"]
+
+    doc_len = np.zeros(n, dtype=np.uint64)
+    np.add.at(doc_len, rows, tfs)
+
+    docmeta = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.uint64()),
+            "doc_uuid": uuids,
+            "repo": t["repo"].combine_chunks(),
+            "path": t["path"].combine_chunks(),
+            "commit": t["commit"].combine_chunks(),
+            "lang": t["lang"].combine_chunks(),
+            "content_sha256": sha,
+            "doc_len": pa.array(doc_len.astype(np.uint32), type=pa.uint32()),
+            "partition_id": pa.array(
+                np.full(n, partition_id, dtype=np.uint32), type=pa.uint32()
+            ),
+        },
+        schema=DOCMETA_SCHEMA,
+    )
+
+    # ---- partial postings, vectorized ------------------------------
+    # dictionary-encode terms once; sort postings by (term_code, doc)
+    tcodes_arr = pc.dictionary_encode(terms)
+    tcodes_arr = (
+        tcodes_arr.combine_chunks()
+        if isinstance(tcodes_arr, pa.ChunkedArray)
+        else tcodes_arr
+    )
+    term_dict = tcodes_arr.dictionary  # unique terms
+    tcodes = tcodes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    post_docs = doc_ids[rows]
+    order = np.lexsort((post_docs, tcodes))
+    tcodes_s = tcodes[order]
+    docs_s = post_docs[order]
+    tfs_s = tfs[order]
+    dls_s = doc_len[rows][order]
+
+    # segment boundaries per term
+    if tcodes_s.size == 0:
+        starts = np.zeros(0, dtype=np.int64)
+        ends = starts
+        uniq_terms = pa.array([], type=pa.string())
+        shard_per_term = np.zeros(0, dtype=np.uint32)
+    else:
+        bounds = np.flatnonzero(np.diff(tcodes_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [tcodes_s.size]))
+        uniq_terms = term_dict.take(pa.array(tcodes_s[starts], type=pa.int64()))
+        shard_per_term = term_shard_ids(uniq_terms, config.num_term_shards)
+
+    salt_rows = config.salt_rows
+    col_shard, col_term, col_salt, col_count = [], [], [], []
+    col_doc, col_tf, col_dl, col_cf, col_maxtf = [], [], [], [], []
+    enc, _ = pcodec.CODECS[config.codec]
+    uniq_list = uniq_terms.to_pylist()
+    for k in range(starts.size):
+        lo, hi = int(starts[k]), int(ends[k])
+        term = uniq_list[k]
+        shard = int(shard_per_term[k])
+        salt = 0
+        for c0 in range(lo, hi, salt_rows):
+            c1 = min(hi, c0 + salt_rows)
+            d = docs_s[c0:c1]
+            gaps = np.empty(d.size, dtype=np.uint64)
+            gaps[0] = d[0]
+            np.subtract(d[1:], d[:-1], out=gaps[1:])
+            col_shard.append(shard)
+            col_term.append(term)
+            col_salt.append(salt)
+            col_count.append(c1 - c0)
+            col_doc.append(enc(gaps))
+            col_tf.append(enc(tfs_s[c0:c1]))
+            col_dl.append(enc(dls_s[c0:c1]))
+            col_cf.append(int(tfs_s[c0:c1].sum()))
+            col_maxtf.append(int(tfs_s[c0:c1].max()))
+            salt += 1
+
+    partials = pa.table(
+        {
+            "term_shard": pa.array(col_shard, type=pa.uint32()),
+            "term": pa.array(col_term, type=pa.string()),
+            "salt": pa.array(col_salt, type=pa.uint32()),
+            "partition_id": pa.array(
+                np.full(len(col_shard), partition_id, dtype=np.uint32),
+                type=pa.uint32(),
+            ),
+            "count": pa.array(col_count, type=pa.uint32()),
+            "doc_blob": pa.array(col_doc, type=pa.large_binary()),
+            "tf_blob": pa.array(col_tf, type=pa.large_binary()),
+            "dl_blob": pa.array(col_dl, type=pa.large_binary()),
+            "cf_partial": pa.array(col_cf, type=pa.uint64()),
+            "max_tf": pa.array(col_maxtf, type=pa.uint32()),
+        },
+        schema=PARTIALS_SCHEMA,
+    )
+
+    metrics = {
+        "partition_id": partition_id,
+        "doc_count": n,
+        "token_count": int(doc_len.sum()),
+        "posting_count": int(tfs.size),
+        "distinct_terms": int(starts.size),
+    }
+    return docmeta, partials, metrics

@@ -1,0 +1,86 @@
+"""Per-partition lineage: the engine's checkpoint/resume state.
+
+Reference analog: ``State.mediaLastSynchronized`` — each document
+carries a marker of its last successful publication, and the sync
+pipeline filters already-done work (MediaServiceLive.scala:1317-1349,
+resume filter :1522). Here the granularity is an input PARTITION: one
+JSON record per partition with the input fingerprint, tokenizer/config
+version and token/posting-count metrics. A resumed build skips
+partitions whose lineage says ``done`` AND whose fingerprint+config
+still match (a config change invalidates the checkpoint — the
+reference's non-transactional checkpoint TODO at
+MediaServiceLive.scala:1480 is the failure mode this prevents).
+
+All writes are atomic (tmp + rename), and lineage is written only
+AFTER the partition's data files are durably in place.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+
+def input_fingerprint(file_path: str) -> str:
+    st = os.stat(file_path)
+    payload = f"{os.path.basename(file_path)}:{st.st_size}"
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def lineage_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "lineage")
+
+
+def _path(index_dir: str, partition_id: int) -> str:
+    return os.path.join(lineage_dir(index_dir), f"partition-{partition_id:05d}.json")
+
+
+def write_record(index_dir: str, record: dict) -> None:
+    d = lineage_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(record, f, sort_keys=True)
+    os.replace(tmp, _path(index_dir, record["partition_id"]))
+
+
+def read_records(index_dir: str) -> list[dict]:
+    d = lineage_dir(index_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("partition-") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def completed_partitions(
+    index_dir: str, config_fingerprint: str
+) -> dict[int, dict]:
+    """partition_id -> lineage record for partitions that are done
+    under the SAME config (stale-config checkpoints are ignored, i.e.
+    re-done)."""
+    out = {}
+    for r in read_records(index_dir):
+        if r.get("status") == "done" and r.get("config") == config_fingerprint:
+            out[r["partition_id"]] = r
+    return out
+
+
+def atomic_write_table(table, final_path: str) -> None:
+    """Write a parquet file atomically into place (tmp + rename) —
+    idempotent-per-partition output, the retry-safety discipline of the
+    reference's bulk sink (ElasticOperations.scala:149-167: retries are
+    safe because upserts are id-keyed)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.dirname(final_path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, final_path)

@@ -1,0 +1,148 @@
+"""End-to-end build tests against the golden tiny corpus (FIXTURES.md
+F2/F5/F6; reference analog: MediaServiceSynchronizeTest.scala:18-73 —
+exact counts, idempotent second run, resumable sync)."""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from sotohp_ray.config import IndexConfig, TokenizerRules
+from sotohp_ray.pipelines.build_index import build_index
+from sotohp_ray.sources.corpus import corpus_files
+
+
+@pytest.fixture(scope="session")
+def tiny_index(ray_session, tiny_corpus, tmp_path_factory):
+    corpus_dir, meta = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_tiny"))
+    stats = build_index(corpus_dir, index_dir)
+    return corpus_dir, index_dir, meta, stats
+
+
+def test_golden_counts(tiny_index):
+    _, index_dir, meta, stats = tiny_index
+    assert stats["n_docs"] == meta["rows"] == 64
+    assert stats["total_tokens"] == meta["total_tokens"]
+    assert stats["total_postings"] == meta["total_postings"]
+    assert stats["merged"] is True
+    d = pq.read_table(os.path.join(index_dir, "dictionary"))
+    assert d.num_rows == meta["vocab_size"]
+    # df probes (dataset3-style exact goldens)
+    dfs = dict(zip(d["term"].to_pylist(), d["df"].to_pylist()))
+    for term, df in meta["df_probes"].items():
+        assert dfs.get(term, 0) == df, term
+
+
+def test_sha256_invariant(tiny_index):
+    """Per-row content sha256 equality vs the input table — THE
+    BASELINE.json input_hint invariant."""
+    corpus_dir, index_dir, _, _ = tiny_index
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    by_key = {}
+    for r, p, c, s in zip(
+        dm["repo"].to_pylist(), dm["path"].to_pylist(),
+        dm["commit"].to_pylist(), dm["content_sha256"].to_pylist(),
+    ):
+        by_key[(r, p, c)] = s
+    n = 0
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            assert by_key[(r, p, c)] == hashlib.sha256(content.encode()).hexdigest()
+            n += 1
+    assert n == dm.num_rows
+
+
+def test_docids_dense_and_sorted(tiny_index):
+    _, index_dir, meta, _ = tiny_index
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    ids = np.sort(dm["doc_id"].to_numpy(zero_copy_only=False))
+    assert np.array_equal(ids, np.arange(meta["rows"], dtype=np.uint64))
+    # docID order == (repo, path, commit) order (monotone key discipline)
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(dm, sort_keys=[("doc_id", "ascending")])
+    dm_sorted = dm.take(idx)
+    keys = list(
+        zip(
+            dm_sorted["repo"].to_pylist(),
+            dm_sorted["path"].to_pylist(),
+            dm_sorted["commit"].to_pylist(),
+        )
+    )
+    assert keys == sorted(keys)
+
+
+def test_idempotent_rebuild(tiny_index):
+    corpus_dir, index_dir, meta, _ = tiny_index
+    before = pq.read_table(os.path.join(index_dir, "dictionary"))
+    stats2 = build_index(corpus_dir, index_dir)
+    assert stats2.get("merge_skipped") is True  # nothing re-done
+    after = pq.read_table(os.path.join(index_dir, "dictionary"))
+    assert before.equals(after)
+
+
+def test_resume_from_partial_lineage(ray_session, tiny_corpus, tmp_path_factory):
+    """F5: build partitions 0..1 only (simulated interrupt), then a
+    plain re-run finishes 2..3; result identical to an uninterrupted
+    build."""
+    corpus_dir, meta = tiny_corpus
+    idx_a = str(tmp_path_factory.mktemp("idx_resume"))
+    stats_partial = build_index(corpus_dir, idx_a, only_partitions=[0, 1])
+    assert stats_partial["merged"] is False
+    assert stats_partial["partitions_done"] == 2
+    lineage_files = sorted(os.listdir(os.path.join(idx_a, "lineage")))
+    assert len(lineage_files) == 2
+
+    # mark the already-done partitions so we can prove they're skipped
+    done_before = {}
+    for name in lineage_files:
+        p = os.path.join(idx_a, "lineage", name)
+        done_before[name] = os.stat(p).st_mtime_ns
+
+    stats_full = build_index(corpus_dir, idx_a)
+    assert stats_full["merged"] is True
+    assert stats_full["partitions_done"] == 4
+    for name, mtime in done_before.items():
+        assert os.stat(os.path.join(idx_a, "lineage", name)).st_mtime_ns == mtime, (
+            "resume re-processed an already-done partition"
+        )
+    # lineage records carry the required metrics (F5)
+    with open(os.path.join(idx_a, "lineage", lineage_files[0])) as f:
+        rec = json.load(f)
+    for field in (
+        "token_count", "posting_count", "input_fingerprint",
+        "tokenizer_version", "base_doc_id", "doc_count",
+    ):
+        assert field in rec
+
+    # logically identical to an uninterrupted build
+    idx_b = str(tmp_path_factory.mktemp("idx_oneshot"))
+    build_index(corpus_dir, idx_b)
+    da = pq.read_table(os.path.join(idx_a, "dictionary"))
+    db = pq.read_table(os.path.join(idx_b, "dictionary"))
+    import pyarrow.compute as pc
+
+    da = da.take(pc.sort_indices(da, sort_keys=[("term", "ascending")]))
+    db = db.take(pc.sort_indices(db, sort_keys=[("term", "ascending")]))
+    assert da.equals(db)
+
+
+def test_config_change_invalidates_checkpoint(ray_session, tiny_corpus, tmp_path_factory):
+    corpus_dir, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("idx_cfg"))
+    build_index(corpus_dir, idx)
+    cfg2 = IndexConfig(tokenizer=TokenizerRules(stopwords=frozenset({"def"})))
+    stats2 = build_index(corpus_dir, idx, config=cfg2)
+    # all partitions re-done under the new tokenizer version
+    assert stats2["partitions_done"] == 4
+    assert stats2.get("merge_skipped") is None
+    d = pq.read_table(os.path.join(idx, "dictionary"))
+    assert "def" not in set(d["term"].to_pylist())
