@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,158 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from sotohp_ray.functions.tokenizer import sql_token_expr
+from sotohp_ray.pipelines import ann, relational, textops
+from sotohp_ray.pipelines.fulltext import bm25_oracle_sql, bm25_topk
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: build the inverted index over the sf0.001
+    documents table through the full engine (SPIMI map_batches actor
+    pool -> groupby merge -> compressed postings) and answer the fixed
+    BM25 query set."""
+    return bm25_topk("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- full-text engine (the north star) ---
+        "bm25_topk": lambda sf: bm25_topk(sf),
+        "term_df": textops.term_df,
+        "token_counts": textops.token_counts,
+        "doc_sha256": textops.doc_sha256,
+        # --- text analysis / quality ---
+        "quality_stats": textops.quality_stats,
+        "lang_guess": textops.lang_guess,
+        # --- dedup family ---
+        "dedup_exact": textops.dedup_exact,
+        "minhash_candidates": textops.minhash_candidates,   # rows-only
+        "near_dup_pairs": textops.near_dup_pairs,           # rows-only
+        "simhash_fingerprints": textops.simhash_fingerprints,  # rows-only
+        "doc_fingerprint": textops.doc_fingerprint,         # rows-only
+        # --- similarity search ---
+        "knn_cosine": ann.knn_cosine,
+        "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
+        # --- relational / streaming-shaped operator coverage ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "customers_per_region": relational.customers_per_region,
+        "top_customers_by_spend": relational.top_customers_by_spend,
+        "events_hourly": relational.events_hourly,
+        "events_prev_gap": relational.events_prev_gap,
+        "events_type_stats": relational.events_type_stats,
+        "events_topk_by_value": relational.events_topk_by_value,
+        "parts_per_brand": relational.parts_per_brand,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    texpr = sql_token_expr("text")
+    toks = f"SELECT doc_id, unnest({texpr}) AS term FROM documents"
+    markers = ", ".join(f"'{m}'" for m in textops.EN_MARKERS)
+    return {
+        "bm25_topk": bm25_oracle_sql(),
+        "term_df": f"""
+            SELECT term, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM ({toks}))
+            GROUP BY term
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({texpr}) AS n_tokens FROM documents
+        """,
+        "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "quality_stats": f"""
+            WITH t AS ({toks}),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT term) AS n_distinct_terms
+              FROM t GROUP BY doc_id
+            )
+            SELECT d.doc_id, length(d.text) AS n_chars,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_distinct_terms, 0) AS n_distinct_terms
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "lang_guess": f"""
+            WITH t AS ({toks}),
+            hits AS (
+              SELECT doc_id, count(DISTINCT term) AS h
+              FROM t WHERE term IN ({markers}) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN coalesce(h.h, 0) > 0 THEN 'en' ELSE 'und' END
+                     AS lang_guess,
+                   coalesce(h.h, 0) AS marker_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS sha, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "knn_cosine": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, score FROM s
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+            ) <= 10
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity) * 100.0) AS BIGINT)
+                     AS sum_qty_cents,
+                   CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+                     AS sum_base_price_cents,
+                   CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
+                     AS BIGINT) AS sum_disc_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "customers_per_region": """
+            SELECT r.r_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "top_customers_by_spend": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY 1
+            ORDER BY total_spend DESC, o_custkey ASC LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_prev_gap": """
+            SELECT event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        """,
+        "events_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "events_topk_by_value": """
+            SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "parts_per_brand": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_retail
+            FROM part GROUP BY 1
+        """,
+    }

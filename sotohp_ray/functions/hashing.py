@@ -63,15 +63,16 @@ def term_shard_of(term: str, num_shards: int) -> int:
 
 # ------------------------------------------------------------- near-dup
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = (1 << 31) - 1  # working prime: multiplication must WRAP
+# many times mod p or the linear hash is near-monotone in h and the
+# min-hash estimator collapses (a*h with a,h < 2^31 wraps ~2^30 times
+# mod 2^31-1; exact in uint64, no 128-bit arithmetic needed)
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    """Coefficients < 2^31 so that a*h + b with 32-bit shingle hashes is
-    exact in uint64 (no 128-bit arithmetic needed)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
-    b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+    a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
     return a, b
 
 
@@ -90,11 +91,11 @@ def minhash_signature(
     hashes: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
     """num_perm-wide MinHash signature of a 32-bit shingle-hash set.
-    Vectorized outer product (num_perm, n_shingles); a*h+b < 2^63 so
-    uint64 arithmetic is exact."""
+    Vectorized outer product (num_perm, n_shingles); h reduced mod
+    2^31-1 first so a*h < 2^62 is exact in uint64."""
     if hashes.size == 0:
         return np.full(a.size, np.uint64(_MERSENNE), dtype=np.uint64)
-    h = hashes.astype(np.uint64)
+    h = hashes.astype(np.uint64) % np.uint64(_MERSENNE)
     vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1)
 

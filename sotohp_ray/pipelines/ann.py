@@ -1,0 +1,213 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_cosine``: brute-force cosine top-k — the correctness baseline.
+  Query matrix is broadcast ONCE via ``ray.put`` and read per actor in
+  ``__init__`` (the broadcast-small-side join pattern, reference analog
+  FaceInference.scala:33-186: all identified faces collected once,
+  nearest-neighbor per record by cosine distance); per batch a single
+  numpy matmul scores batch × queries, and only per-batch top-k rows
+  survive (combiner) before the tiny final merge.
+- ``ann_lsh``: the scale path — random-hyperplane LSH bucketing; recall
+  is tested against the brute-force baseline in pytest.
+
+Ordering/rounding contract (for the SQL-oracle compare): final rank is
+by (round(score, 5) DESC, vec_id ASC); scores are float64 cosines
+rounded to 5 decimals, making the result set deterministic across
+engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    col = batch["embedding"]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(col[0])
+    return ids, flat.reshape(len(ids), dim)
+
+
+class _BruteScorer:
+    """Actor-pool stage: query matrix fetched once per actor."""
+
+    def __init__(self, qref, k: int):
+        import ray
+
+        self.q_ids, self.Q = ray.get(qref)  # (m,), (m, dim) L2-normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ self.Q.T  # (batch, m)
+        out_q, out_v, out_s = [], [], []
+        m = self.q_ids.size
+        for j in range(m):
+            s = S[:, j]
+            mask = ids != self.q_ids[j]  # exclude self
+            cand_ids = ids[mask]
+            cand_s = np.round(s[mask], 5)
+            take = min(self.k, cand_ids.size)
+            # per-batch top-k by (rounded score desc, vec_id asc)
+            order = np.lexsort((cand_ids, -cand_s))[:take]
+            out_q.extend([int(self.q_ids[j])] * take)
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(cand_s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_cosine(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10
+):
+    """(query_id, vec_id, score): top-k cosine neighbors of each query
+    vector (self excluded), score rounded to 5 decimals."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    # small side: the query vectors, normalized, broadcast once
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    sel = np.isin(ids, np.array(query_ids))
+    q_ids = ids[sel]
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    M = flat.reshape(len(ids), dim)
+    Q = M[sel]
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Q = Q / qn[:, None]
+    qref = ray.put((q_ids, Q))
+
+    ds = _emb(sf_dir).map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs={"qref": qref, "k": k},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4096,
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).head(k)
+        return g
+
+    return ds.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class _LSHStage:
+    """Random-hyperplane signatures; planes built once per actor from a
+    fixed seed so every actor brackets identically."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.P = rng.randn(dim, n_planes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        bits = (X @ self.P) > 0
+        sig = np.zeros(len(ids), dtype=np.int64)
+        for j in range(self.P.shape[1]):
+            sig |= bits[:, j].astype(np.int64) << j
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(sig, pa.int64()),
+            }
+        )
+
+
+def ann_lsh_buckets(sf_dir: str, n_planes: int = 12):
+    """(vec_id, bucket) hyperplane-LSH bucket assignment — the IVF/LSH
+    scale path for ANN: query-time searches only matching buckets."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = f.read_row_group(0, columns=["embedding"])
+    dim = len(first["embedding"][0])
+    return _emb(sf_dir).map_batches(
+        _LSHStage,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def ann_lsh_search(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    n_planes: int = 4, n_tables: int = 8,
+):
+    """ANN via multi-table hyperplane LSH: L tables of k planes each;
+    candidates = union over tables of the query's bucket; exact cosine
+    re-rank on candidates only. For near-orthogonal data (random
+    embeddings: top-1 cosine ~0.3 => per-plane agreement ~0.6) a single
+    table cannot reach useful recall — multiple small tables trade
+    candidate volume for recall, which is the honest knob at scale
+    (each table is one Ray groupby at cluster size; the candidate
+    verify is a broadcast map_batches)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    X = (
+        col.flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), dim)
+    )
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    rng = np.random.RandomState(42)
+    sigs = []
+    for _ in range(n_tables):
+        P = rng.randn(dim, n_planes)
+        bits = (X @ P) > 0
+        sig = np.zeros(len(ids), dtype=np.int64)
+        for j in range(n_planes):
+            sig |= bits[:, j].astype(np.int64) << j
+        sigs.append(sig)
+
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for q in query_ids:
+        qi = id_to_row[q]
+        cand_mask = np.zeros(len(ids), dtype=bool)
+        for sig in sigs:
+            cand_mask |= sig == sig[qi]
+        cand_mask[qi] = False
+        cand = np.flatnonzero(cand_mask)
+        s = np.round(Xn[cand] @ Xn[qi], 5)
+        order = np.lexsort((ids[cand], -s))[:k]
+        for o in order:
+            rows.append((q, int(ids[cand][o]), float(s[o])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )

@@ -1,0 +1,166 @@
+"""Flagship driver-facing pipeline: BM25 top-k over the ``documents``
+testdata table, end-to-end through the real engine (corpus mapping ->
+SPIMI build -> merge -> Searcher), with an ANSI-SQL BM25 oracle that
+DuckDB can run on the same table.
+
+Ordering/rounding contract (so the SQL compare is deterministic): final
+rank per query is by (round(score, 4) DESC, doc_id ASC) LIMIT k; the
+returned ``score`` column is the rounded value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sotohp_ray.config import IndexConfig
+from sotohp_ray.functions.tokenizer import CodeTokenizer, sql_token_expr
+
+# fixed reference query set over the documents vocabulary
+DOC_QUERIES = (
+    "spark sort merge",
+    "window batch stream",
+    "hash join",
+    "query data filter",
+    "slow big table scan",
+    "vector column agg",
+    "the fast key",
+    "dup group row order",
+)
+
+_K1, _B = 1.2, 0.75
+
+
+def _corpus_from_documents(sf_dir: str, corpus_dir: str, n_parts: int = 4):
+    """Map documents -> the engine's corpus shape. path is the
+    zero-padded doc_id so (repo,path,commit) order == doc_id order and
+    partition files hold sorted, disjoint key ranges (the generator's
+    monotone-key contract)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    idx = pa.compute.sort_indices(t["doc_id"])
+    t = t.take(idx)
+    n = t.num_rows
+    os.makedirs(corpus_dir, exist_ok=True)
+    step = (n + n_parts - 1) // n_parts
+    for p in range(n_parts):
+        lo, hi = p * step, min(n, (p + 1) * step)
+        if lo >= hi:
+            break
+        sl = t.slice(lo, hi - lo)
+        out = pa.table(
+            {
+                "repo": pa.array(["docs"] * (hi - lo)),
+                "path": pa.array(
+                    [f"{d:010d}" for d in sl["doc_id"].to_pylist()]
+                ),
+                "commit": pa.array(["0"] * (hi - lo)),
+                "lang": sl["lang"].combine_chunks().cast(pa.string()),
+                "content": sl["text"].combine_chunks().cast(pa.large_string()),
+            }
+        )
+        pq.write_table(out, os.path.join(corpus_dir, f"part-{p:05d}.parquet"))
+
+
+def _cache_dir(sf_dir: str) -> str:
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp", "sotohp_ray_cache", key)
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (or reuse a cached) index over the documents table;
+    returns the index dir."""
+    from sotohp_ray.pipelines.build_index import build_index
+
+    root = _cache_dir(sf_dir)
+    corpus_dir = os.path.join(root, "corpus")
+    index_dir = os.path.join(root, "index")
+    marker = os.path.join(index_dir, "_MERGE_DONE.json")
+    if not os.path.exists(marker):
+        _corpus_from_documents(sf_dir, corpus_dir)
+        build_index(corpus_dir, index_dir, config=IndexConfig())
+    return index_dir
+
+
+def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
+    """(query_id, doc_id, score): engine BM25 top-k per query, ranked
+    by (round(score,4) desc, doc_id asc)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    # engine doc_id -> original doc_id via docmeta path (zero-padded)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    eng2orig = np.zeros(s.n_docs, dtype=np.int64)
+    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
+    )
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.n_docs)  # all matches, exact scores
+        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        for d, sc in ranked:
+            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def bm25_oracle_sql(queries=DOC_QUERIES, k: int = 10) -> str:
+    """DuckDB SQL computing the same BM25 top-k on ``documents``.
+    Query tokenization happens here in Python (same tokenizer), emitted
+    as a VALUES list of (query_id, term, qtf)."""
+    tok = CodeTokenizer()
+    vals = []
+    for qi, q in enumerate(queries):
+        from collections import Counter
+
+        for term, qtf in sorted(Counter(tok.tokens_of(q)).items()):
+            vals.append(f"({qi}, '{term}', {qtf})")
+    values_sql = ", ".join(vals)
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {values_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1.0)
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM scores
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""

@@ -1,0 +1,201 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables —
+the aggregate / join / sort / window operator inventory from SURVEY.md
+§2.4-2.6 expressed Ray-Data-first, each with a DuckDB-checkable result.
+
+Rounding contract: double aggregates are rounded (noted per op) so the
+driver's value-hash compare is robust to summation-order ulps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns
+    )
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style multi-aggregate (A2: single-pass multi-aggregate,
+    Statistics.scala:49-135 analog): per (returnflag, linestatus)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("disc_price", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+
+    # monetary sums reported as integer CENTS: at ~5e8 magnitude the
+    # double grid (~6e-8) is coarser than 2-decimal rounding, so
+    # summation-order ulps would leak into a float column; integers
+    # hash identically across engines
+    def to_cents(batch: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            i = batch.schema.get_field_index(c)
+            cents = pc.round(pc.multiply(batch[c], pa.scalar(100.0))).cast(
+                pa.int64()
+            )
+            batch = batch.set_column(i, c + "_cents", cents)
+        return batch
+
+    return out.map_batches(to_cents, batch_format="pyarrow")
+
+
+def customers_per_region(sf_dir: str):
+    """(r_name, n_customers): two-level broadcast join customer ->
+    nation -> region (J1: small dimension tables broadcast once, no
+    shuffle — the FK-hydration pattern)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    r2name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    from ray.data.aggregate import Count
+
+    class AddRegion:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_pylist()
+            names = pa.array([self.lookup[k] for k in keys], pa.string())
+            return batch.append_column("r_name", names)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        AddRegion, batch_format="pyarrow", concurrency=2
+    )
+    return ds.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+def top_customers_by_spend(sf_dir: str, k: int = 10):
+    """(o_custkey, total_spend): groupby-sum then global top-k with
+    deterministic tie-break (O6 top-k heap analog)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spend")
+    )
+
+    def round_col(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("total_spend")
+        return batch.set_column(i, "total_spend", pc.round(batch["total_spend"], 2))
+
+    return (
+        agg.map_batches(round_col, batch_format="pyarrow")
+        .sort(["total_spend", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_hourly(sf_dir: str):
+    """(user_id, hour, n_events, sum_value): tumbling 1h window —
+    streaming-shaped workload as groupby over (key, window) (§2.9)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("hour", hour)
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow")
+    out = ds.groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def round_col(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value", pc.round(batch["sum_value"], 2))
+
+    return out.map_batches(round_col, batch_format="pyarrow")
+
+
+def events_prev_gap(sf_dir: str):
+    """(event_id, gap_us): microseconds since the user's previous event
+    — the sorted per-partition window op (J4 locationInduction: walk
+    prev/next by sorted timestamp; O7 sliding windows). Partition by
+    user, sort by (ts, event_id) within the group, diff."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")
+        gap = us.diff()
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "gap_us": gap.astype("Int64")}
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+def events_type_stats(sf_dir: str):
+    """(event_type, n, sum_value): grouped totals (A1-style)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+
+    def round_col(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value", pc.round(batch["sum_value"], 2))
+
+    return out.map_batches(round_col, batch_format="pyarrow")
+
+
+def events_topk_by_value(sf_dir: str, k: int = 20):
+    """(event_id, value): global top-k sort with tie-break (O1/O3)."""
+    return (
+        _read(sf_dir, "events", ["event_id", "value"])
+        .sort(["value", "event_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def parts_per_brand(sf_dir: str):
+    """(p_brand, n_parts, avg_retail): grouped stats with rounding."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_retail"),
+    )
+
+    def round_col(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("avg_retail")
+        return batch.set_column(i, "avg_retail", pc.round(batch["avg_retail"], 2))
+
+    return out.map_batches(round_col, batch_format="pyarrow")

@@ -1,0 +1,395 @@
+"""Text-analysis and dedup operators over a ``documents`` table
+(doc_id:int64, text:string, lang:string, source:string, n_chars:int64).
+
+These are the training-data-pipeline operators a 100 TB corpus engine
+needs alongside the inverted index: exact dedup (reference analog:
+duplicate detection by SHA-256 group-count, Statistics.scala:77-81 and
+GoogleTakeoutTooling dedup D1), MinHash-LSH / SimHash / n-gram-Jaccard
+near-dup, language guessing, quality metrics, token counting and
+fingerprinting (reference analog: the keyword tokenizer + per-store
+term-frequency aggregate A1, MediaServiceLive.scala:1678-1690).
+
+All are streaming Ray Data pipelines: vectorized per-batch combiners
+first, then a small ``groupby`` over partials — never a shuffle of raw
+rows where a pre-aggregate can shrink them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sotohp_ray.functions.hashing import (
+    hamming64,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from sotohp_ray.functions.tokenizer import CodeTokenizer
+
+_TOK = CodeTokenizer()
+
+EN_MARKERS = ("the", "a", "fast", "slow", "small")
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns
+    )
+
+
+def _text_col(batch: pa.Table) -> pa.Array:
+    t = batch["text"]
+    t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    return t.cast(pa.large_string())
+
+
+# ---------------------------------------------------------------- sha256
+
+
+def doc_sha256(sf_dir: str):
+    """(doc_id, sha) — the per-row content-hash invariant (M3)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        sha = pa.array(
+            [hashlib.sha256(v.as_buffer()).hexdigest() for v in text],
+            type=pa.string(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "sha": sha})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------ tokenizing
+
+
+def token_counts(sf_dir: str):
+    """(doc_id, n_tokens) with zero-token docs included."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        n = pc.list_value_length(lists).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def term_df(sf_dir: str):
+    """(term, df) document frequencies — per-batch combiner then a tiny
+    groupby over partials (A1: explicit partial+final aggregation)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf = _TOK.term_frequencies(_text_col(batch))
+        g = (
+            pa.table({"term": tf["term"]})
+            .group_by("term")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "df_partial"])
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("term").aggregate(Sum("df_partial", alias_name="df"))
+    return out
+
+
+def quality_stats(sf_dir: str):
+    """(doc_id, n_chars, n_tokens, n_distinct_terms) — integer quality
+    metrics (SQL-expressible; float-free so the oracle hash is exact)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        lists = _TOK.token_lists(text)
+        n_tok = pc.list_value_length(lists).cast(pa.int64())
+        parents = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        n = batch.num_rows
+        distinct = np.zeros(n, dtype=np.int64)
+        if len(flat) > 0:
+            pairs = pa.table({"d": parents, "t": flat}).group_by(["d", "t"]).aggregate([])
+            cnt = (
+                pa.table({"d": pairs["d"]})
+                .group_by("d")
+                .aggregate([([], "count_all")])
+            )
+            distinct[cnt["d"].to_numpy(zero_copy_only=False)] = cnt[
+                "count_all"
+            ].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                "n_tokens": n_tok,
+                "n_distinct_terms": pa.array(distinct, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def lang_guess(sf_dir: str):
+    """(doc_id, lang_guess, marker_hits) — n-gram-free marker-word
+    language heuristic (count of distinct EN marker terms present)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        parents = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        keep = pc.is_in(flat, value_set=pa.array(EN_MARKERS))
+        par = pc.filter(parents, keep)
+        fl = pc.filter(flat, keep)
+        n = batch.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        if len(fl) > 0:
+            pairs = pa.table({"d": par, "t": fl}).group_by(["d", "t"]).aggregate([])
+            cnt = (
+                pa.table({"d": pairs["d"]})
+                .group_by("d")
+                .aggregate([([], "count_all")])
+            )
+            hits[cnt["d"].to_numpy(zero_copy_only=False)] = cnt[
+                "count_all"
+            ].to_numpy(zero_copy_only=False)
+        guess = pa.array(
+            np.where(hits > 0, "en", "und"), type=pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_guess": guess,
+                "marker_hits": pa.array(hits, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def dedup_exact(sf_dir: str):
+    """(sha, keep_id, n_dups): exact dedup by content hash —
+    hash-partitioned groupby keeping the lowest doc_id (D1/D2)."""
+    from ray.data.aggregate import Count, Min
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        sha = pa.array(
+            [hashlib.sha256(v.as_buffer()).hexdigest() for v in text],
+            type=pa.string(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "sha": sha})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_sha, batch_format="pyarrow"
+    )
+    return ds.groupby("sha").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+
+
+class MinHashStage:
+    """Actor-pool stage: LSH band emission. Permutation coefficients
+    built once per actor (__init__), per-batch work vectorized per doc."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
+        self.a, self.b = minhash_params(num_perm)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_band, out_hash = [], [], []
+        for i, toks in enumerate(lists.to_pylist()):
+            sh = shingle_hashes(toks, self.shingle_n)
+            sig = minhash_signature(sh, self.a, self.b)
+            for bnd in range(self.bands):
+                seg = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
+                h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+                out_doc.append(int(doc_ids[i]))
+                out_band.append(bnd)
+                out_hash.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.string()),
+            }
+        )
+
+
+def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
+    """(band, band_hash, n_docs, doc_ids) LSH buckets with >1 doc —
+    near-dup candidate groups. shingle->minhash->band->bucket groupby."""
+
+    def bucket(group):
+        import pandas as pd
+
+        if len(group) < 2:
+            return pd.DataFrame(
+                {"band": [], "band_hash": [], "n_docs": [], "doc_ids": []}
+            )
+        ids = sorted(group["doc_id"].tolist())
+        return pd.DataFrame(
+            {
+                "band": [group["band"].iloc[0]],
+                "band_hash": [group["band_hash"].iloc[0]],
+                "n_docs": [len(ids)],
+                "doc_ids": [",".join(map(str, ids))],
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return ds.groupby(["band", "band_hash"]).map_groups(
+        bucket, batch_format="pandas"
+    )
+
+
+def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
+    """Verified near-dup pairs: LSH candidates -> exact n-gram Jaccard
+    check (candidate generation distributed; verification per unique
+    pair on the small candidate set)."""
+    cand = minhash_candidates(sf_dir).take_all()
+    pairs = set()
+    for row in cand:
+        ids = [int(x) for x in row["doc_ids"].split(",")]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    if not pairs:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    sh_cache: dict[int, np.ndarray] = {}
+
+    def sh(d):
+        if d not in sh_cache:
+            sh_cache[d] = shingle_hashes(_TOK.tokens_of(texts[d]), shingle_n)
+        return sh_cache[d]
+
+    rows = []
+    for a, b in sorted(pairs):
+        sa, sb = sh(a), sh(b)
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            rows.append((a, b, round(j, 6)))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def simhash_fingerprints(sf_dir: str):
+    """(doc_id, simhash_hex) 64-bit SimHash per doc."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        hexes = [f"{simhash64(toks):016x}" for toks in lists.to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash_hex": pa.array(hexes)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
+    """Pairs of docs whose SimHashes differ by <= max_hamming bits
+    (4x16-bit band blocking, then exact hamming verify)."""
+    fp = simhash_fingerprints(sf_dir).take_all()
+    sigs = [(r["doc_id"], int(r["simhash_hex"], 16)) for r in fp]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    by_id = dict(sigs)
+    for d, s in sigs:
+        for band in range(4):
+            key = (band, (s >> (band * 16)) & 0xFFFF)
+            buckets.setdefault(key, []).append(d)
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = min(ids[i], ids[j]), max(ids[i], ids[j])
+                if hamming64(by_id[a], by_id[b]) <= max_hamming:
+                    pairs.add((a, b))
+    ps = sorted(pairs)
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in ps], pa.int64()),
+            "doc_b": pa.array([p[1] for p in ps], pa.int64()),
+        }
+    )
+
+
+def doc_fingerprint(sf_dir: str, window: int = 4):
+    """(doc_id, n_fingerprints) winnowing-style: rolling min of shingle
+    hashes over a sliding window (document fingerprinting)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        out = []
+        for toks in lists.to_pylist():
+            sh = np.array(
+                [h for h in _rolling_hashes(toks)], dtype=np.uint64
+            )
+            if sh.size == 0:
+                out.append(0)
+                continue
+            if sh.size <= window:
+                out.append(1)
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(sh, window)
+            mins = w.min(axis=1)
+            out.append(int(np.unique(mins).size))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_fingerprints": pa.array(out, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _rolling_hashes(tokens: list[str], n: int = 3):
+    import zlib
+
+    if len(tokens) < n:
+        return []
+    return [
+        zlib.crc32(" ".join(tokens[i : i + n]).encode())
+        for i in range(len(tokens) - n + 1)
+    ]
