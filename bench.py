@@ -1,0 +1,204 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines and prints ONE JSON line:
+  {"metric": "e2e_sec", "value": N, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N}
+
+Headline = inverted-index build over the 100k-doc / 64-partition bench
+corpus (generated once, cached in /tmp — generation time excluded per
+FIXTURES.md F7) + BM25 query latency (p50/p99 over the reference query
+set, block-max WAND) + the training-data pipelines over $GRAFT_SF_DIR.
+
+--scaling: runs the index build twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and 32 on the same corpus (the sandbox proxy for the
+north rule's N vs 4N cluster sizes) and prints throughput at both plus
+scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_CORPUS = "/tmp/sotohp_bench_corpus"
+BENCH_INDEX = "/tmp/sotohp_bench_index"
+
+
+def ensure_bench_corpus() -> str:
+    marker = os.path.join(BENCH_CORPUS, "expected.json")
+    if not os.path.exists(marker):
+        from sotohp_ray.sources.corpus import generate_corpus
+
+        shutil.rmtree(BENCH_CORPUS, ignore_errors=True)
+        generate_corpus(BENCH_CORPUS, preset="bench")
+    return BENCH_CORPUS
+
+
+def run_headline(ncpu: int) -> dict:
+    """Index build + query latency on the bench corpus. Assumes Ray is
+    already initialised."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.build_index import build_index
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus = ensure_bench_corpus()
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    for f in corpus_files(corpus):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    shutil.rmtree(BENCH_INDEX, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = build_index(corpus, BENCH_INDEX)
+    t_build = time.perf_counter() - t0
+    n_docs = stats["n_docs"]
+
+    t0 = time.perf_counter()
+    s = Searcher(BENCH_INDEX)
+    t_load = time.perf_counter() - t0
+
+    # query latency over a mixed set (hot/mid/tail terms), WAND path
+    from sotohp_ray.sources.corpus import HOT_TERMS, _SYLLA
+
+    qset = (
+        [" ".join(HOT_TERMS)]
+        + [f"{a} {b}" for a, b in zip(_SYLLA[::2], _SYLLA[1::2])]
+        + _SYLLA[:20]
+        + [f"{a} {b} {c}" for a, b, c in zip(_SYLLA[::3], _SYLLA[1::3], _SYLLA[2::3])]
+    )
+    lats = []
+    for q in qset:
+        t0 = time.perf_counter()
+        s.search_wand(q, 10)
+        lats.append(time.perf_counter() - t0)
+    lats_exact = []
+    for q in qset:
+        t0 = time.perf_counter()
+        s.search_exact(q, 10)
+        lats_exact.append(time.perf_counter() - t0)
+    return {
+        "index_build_sec": round(t_build, 3),
+        "index_build_docs_per_sec": round(n_docs / t_build, 1),
+        "t_phase1_sec": stats.get("t_phase1_sec"),
+        "t_merge_sec": stats.get("t_merge_sec"),
+        "searcher_load_sec": round(t_load, 3),
+        "query_wand_p50_ms": round(1000 * float(np.percentile(lats, 50)), 3),
+        "query_wand_p99_ms": round(1000 * float(np.percentile(lats, 99)), 3),
+        "query_exact_p50_ms": round(1000 * float(np.percentile(lats_exact, 50)), 3),
+        "query_exact_p99_ms": round(1000 * float(np.percentile(lats_exact, 99)), 3),
+        "n_docs": n_docs,
+        "num_cpus": ncpu,
+    }
+
+
+def run_sf_pipelines(sf_dir: str) -> dict:
+    """Per-pipeline wall times over the testdata tables."""
+    from sotohp_ray.pipelines import ann, relational, textops
+    from sotohp_ray.pipelines.fulltext import bm25_topk, _cache_dir
+
+    out = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        # force execution for lazy Datasets
+        if hasattr(r, "materialize"):
+            r.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(_cache_dir(sf_dir), ignore_errors=True)  # fresh build
+    timed("bm25_topk_documents", lambda: bm25_topk(sf_dir))
+    timed("term_df", lambda: textops.term_df(sf_dir))
+    timed("dedup_exact", lambda: textops.dedup_exact(sf_dir))
+    timed("minhash_candidates", lambda: textops.minhash_candidates(sf_dir))
+    timed("quality_stats", lambda: textops.quality_stats(sf_dir))
+    timed("knn_cosine", lambda: ann.knn_cosine(sf_dir))
+    timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
+    timed("events_hourly", lambda: relational.events_hourly(sf_dir))
+    timed("events_prev_gap", lambda: relational.events_prev_gap(sf_dir))
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        ensure_bench_corpus()  # generate once so children share it
+        res = {}
+        for n in (8, 32):
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(n), SOTOHP_BENCH_MODE="headline"
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            res[n] = json.loads(out.strip().splitlines()[-1])
+        t8 = res[8]["queries"]["index_build_sec"]
+        t32 = res[32]["queries"]["index_build_sec"]
+        eff = (t8 / t32) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "build_sec_8cpu": t8,
+                    "build_sec_32cpu": t32,
+                    "docs_per_sec_8cpu": res[8]["queries"]["index_build_docs_per_sec"],
+                    "docs_per_sec_32cpu": res[32]["queries"]["index_build_docs_per_sec"],
+                    "queries": {},
+                    "sf": "bench_corpus_100k",
+                    "num_cpus": [8, 32],
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    t_total0 = time.perf_counter()
+    queries = run_headline(ncpu)
+    if os.environ.get("SOTOHP_BENCH_MODE") != "headline":
+        queries.update(run_sf_pipelines(sf_dir))
+    total = time.perf_counter() - t_total0
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "num_cpus": ncpu,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,11 @@ import hashlib
 import json
 from dataclasses import dataclass, field
 
+# physical index layout version: part of every config/lineage
+# fingerprint, so a format change invalidates stale checkpoints and
+# cached indexes instead of mixing layouts
+INDEX_FORMAT = 2
+
 
 @dataclass(frozen=True)
 class TokenizerRules:
@@ -96,6 +101,7 @@ class IndexConfig:
     def to_json(self) -> str:
         return json.dumps(
             {
+                "format": INDEX_FORMAT,
                 "num_term_shards": self.num_term_shards,
                 "block_size": self.block_size,
                 "salt_rows": self.salt_rows,

@@ -152,77 +152,95 @@ def encode_postings_blocks(
     scores: np.ndarray,
     block_size: int,
     codec: str = "varint",
-) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
-    """Encode one term's docID-sorted postings into block format.
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray, int, np.ndarray]:
+    """Encode one term's docID-sorted postings into stream-of-blocks
+    format: blob = [gap stream][tf stream], each stream the
+    concatenation of per-block encodings.
 
-    Returns (blob, block_last_docs:uint64[], block_offsets:uint32[],
-    block_max_scores:float32[]). ``scores`` are the exact float64 BM25
-    per-posting scores (computable at merge time because df, N and avgdl
-    are known then); the stored per-block bound is the block max rounded
-    UP to float32 so it stays an upper bound.
+    Returns (blob, block_last_docs:uint64[], gap_offs:uint32[],
+    tf_offs:uint32[], tf_base:int, block_max_scores:float32[]);
+    gap_offs/tf_offs are byte offsets of each block WITHIN its stream,
+    tf_base = len(gap stream) = where the tf stream starts.
 
-    Each block encodes: gaps(varint/pfor) then tfs(varint/pfor), where
-    gap[0] of block k is relative to last doc of block k-1 (or -1).
+    Every gap is the delta from the previous posting (block boundaries
+    do NOT reset deltas), so a full decode is ONE pass over each stream
+    plus one global cumsum for the varint codec — no per-block loop on
+    the query hot path. Single-block random access still works via the
+    per-block offsets.
+
+    ``scores`` are the exact float64 BM25 per-posting scores (df, N and
+    avgdl are known at merge time); the stored per-block bound is the
+    block max rounded UP to float32 so it stays an upper bound.
     """
     enc, _ = CODECS[codec]
     n = doc_ids.size
     doc_ids = doc_ids.astype(np.uint64)
     tfs = tfs.astype(np.uint64)
     nblocks = (n + block_size - 1) // block_size
-    parts: list[bytes] = []
     last_docs = np.zeros(nblocks, dtype=np.uint64)
-    offsets = np.zeros(nblocks, dtype=np.uint32)
+    gap_offs = np.zeros(nblocks, dtype=np.uint32)
+    tf_offs = np.zeros(nblocks, dtype=np.uint32)
     maxscores = np.zeros(nblocks, dtype=np.float32)
-    # all gaps computed at once (prev of first posting = doc_ids[0]+? use -1 semantics)
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = doc_ids[0]
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
-    pos = 0
+    gparts: list[bytes] = []
+    tparts: list[bytes] = []
+    gpos = tpos = 0
     for k in range(nblocks):
         lo, hi = k * block_size, min(n, (k + 1) * block_size)
         g = enc(gaps[lo:hi])
         t = enc(tfs[lo:hi])
-        offsets[k] = pos
-        parts.append(len(g).to_bytes(4, "little"))
-        parts.append(g)
-        parts.append(t)
-        pos += 4 + len(g) + len(t)
+        gap_offs[k] = gpos
+        tf_offs[k] = tpos
+        gparts.append(g)
+        tparts.append(t)
+        gpos += len(g)
+        tpos += len(t)
         last_docs[k] = doc_ids[hi - 1]
         m = float(scores[lo:hi].max())
         f32 = np.float32(m)
         if float(f32) < m:
             f32 = np.nextafter(f32, np.float32(np.inf))
         maxscores[k] = f32
-    return b"".join(parts), last_docs, offsets, maxscores
+    blob = b"".join(gparts) + b"".join(tparts)
+    return blob, last_docs, gap_offs, tf_offs, gpos, maxscores
 
 
 def decode_postings(
     blob: bytes | memoryview,
-    block_counts: np.ndarray,
-    block_offsets: np.ndarray,
+    total: int,
+    tf_base: int,
+    block_counts: np.ndarray | None = None,
+    gap_offs: np.ndarray | None = None,
+    tf_offs: np.ndarray | None = None,
     codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode ALL blocks of a term -> (doc_ids, tfs), vectorized per
-    block."""
-    _, dec = CODECS[codec]
+    """Decode ALL postings of a term -> (doc_ids, tfs). For varint this
+    is two stream decodes + one cumsum (no block loop); pfor needs the
+    per-block offsets (width headers are per block)."""
     mv = memoryview(blob)
-    total = int(block_counts.sum())
+    if codec == "varint":
+        gaps = varint_decode(mv[:tf_base], total)
+        tfs = varint_decode(mv[tf_base:], total)
+        return np.cumsum(gaps, dtype=np.uint64), tfs
+    _, dec = CODECS[codec]
+    nblocks = block_counts.size
     doc_ids = np.empty(total, dtype=np.uint64)
     tfs = np.empty(total, dtype=np.uint64)
     pos = 0
-    nblocks = block_counts.size
     for k in range(nblocks):
-        off = int(block_offsets[k])
-        end = int(block_offsets[k + 1]) if k + 1 < nblocks else len(mv)
         cnt = int(block_counts[k])
-        glen = int.from_bytes(mv[off : off + 4], "little")
-        gaps = dec(mv[off + 4 : off + 4 + glen], cnt)
-        t = dec(mv[off + 4 + glen : end], cnt)
+        g0 = int(gap_offs[k])
+        g1 = int(gap_offs[k + 1]) if k + 1 < nblocks else tf_base
+        t0 = tf_base + int(tf_offs[k])
+        t1 = tf_base + int(tf_offs[k + 1]) if k + 1 < nblocks else len(mv)
+        gaps = dec(mv[g0:g1], cnt)
         d = np.cumsum(gaps, dtype=np.uint64)
         if pos > 0:
             d += doc_ids[pos - 1]
         doc_ids[pos : pos + cnt] = d
-        tfs[pos : pos + cnt] = t
+        tfs[pos : pos + cnt] = dec(mv[t0:t1], cnt)
         pos += cnt
     return doc_ids, tfs
 
@@ -231,23 +249,27 @@ def decode_one_block(
     blob: bytes | memoryview,
     block_idx: int,
     block_counts: np.ndarray,
-    block_offsets: np.ndarray,
+    gap_offs: np.ndarray,
+    tf_offs: np.ndarray,
+    tf_base: int,
     block_last_docs: np.ndarray,
     codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode a single block (for WAND skipping) -> (doc_ids, tfs)."""
     _, dec = CODECS[codec]
     mv = memoryview(blob)
-    off = int(block_offsets[block_idx])
-    end = (
-        int(block_offsets[block_idx + 1])
-        if block_idx + 1 < block_offsets.size
+    nblocks = block_counts.size
+    cnt = int(block_counts[block_idx])
+    g0 = int(gap_offs[block_idx])
+    g1 = int(gap_offs[block_idx + 1]) if block_idx + 1 < nblocks else tf_base
+    t0 = tf_base + int(tf_offs[block_idx])
+    t1 = (
+        tf_base + int(tf_offs[block_idx + 1])
+        if block_idx + 1 < nblocks
         else len(mv)
     )
-    cnt = int(block_counts[block_idx])
-    glen = int.from_bytes(mv[off : off + 4], "little")
-    gaps = dec(mv[off + 4 : off + 4 + glen], cnt)
-    tfs = dec(mv[off + 4 + glen : end], cnt)
+    gaps = dec(mv[g0:g1], cnt)
+    tfs = dec(mv[t0:t1], cnt)
     d = np.cumsum(gaps, dtype=np.uint64)
     if block_idx > 0:
         d += block_last_docs[block_idx - 1]

@@ -253,6 +253,7 @@ def build_index(
         os.path.join(index_dir, "partials"),
         columns=[
             "term_shard", "term", "salt", "count",
+            "doc0", "tf0", "dl0",
             "doc_blob", "tf_blob", "dl_blob",
         ],
     )

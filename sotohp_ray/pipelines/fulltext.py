@@ -66,9 +66,11 @@ def _corpus_from_documents(sf_dir: str, corpus_dir: str, n_parts: int = 4):
 
 
 def _cache_dir(sf_dir: str) -> str:
+    from sotohp_ray.config import INDEX_FORMAT
+
     st = os.stat(f"{sf_dir}/documents.parquet")
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}".encode()
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:fmt{INDEX_FORMAT}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp", "sotohp_ray_cache", key)
 

@@ -40,14 +40,17 @@ class _TermCursor:
     """Lazy block-decoding cursor over one term's postings."""
 
     __slots__ = (
-        "blob", "block_last", "block_offs", "block_counts", "df",
-        "codec", "cur_block", "docs", "tfs", "pos", "cur_doc", "exhausted",
+        "blob", "block_last", "gap_offs", "tf_offs", "tf_base",
+        "block_counts", "df", "codec", "cur_block", "docs", "tfs",
+        "pos", "cur_doc", "exhausted",
     )
 
     def __init__(self, row: dict, codec: str):
         self.blob = row["blob"]
         self.block_last = row["block_last"]
-        self.block_offs = row["block_offs"]
+        self.gap_offs = row.get("block_gap_offs")
+        self.tf_offs = row.get("block_tf_offs")
+        self.tf_base = row.get("tf_base")
         self.df = int(row["df"])
         nblocks = self.block_last.size
         bs = row["block_size"]
@@ -60,7 +63,13 @@ class _TermCursor:
         self.pos = 0
         self.cur_doc = -1
         self.exhausted = False
-        self._load_block(0)
+        if row.get("docs") is not None:  # inline df==1 record
+            self.docs = row["docs"]
+            self.tfs = row["tfs"]
+            self.cur_block = 0
+            self.cur_doc = int(self.docs[0])
+        else:
+            self._load_block(0)
 
     def _load_block(self, k: int):
         if k >= self.block_last.size:
@@ -68,8 +77,8 @@ class _TermCursor:
             self.cur_doc = np.iinfo(np.int64).max
             return
         self.docs, self.tfs = pcodec.decode_one_block(
-            self.blob, k, self.block_counts, self.block_offs,
-            self.block_last, codec=self.codec,
+            self.blob, k, self.block_counts, self.gap_offs, self.tf_offs,
+            self.tf_base, self.block_last, codec=self.codec,
         )
         self.cur_block = k
         self.pos = 0
@@ -140,26 +149,21 @@ class Searcher:
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
 
+        # columnar dictionary: term -> row index; blobs/block metadata
+        # are materialized lazily per queried term (and cached). At
+        # cluster scale this is one loaded shard group per searcher
+        # actor; loading every blob into Python objects up front would
+        # cost seconds for a 100k-term vocabulary.
         t = pq.read_table(os.path.join(index_dir, "dictionary"))
-        self._dict: dict[str, dict] = {}
-        terms = t["term"].to_pylist()
-        dfs = t["df"].to_numpy(zero_copy_only=False)
-        maxs = t["max_score"].to_numpy(zero_copy_only=False)
-        blobs = t["blob"].to_pylist()
-        blast = t["block_last"].to_pylist()
-        boffs = t["block_offs"].to_pylist()
-        bmax = t["block_max"].to_pylist()
-        bs = config.block_size
-        for i, term in enumerate(terms):
-            self._dict[term] = {
-                "df": int(dfs[i]),
-                "max_score": float(maxs[i]),
-                "blob": blobs[i],
-                "block_last": np.array(blast[i], dtype=np.uint64).astype(np.int64),
-                "block_offs": np.array(boffs[i], dtype=np.uint32),
-                "block_max": np.array(bmax[i], dtype=np.float32),
-                "block_size": bs,
-            }
+        self._tbl = t.combine_chunks()
+        self._row: dict[str, int] = {
+            term: i for i, term in enumerate(t["term"].to_pylist())
+        }
+        self._dfs = t["df"].to_numpy(zero_copy_only=False)
+        self._maxs = t["max_score"].to_numpy(zero_copy_only=False)
+        self._doc0 = t["doc0"].to_numpy(zero_copy_only=False)
+        self._tf0 = t["tf0"].to_numpy(zero_copy_only=False)
+        self._rec_cache: dict[str, dict] = {}
         dm = pq.read_table(
             os.path.join(index_dir, "docmeta"), columns=["doc_id", "doc_len"]
         )
@@ -174,6 +178,53 @@ class Searcher:
     def _idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    def _record(self, term: str) -> dict:
+        """Lazy per-term record (cached): inline posting for df==1,
+        blob + block metadata views otherwise."""
+        rec = self._rec_cache.get(term)
+        if rec is not None:
+            return rec
+        i = self._row[term]
+        df = int(self._dfs[i])
+        if df == 1:
+            d = np.array([self._doc0[i]], dtype=np.uint64)
+            f = np.array([self._tf0[i]], dtype=np.uint64)
+            rec = {
+                "df": 1,
+                "max_score": float(self._maxs[i]),
+                "docs": d,
+                "tfs": f,
+                "blob": None,
+                "block_last": d.astype(np.int64),
+                "block_gap_offs": np.zeros(1, dtype=np.uint32),
+                "block_tf_offs": np.zeros(1, dtype=np.uint32),
+                "tf_base": 0,
+                "block_max": np.array([self._maxs[i]], dtype=np.float32),
+                "block_size": 1,
+            }
+        else:
+            rec = {
+                "df": df,
+                "max_score": float(self._maxs[i]),
+                "blob": self._tbl["blob"][i].as_buffer(),
+                "block_last": self._tbl["block_last"][i]
+                .values.to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "block_gap_offs": self._tbl["block_gap_offs"][i].values.to_numpy(
+                    zero_copy_only=False
+                ),
+                "block_tf_offs": self._tbl["block_tf_offs"][i].values.to_numpy(
+                    zero_copy_only=False
+                ),
+                "tf_base": int(self._tbl["tf_base"][i].as_py()),
+                "block_max": self._tbl["block_max"][i].values.to_numpy(
+                    zero_copy_only=False
+                ),
+                "block_size": self.config.block_size,
+            }
+        self._rec_cache[term] = rec
+        return rec
+
     def _query_terms(self, query: str) -> list[tuple[str, float]]:
         """-> [(term, qtf)] in first-appearance order, present terms only."""
         toks = self.tok.tokens_of(query)
@@ -182,15 +233,19 @@ class Searcher:
         for t in toks:
             if t not in seen:
                 seen.append(t)
-        return [(t, float(qtf[t])) for t in seen if t in self._dict]
+        return [(t, float(qtf[t])) for t in seen if t in self._row]
 
     def _decode_full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        r = self._dict[term]
+        r = self._record(term)
+        if r.get("docs") is not None:
+            return r["docs"], r["tfs"]
         nblocks = r["block_last"].size
         counts = np.full(nblocks, r["block_size"], dtype=np.int64)
         counts[-1] = r["df"] - r["block_size"] * (nblocks - 1)
         return pcodec.decode_postings(
-            r["blob"], counts, r["block_offs"], codec=self.config.codec
+            r["blob"], r["df"], r["tf_base"],
+            block_counts=counts, gap_offs=r["block_gap_offs"],
+            tf_offs=r["block_tf_offs"], codec=self.config.codec,
         )
 
     def _contrib(self, qw: float, df: int, tf, dl):
@@ -209,7 +264,9 @@ class Searcher:
         for term, qw in qterms:
             d, f = self._decode_full(term)
             dli = self.doc_len[d]
-            scores[d] += self._contrib(qw, self._dict[term]["df"], f.astype(np.float64), dli)
+            scores[d] += self._contrib(
+                qw, int(self._dfs[self._row[term]]), f.astype(np.float64), dli
+            )
         nz = np.flatnonzero(scores > 0.0)
         if nz.size == 0:
             return []
@@ -219,7 +276,21 @@ class Searcher:
 
     # ---- block-max WAND --------------------------------------------
 
-    def search_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_wand(
+        self, query: str, k: int = 10, max_iters: int = 1024
+    ) -> list[tuple[int, float]]:
+        """Adaptive block-max WAND: document-at-a-time pivoting with
+        block-max skipping; if the per-doc loop exceeds ``max_iters``
+        iterations (pruning ineffective — flat score distributions make
+        every block-max ≈ theta), falls back to vectorized TAAT over
+        the remaining doc range [pivot, inf).
+
+        The fallback is EXACT by the WAND invariant: every doc below
+        the current pivot is either in the heap or provably unable to
+        beat theta, and the remaining range is scored with the same
+        per-term accumulation order as ``search_exact`` — results stay
+        bit-identical.
+        """
         import heapq
 
         qterms = self._query_terms(query)
@@ -227,7 +298,7 @@ class Searcher:
             return []
         cursors = []
         for qi, (term, qw) in enumerate(qterms):
-            r = self._dict[term]
+            r = self._record(term)
             cur = _TermCursor(r, self.config.codec)
             ub = qw * r["max_score"]
             cursors.append(
@@ -241,6 +312,7 @@ class Searcher:
         def theta() -> float:
             return heap[0][0] if len(heap) >= k else 0.0
 
+        iters = 0
         while True:
             live = [x for x in cursors if not x["c"].exhausted]
             if not live:
@@ -259,6 +331,9 @@ class Searcher:
             pivot_doc = live[pivot]["c"].cur_doc
             if pivot_doc == MAXD:
                 break
+            iters += 1
+            if iters > max_iters:
+                return self._wand_fallback(qterms, k, heap, pivot_doc)
             # block-max refinement (Ding & Suel BMW): align each prefix
             # cursor to the block that would contain pivot_doc; sum
             # those blocks' maxima and record their boundaries.
@@ -311,6 +386,40 @@ class Searcher:
                         x["c"].seek(pivot_doc)
         out = sorted(heap, key=lambda t: (-t[0], -t[1]))
         return [(-d, s) for s, d in out]
+
+    def _wand_fallback(
+        self,
+        qterms: list[tuple[str, float]],
+        k: int,
+        heap: list[tuple[float, int]],
+        pivot_doc: int,
+    ) -> list[tuple[int, float]]:
+        """Vectorized TAAT over doc range [pivot_doc, n_docs), merged
+        with the WAND heap (docs < pivot_doc)."""
+        base = pivot_doc
+        width = self.n_docs - base
+        if width <= 0:
+            out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+            return [(-d, s) for s, d in out]
+        scores = np.zeros(width, dtype=np.float64)
+        for term, qw in qterms:
+            d, f = self._decode_full(term)
+            m = d >= base
+            d = d[m].astype(np.int64) - base
+            if d.size == 0:
+                continue
+            fl = f[m].astype(np.float64)
+            scores[d] += self._contrib(
+                qw, int(self._dfs[self._row[term]]), fl, self.doc_len[d + base]
+            )
+        nz = np.flatnonzero(scores > 0.0)
+        cand = [(float(scores[i]), int(i + base)) for i in
+                nz[np.lexsort((nz, -scores[nz]))[:k]]]
+        allc = [(s, d) for s, d in cand] + [(s, -d) for s, d in heap]
+        # heap entries stored as (score, -doc); normalize and rank
+        norm = [(s, d if d >= 0 else -d) for s, d in allc]
+        norm.sort(key=lambda t: (-t[0], t[1]))
+        return [(d, s) for s, d in norm[:k]]
 
     def search(self, query: str, k: int = 10, mode: str = "wand"):
         if mode == "exact":

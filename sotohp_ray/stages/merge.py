@@ -35,9 +35,15 @@ DICT_SCHEMA = pa.schema(
         ("df", pa.uint64()),
         ("cf", pa.uint64()),
         ("max_score", pa.float32()),
+        # df == 1 fast path: the single posting inlined (blob columns
+        # null) — vectorized for the long identifier tail
+        ("doc0", pa.uint64()),
+        ("tf0", pa.uint64()),
         ("blob", pa.large_binary()),
         ("block_last", pa.large_list(pa.uint64())),
-        ("block_offs", pa.large_list(pa.uint32())),
+        ("block_gap_offs", pa.large_list(pa.uint32())),
+        ("block_tf_offs", pa.large_list(pa.uint32())),
+        ("tf_base", pa.uint32()),
         ("block_max", pa.large_list(pa.float32())),
     ]
 )
@@ -57,23 +63,31 @@ def merge_shard(
     counts = group["count"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(counts.sum())
 
-    # decode all partial blobs into flat arrays (row loop is over
-    # partial ROWS — O(#terms × #partitions / #shards) — while each
-    # decode is vectorized over its postings)
-    doc_col = group["doc_blob"].combine_chunks()
-    tf_col = group["tf_blob"].combine_chunks()
-    dl_col = group["dl_blob"].combine_chunks()
+    # decode partial blobs into flat arrays. Inline (count==1) rows are
+    # gathered vectorized; only multi-posting rows loop (each decode is
+    # itself vectorized over its postings).
     docs = np.empty(total, dtype=np.uint64)
     tfs = np.empty(total, dtype=np.uint64)
     dls = np.empty(total, dtype=np.uint64)
-    pos = 0
-    for i in range(nrows):
+    row_starts = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(counts[:-1], out=row_starts[1:])
+    inline = counts == 1
+    inline_rows = np.flatnonzero(inline)
+    if inline_rows.size:
+        p = row_starts[inline_rows]
+        docs[p] = group["doc0"].to_numpy(zero_copy_only=False)[inline_rows]
+        tfs[p] = group["tf0"].to_numpy(zero_copy_only=False)[inline_rows]
+        dls[p] = group["dl0"].to_numpy(zero_copy_only=False)[inline_rows]
+    doc_col = group["doc_blob"].combine_chunks()
+    tf_col = group["tf_blob"].combine_chunks()
+    dl_col = group["dl_blob"].combine_chunks()
+    for i in np.flatnonzero(~inline):
         c = int(counts[i])
+        pos = int(row_starts[i])
         gaps = dec(doc_col[i].as_buffer(), c)
         docs[pos : pos + c] = np.cumsum(gaps, dtype=np.uint64)
         tfs[pos : pos + c] = dec(tf_col[i].as_buffer(), c)
         dls[pos : pos + c] = dec(dl_col[i].as_buffer(), c)
-        pos += c
 
     # term code per posting
     import pyarrow.compute as pc
@@ -99,13 +113,37 @@ def merge_shard(
     bounds = np.flatnonzero(np.diff(codes_s)) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [codes_s.size]))
-    uniq_terms = term_dict.take(pa.array(codes_s[starts], type=pa.int64()))
-    uniq_list = uniq_terms.to_pylist()
+    seg_len = ends - starts
 
-    # exact per-posting BM25 scores (float64), block-encoded per term
-    o_term, o_df, o_cf, o_max = [], [], [], []
-    o_blob, o_last, o_offs, o_bmax = [], [], [], []
-    for k in range(starts.size):
+    # df == 1 terms (the long identifier tail): fully vectorized —
+    # exact BM25 score, no blocks, posting inlined
+    single = seg_len == 1
+    s_idx = np.flatnonzero(single)
+    m_idx = np.flatnonzero(~single)
+    s_pos = starts[s_idx]
+    s_docs = docs_s[s_pos]
+    s_tfs = tfs_s[s_pos]
+    s_f = s_tfs.astype(np.float64)
+    s_dl = dls_s[s_pos].astype(np.float64)
+    idf1 = math.log(1.0 + (n_docs - 1 + 0.5) / (1 + 0.5))
+    s_scores = idf1 * (s_f * (k1 + 1.0)) / (
+        s_f + k1 * (1.0 - b + b * s_dl / avgdl)
+    )
+    # float32 rounded UP so it stays an upper bound
+    s_max = s_scores.astype(np.float32)
+    lows = s_max.astype(np.float64) < s_scores
+    s_max[lows] = np.nextafter(s_max[lows], np.float32(np.inf))
+
+    # multi-posting terms: per-term loop, vectorized inside
+    uniq_multi = (
+        term_dict.take(pa.array(codes_s[starts[m_idx]], type=pa.int64()))
+        if m_idx.size
+        else pa.array([], type=pa.string())
+    )
+    uniq_list = uniq_multi.to_pylist()
+    o_df, o_cf, o_max, o_tfbase = [], [], [], []
+    o_blob, o_last, o_goffs, o_toffs, o_bmax = [], [], [], [], []
+    for j, k in enumerate(m_idx):
         lo, hi = int(starts[k]), int(ends[k])
         df = hi - lo
         d = docs_s[lo:hi]
@@ -114,36 +152,114 @@ def merge_shard(
         idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         denom = f + k1 * (1.0 - b + b * dl / avgdl)
         scores = idf * (f * (k1 + 1.0)) / denom
-        blob, last, offs, bmax = pcodec.encode_postings_blocks(
+        blob, last, goffs, toffs, tf_base, bmax = pcodec.encode_postings_blocks(
             d, tfs_s[lo:hi], scores, config.block_size, codec=config.codec
         )
-        o_term.append(uniq_list[k])
         o_df.append(df)
         o_cf.append(int(tfs_s[lo:hi].sum()))
         o_max.append(float(bmax.max()))
         o_blob.append(blob)
         o_last.append(last)
-        o_offs.append(offs)
+        o_goffs.append(goffs)
+        o_toffs.append(toffs)
+        o_tfbase.append(tf_base)
         o_bmax.append(bmax)
 
+    n_m, n_s = len(o_df), s_idx.size
+    uniq_single = (
+        term_dict.take(pa.array(codes_s[s_pos], type=pa.int64()))
+        if n_s
+        else pa.array([], type=pa.string())
+    )
+    empty_list_u64 = pa.nulls(n_s, type=pa.large_list(pa.uint64()))
+    empty_list_u32 = pa.nulls(n_s, type=pa.large_list(pa.uint32()))
+    empty_list_f32 = pa.nulls(n_s, type=pa.large_list(pa.float32()))
     out = pa.table(
         {
             "term_shard": pa.array(
-                np.full(len(o_term), shard, dtype=np.uint32), type=pa.uint32()
+                np.full(n_m + n_s, shard, dtype=np.uint32), type=pa.uint32()
             ),
-            "term": pa.array(o_term, type=pa.string()),
-            "df": pa.array(o_df, type=pa.uint64()),
-            "cf": pa.array(o_cf, type=pa.uint64()),
-            "max_score": pa.array(o_max, type=pa.float32()),
-            "blob": pa.array(o_blob, type=pa.large_binary()),
-            "block_last": pa.array(
-                [x.tolist() for x in o_last], type=pa.large_list(pa.uint64())
+            "term": pa.concat_arrays(
+                [
+                    uniq_multi.cast(pa.string()),
+                    uniq_single.cast(pa.string()),
+                ]
             ),
-            "block_offs": pa.array(
-                [x.tolist() for x in o_offs], type=pa.large_list(pa.uint32())
+            "df": pa.array(
+                np.concatenate(
+                    [np.asarray(o_df, dtype=np.uint64),
+                     np.ones(n_s, dtype=np.uint64)]
+                ),
+                type=pa.uint64(),
             ),
-            "block_max": pa.array(
-                [x.tolist() for x in o_bmax], type=pa.large_list(pa.float32())
+            "cf": pa.array(
+                np.concatenate(
+                    [np.asarray(o_cf, dtype=np.uint64), s_tfs]
+                ),
+                type=pa.uint64(),
+            ),
+            "max_score": pa.array(
+                np.concatenate(
+                    [np.asarray(o_max, dtype=np.float32), s_max]
+                ),
+                type=pa.float32(),
+            ),
+            "doc0": pa.array(
+                np.concatenate([np.zeros(n_m, dtype=np.uint64), s_docs]),
+                type=pa.uint64(),
+            ),
+            "tf0": pa.array(
+                np.concatenate([np.zeros(n_m, dtype=np.uint64), s_tfs]),
+                type=pa.uint64(),
+            ),
+            "blob": pa.concat_arrays(
+                [
+                    pa.array(o_blob, type=pa.large_binary()),
+                    pa.nulls(n_s, type=pa.large_binary()),
+                ]
+            ),
+            "block_last": pa.concat_arrays(
+                [
+                    pa.array(
+                        [x.tolist() for x in o_last],
+                        type=pa.large_list(pa.uint64()),
+                    ),
+                    empty_list_u64,
+                ]
+            ),
+            "block_gap_offs": pa.concat_arrays(
+                [
+                    pa.array(
+                        [x.tolist() for x in o_goffs],
+                        type=pa.large_list(pa.uint32()),
+                    ),
+                    empty_list_u32,
+                ]
+            ),
+            "block_tf_offs": pa.concat_arrays(
+                [
+                    pa.array(
+                        [x.tolist() for x in o_toffs],
+                        type=pa.large_list(pa.uint32()),
+                    ),
+                    empty_list_u32,
+                ]
+            ),
+            "tf_base": pa.array(
+                np.concatenate(
+                    [np.asarray(o_tfbase, dtype=np.uint32),
+                     np.zeros(n_s, dtype=np.uint32)]
+                ),
+                type=pa.uint32(),
+            ),
+            "block_max": pa.concat_arrays(
+                [
+                    pa.array(
+                        [x.tolist() for x in o_bmax],
+                        type=pa.large_list(pa.float32()),
+                    ),
+                    empty_list_f32,
+                ]
             ),
         },
         schema=DICT_SCHEMA,

@@ -56,6 +56,13 @@ PARTIALS_SCHEMA = pa.schema(
         ("salt", pa.uint32()),
         ("partition_id", pa.uint32()),
         ("count", pa.uint32()),
+        # count == 1 fast path: posting inlined as plain columns (blobs
+        # null) — the df=1 long tail is ~half of all postings rows in a
+        # code corpus and a per-term Python encode loop over it would
+        # dominate the build; inline rows are assembled fully vectorized
+        ("doc0", pa.uint64()),
+        ("tf0", pa.uint64()),
+        ("dl0", pa.uint64()),
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
         ("dl_blob", pa.large_binary()),
@@ -144,47 +151,125 @@ def index_partition_table(
         shard_per_term = term_shard_ids(uniq_terms, config.num_term_shards)
 
     salt_rows = config.salt_rows
+    seg_len = ends - starts
+    single = seg_len == 1  # df_partial == 1 tail: fully vectorized
+    multi_idx = np.flatnonzero(~single)
+    single_idx = np.flatnonzero(single)
+
     col_shard, col_term, col_salt, col_count = [], [], [], []
     col_doc, col_tf, col_dl, col_cf, col_maxtf = [], [], [], [], []
     enc, _ = pcodec.CODECS[config.codec]
-    uniq_list = uniq_terms.to_pylist()
-    for k in range(starts.size):
-        lo, hi = int(starts[k]), int(ends[k])
-        term = uniq_list[k]
-        shard = int(shard_per_term[k])
-        salt = 0
-        for c0 in range(lo, hi, salt_rows):
-            c1 = min(hi, c0 + salt_rows)
-            d = docs_s[c0:c1]
-            gaps = np.empty(d.size, dtype=np.uint64)
-            gaps[0] = d[0]
-            np.subtract(d[1:], d[:-1], out=gaps[1:])
-            col_shard.append(shard)
-            col_term.append(term)
-            col_salt.append(salt)
-            col_count.append(c1 - c0)
-            col_doc.append(enc(gaps))
-            col_tf.append(enc(tfs_s[c0:c1]))
-            col_dl.append(enc(dls_s[c0:c1]))
-            col_cf.append(int(tfs_s[c0:c1].sum()))
-            col_maxtf.append(int(tfs_s[c0:c1].max()))
-            salt += 1
+    if multi_idx.size:
+        uniq_list = uniq_terms.take(pa.array(multi_idx)).to_pylist()
+        for j, k in enumerate(multi_idx):
+            lo, hi = int(starts[k]), int(ends[k])
+            term = uniq_list[j]
+            shard = int(shard_per_term[k])
+            salt = 0
+            for c0 in range(lo, hi, salt_rows):
+                c1 = min(hi, c0 + salt_rows)
+                d = docs_s[c0:c1]
+                gaps = np.empty(d.size, dtype=np.uint64)
+                gaps[0] = d[0]
+                np.subtract(d[1:], d[:-1], out=gaps[1:])
+                col_shard.append(shard)
+                col_term.append(term)
+                col_salt.append(salt)
+                col_count.append(c1 - c0)
+                col_doc.append(enc(gaps))
+                col_tf.append(enc(tfs_s[c0:c1]))
+                col_dl.append(enc(dls_s[c0:c1]))
+                col_cf.append(int(tfs_s[c0:c1].sum()))
+                col_maxtf.append(int(tfs_s[c0:c1].max()))
+                salt += 1
+    n_multi = len(col_shard)
+    n_single = single_idx.size
+    s_pos = starts[single_idx]
 
     partials = pa.table(
         {
-            "term_shard": pa.array(col_shard, type=pa.uint32()),
-            "term": pa.array(col_term, type=pa.string()),
-            "salt": pa.array(col_salt, type=pa.uint32()),
-            "partition_id": pa.array(
-                np.full(len(col_shard), partition_id, dtype=np.uint32),
+            "term_shard": pa.array(
+                np.concatenate(
+                    [
+                        np.asarray(col_shard, dtype=np.uint32),
+                        shard_per_term[single_idx].astype(np.uint32),
+                    ]
+                ),
                 type=pa.uint32(),
             ),
-            "count": pa.array(col_count, type=pa.uint32()),
-            "doc_blob": pa.array(col_doc, type=pa.large_binary()),
-            "tf_blob": pa.array(col_tf, type=pa.large_binary()),
-            "dl_blob": pa.array(col_dl, type=pa.large_binary()),
-            "cf_partial": pa.array(col_cf, type=pa.uint64()),
-            "max_tf": pa.array(col_maxtf, type=pa.uint32()),
+            "term": pa.concat_arrays(
+                [
+                    pa.array(col_term, type=pa.string()),
+                    uniq_terms.take(pa.array(single_idx)).cast(pa.string()),
+                ]
+            ),
+            "salt": pa.array(
+                np.concatenate(
+                    [np.asarray(col_salt, dtype=np.uint32),
+                     np.zeros(n_single, dtype=np.uint32)]
+                ),
+                type=pa.uint32(),
+            ),
+            "partition_id": pa.array(
+                np.full(n_multi + n_single, partition_id, dtype=np.uint32),
+                type=pa.uint32(),
+            ),
+            "count": pa.array(
+                np.concatenate(
+                    [np.asarray(col_count, dtype=np.uint32),
+                     np.ones(n_single, dtype=np.uint32)]
+                ),
+                type=pa.uint32(),
+            ),
+            "doc0": pa.array(
+                np.concatenate(
+                    [np.zeros(n_multi, dtype=np.uint64), docs_s[s_pos]]
+                ),
+                type=pa.uint64(),
+            ),
+            "tf0": pa.array(
+                np.concatenate(
+                    [np.zeros(n_multi, dtype=np.uint64), tfs_s[s_pos]]
+                ),
+                type=pa.uint64(),
+            ),
+            "dl0": pa.array(
+                np.concatenate(
+                    [np.zeros(n_multi, dtype=np.uint64), dls_s[s_pos]]
+                ),
+                type=pa.uint64(),
+            ),
+            "doc_blob": pa.concat_arrays(
+                [
+                    pa.array(col_doc, type=pa.large_binary()),
+                    pa.nulls(n_single, type=pa.large_binary()),
+                ]
+            ),
+            "tf_blob": pa.concat_arrays(
+                [
+                    pa.array(col_tf, type=pa.large_binary()),
+                    pa.nulls(n_single, type=pa.large_binary()),
+                ]
+            ),
+            "dl_blob": pa.concat_arrays(
+                [
+                    pa.array(col_dl, type=pa.large_binary()),
+                    pa.nulls(n_single, type=pa.large_binary()),
+                ]
+            ),
+            "cf_partial": pa.array(
+                np.concatenate(
+                    [np.asarray(col_cf, dtype=np.uint64), tfs_s[s_pos]]
+                ),
+                type=pa.uint64(),
+            ),
+            "max_tf": pa.array(
+                np.concatenate(
+                    [np.asarray(col_maxtf, dtype=np.uint32),
+                     tfs_s[s_pos].astype(np.uint32)]
+                ),
+                type=pa.uint32(),
+            ),
         },
         schema=PARTIALS_SCHEMA,
     )

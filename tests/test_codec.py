@@ -39,18 +39,23 @@ def test_postings_blocks_roundtrip(name, n):
     tfs = rng.randint(1, 50, size=n).astype(np.uint64)
     scores = rng.rand(n) * 10
     block = 128
-    blob, last_docs, offs, maxs = codec.encode_postings_blocks(
+    blob, last_docs, goffs, toffs, tf_base, maxs = codec.encode_postings_blocks(
         doc_ids, tfs, scores, block, codec=name
     )
     nblocks = (n + block - 1) // block
     counts = np.full(nblocks, block, dtype=np.int64)
     counts[-1] = n - block * (nblocks - 1)
-    d, t = codec.decode_postings(blob, counts, offs, codec=name)
+    d, t = codec.decode_postings(
+        blob, n, tf_base, block_counts=counts, gap_offs=goffs,
+        tf_offs=toffs, codec=name,
+    )
     assert np.array_equal(d, doc_ids)
     assert np.array_equal(t, tfs)
     # last_docs / per-block decode agree
     for k in range(nblocks):
-        bd, bt = codec.decode_one_block(blob, k, counts, offs, last_docs, codec=name)
+        bd, bt = codec.decode_one_block(
+            blob, k, counts, goffs, toffs, tf_base, last_docs, codec=name
+        )
         lo, hi = k * block, min(n, (k + 1) * block)
         assert np.array_equal(bd, doc_ids[lo:hi])
         assert np.array_equal(bt, tfs[lo:hi])

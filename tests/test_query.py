@@ -66,6 +66,19 @@ def test_k_larger_than_matches(small_index):
     assert len(r) == 1
 
 
+def test_wand_fallback_paths_identical(small_index):
+    """Forcing immediate fallback, pure WAND (no fallback), and exact
+    must all agree — the adaptive cutover changes work, not answers."""
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    for q in reference_queries(small_index[0])[:25]:
+        exact = s.search_exact(q["q"], q["k"])
+        pure = s.search_wand(q["q"], q["k"], max_iters=10**9)
+        forced = s.search_wand(q["q"], q["k"], max_iters=1)
+        assert pure == exact, q
+        assert forced == exact, q
+
+
 def test_pfor_codec_same_results(ray_session, tiny_corpus, tmp_path_factory):
     corpus_dir, _ = tiny_corpus
     idx_v = str(tmp_path_factory.mktemp("idx_varint"))
