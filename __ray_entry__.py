@@ -15,7 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from sotohp_ray.functions.tokenizer import sql_token_expr
-from sotohp_ray.pipelines import ann, relational, textops
+from sotohp_ray.pipelines import ann, multimodal, relational, textops
 from sotohp_ray.pipelines.fulltext import bm25_oracle_sql, bm25_topk
 
 
@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / quality ---
         "quality_stats": textops.quality_stats,
         "lang_guess": textops.lang_guess,
+        "keyword_search": textops.keyword_search,
+        "corpus_stats": textops.corpus_stats,
         # --- dedup family ---
         "dedup_exact": textops.dedup_exact,
         "minhash_candidates": textops.minhash_candidates,   # rows-only
@@ -46,6 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
+        "embedding_near_dup": ann.embedding_near_dup,
+        # --- multimodal binary columns ---
+        "media_inventory": multimodal.media_inventory,
+        "media_thumbnails": multimodal.media_thumbnails,
+        "media_frame_sample": multimodal.media_frame_sample,
+        "media_features": multimodal.media_features,        # rows-only
         # --- relational / streaming-shaped operator coverage ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "customers_per_region": relational.customers_per_region,
@@ -54,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_gap": relational.events_prev_gap,
         "events_type_stats": relational.events_type_stats,
         "events_topk_by_value": relational.events_topk_by_value,
+        "events_asof_orders": relational.events_asof_orders,
+        "events_sessionize": relational.events_sessionize,
+        "events_page": relational.events_page,
         "parts_per_brand": relational.parts_per_brand,
     }
 
@@ -102,6 +113,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
+        "keyword_search": textops.keyword_search_sql(),
+        "corpus_stats": textops.corpus_stats_sql(),
+        "embedding_near_dup": ann.embedding_near_dup_sql(),
+        "events_asof_orders": relational.events_asof_orders_sql(),
+        "events_sessionize": relational.events_sessionize_sql(),
+        "events_page": relational.events_page_sql(),
+        "media_inventory": multimodal.media_inventory_sql(),
+        "media_thumbnails": multimodal.media_thumbnails_sql(),
+        "media_frame_sample": multimodal.media_frame_sample_sql(),
         "knn_cosine": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe

@@ -102,7 +102,7 @@ def run_headline(ncpu: int) -> dict:
 
 def run_sf_pipelines(sf_dir: str) -> dict:
     """Per-pipeline wall times over the testdata tables."""
-    from sotohp_ray.pipelines import ann, relational, textops
+    from sotohp_ray.pipelines import ann, multimodal, relational, textops
     from sotohp_ray.pipelines.fulltext import bm25_topk, _cache_dir
 
     out = {}
@@ -125,6 +125,12 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
     timed("events_hourly", lambda: relational.events_hourly(sf_dir))
     timed("events_prev_gap", lambda: relational.events_prev_gap(sf_dir))
+    timed("events_asof_orders", lambda: relational.events_asof_orders(sf_dir))
+    timed("events_sessionize", lambda: relational.events_sessionize(sf_dir))
+    timed("keyword_search", lambda: textops.keyword_search(sf_dir))
+    timed("embedding_near_dup", lambda: ann.embedding_near_dup(sf_dir))
+    timed("media_inventory", lambda: multimodal.media_inventory(sf_dir))
+    timed("media_thumbnails", lambda: multimodal.media_thumbnails(sf_dir))
     return out
 
 

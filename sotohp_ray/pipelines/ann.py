@@ -211,3 +211,69 @@ def ann_lsh_search(
             "score": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
+
+
+NEAR_DUP_THRESHOLD = 0.4
+
+
+class _NearDupScorer:
+    """Full matrix broadcast once per actor; per batch one matmul
+    against it, emit only pairs above threshold (a<b)."""
+
+    def __init__(self, ref, threshold: float):
+        import ray
+
+        self.ids, self.Xn = ray.get(ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        S = np.round((X / norms[:, None]) @ self.Xn.T, 5)
+        mask = (S >= self.threshold) & (ids[:, None] < self.ids[None, :])
+        i, j = np.nonzero(mask)
+        return pa.table({
+            "vec_id_a": pa.array(ids[i], pa.int64()),
+            "vec_id_b": pa.array(self.ids[j], pa.int64()),
+            "score": pa.array(S[i, j], pa.float64()),
+        })
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD):
+    """(vec_id_a, vec_id_b, score): embedding-cosine near-duplicate
+    pairs above ``threshold`` (a<b; score rounded to 5dp). Brute-force
+    all-pairs via broadcast: the small side is the normalized matrix,
+    `ray.put` once and read per actor (FaceInference.scala:63-76
+    broadcast-kNN pattern). At 10^9+ vectors the same operator runs
+    per-LSH-bucket (``ann_lsh_buckets`` is the partitioner) so each
+    actor only scores its bucket."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    X = (col.flatten().to_numpy(zero_copy_only=False)
+         .astype(np.float64).reshape(len(ids), dim))
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids, X / norms[:, None]))
+    return _emb(sf_dir).map_batches(
+        _NearDupScorer,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+        batch_format="pyarrow", concurrency=2, batch_size=4096,
+    )
+
+
+def embedding_near_dup_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    return f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+              >= {threshold}
+    """

@@ -186,7 +186,13 @@ def build_index(
     if todo:
         pool = concurrency
         if pool is None:
-            avail = int(ray.available_resources().get("CPU", 4))
+            # standalone scripts reach here before Ray Data's lazy
+            # auto-init; fall back to host CPUs rather than forcing an
+            # init (the driver contract forbids ray.init in the library)
+            if ray.is_initialized():
+                avail = int(ray.available_resources().get("CPU", 4))
+            else:
+                avail = os.cpu_count() or 4
             pool = max(1, min(len(todo), avail))
         ds = ray.data.from_items(todo)
         metrics_ds = ds.map_batches(

@@ -277,13 +277,24 @@ class Searcher:
     # ---- block-max WAND --------------------------------------------
 
     def search_wand(
-        self, query: str, k: int = 10, max_iters: int = 1024
+        self, query: str, k: int = 10, max_iters: int = 256,
+        taat_postings_threshold: int = 1 << 16,
     ) -> list[tuple[int, float]]:
         """Adaptive block-max WAND: document-at-a-time pivoting with
         block-max skipping; if the per-doc loop exceeds ``max_iters``
         iterations (pruning ineffective — flat score distributions make
         every block-max ≈ theta), falls back to vectorized TAAT over
         the remaining doc range [pivot, inf).
+
+        Two upfront shortcuts keep the Python pivot loop off queries it
+        cannot win (results are identical either way — only work
+        changes):
+        - total postings below ``taat_postings_threshold``: one
+          vectorized TAAT pass costs less than any pivoting;
+        - no prunable mass: if every term's posting list covers a large
+          doc fraction, theta can never exceed the cheapest prefix sum,
+          so WAND degenerates to evaluate-everything with per-doc
+          Python overhead.
 
         The fallback is EXACT by the WAND invariant: every doc below
         the current pivot is either in the heap or provably unable to
@@ -296,6 +307,15 @@ class Searcher:
         qterms = self._query_terms(query)
         if not qterms:
             return []
+        total_postings = sum(
+            int(self._dfs[self._row[t]]) for t, _ in qterms
+        )
+        min_df = min(int(self._dfs[self._row[t]]) for t, _ in qterms)
+        if (
+            total_postings <= taat_postings_threshold
+            or min_df * 2 > self.n_docs
+        ):
+            return self.search_exact(query, k)
         cursors = []
         for qi, (term, qw) in enumerate(qterms):
             r = self._record(term)

@@ -184,6 +184,142 @@ def events_topk_by_value(sf_dir: str, k: int = 20):
     )
 
 
+def events_asof_orders(sf_dir: str):
+    """(event_id, n_prior_orders, last_order_gap_us): as-of join — for
+    each event, the user's most recent order at-or-before the event
+    timestamp (J4 locationInduction: nearest-neighbor-in-sorted-order
+    join, MediaServiceLive.scala:1413-1454; its per-record index-walk
+    cost 7 extra minutes on 114k docs — here both sides co-partition by
+    key in ONE shuffle and each group is a vectorized searchsorted).
+
+    gap is -1 when the user has no prior order (NULL-free contract for
+    cross-engine hashing).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    # tag + union so ONE groupby(key) co-partitions both sides
+    def tag_ev(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"].cast(pa.timestamp("us")),
+            "side": pa.array(["e"] * len(batch), pa.string()),
+        })
+
+    def tag_or(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["o_custkey"].cast(pa.int64()),
+            "event_id": pa.array([-1] * len(batch), pa.int64()),
+            "ts": batch["o_orderdate"].cast(pa.timestamp("us")),
+            "side": pa.array(["o"] * len(batch), pa.string()),
+        })
+
+    both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        orders.map_batches(tag_or, batch_format="pyarrow")
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == "e"]
+        if e.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "n_prior_orders": pd.Series([], dtype="int64"),
+                 "last_order_gap_us": pd.Series([], dtype="int64")})
+        odates = np.sort(g.loc[g["side"] == "o", "ts"].astype("int64").values)
+        ets = e["ts"].astype("int64").values
+        n_prior = np.searchsorted(odates, ets, side="right")
+        gap = np.where(
+            n_prior > 0,
+            ets - odates[np.maximum(n_prior - 1, 0)],
+            -1,
+        )
+        return pd.DataFrame({
+            "event_id": e["event_id"].values,
+            "n_prior_orders": n_prior.astype("int64"),
+            "last_order_gap_us": gap.astype("int64"),
+        })
+
+    return both.groupby("key").map_groups(asof, batch_format="pandas")
+
+
+def events_asof_orders_sql() -> str:
+    return """
+        SELECT e.event_id,
+               count(o.o_orderdate) AS n_prior_orders,
+               coalesce(epoch_us(e.ts) - epoch_us(max(o.o_orderdate)), -1)
+                 AS last_order_gap_us
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.ts
+    """
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """(event_id, session_seq): streaming-style sessionization — a new
+    session starts when a user is idle longer than ``gap_us`` (the
+    watermark-free batch formulation of §2.9; per-user sorted cumsum
+    over gap breaks, same partitioning as events_prev_gap)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")
+        brk = us.diff().isna() | (us.diff() > gap_us)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "session_seq": (brk.cumsum() - 1).astype("int64"),
+        })
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def events_sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
+    return f"""
+        SELECT event_id,
+               CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {gap_us}
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                 AS session_seq
+        FROM (
+          SELECT event_id, user_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events)
+    """
+
+
+def events_page(sf_dir: str, offset: int = 100, k: int = 50):
+    """(event_id, user_id, ts): ordered page — the bounded ordered walk
+    of O3 (`mediaStream(fromKey, limit)`, limit<=200). Distributed sort
+    + limit(offset+k) keeps only the page prefix on the driver; the
+    offset slice is a tiny local tail."""
+    page = (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .sort(["ts", "event_id"])
+        .limit(offset + k)
+        .to_pandas()
+    )
+    return page.iloc[offset:offset + k].reset_index(drop=True)
+
+
+def events_page_sql(offset: int = 100, k: int = 50) -> str:
+    return f"""
+        SELECT event_id, user_id, ts FROM events
+        ORDER BY ts, event_id LIMIT {k} OFFSET {offset}
+    """
+
+
 def parts_per_brand(sf_dir: str):
     """(p_brand, n_parts, avg_retail): grouped stats with rounding."""
     from ray.data.aggregate import Count, Mean

@@ -393,3 +393,99 @@ def _rolling_hashes(tokens: list[str], n: int = 3):
         zlib.crc32(" ".join(tokens[i : i + n]).encode())
         for i in range(len(tokens) - n + 1)
     ]
+
+
+KEYWORD_QUERY = ("fast", "small")
+
+
+def keyword_search(sf_dir: str, keywords=KEYWORD_QUERY):
+    """(doc_id,) — documents whose analyzed term set contains ALL the
+    requested keywords: the reference's naive keyword search
+    (`mediaSearch` forall-contains predicate, MediaServiceLive.scala:
+    108-112, M9 — the full-scan path its author marked "temporary";
+    the inverted index in pipelines/query.py is the real answer, this
+    operator keeps the scan-shaped semantics as a streaming filter)."""
+    kws = tuple(keywords)
+
+    def f(batch: pa.Table) -> pa.Table:
+        parents, flat = _TOK.exploded(_text_col(batch))
+        ok = np.ones(len(batch), dtype=bool)
+        import pyarrow.compute as _pc
+
+        pn = parents.to_numpy(zero_copy_only=False)
+        for kw in kws:
+            hit = np.zeros(len(batch), dtype=bool)
+            m = _pc.equal(flat, kw)
+            hit[pn[m.to_numpy(zero_copy_only=False)]] = True
+            ok &= hit
+        return batch.filter(pa.array(ok)).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def keyword_search_sql(keywords=KEYWORD_QUERY) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    lst = ", ".join(f"'{k}'" for k in keywords)
+    return (
+        f"SELECT doc_id FROM documents "
+        f"WHERE list_has_all({sql_token_expr('text')}, [{lst}])"
+    )
+
+
+def corpus_stats(sf_dir: str):
+    """Single-row multi-aggregate over the corpus (A2: the Statistics
+    single-pass fold, Statistics.scala:49-135,179-185 — counts, min/max
+    key, distinct-facet counts in ONE scan): per-batch partials shrink
+    to one tiny row each, then one 1-key groupby finalizes — no raw-row
+    shuffle."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "total_chars": pa.array(
+                [int(pc.sum(batch["n_chars"]).as_py() or 0)], pa.int64()),
+            "min_doc_id": pa.array([int(ids.min())], pa.int64()),
+            "max_doc_id": pa.array([int(ids.max())], pa.int64()),
+            "langs": pa.array(
+                [pc.unique(batch["lang"]).to_pylist()],
+                pa.list_(pa.string())),
+            "sources": pa.array(
+                [pc.unique(batch["source"]).to_pylist()],
+                pa.list_(pa.string())),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        langs = set().union(*g["langs"])
+        sources = set().union(*g["sources"])
+        return pd.DataFrame({
+            "n_docs": [int(g["n_docs"].sum())],
+            "total_chars": [int(g["total_chars"].sum())],
+            "min_doc_id": [int(g["min_doc_id"].min())],
+            "max_doc_id": [int(g["max_doc_id"].max())],
+            "n_langs": [len(langs)],
+            "n_sources": [len(sources)],
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars", "lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def corpus_stats_sql() -> str:
+    return """
+        SELECT count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+    """

@@ -56,6 +56,9 @@ def test_oracle_keys_subset(entry_mod):
         "q1_pricing_summary", "customers_per_region",
         "top_customers_by_spend", "events_hourly", "events_prev_gap",
         "events_type_stats", "events_topk_by_value", "parts_per_brand",
+        "keyword_search", "corpus_stats", "embedding_near_dup",
+        "events_asof_orders", "events_sessionize", "events_page",
+        "media_inventory", "media_thumbnails", "media_frame_sample",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):
@@ -71,7 +74,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
     "name",
     [
         "minhash_candidates", "near_dup_pairs", "simhash_fingerprints",
-        "doc_fingerprint", "ann_lsh_buckets",
+        "doc_fingerprint", "ann_lsh_buckets", "media_features",
     ],
 )
 def test_rows_only_queries_run(entry_mod, name):
