@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 # physical index layout version: part of every config/lineage
 # fingerprint, so a format change invalidates stale checkpoints and
 # cached indexes instead of mixing layouts
-INDEX_FORMAT = 2
+INDEX_FORMAT = 3
 
 
 @dataclass(frozen=True)
@@ -91,7 +91,7 @@ class IndexConfig:
         frame-of-reference bit packing).
     """
 
-    num_term_shards: int = 32
+    num_term_shards: int = 64
     block_size: int = 128
     salt_rows: int = 65536
     codec: str = "varint"

@@ -27,11 +27,15 @@ import numpy as np
 # ---------------------------------------------------------------- varint
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+def varint_encode_with_lengths(
+    values: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized; also return the byte
+    length of each value's encoding so callers can compute sub-stream
+    offsets (per-block boundaries) without re-encoding per block."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # 7-bit groups per value (>=1); bit_length via a shift loop (<=10 iters,
     # log2 is unsafe for uint64)
     tmp = v.copy()
@@ -50,7 +54,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] > (j + 1)).astype(np.uint8) << 7
         out[starts[mask] + j] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
@@ -172,23 +181,47 @@ def encode_postings_blocks(
     avgdl are known at merge time); the stored per-block bound is the
     block max rounded UP to float32 so it stays an upper bound.
     """
-    enc, _ = CODECS[codec]
     n = doc_ids.size
     doc_ids = doc_ids.astype(np.uint64)
     tfs = tfs.astype(np.uint64)
     nblocks = (n + block_size - 1) // block_size
-    last_docs = np.zeros(nblocks, dtype=np.uint64)
-    gap_offs = np.zeros(nblocks, dtype=np.uint32)
-    tf_offs = np.zeros(nblocks, dtype=np.uint32)
-    maxscores = np.zeros(nblocks, dtype=np.float32)
+    starts = np.arange(nblocks, dtype=np.int64) * block_size
+    ends = np.minimum(starts + block_size, n)
+    last_docs = doc_ids[ends - 1].astype(np.uint64)
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = doc_ids[0]
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+
+    # block-max upper bounds, vectorized: segment max then round UP to
+    # float32 so the bound stays an upper bound after narrowing
+    seg_max = np.maximum.reduceat(scores.astype(np.float64), starts)
+    maxscores = seg_max.astype(np.float32)
+    low = maxscores.astype(np.float64) < seg_max
+    maxscores[low] = np.nextafter(maxscores[low], np.float32(np.inf))
+
+    if codec == "varint":
+        # ONE encode per stream; per-block byte offsets derive from the
+        # per-value encoded lengths (no per-block Python loop — the
+        # hot-term straggler fix: a df=600k term is 4700 blocks)
+        gbytes, glens = varint_encode_with_lengths(gaps)
+        tbytes, tlens = varint_encode_with_lengths(tfs)
+        gcum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(glens, out=gcum[1:])
+        tcum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tlens, out=tcum[1:])
+        gap_offs = gcum[starts].astype(np.uint32)
+        tf_offs = tcum[starts].astype(np.uint32)
+        blob = gbytes + tbytes
+        return blob, last_docs, gap_offs, tf_offs, len(gbytes), maxscores
+
+    enc, _ = CODECS[codec]
+    gap_offs = np.zeros(nblocks, dtype=np.uint32)
+    tf_offs = np.zeros(nblocks, dtype=np.uint32)
     gparts: list[bytes] = []
     tparts: list[bytes] = []
     gpos = tpos = 0
     for k in range(nblocks):
-        lo, hi = k * block_size, min(n, (k + 1) * block_size)
+        lo, hi = int(starts[k]), int(ends[k])
         g = enc(gaps[lo:hi])
         t = enc(tfs[lo:hi])
         gap_offs[k] = gpos
@@ -197,12 +230,6 @@ def encode_postings_blocks(
         tparts.append(t)
         gpos += len(g)
         tpos += len(t)
-        last_docs[k] = doc_ids[hi - 1]
-        m = float(scores[lo:hi].max())
-        f32 = np.float32(m)
-        if float(f32) < m:
-            f32 = np.nextafter(f32, np.float32(np.inf))
-        maxscores[k] = f32
     blob = b"".join(gparts) + b"".join(tparts)
     return blob, last_docs, gap_offs, tf_offs, gpos, maxscores
 

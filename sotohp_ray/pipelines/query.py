@@ -164,6 +164,12 @@ class Searcher:
         self._doc0 = t["doc0"].to_numpy(zero_copy_only=False)
         self._tf0 = t["tf0"].to_numpy(zero_copy_only=False)
         self._rec_cache: dict[str, dict] = {}
+        # decoded-postings cache (the serving-side block cache every
+        # production engine keeps): term -> (doc_ids, tfs), bounded by
+        # total cached postings; insertion-order eviction
+        self._dec_cache: dict[str, tuple] = {}
+        self._dec_cache_postings = 0
+        self.dec_cache_budget = 8_000_000
         dm = pq.read_table(
             os.path.join(index_dir, "docmeta"), columns=["doc_id", "doc_len"]
         )
@@ -236,17 +242,31 @@ class Searcher:
         return [(t, float(qtf[t])) for t in seen if t in self._row]
 
     def _decode_full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._dec_cache.get(term)
+        if hit is not None:
+            return hit
         r = self._record(term)
         if r.get("docs") is not None:
             return r["docs"], r["tfs"]
         nblocks = r["block_last"].size
         counts = np.full(nblocks, r["block_size"], dtype=np.int64)
         counts[-1] = r["df"] - r["block_size"] * (nblocks - 1)
-        return pcodec.decode_postings(
+        out = pcodec.decode_postings(
             r["blob"], r["df"], r["tf_base"],
             block_counts=counts, gap_offs=r["block_gap_offs"],
             tf_offs=r["block_tf_offs"], codec=self.config.codec,
         )
+        n = out[0].size
+        if n <= self.dec_cache_budget:
+            while (
+                self._dec_cache_postings + n > self.dec_cache_budget
+                and self._dec_cache
+            ):
+                old = next(iter(self._dec_cache))
+                self._dec_cache_postings -= self._dec_cache.pop(old)[0].size
+            self._dec_cache[term] = out
+            self._dec_cache_postings += n
+        return out
 
     def _contrib(self, qw: float, df: int, tf, dl):
         k1, b = self.config.bm25.k1, self.config.bm25.b

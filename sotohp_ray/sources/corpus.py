@@ -50,7 +50,10 @@ PRESETS = {
     # rows, partitions, stats?
     "tiny": (64, 4, True),
     "small": (5000, 16, True),
-    "bench": (100_000, 64, False),
+    # sized so build COMPUTE (~120 core-sec) dominates the session's
+    # fixed executor overhead — the N-vs-4N scaling measurement needs
+    # the work, not the startup, to set the wall time
+    "bench": (1_200_000, 192, False),
 }
 
 HOT_TERMS = ["def", "import", "return", "self"]
@@ -125,6 +128,62 @@ def _make_row(
     return "\n".join(lines), tokens
 
 
+def _gen_partition(
+    out_dir: str,
+    p: int,
+    n: int,
+    seed: int,
+    preset: str,
+    collect_tokens: bool,
+) -> list[list[str]] | int:
+    """Generate and write ONE partition file. Deterministic from
+    (seed, p) alone, so partitions can be generated in any order or in
+    parallel. Returns the expected-token rows when ``collect_tokens``
+    (stats presets), else the row count."""
+    base_rng = np.random.RandomState(seed)
+    vocab = _mid_vocab(base_rng)
+    zipf_idx = np.minimum(
+        base_rng.zipf(1.3, size=4096) - 1, len(vocab) - 1
+    ).astype(np.int64)
+    dup_content, dup_tokens = _make_row(
+        np.random.RandomState(seed + 10_000), vocab, "dupmarkertoken", zipf_idx
+    )
+    rng = np.random.RandomState(seed + 1 + p)
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    exp_tokens_rows = []
+    for i in range(n):
+        uniq = f"uniq{p}x{i}tok"
+        if preset != "bench" and p < 2 and i == 1:
+            content, toks = dup_content, list(dup_tokens)
+        else:
+            content, toks = _make_row(rng, vocab, uniq, zipf_idx)
+        repos.append(f"org{p:04d}/repo{rng.randint(8)}")
+        paths.append(
+            f"src/pkg{rng.randint(20)}/mod{i:05d}.{LANGS[rng.randint(len(LANGS))]}"
+        )
+        commits.append(hashlib.sha1(f"{seed}:{p}:{i}".encode()).hexdigest())
+        langs.append(LANGS[rng.randint(len(LANGS))])
+        contents.append(content)
+        exp_tokens_rows.append(toks)
+    # shuffle row order inside the partition so docID assignment
+    # (sort by repo,path,commit) is actually exercised
+    order = rng.permutation(n)
+    tbl = pa.table(
+        {
+            "repo": pa.array([repos[j] for j in order]),
+            "path": pa.array([paths[j] for j in order]),
+            "commit": pa.array([commits[j] for j in order]),
+            "lang": pa.array([langs[j] for j in order]),
+            "content": pa.array(
+                [contents[j] for j in order], type=pa.large_string()
+            ),
+        },
+        schema=SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{p:05d}.parquet"))
+    return exp_tokens_rows if collect_tokens else n
+
+
 def generate_corpus(
     out_dir: str,
     preset: str = "small",
@@ -134,19 +193,15 @@ def generate_corpus(
     with_stats: bool | None = None,
 ) -> dict:
     """Write ``part-NNNNN.parquet`` files + ``expected.json`` sidecar.
-    Returns the metadata dict."""
+    Returns the metadata dict. Stats-free presets generate partitions
+    in parallel via Ray tasks when a Ray session is up (each partition
+    is deterministic from (seed, p), so parallel == sequential output
+    byte-for-byte)."""
     n_rows, n_parts, stats_default = PRESETS[preset]
     n_rows = rows or n_rows
     n_parts = partitions or n_parts
     with_stats = stats_default if with_stats is None else with_stats
     os.makedirs(out_dir, exist_ok=True)
-
-    base_rng = np.random.RandomState(seed)
-    vocab = _mid_vocab(base_rng)
-    # zipf-ish skew over mid vocab: sample indices with zipf, clipped
-    zipf_idx = np.minimum(
-        base_rng.zipf(1.3, size=4096) - 1, len(vocab) - 1
-    ).astype(np.int64)
 
     rows_per_part = [
         n_rows // n_parts + (1 if i < n_rows % n_parts else 0)
@@ -158,56 +213,41 @@ def generate_corpus(
     dup_groups = 0
     doc_count = 0
 
-    # a couple of exact duplicate contents across partitions
-    dup_content, dup_tokens = _make_row(
-        np.random.RandomState(seed + 10_000), vocab, "dupmarkertoken", zipf_idx
-    )
+    parallel = False
+    if not with_stats and n_rows >= 50_000:
+        try:
+            import ray
 
-    for p in range(n_parts):
-        rng = np.random.RandomState(seed + 1 + p)
-        n = rows_per_part[p]
-        repos, paths, commits, langs, contents = [], [], [], [], []
-        exp_tokens_rows = []
-        for i in range(n):
-            uniq = f"uniq{p}x{i}tok"
-            if preset != "bench" and p < 2 and i == 1:
-                content, toks = dup_content, list(dup_tokens)
-                dup_groups += 1
+            parallel = ray.is_initialized()
+        except ImportError:
+            pass
+
+    if parallel:
+        import ray
+
+        gen = ray.remote(num_cpus=1)(_gen_partition)
+        refs = [
+            gen.remote(out_dir, p, rows_per_part[p], seed, preset, False)
+            for p in range(n_parts)
+        ]
+        doc_count = sum(ray.get(refs))
+    else:
+        for p in range(n_parts):
+            res = _gen_partition(
+                out_dir, p, rows_per_part[p], seed, preset, with_stats
+            )
+            if with_stats:
+                exp_tokens_rows = res
+                doc_count += len(exp_tokens_rows)
+                for toks in exp_tokens_rows:
+                    total_tokens += len(toks)
+                    c = Counter(toks)
+                    total_postings += len(c)
+                    df_counter.update(c.keys())
+                if preset != "bench" and p < 2 and rows_per_part[p] > 1:
+                    dup_groups += 1
             else:
-                content, toks = _make_row(rng, vocab, uniq, zipf_idx)
-            repos.append(f"org{p:04d}/repo{rng.randint(8)}")
-            paths.append(
-                f"src/pkg{rng.randint(20)}/mod{i:05d}.{LANGS[rng.randint(len(LANGS))]}"
-            )
-            commits.append(
-                hashlib.sha1(f"{seed}:{p}:{i}".encode()).hexdigest()
-            )
-            langs.append(LANGS[rng.randint(len(LANGS))])
-            contents.append(content)
-            exp_tokens_rows.append(toks)
-        # shuffle row order inside the partition so docID assignment
-        # (sort by repo,path,commit) is actually exercised
-        order = rng.permutation(n)
-        tbl = pa.table(
-            {
-                "repo": pa.array([repos[j] for j in order]),
-                "path": pa.array([paths[j] for j in order]),
-                "commit": pa.array([commits[j] for j in order]),
-                "lang": pa.array([langs[j] for j in order]),
-                "content": pa.array(
-                    [contents[j] for j in order], type=pa.large_string()
-                ),
-            },
-            schema=SCHEMA,
-        )
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{p:05d}.parquet"))
-        doc_count += n
-        if with_stats:
-            for toks in exp_tokens_rows:
-                total_tokens += len(toks)
-                c = Counter(toks)
-                total_postings += len(c)
-                df_counter.update(c.keys())
+                doc_count += res
 
     meta: dict = {
         "preset": preset,

@@ -58,7 +58,7 @@ def merge_shard(
     k1, b = config.bm25.k1, config.bm25.b
     nrows = group.num_rows
     if nrows == 0:
-        return pa.table({}, schema=DICT_SCHEMA)
+        return DICT_SCHEMA.empty_table()
     shard = int(group["term_shard"][0].as_py())
     counts = group["count"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(counts.sum())

@@ -71,6 +71,16 @@ def completed_partitions(
     return out
 
 
+def write_json(final_path: str, payload: dict) -> None:
+    """Atomic JSON sidecar write (tmp + rename)."""
+    d = os.path.dirname(final_path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, final_path)
+
+
 def atomic_write_table(table, final_path: str) -> None:
     """Write a parquet file atomically into place (tmp + rename) —
     idempotent-per-partition output, the retry-safety discipline of the
@@ -83,4 +93,44 @@ def atomic_write_table(table, final_path: str) -> None:
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
     os.close(fd)
     pq.write_table(table, tmp)
+    os.replace(tmp, final_path)
+
+
+def atomic_write_bucketed(
+    table, key_values, final_path: str
+) -> None:
+    """Atomically write ``table`` with ONE ROW GROUP PER RUN of the
+    (pre-sorted) ``key_values`` array — the shuffle-write side of the
+    bucketed merge: row-group statistics then let each per-bucket merge
+    task read exactly its rows via filter pushdown, with no groupby
+    exchange. ``key_values`` must be sorted ascending and align 1:1
+    with ``table`` rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    d = os.path.dirname(final_path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
+    os.close(fd)
+    n = len(key_values)
+    bounds = (
+        np.concatenate(
+            ([0], np.flatnonzero(np.diff(key_values)) + 1, [n])
+        )
+        if n
+        else np.array([0, 0])
+    )
+    # no column statistics (the rgmap sidecar IS the bucket lookup —
+    # stats on large_binary blob columns would bloat the footer with
+    # min/max blob bytes and dominate merge-side footer parse time)
+    # and no re-compression (posting blobs are already entropy-coded)
+    writer = pq.ParquetWriter(
+        tmp, table.schema, write_statistics=False, compression="NONE"
+    )
+    try:
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi > lo:
+                writer.write_table(table.slice(int(lo), int(hi - lo)))
+    finally:
+        writer.close()
     os.replace(tmp, final_path)
