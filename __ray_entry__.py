@@ -16,7 +16,11 @@ from typing import Any
 
 from sotohp_ray.functions.tokenizer import sql_token_expr
 from sotohp_ray.pipelines import ann, multimodal, relational, textops
-from sotohp_ray.pipelines.fulltext import bm25_oracle_sql, bm25_topk
+from sotohp_ray.pipelines.fulltext import (
+    bm25_oracle_sql,
+    bm25_topk,
+    bm25_topk_distributed,
+)
 
 
 def entry() -> Any:
@@ -31,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- full-text engine (the north star) ---
         "bm25_topk": lambda sf: bm25_topk(sf),
+        "bm25_topk_distributed": lambda sf: bm25_topk_distributed(sf),
         "term_df": textops.term_df,
         "token_counts": textops.token_counts,
         "doc_sha256": textops.doc_sha256,
@@ -75,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
     markers = ", ".join(f"'{m}'" for m in textops.EN_MARKERS)
     return {
         "bm25_topk": bm25_oracle_sql(),
+        "bm25_topk_distributed": bm25_oracle_sql(),
         "term_df": f"""
             SELECT term, count(*) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({toks}))

@@ -2,11 +2,13 @@
 metadata steps.
 
 Phase 1 (embarrassingly parallel, resumable per input partition):
-  a Dataset of partition descriptors -> ``map_batches(PartitionIndexer,
-  batch_size=1, concurrency=pool)`` actor pool. Each call reads ONE
-  input Parquet partition, runs the vectorized SPIMI stage
-  (stages/spimi.py), atomically writes ``docmeta/partition_id=P/`` and
-  ``partials/partition_id=P/``, then the lineage record. Already-done
+  a Dataset of partition descriptors -> task-pool ``map_batches``
+  (per-worker cached indexer state). Each call reads ONE input Parquet
+  partition, runs the vectorized SPIMI stage (stages/spimi.py),
+  atomically writes ``docmeta/partition-P/`` and — as the WRITE SIDE of
+  the merge shuffle — ``partials/partition-P/data.parquet`` sorted by
+  ``term_shard`` with one parquet row group per shard plus an
+  ``rgmap.json`` sidecar, then the lineage record. Already-done
   partitions (lineage fingerprint + config match) are skipped before
   the Dataset is even built — the resume filter
   (MediaServiceLive.scala:1522 analog).
@@ -15,17 +17,24 @@ Phase 1 (embarrassingly parallel, resumable per input partition):
   written per INPUT partition after its outputs are durable. A flat
   read interleaves rows of many files per block, destroying that
   boundary. The descriptor Dataset keeps the pipeline Ray-Data-native
-  (streaming, backpressured, actor-pool scheduled) while making the
-  partition the unit of checkpointing. At 10^12-file scale the
-  descriptor table is itself a Dataset read from a manifest.
+  (streaming, backpressured) while making the partition the unit of
+  checkpointing. At 10^12-file scale the descriptor table is itself a
+  Dataset read from a manifest.
 
-Phase 2 (THE shuffle): ``read_parquet(partials).groupby("term_shard")
-  .map_groups(merge_shard)`` -> ``write_parquet(dictionary/,
-  partition_cols=["term_shard"])``. Hash-sharded terms spread hot terms'
-  *dictionary* entries; the *postings volume* of a hot term is bounded
-  per shuffled row by salt chunking (stages/spimi.py). Marked done by a
-  ``_MERGE_DONE.json`` containing the config + lineage fingerprints, so
-  a resumed build redoes the merge iff phase-1 output changed.
+Phase 2 (the merge — a bucketed shuffle with NO exchange): because the
+  shuffle key (``term_shard = hash(term) % S``) is known at write time,
+  phase 1 already co-located each shard's partials into dedicated row
+  groups; the merge is independent per-shard-range tasks, each reading
+  exactly its buckets by row-group index (one batched
+  ``read_row_groups`` per partition file) and writing
+  ``dictionary/shard-SSSSS.parquet``. This replaces a generic
+  ``groupby(term_shard)`` exchange — measured 2x faster at 32 CPUs on
+  small data, and at cluster scale it is the classic bucketed shuffle
+  write whose reduce side scales linearly with shards. Hot-term
+  postings volume per shuffled row stays bounded via salt chunking
+  (stages/spimi.py). Marked done by ``_MERGE_DONE.json`` containing the
+  config + lineage fingerprints, so a resumed build redoes the merge
+  iff phase-1 output changed.
 
 Global stats (N, total tokens, avgdl) are aggregated from lineage
 records (driver-side, tiny) into ``stats.json`` — the A2-style
@@ -108,8 +117,7 @@ class PartitionIndexer:
             ),
         )
         # shuffle-WRITE side of the merge: partials sorted by term_shard
-        # with one row group per shard, so each per-shard merge task
-        # reads exactly its bucket via row-group statistics pushdown —
+        # with one row group per shard, located by the rgmap sidecar —
         # the shuffle key is known at write time, so no groupby exchange
         # is ever needed (and none of its all-to-all overhead is paid)
         shards = partials["term_shard"].to_numpy(zero_copy_only=False)
@@ -370,3 +378,42 @@ def build_index(
     stats["t_phase1_sec"] = round(t_phase1, 3)
     stats["t_merge_sec"] = round(time.perf_counter() - t1, 3)
     return stats
+
+
+def _main() -> None:
+    """CLI for ``ray job submit -- python -m
+    sotohp_ray.pipelines.build_index CORPUS INDEX [...]`` (the batch
+    entry-point analog of the reference's SynchronizeAndProcess CLI,
+    user-interfaces/cli/SynchronizeAndProcess.scala:16-37)."""
+    import argparse
+
+    import ray
+
+    p = argparse.ArgumentParser(description="Build the inverted index")
+    p.add_argument("corpus_dir")
+    p.add_argument("index_dir")
+    p.add_argument("--shards", type=int, default=None,
+                   help="term dictionary shards (default: config)")
+    p.add_argument("--block-size", type=int, default=None)
+    p.add_argument("--codec", choices=("varint", "pfor"), default=None)
+    p.add_argument("--salt-rows", type=int, default=None)
+    args = p.parse_args()
+    kw = {}
+    if args.shards is not None:
+        kw["num_term_shards"] = args.shards
+    if args.block_size is not None:
+        kw["block_size"] = args.block_size
+    if args.codec is not None:
+        kw["codec"] = args.codec
+    if args.salt_rows is not None:
+        kw["salt_rows"] = args.salt_rows
+    config = IndexConfig(**kw) if kw else None
+    if not ray.is_initialized():  # ray job submit initialises for us
+        ray.init()
+    stats = build_index(args.corpus_dir, args.index_dir, config=config)
+    print(json.dumps(stats, sort_keys=True))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()

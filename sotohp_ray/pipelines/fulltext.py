@@ -120,6 +120,84 @@ def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
     )
 
 
+class _ShardSearcher:
+    """Actor-pool batch-query stage: the Searcher (dictionary shard
+    group + doc lengths) is loaded ONCE per actor in ``__init__`` — the
+    genuinely-expensive-state case the actor-pool pattern exists for
+    (DJL predictor pattern, FacesProcessor.scala:167-192; the
+    broadcast small side is the eng->orig docid map, ray.put once,
+    FaceInference.scala:63-76 pattern). At fleet scale one pool serves
+    each dictionary-shard group and queries fan out."""
+
+    def __init__(self, index_dir: str, k: int, mapref):
+        import ray
+
+        from sotohp_ray.pipelines.query import Searcher
+
+        self.searcher = Searcher(index_dir)
+        self.k = k
+        self.eng2orig = ray.get(mapref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_ids, doc_ids, scores = [], [], []
+        for qi, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            # exact scores over all matches, then the rounding contract
+            # (round(score,4) desc, doc_id asc) — identical ranking
+            # rule to the SQL oracle
+            full = self.searcher.search_exact(q, k=self.searcher.n_docs)
+            ranked = sorted(
+                ((int(self.eng2orig[d]), round(sc, 4)) for d, sc in full),
+                key=lambda t: (-t[1], t[0]),
+            )[: self.k]
+            for d, sc in ranked:
+                q_ids.append(qi)
+                doc_ids.append(d)
+                scores.append(sc)
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def bm25_topk_distributed(sf_dir: str, queries=DOC_QUERIES, k: int = 10):
+    """Same result as ``bm25_topk`` but served THROUGH Ray Data: the
+    query set is a Dataset, scored by an actor pool of searchers —
+    the distributed serving path (verified against the same SQL
+    oracle)."""
+    import ray
+    import ray.data
+
+    index_dir = documents_index(sf_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    n_docs = int(
+        np.max(dm["doc_id"].to_numpy(zero_copy_only=False)) + 1
+    )
+    eng2orig = np.zeros(n_docs, dtype=np.int64)
+    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
+    )
+    mapref = ray.put(eng2orig)
+    qds = ray.data.from_items(
+        [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+    )
+    return qds.map_batches(
+        _ShardSearcher,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "mapref": mapref,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    )
+
+
 def bm25_oracle_sql(queries=DOC_QUERIES, k: int = 10) -> str:
     """DuckDB SQL computing the same BM25 top-k on ``documents``.
     Query tokenization happens here in Python (same tokenizer), emitted

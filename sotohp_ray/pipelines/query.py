@@ -465,3 +465,42 @@ class Searcher:
         if mode == "exact":
             return self.search_exact(query, k)
         return self.search_wand(query, k)
+
+
+def _main() -> None:
+    """CLI for ``python -m sotohp_ray.pipelines.query INDEX 'terms...'``
+    (the serving entry point; reference analog: the API's search
+    routes, ApiApp.scala:706-791)."""
+    import argparse
+    import time
+
+    p = argparse.ArgumentParser(description="Top-k BM25 query")
+    p.add_argument("index_dir")
+    p.add_argument("query")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--mode", choices=("wand", "exact"), default="wand")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="repeat for latency measurement")
+    args = p.parse_args()
+    s = Searcher(args.index_dir)
+    lats = []
+    results = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        results = s.search(args.query, k=args.k, mode=args.mode)
+        lats.append(time.perf_counter() - t0)
+    out = {
+        "query": args.query,
+        "mode": args.mode,
+        "results": [
+            {"doc_id": d, "score": round(sc, 6)} for d, sc in results
+        ],
+        "latency_ms_p50": round(
+            1000 * sorted(lats)[len(lats) // 2], 3
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    _main()

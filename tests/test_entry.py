@@ -51,7 +51,8 @@ def test_oracle_keys_subset(entry_mod):
 @pytest.mark.parametrize(
     "name",
     [
-        "bm25_topk", "term_df", "token_counts", "doc_sha256",
+        "bm25_topk", "bm25_topk_distributed",
+        "term_df", "token_counts", "doc_sha256",
         "quality_stats", "lang_guess", "dedup_exact", "knn_cosine",
         "q1_pricing_summary", "customers_per_region",
         "top_customers_by_spend", "events_hourly", "events_prev_gap",
