@@ -71,14 +71,21 @@ def merge_shard(
     dls = np.empty(total, dtype=np.uint64)
     row_starts = np.zeros(nrows, dtype=np.int64)
     np.cumsum(counts[:-1], out=row_starts[1:])
-    inline = counts == 1
+    # inline rows are the ones with NO blob (the df_partial==1 fast
+    # path). count==1 alone is NOT sufficient: a salt remainder chunk
+    # can hold exactly one posting yet store it in the blob with the
+    # inline columns zeroed.
+    doc_blob_col = group["doc_blob"].combine_chunks()
+    import pyarrow.compute as _pc
+
+    inline = _pc.is_null(doc_blob_col).to_numpy(zero_copy_only=False)
     inline_rows = np.flatnonzero(inline)
     if inline_rows.size:
         p = row_starts[inline_rows]
         docs[p] = group["doc0"].to_numpy(zero_copy_only=False)[inline_rows]
         tfs[p] = group["tf0"].to_numpy(zero_copy_only=False)[inline_rows]
         dls[p] = group["dl0"].to_numpy(zero_copy_only=False)[inline_rows]
-    doc_col = group["doc_blob"].combine_chunks()
+    doc_col = doc_blob_col
     tf_col = group["tf_blob"].combine_chunks()
     dl_col = group["dl_blob"].combine_chunks()
     for i in np.flatnonzero(~inline):

@@ -146,3 +146,41 @@ def test_config_change_invalidates_checkpoint(ray_session, tiny_corpus, tmp_path
     assert stats2.get("merge_skipped") is None
     d = pq.read_table(os.path.join(idx, "dictionary"))
     assert "def" not in set(d["term"].to_pylist())
+
+
+def test_salt_chunking_rank_identical(ray_session, tiny_corpus, tmp_path_factory):
+    """Hot-term salt chunking (salt_rows bounds any single shuffled
+    row): force multi-chunk partials with salt_rows=4 and assert the
+    final index answers every probe identically to the default build —
+    chunking changes the shuffle rows, never the postings."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    corpus_dir, meta = tiny_corpus
+    base_dir = str(tmp_path_factory.mktemp("idx_nosalt"))
+    salt_dir = str(tmp_path_factory.mktemp("idx_salt"))
+    build_index(corpus_dir, base_dir, config=IndexConfig())
+    build_index(corpus_dir, salt_dir, config=IndexConfig(salt_rows=4))
+
+    # the salted build really produced multi-chunk partial rows
+    import glob
+
+    max_salt = 0
+    for f in glob.glob(os.path.join(salt_dir, "partials", "*", "data.parquet")):
+        parts = pq.read_table(f, columns=["salt"])
+        max_salt = max(max_salt, max(parts["salt"].to_pylist()))
+    assert max_salt >= 1
+
+    s0 = Searcher(base_dir)
+    s1 = Searcher(salt_dir)
+    for q in ("def", "def import return self", "parse http", "uniq0x0tok"):
+        assert s0.search_exact(q, 20) == s1.search_exact(q, 20), q
+        assert s1.search_wand(q, 20) == s1.search_exact(q, 20), q
+
+    # dictionaries agree on df/cf for every term
+    d0 = pq.read_table(os.path.join(base_dir, "dictionary"))
+    d1 = pq.read_table(os.path.join(salt_dir, "dictionary"))
+    m0 = {t: (df, cf) for t, df, cf in zip(
+        d0["term"].to_pylist(), d0["df"].to_pylist(), d0["cf"].to_pylist())}
+    m1 = {t: (df, cf) for t, df, cf in zip(
+        d1["term"].to_pylist(), d1["df"].to_pylist(), d1["cf"].to_pylist())}
+    assert m0 == m1
