@@ -49,11 +49,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": textops.minhash_candidates,   # rows-only
         "near_dup_pairs": textops.near_dup_pairs,           # rows-only
         "simhash_fingerprints": textops.simhash_fingerprints,  # rows-only
+        "simhash_near_dups": textops.simhash_near_dups,     # rows-only
         "doc_fingerprint": textops.doc_fingerprint,         # rows-only
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
+        "ann_lsh_search": ann.ann_lsh_search,               # rows-only
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_thumbnails": multimodal.media_thumbnails,

@@ -369,9 +369,26 @@ def build_index(
     shard_ds = ray.data.from_items(
         [{"lo": lo, "hi": hi} for lo, hi in ranges]
     )
-    shard_ds.map_batches(
+    merge_metrics = shard_ds.map_batches(
         _merge_range, batch_size=1, batch_format="numpy", num_cpus=1
-    ).materialize()
+    ).to_pandas()  # 1 row/shard — tiny; forces execution
+    # per-stage metrics alongside the per-partition lineage: term count
+    # per dictionary shard (skew observability for the salting knobs)
+    lin.write_json(
+        os.path.join(index_dir, "merge_metrics.json"),
+        {
+            "n_shards": int(len(merge_metrics)),
+            "total_terms": int(merge_metrics["n_terms"].sum()),
+            "max_shard_terms": int(merge_metrics["n_terms"].max()),
+            "min_shard_terms": int(merge_metrics["n_terms"].min()),
+            "terms_per_shard": {
+                str(int(s)): int(n)
+                for s, n in zip(
+                    merge_metrics["term_shard"], merge_metrics["n_terms"]
+                )
+            },
+        },
+    )
     with open(marker, "w") as f:
         json.dump({"config": cfg_fp, "lineage": lineage_fp}, f)
     stats["merged"] = True

@@ -75,7 +75,8 @@ def test_query_matches_oracle(entry_mod, duck, name):
     "name",
     [
         "minhash_candidates", "near_dup_pairs", "simhash_fingerprints",
-        "doc_fingerprint", "ann_lsh_buckets", "media_features",
+        "simhash_near_dups", "doc_fingerprint", "ann_lsh_buckets",
+        "ann_lsh_search", "media_features",
     ],
 )
 def test_rows_only_queries_run(entry_mod, name):
