@@ -121,6 +121,32 @@ def run_headline(ncpu: int) -> dict:
         t0 = time.perf_counter()
         s.search_exact(q, 10)
         lats_exact.append(time.perf_counter() - t0)
+
+    # batch-serving throughput: the query set as a Dataset through an
+    # actor pool of searchers (the fleet-shaped serving path)
+    import ray.data
+
+    from sotohp_ray.pipelines.fulltext import _ShardSearcher
+
+    pool = max(2, min(8, ncpu // 2))
+    qds = ray.data.from_items(
+        [
+            {"query_id": i, "query": q}
+            for i, q in enumerate(qset * 4)  # enough work per actor
+        ]
+    )
+    t0 = time.perf_counter()
+    qds.map_batches(
+        _ShardSearcher,
+        fn_constructor_kwargs={
+            "index_dir": serve_index, "k": 10, "mode": "serve",
+        },
+        batch_format="pyarrow",
+        concurrency=pool,
+        batch_size=8,
+    ).materialize()
+    t_serve = time.perf_counter() - t0
+    n_served = len(qset) * 4
     return {
         "index_build_sec": round(t_build, 3),
         "index_build_docs_per_sec": round(n_docs / t_build, 1),
@@ -131,6 +157,8 @@ def run_headline(ncpu: int) -> dict:
         "query_wand_p99_ms": round(1000 * float(np.percentile(lats, 99)), 3),
         "query_exact_p50_ms": round(1000 * float(np.percentile(lats_exact, 50)), 3),
         "query_exact_p99_ms": round(1000 * float(np.percentile(lats_exact, 99)), 3),
+        "serve_qps": round(n_served / t_serve, 1),
+        "serve_pool": pool,
         "n_docs": n_docs,
         "n_docs_serve": s.n_docs,
         "num_cpus": ncpu,

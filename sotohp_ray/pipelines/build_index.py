@@ -394,6 +394,23 @@ def build_index(
     stats["merged"] = True
     stats["t_phase1_sec"] = round(t_phase1, 3)
     stats["t_merge_sec"] = round(time.perf_counter() - t1, 3)
+
+    def _dir_bytes(d: str) -> int:
+        total = 0
+        for root, _, names in os.walk(d):
+            for nm in names:
+                total += os.path.getsize(os.path.join(root, nm))
+        return total
+
+    stats["corpus_bytes"] = sum(os.path.getsize(f) for f in files)
+    stats["dictionary_bytes"] = _dir_bytes(dict_dir)
+    stats["docmeta_bytes"] = _dir_bytes(os.path.join(index_dir, "docmeta"))
+    if stats["corpus_bytes"]:
+        stats["dictionary_to_corpus_ratio"] = round(
+            stats["dictionary_bytes"] / stats["corpus_bytes"], 4
+        )
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True, default=str)
     return stats
 
 

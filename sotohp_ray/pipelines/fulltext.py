@@ -129,23 +129,36 @@ class _ShardSearcher:
     FaceInference.scala:63-76 pattern). At fleet scale one pool serves
     each dictionary-shard group and queries fan out."""
 
-    def __init__(self, index_dir: str, k: int, mapref):
+    def __init__(self, index_dir: str, k: int, mapref=None,
+                 mode: str = "oracle"):
         import ray
 
         from sotohp_ray.pipelines.query import Searcher
 
         self.searcher = Searcher(index_dir)
         self.k = k
-        self.eng2orig = ray.get(mapref)
+        self.eng2orig = ray.get(mapref) if mapref is not None else None
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q_ids, doc_ids, scores = [], [], []
         for qi, q in zip(
             batch["query_id"].to_pylist(), batch["query"].to_pylist()
         ):
-            # exact scores over all matches, then the rounding contract
-            # (round(score,4) desc, doc_id asc) — identical ranking
-            # rule to the SQL oracle
+            if self.mode == "serve":
+                # production path: adaptive block-max WAND, top-k only
+                for d, sc in self.searcher.search_wand(q, self.k):
+                    q_ids.append(qi)
+                    doc_ids.append(
+                        int(self.eng2orig[d])
+                        if self.eng2orig is not None
+                        else int(d)
+                    )
+                    scores.append(sc)
+                continue
+            # oracle path: exact scores over all matches, then the
+            # rounding contract (round(score,4) desc, doc_id asc) —
+            # identical ranking rule to the SQL oracle
             full = self.searcher.search_exact(q, k=self.searcher.n_docs)
             ranked = sorted(
                 ((int(self.eng2orig[d]), round(sc, 4)) for d, sc in full),
