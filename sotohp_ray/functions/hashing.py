@@ -122,3 +122,111 @@ def simhash64(tokens: list[str]) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ------------------------------------------- vectorized batch MinHash
+
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+_WIN_MULS = np.array(
+    [0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64,
+)
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer — vectorized 64-bit avalanche (wrapping
+    uint64 arithmetic is intentional)."""
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= _FMIX_C1
+    x ^= x >> np.uint64(33)
+    x *= _FMIX_C2
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def token_hash_array(flat: pa.Array) -> np.ndarray:
+    """uint64 hash per token occurrence; crc32 runs once per UNIQUE
+    token (dictionary encoding), the gather is vectorized."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(flat)
+    d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+    uniq = np.array(
+        [zlib.crc32(u.as_py().encode()) for u in d.dictionary],
+        dtype=np.uint64,
+    )
+    return uniq[d.indices.to_numpy(zero_copy_only=False)]
+
+
+def batch_minhash_signatures(
+    parents: np.ndarray,
+    token_hashes: np.ndarray,
+    n_rows: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    shingle_n: int = 3,
+) -> np.ndarray:
+    """(n_rows, num_perm) MinHash signature matrix for a whole batch,
+    no per-row Python loop. Shingles are mixed hashes of ``shingle_n``
+    consecutive token hashes (windows never cross row boundaries);
+    rows shorter than the window contribute one whole-row shingle;
+    empty rows get the identity signature (all MERSENNE)."""
+    sh_par_parts: list[np.ndarray] = []
+    sh_val_parts: list[np.ndarray] = []
+    nt = token_hashes.size
+    if nt >= shingle_n:
+        w = np.lib.stride_tricks.sliding_window_view(
+            token_hashes, shingle_n
+        )
+        valid = parents[: nt - shingle_n + 1] == parents[shingle_n - 1:]
+        mixed = _fmix64(
+            (w * _WIN_MULS[:shingle_n]).sum(axis=1, dtype=np.uint64)
+        )
+        sh_par_parts.append(parents[: nt - shingle_n + 1][valid])
+        sh_val_parts.append(mixed[valid])
+    lengths = np.bincount(parents, minlength=n_rows) if nt else np.zeros(
+        n_rows, dtype=np.int64
+    )
+    short = np.flatnonzero((lengths > 0) & (lengths < shingle_n))
+    if short.size:
+        offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        pre = _fmix64(token_hashes * _WIN_MULS[0])
+        sums = np.add.reduceat(pre, offsets[short])
+        sh_par_parts.append(short.astype(parents.dtype))
+        sh_val_parts.append(_fmix64(sums))
+    sig = np.full((n_rows, a.size), np.uint64(_MERSENNE), dtype=np.uint64)
+    if not sh_par_parts:
+        return sig
+    sh_par = np.concatenate(sh_par_parts)
+    sh_val = np.concatenate(sh_val_parts)
+    # distinct shingles per row
+    order = np.lexsort((sh_val, sh_par))
+    sh_par = sh_par[order]
+    sh_val = sh_val[order]
+    keep = np.ones(sh_par.size, dtype=bool)
+    keep[1:] = (np.diff(sh_par) != 0) | (np.diff(sh_val) != 0)
+    sh_par = sh_par[keep]
+    sh_val = sh_val[keep]
+    # (num_perm, n_shingles) permuted values, min per row segment
+    h = sh_val % np.uint64(_MERSENNE)
+    vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    row_starts = np.concatenate(
+        ([0], np.flatnonzero(np.diff(sh_par)) + 1)
+    )
+    present = sh_par[row_starts]
+    mins = np.minimum.reduceat(vals, row_starts, axis=1)  # (perm, rows')
+    sig[present] = mins.T
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_rows, bands) uint64 LSH band hash from a signature matrix —
+    vectorized mix of each band's signature segment."""
+    n_rows, num_perm = sig.shape
+    rpb = num_perm // bands
+    seg = sig[:, : bands * rpb].reshape(n_rows, bands, rpb)
+    muls = _fmix64(np.arange(1, rpb + 1, dtype=np.uint64) * _WIN_MULS[1])
+    return _fmix64((seg * muls).sum(axis=2, dtype=np.uint64))

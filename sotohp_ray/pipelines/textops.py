@@ -204,74 +204,121 @@ def dedup_exact(sf_dir: str):
 
 class MinHashStage:
     """Actor-pool stage: LSH band emission. Permutation coefficients
-    built once per actor (__init__), per-batch work vectorized per doc."""
+    built once per actor (__init__); the whole batch is one vectorized
+    pass (token hashing per unique token, windowed shingle mixing,
+    signature minima and band hashes all in numpy — no per-doc
+    Python loop)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
         self.a, self.b = minhash_params(num_perm)
         self.num_perm = num_perm
         self.bands = bands
-        self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
+        from sotohp_ray.functions.hashing import (
+            band_hashes,
+            batch_minhash_signatures,
+            token_hash_array,
+        )
+
+        parents, flat = _TOK.exploded(_text_col(batch))
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc, out_band, out_hash = [], [], []
-        for i, toks in enumerate(lists.to_pylist()):
-            sh = shingle_hashes(toks, self.shingle_n)
-            sig = minhash_signature(sh, self.a, self.b)
-            for bnd in range(self.bands):
-                seg = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
-                h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
-                out_doc.append(int(doc_ids[i]))
-                out_band.append(bnd)
-                out_hash.append(h)
+        n = len(batch)
+        sig = batch_minhash_signatures(
+            parents.to_numpy(zero_copy_only=False),
+            token_hash_array(flat),
+            n, self.a, self.b, self.shingle_n,
+        )
+        bh = band_hashes(sig, self.bands)  # (n, bands)
+        bands_idx = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.string()),
+                "doc_id": pa.array(
+                    np.repeat(doc_ids.astype(np.int64), self.bands),
+                    type=pa.int64(),
+                ),
+                "band": pa.array(bands_idx, type=pa.int32()),
+                "band_hash": pa.array(
+                    bh.reshape(-1).astype(np.int64), type=pa.int64()
+                ),
             }
         )
 
 
 def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     """(band, band_hash, n_docs, doc_ids) LSH buckets with >1 doc —
-    near-dup candidate groups. shingle->minhash->band->bucket groupby."""
+    near-dup candidate groups. shingle->minhash->band->bucket.
 
-    def bucket(group):
-        import pandas as pd
+    Two-step bucket detection instead of one map_groups over every
+    bucket: a vectorized ``groupby().count()`` finds the (few) buckets
+    with >1 member, then only THEIR rows are re-scanned (broadcast
+    membership filter) and grouped. On a mostly-unique corpus the
+    per-group Python cost is paid for dozens of real candidate
+    buckets, not for one DataFrame per singleton bucket."""
+    import ray
+    from ray.data.aggregate import Count
 
-        if len(group) < 2:
-            return pd.DataFrame(
-                {"band": [], "band_hash": [], "n_docs": [], "doc_ids": []}
-            )
-        ids = sorted(group["doc_id"].tolist())
-        return pd.DataFrame(
-            {
-                "band": [group["band"].iloc[0]],
-                "band_hash": [group["band_hash"].iloc[0]],
-                "n_docs": [len(ids)],
-                "doc_ids": [",".join(map(str, ids))],
-            }
-        )
-
+    # band rows materialize once (tiny: 3 ints per (doc, band)) so the
+    # count pass and the member re-scan don't re-tokenize the corpus
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
         batch_format="pyarrow",
         concurrency=2,
+    ).materialize()
+    counts = ds.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="n_docs")
     )
-    return ds.groupby(["band", "band_hash"]).map_groups(
-        bucket, batch_format="pandas"
-    )
+    def _dups_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch["n_docs"], 1))
+
+    dup_buckets = counts.map_batches(
+        _dups_only, batch_format="pyarrow"
+    ).to_pandas()
+    if len(dup_buckets) == 0:
+        return pa.table({
+            "band": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "doc_ids": pa.array([], pa.string()),
+        })
+    keys = set(zip(dup_buckets["band"], dup_buckets["band_hash"]))
+    keyref = ray.put(keys)
+
+    def _member(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        kk = _ray.get(keyref)
+        b = batch["band"].to_numpy(zero_copy_only=False)
+        h = batch["band_hash"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            ((int(x), int(y)) in kk for x, y in zip(b, h)),
+            dtype=bool, count=len(b),
+        )
+        return batch.filter(pa.array(mask))
+
+    members = ds.map_batches(_member, batch_format="pyarrow").to_pandas()
+    rows = []
+    for (bnd, bh), g in members.groupby(["band", "band_hash"]):
+        ids = sorted(int(x) for x in g["doc_id"])
+        rows.append((int(bnd), int(bh), len(ids), ",".join(map(str, ids))))
+    rows.sort()
+    return pa.table({
+        "band": pa.array([r[0] for r in rows], pa.int32()),
+        "band_hash": pa.array([r[1] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+        "doc_ids": pa.array([r[3] for r in rows], pa.string()),
+    })
 
 
 def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     """Verified near-dup pairs: LSH candidates -> exact n-gram Jaccard
     check (candidate generation distributed; verification per unique
     pair on the small candidate set)."""
-    cand = minhash_candidates(sf_dir).take_all()
+    cand = minhash_candidates(sf_dir).to_pylist()
     pairs = set()
     for row in cand:
         ids = [int(x) for x in row["doc_ids"].split(",")]

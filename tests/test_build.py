@@ -184,3 +184,49 @@ def test_salt_chunking_rank_identical(ray_session, tiny_corpus, tmp_path_factory
     m1 = {t: (df, cf) for t, df, cf in zip(
         d1["term"].to_pylist(), d1["df"].to_pylist(), d1["cf"].to_pylist())}
     assert m0 == m1
+
+
+def test_incremental_append_partition(ray_session, tiny_corpus, tmp_path_factory):
+    """Incremental ingestion (the reference's headline semantic:
+    re-running sync only processes NEW docs, MediaServiceLive.scala:
+    1522 + idempotent insert-if-absent :1286-1292): append one new
+    partition file to an already-built corpus, rebuild — only the new
+    partition is indexed (existing lineage untouched), the merge is
+    redone, and the result equals a from-scratch build of the full
+    corpus."""
+    import shutil
+
+    from sotohp_ray.sources.corpus import _gen_partition
+
+    corpus_dir, meta = tiny_corpus
+    grown = str(tmp_path_factory.mktemp("corpus_grown"))
+    for f in corpus_files(corpus_dir):
+        shutil.copy(f, os.path.join(grown, os.path.basename(f)))
+
+    idx = str(tmp_path_factory.mktemp("idx_incr"))
+    build_index(grown, idx)
+    mtimes = {
+        n: os.stat(os.path.join(idx, "lineage", n)).st_mtime_ns
+        for n in os.listdir(os.path.join(idx, "lineage"))
+    }
+
+    # a 5th partition appears (deterministic from (seed, p))
+    _gen_partition(grown, 4, 16, seed=42, preset="tiny", collect_tokens=False)
+    stats = build_index(grown, idx)
+    assert stats["partitions_done"] == 5
+    assert stats["merged"] is True
+    for n, m in mtimes.items():
+        assert os.stat(os.path.join(idx, "lineage", n)).st_mtime_ns == m, (
+            "append re-processed an existing partition"
+        )
+
+    # identical to a from-scratch build of the grown corpus
+    idx_fresh = str(tmp_path_factory.mktemp("idx_incr_fresh"))
+    build_index(grown, idx_fresh)
+    import pyarrow.compute as pc
+
+    da = pq.read_table(os.path.join(idx, "dictionary"))
+    db = pq.read_table(os.path.join(idx_fresh, "dictionary"))
+    da = da.take(pc.sort_indices(da, sort_keys=[("term", "ascending")]))
+    db = db.take(pc.sort_indices(db, sort_keys=[("term", "ascending")]))
+    assert da.equals(db)
