@@ -359,11 +359,38 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
 
 
 def simhash_fingerprints(sf_dir: str):
-    """(doc_id, simhash_hex) 64-bit SimHash per doc."""
+    """(doc_id, simhash_hex) 64-bit SimHash per doc — vectorized over
+    the batch: one blake2b per UNIQUE token, then per-bit signed
+    occurrence counts via bincount (summing +-1 per occurrence equals
+    the tf-weighted definition in ``simhash64``)."""
+    import hashlib as _hl
 
     def f(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
-        hexes = [f"{simhash64(toks):016x}" for toks in lists.to_pylist()]
+        parents, flat = _TOK.exploded(_text_col(batch))
+        n = len(batch)
+        d = pc.dictionary_encode(flat)
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        uniq_hv = np.array(
+            [
+                int.from_bytes(
+                    _hl.blake2b(u.as_py().encode(), digest_size=8).digest(),
+                    "little",
+                )
+                for u in d.dictionary
+            ],
+            dtype=np.uint64,
+        )
+        hv = uniq_hv[d.indices.to_numpy(zero_copy_only=False)]
+        pn = parents.to_numpy(zero_copy_only=False)
+        sig = np.zeros(n, dtype=np.uint64)
+        for b in range(64):
+            contrib = (
+                ((hv >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+                * 2.0 - 1.0
+            )
+            acc = np.bincount(pn, weights=contrib, minlength=n)
+            sig |= (acc > 0).astype(np.uint64) << np.uint64(b)
+        hexes = [f"{int(s):016x}" for s in sig]
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash_hex": pa.array(hexes)}
         )
