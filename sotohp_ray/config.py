@@ -87,14 +87,22 @@ class IndexConfig:
         can concatenate them without a global re-sort; this bounds the
         size of any single shuffled row for hot terms
         (``def``/``import``/``{``).
-    codec: "varint" (delta + LEB128) or "pfor" (delta + per-block
-        frame-of-reference bit packing).
+    codec: final-index posting codec — "pfor" (delta + per-block
+        frame-of-reference bit packing; ~30% smaller postings than
+        varint AND faster vectorized full decode) or "varint"
+        (delta + LEB128).
+    partials_codec: codec for the TRANSIENT phase-1 partial postings.
+        Partials are encode-bound (millions of tiny per-term blobs,
+        one encode call each) and die after the merge, so they default
+        to varint (cheapest per-call encode); the final index is
+        size/decode-bound and defaults to pfor.
     """
 
     num_term_shards: int = 64
     block_size: int = 128
     salt_rows: int = 65536
-    codec: str = "varint"
+    codec: str = "pfor"
+    partials_codec: str = "varint"
     tokenizer: TokenizerRules = field(default_factory=TokenizerRules)
     bm25: BM25Params = field(default_factory=BM25Params)
 
@@ -106,6 +114,7 @@ class IndexConfig:
                 "block_size": self.block_size,
                 "salt_rows": self.salt_rows,
                 "codec": self.codec,
+                "partials_codec": self.partials_codec,
                 "tokenizer_version": self.tokenizer.version_hash(),
                 "bm25": {"k1": self.bm25.k1, "b": self.bm25.b},
             },

@@ -214,6 +214,13 @@ def encode_postings_blocks(
         blob = gbytes + tbytes
         return blob, last_docs, gap_offs, tf_offs, len(gbytes), maxscores
 
+    if codec == "pfor":
+        gbytes, gap_offs = _pfor_encode_stream(gaps, starts, ends)
+        tbytes, tf_offs = _pfor_encode_stream(tfs, starts, ends)
+        blob = gbytes + tbytes
+        return (blob, last_docs, gap_offs, tf_offs, len(gbytes),
+                maxscores)
+
     enc, _ = CODECS[codec]
     gap_offs = np.zeros(nblocks, dtype=np.uint32)
     tf_offs = np.zeros(nblocks, dtype=np.uint32)
@@ -234,6 +241,84 @@ def encode_postings_blocks(
     return blob, last_docs, gap_offs, tf_offs, gpos, maxscores
 
 
+def _pfor_encode_stream(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode a sequence of blocks (slices of ``values``) as one
+    concatenated pfor stream without a per-block Python loop: blocks
+    group by (width, count) and each class bit-packs as one 2-D
+    scatter. Per-block layout matches ``pfor_decode``'s expectations
+    (width byte + packed little-endian bitstream; one trailing pad
+    byte per block absorbs the last value's byte-lane spill). Blocks
+    with >32-bit values fall back to the tagged varint path
+    individually (pathological)."""
+    nblocks = starts.size
+    # per-block max -> width (vectorized bit_length via shift loop)
+    seg_max = np.maximum.reduceat(values, starts)
+    widths = np.ones(nblocks, dtype=np.int64)
+    tmp = seg_max.copy() >> np.uint64(1)
+    while tmp.any():
+        widths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(1)
+    counts = (ends - starts).astype(np.int64)
+    big = seg_max >= np.uint64(1 << 32)
+    # encoded size per block: 1 width byte + packed bits (+1 pad byte,
+    # matching pfor_encode's out buffer) — varint-fallback blocks sized
+    # exactly
+    sizes = np.where(
+        big, 0, 1 + (widths * counts + 7) // 8 + 1
+    )
+    chunks: dict[int, bytes] = {}
+    for k in np.flatnonzero(big):
+        b = b"\xff" + varint_encode(values[starts[k]: ends[k]])
+        chunks[int(k)] = b
+        sizes[k] = len(b)
+    offs64 = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offs64[1:])
+    total = int(sizes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    out[offs64] = np.where(big, 0xFF, widths).astype(np.uint8)
+    for k, b in chunks.items():
+        out[offs64[k]: offs64[k] + len(b)] = np.frombuffer(b, np.uint8)
+    small = np.flatnonzero(~big)
+    if small.size:
+        for w in np.unique(widths[small]):
+            w_i = int(w)
+            nbytes = (w_i + 7) // 8 + 1
+            wsel = small[widths[small] == w]
+            for cnt in np.unique(counts[wsel]):
+                cls = wsel[counts[wsel] == cnt]
+                cnt = int(cnt)
+                v = values[
+                    starts[cls][:, None] + np.arange(cnt)[None, :]
+                ]
+                # bit-matrix pack: unpack the low byte lanes of each
+                # value (little-endian) to bits, keep the w low bits,
+                # then packbits little-endian == our bitstream layout.
+                # All uint8 — no 64-bit broadcast temporaries.
+                lanes = (w_i + 7) // 8
+                vb = (
+                    np.ascontiguousarray(v.astype("<u8"))
+                    .view(np.uint8)
+                    .reshape(cls.size, cnt, 8)[:, :, :lanes]
+                )
+                bits = np.unpackbits(
+                    np.ascontiguousarray(vb), axis=2, bitorder="little"
+                )[:, :, :w_i]
+                packed = np.packbits(
+                    bits.reshape(cls.size, cnt * w_i),
+                    axis=1, bitorder="little",
+                )
+                region = (cnt * w_i + 7) // 8
+                idx = (
+                    offs64[cls][:, None]
+                    + 1
+                    + np.arange(region)[None, :]
+                )
+                out[idx.reshape(-1)] = packed[:, :region].reshape(-1)
+    return out.tobytes(), offs64.astype(np.uint32)
+
+
 def decode_postings(
     blob: bytes | memoryview,
     total: int,
@@ -251,25 +336,75 @@ def decode_postings(
         gaps = varint_decode(mv[:tf_base], total)
         tfs = varint_decode(mv[tf_base:], total)
         return np.cumsum(gaps, dtype=np.uint64), tfs
-    _, dec = CODECS[codec]
+    gaps = _pfor_decode_stream(
+        np.frombuffer(mv[:tf_base], dtype=np.uint8),
+        block_counts, gap_offs, tf_base,
+    )
+    tfs = _pfor_decode_stream(
+        np.frombuffer(mv[tf_base:], dtype=np.uint8),
+        block_counts, tf_offs, len(mv) - tf_base,
+    )
+    return np.cumsum(gaps, dtype=np.uint64), tfs
+
+
+def _pfor_decode_stream(
+    data: np.ndarray,
+    block_counts: np.ndarray,
+    offs: np.ndarray,
+    stream_len: int,
+) -> np.ndarray:
+    """Decode a whole concatenated pfor stream (one encoded block per
+    entry of ``offs``) without a per-block Python loop: blocks are
+    grouped by (bit width, count) and each class decodes as one 2-D
+    gather. Blocks stored in the varint fallback (width 0xFF) decode
+    individually (pathological >32-bit gaps only)."""
     nblocks = block_counts.size
-    doc_ids = np.empty(total, dtype=np.uint64)
-    tfs = np.empty(total, dtype=np.uint64)
-    pos = 0
-    for k in range(nblocks):
-        cnt = int(block_counts[k])
-        g0 = int(gap_offs[k])
-        g1 = int(gap_offs[k + 1]) if k + 1 < nblocks else tf_base
-        t0 = tf_base + int(tf_offs[k])
-        t1 = tf_base + int(tf_offs[k + 1]) if k + 1 < nblocks else len(mv)
-        gaps = dec(mv[g0:g1], cnt)
-        d = np.cumsum(gaps, dtype=np.uint64)
-        if pos > 0:
-            d += doc_ids[pos - 1]
-        doc_ids[pos : pos + cnt] = d
-        tfs[pos : pos + cnt] = dec(mv[t0:t1], cnt)
-        pos += cnt
-    return doc_ids, tfs
+    total = int(block_counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    out_starts = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(block_counts[:-1], out=out_starts[1:])
+    widths = data[offs.astype(np.int64)]
+    ends = np.empty(nblocks, dtype=np.int64)
+    ends[:-1] = offs[1:]
+    ends[-1] = stream_len
+    # pad so vectorized gathers past a block's end stay in bounds
+    padded = np.zeros(data.size + 16, dtype=np.uint8)
+    padded[: data.size] = data
+
+    for w in np.unique(widths):
+        sel = np.flatnonzero(widths == w)
+        if w == 0xFF:  # varint fallback blocks: decode individually
+            for k in sel:
+                cnt = int(block_counts[k])
+                out[out_starts[k]: out_starts[k] + cnt] = varint_decode(
+                    data[int(offs[k]) + 1: int(ends[k])].tobytes(), cnt
+                )
+            continue
+        w_i = int(w)
+        nbytes = (w_i + 7) // 8 + 1
+        for cnt in np.unique(block_counts[sel]):
+            cls = sel[block_counts[sel] == cnt]
+            cnt = int(cnt)
+            bitpos = np.arange(cnt, dtype=np.int64) * w_i  # per-block
+            base = offs[cls].astype(np.int64) + 1  # skip width byte
+            # (n_cls, cnt) byte gather per byte-lane
+            vals = np.zeros((cls.size, cnt), dtype=np.uint64)
+            byte0 = base[:, None] + (bitpos >> 3)[None, :]
+            for j in range(nbytes):
+                vals |= padded[byte0 + j].astype(np.uint64) << np.uint64(
+                    8 * j
+                )
+            vals >>= (bitpos & 7).astype(np.uint64)[None, :]
+            mask = (
+                np.uint64((1 << w_i) - 1)
+                if w_i < 64
+                else np.uint64(0xFFFFFFFFFFFFFFFF)
+            )
+            vals &= mask
+            # scatter rows to their output segments
+            idx = out_starts[cls][:, None] + np.arange(cnt)[None, :]
+            out[idx.reshape(-1)] = vals.reshape(-1)
+    return out
 
 
 def decode_one_block(

@@ -158,6 +158,7 @@ def _config_from_kwargs(kw: dict) -> IndexConfig:
         block_size=kw["block_size"],
         salt_rows=kw["salt_rows"],
         codec=kw["codec"],
+        partials_codec=kw.get("partials_codec", "varint"),
         tokenizer=TokenizerRules(
             rewritings=tuple(tuple(x) for x in kw["rewritings"]),
             mappings=tuple(tuple(x) for x in kw["mappings"]),
@@ -173,6 +174,7 @@ def _config_to_kwargs(c: IndexConfig) -> dict:
         "block_size": c.block_size,
         "salt_rows": c.salt_rows,
         "codec": c.codec,
+        "partials_codec": c.partials_codec,
         "rewritings": [list(x) for x in c.tokenizer.rewritings],
         "mappings": [list(x) for x in c.tokenizer.mappings],
         "stopwords": sorted(c.tokenizer.stopwords),

@@ -139,6 +139,7 @@ class Searcher:
                 block_size=cj["block_size"],
                 salt_rows=cj["salt_rows"],
                 codec=cj["codec"],
+                partials_codec=cj.get("partials_codec", "varint"),
                 bm25=BM25Params(k1=cj["bm25"]["k1"], b=cj["bm25"]["b"]),
             )
             # NOTE: tokenizer rules beyond defaults are not serialized in

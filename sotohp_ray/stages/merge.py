@@ -54,7 +54,7 @@ def merge_shard(
 ) -> pa.Table:
     """All partial rows of one term_shard -> final dictionary rows,
     sorted by term."""
-    _, dec = pcodec.CODECS[config.codec]
+    _, dec = pcodec.CODECS[config.partials_codec]
     k1, b = config.bm25.k1, config.bm25.b
     nrows = group.num_rows
     if nrows == 0:

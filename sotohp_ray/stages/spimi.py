@@ -158,7 +158,7 @@ def index_partition_table(
 
     col_shard, col_term, col_salt, col_count = [], [], [], []
     col_doc, col_tf, col_dl, col_cf, col_maxtf = [], [], [], [], []
-    enc, _ = pcodec.CODECS[config.codec]
+    enc, _ = pcodec.CODECS[config.partials_codec]
     if multi_idx.size:
         uniq_list = uniq_terms.take(pa.array(multi_idx)).to_pylist()
         for j, k in enumerate(multi_idx):
