@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
+        "bigram_counts": textops.bigram_counts,
+        "sample_stratified": textops.sample_stratified,
         # --- dedup family ---
         "dedup_exact": textops.dedup_exact,
         "minhash_candidates": textops.minhash_candidates,   # rows-only
@@ -123,6 +125,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "keyword_search": textops.keyword_search_sql(),
         "corpus_stats": textops.corpus_stats_sql(),
+        "bigram_counts": textops.bigram_counts_sql(),
+        "sample_stratified": textops.sample_stratified_sql(),
         "embedding_near_dup": ann.embedding_near_dup_sql(),
         "events_asof_orders": relational.events_asof_orders_sql(),
         "events_sessionize": relational.events_sessionize_sql(),

@@ -563,3 +563,85 @@ def corpus_stats_sql() -> str:
                count(DISTINCT source) AS n_sources
         FROM documents
     """
+
+
+def bigram_counts(sf_dir: str, min_count: int = 5):
+    """(t1, t2, n): corpus-wide bigram frequencies over analyzed
+    tokens (adjacent within a document), n >= min_count. Per-batch
+    vectorized pairing + within-batch combiner, then one small groupby
+    over partial counts (A1 partial+final discipline)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parents, flat = _TOK.exploded(_text_col(batch))
+        pn = parents.to_numpy(zero_copy_only=False)
+        nt = len(flat)
+        if nt < 2:
+            return pa.table({
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            })
+        same_doc = pn[:-1] == pn[1:]
+        t = pa.table({
+            "t1": flat.slice(0, nt - 1).filter(pa.array(same_doc)),
+            "t2": flat.slice(1, nt - 1).filter(pa.array(same_doc)),
+        })
+        g = t.group_by(["t1", "t2"]).aggregate([("t1", "count")])
+        return g.rename_columns(["t1", "t2", "n_partial"])
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n"], min_count))
+
+    return agg.map_batches(threshold, batch_format="pyarrow")
+
+
+def bigram_counts_sql(min_count: int = 5) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest({texpr}) AS term,
+                 generate_subscripts({texpr}, 1) AS pos
+          FROM documents
+        )
+        SELECT a.term AS t1, b.term AS t2, count(*) AS n
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_count}
+    """
+
+
+def sample_stratified(sf_dir: str, per_group: int = 20):
+    """(doc_id, lang): deterministic stratified sample — the first
+    ``per_group`` doc_ids of each lang (O5 random-select made
+    reproducible: rank within stratum, not RNG, so the SQL oracle
+    agrees exactly)."""
+    import pandas as pd
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(per_group, "doc_id")[["doc_id", "lang"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .groupby("lang")
+        .map_groups(head, batch_format="pandas")
+    )
+
+
+def sample_stratified_sql(per_group: int = 20) -> str:
+    return f"""
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY lang ORDER BY doc_id) <= {per_group}
+    """

@@ -58,6 +58,7 @@ def test_oracle_keys_subset(entry_mod):
         "top_customers_by_spend", "events_hourly", "events_prev_gap",
         "events_type_stats", "events_topk_by_value", "parts_per_brand",
         "keyword_search", "corpus_stats", "embedding_near_dup",
+        "bigram_counts", "sample_stratified",
         "events_asof_orders", "events_sessionize", "events_page",
         "media_inventory", "media_thumbnails", "media_frame_sample",
     ],
