@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.doc_fingerprint,         # rows-only
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
+        "knn_label_consensus": ann.knn_label_consensus,
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
         "ann_lsh_search": ann.ann_lsh_search,               # rows-only
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": textops.bigram_counts_sql(),
         "sample_stratified": textops.sample_stratified_sql(),
         "embedding_near_dup": ann.embedding_near_dup_sql(),
+        "knn_label_consensus": ann.knn_label_consensus_sql(),
         "events_asof_orders": relational.events_asof_orders_sql(),
         "events_sessionize": relational.events_sessionize_sql(),
         "events_page": relational.events_page_sql(),
@@ -181,9 +183,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_prev_gap": """
             SELECT event_id,
-                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS gap_us
+                   ), -1) AS gap_us
             FROM events
         """,
         "events_type_stats": """

@@ -116,7 +116,45 @@ class IndexConfig:
                 "codec": self.codec,
                 "partials_codec": self.partials_codec,
                 "tokenizer_version": self.tokenizer.version_hash(),
+                # full rules (not just the hash) so a Searcher opened
+                # on this index reconstructs the EXACT analyzer — a
+                # query tokenized with different rules silently returns
+                # wrong results
+                "tokenizer_rules": {
+                    "rewritings": [list(x) for x in self.tokenizer.rewritings],
+                    "mappings": [list(x) for x in self.tokenizer.mappings],
+                    "stopwords": sorted(self.tokenizer.stopwords),
+                },
                 "bm25": {"k1": self.bm25.k1, "b": self.bm25.b},
             },
             sort_keys=True,
         )
+
+    @staticmethod
+    def from_json(payload: str) -> "IndexConfig":
+        cj = json.loads(payload)
+        rules = cj.get("tokenizer_rules")
+        if rules is not None:
+            tok = TokenizerRules(
+                rewritings=tuple(tuple(x) for x in rules["rewritings"]),
+                mappings=tuple(tuple(x) for x in rules["mappings"]),
+                stopwords=frozenset(rules["stopwords"]),
+            )
+        else:
+            tok = TokenizerRules()
+        cfg = IndexConfig(
+            num_term_shards=cj["num_term_shards"],
+            block_size=cj["block_size"],
+            salt_rows=cj["salt_rows"],
+            codec=cj["codec"],
+            partials_codec=cj.get("partials_codec", "varint"),
+            tokenizer=tok,
+            bm25=BM25Params(k1=cj["bm25"]["k1"], b=cj["bm25"]["b"]),
+        )
+        if cfg.tokenizer.version_hash() != cj["tokenizer_version"]:
+            raise ValueError(
+                "config.json tokenizer_version does not match the "
+                "serialized rules — the index was built with analyzer "
+                "rules this engine version cannot reconstruct"
+            )
+        return cfg

@@ -194,7 +194,11 @@ def batch_minhash_signatures(
         offsets = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         pre = _fmix64(token_hashes * _WIN_MULS[0])
-        sums = np.add.reduceat(pre, offsets[short])
+        # true per-row segment sums via cumsum differences (uint64
+        # wrap is fine): reduceat would sum from a short row's start
+        # to the NEXT short row's start, folding in other rows' tokens
+        csum = np.concatenate(([np.uint64(0)], np.cumsum(pre, dtype=np.uint64)))
+        sums = csum[offsets[short + 1]] - csum[offsets[short]]
         sh_par_parts.append(short.astype(parents.dtype))
         sh_val_parts.append(_fmix64(sums))
     sig = np.full((n_rows, a.size), np.uint64(_MERSENNE), dtype=np.uint64)

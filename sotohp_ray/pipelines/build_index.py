@@ -209,10 +209,27 @@ def build_index(
     np.cumsum(counts[:-1], out=bases[1:])
 
     done = lin.completed_partitions(index_dir, cfg_fp)
+    # drop lineage/partials for partition files no longer in the corpus
+    # (their partials dirs would otherwise still feed the merge and
+    # their metrics would pollute the global stats)
+    removed = [p for p in done if p >= len(files)]
+    named = {os.path.basename(f) for f in files}
+    removed += [
+        p for p, r in done.items()
+        if p < len(files) and r.get("input_file") not in named
+    ]
+    for p in set(removed):
+        done.pop(p)
+        lin.drop_partition(index_dir, p)
+    # stale = content changed OR this partition's doc-id base shifted
+    # (an earlier partition's row count changed): doc_ids are dense
+    # prefix sums, so a base shift cascades re-indexing downstream —
+    # skipping would leave overlapping doc_id ranges in docmeta
     stale = [
         p
         for p, r in done.items()
         if r.get("input_fingerprint") != lin.input_fingerprint(files[p])
+        or int(r.get("base_doc_id", -1)) != int(bases[p])
     ]
     for p in stale:
         done.pop(p)
@@ -314,7 +331,7 @@ def build_index(
 
     part_dirs = sorted(
         os.path.join(partials_dir, d)
-        for d in os.listdir(partials_dir)
+        for d in (os.listdir(partials_dir) if os.path.isdir(partials_dir) else [])
         if d.startswith("partition-")
     )
 
@@ -376,21 +393,28 @@ def build_index(
     ).to_pandas()  # 1 row/shard — tiny; forces execution
     # per-stage metrics alongside the per-partition lineage: term count
     # per dictionary shard (skew observability for the salting knobs)
-    lin.write_json(
-        os.path.join(index_dir, "merge_metrics.json"),
-        {
-            "n_shards": int(len(merge_metrics)),
-            "total_terms": int(merge_metrics["n_terms"].sum()),
-            "max_shard_terms": int(merge_metrics["n_terms"].max()),
-            "min_shard_terms": int(merge_metrics["n_terms"].min()),
-            "terms_per_shard": {
-                str(int(s)): int(n)
-                for s, n in zip(
-                    merge_metrics["term_shard"], merge_metrics["n_terms"]
-                )
+    if len(merge_metrics):
+        lin.write_json(
+            os.path.join(index_dir, "merge_metrics.json"),
+            {
+                "n_shards": int(len(merge_metrics)),
+                "total_terms": int(merge_metrics["n_terms"].sum()),
+                "max_shard_terms": int(merge_metrics["n_terms"].max()),
+                "min_shard_terms": int(merge_metrics["n_terms"].min()),
+                "terms_per_shard": {
+                    str(int(s)): int(n)
+                    for s, n in zip(
+                        merge_metrics["term_shard"], merge_metrics["n_terms"]
+                    )
+                },
             },
-        },
-    )
+        )
+    else:  # empty corpus: still a valid (empty) index
+        lin.write_json(
+            os.path.join(index_dir, "merge_metrics.json"),
+            {"n_shards": 0, "total_terms": 0, "max_shard_terms": 0,
+             "min_shard_terms": 0, "terms_per_shard": {}},
+        )
     with open(marker, "w") as f:
         json.dump({"config": cfg_fp, "lineage": lineage_fp}, f)
     stats["merged"] = True

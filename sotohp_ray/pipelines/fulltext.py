@@ -14,6 +14,8 @@ import hashlib
 import os
 
 import numpy as np
+
+from sotohp_ray.utils import actor_pool_size as _pool
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -206,7 +208,7 @@ def bm25_topk_distributed(sf_dir: str, queries=DOC_QUERIES, k: int = 10):
             "index_dir": index_dir, "k": k, "mapref": mapref,
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(max_frac=0.5),
         batch_size=4,
     )
 

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from sotohp_ray.functions import media_codec as mc
+from sotohp_ray.utils import actor_pool_size as _pool
 
 THUMB_SIZES = (32, 64)
 FRAME_STRIDE = 4
@@ -112,7 +113,7 @@ def media_inventory(sf_dir: str):
     """(doc_id, media_kind, payload_bytes, width, height, sample_rate,
     n_samples, n_frames) — decoded from the actual container bytes."""
     return media_table(sf_dir).map_batches(
-        _Inventory, batch_format="pyarrow", concurrency=2,
+        _Inventory, batch_format="pyarrow", concurrency=_pool(),
         batch_size=MEDIA_BATCH)
 
 
@@ -181,7 +182,7 @@ def media_thumbnails(sf_dir: str, sizes=THUMB_SIZES):
     """(doc_id, size, width, height, thumb_bytes) per image per size."""
     return media_table(sf_dir).map_batches(
         _Thumbnailer, fn_constructor_kwargs={"sizes": sizes},
-        batch_format="pyarrow", concurrency=2, batch_size=MEDIA_BATCH)
+        batch_format="pyarrow", concurrency=_pool(), batch_size=MEDIA_BATCH)
 
 
 def media_thumbnails_sql(sizes=THUMB_SIZES) -> str:
@@ -233,7 +234,7 @@ def media_frame_sample(sf_dir: str, stride: int = FRAME_STRIDE):
     """(doc_id, frame_idx, frame_bytes) for every sampled frame."""
     return media_table(sf_dir).map_batches(
         _FrameSampler, fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow", concurrency=2, batch_size=MEDIA_BATCH)
+        batch_format="pyarrow", concurrency=_pool(), batch_size=MEDIA_BATCH)
 
 
 def media_frame_sample_sql(stride: int = FRAME_STRIDE) -> str:
@@ -285,5 +286,5 @@ def media_features(sf_dir: str):
     descriptor per media row (rows-only check: no SQL for pixel
     stats)."""
     return media_table(sf_dir).map_batches(
-        _FeatureExtractor, batch_format="pyarrow", concurrency=2,
+        _FeatureExtractor, batch_format="pyarrow", concurrency=_pool(),
         batch_size=MEDIA_BATCH)

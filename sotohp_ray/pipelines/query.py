@@ -130,21 +130,12 @@ class Searcher:
             self.stats = json.load(f)
         cfgp = os.path.join(index_dir, "config.json")
         if config is None:
+            # config.json carries the FULL tokenizer rules, so the
+            # query-side analyzer is guaranteed identical to the one
+            # the index was built with (from_json raises on a
+            # version/rules mismatch rather than silently diverging)
             with open(cfgp) as f:
-                cj = json.load(f)
-            from sotohp_ray.config import BM25Params, TokenizerRules
-
-            config = IndexConfig(
-                num_term_shards=cj["num_term_shards"],
-                block_size=cj["block_size"],
-                salt_rows=cj["salt_rows"],
-                codec=cj["codec"],
-                partials_codec=cj.get("partials_codec", "varint"),
-                bm25=BM25Params(k1=cj["bm25"]["k1"], b=cj["bm25"]["b"]),
-            )
-            # NOTE: tokenizer rules beyond defaults are not serialized in
-            # config.json (only the version hash); pass `config` when
-            # querying an index built with custom rules.
+                config = IndexConfig.from_json(f.read())
         self.config = config
         self.tok = CodeTokenizer(config.tokenizer)
         self.n_docs = int(self.stats["n_docs"])

@@ -71,26 +71,32 @@ def customers_per_region(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
-    n2r = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    )
-    r2name = dict(
-        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
-    )
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    # int-indexed lookup: nationkey -> region-name dictionary code.
+    # The big side is mapped with one vectorized np.take per batch and
+    # the names materialize as an Arrow dictionary array (no per-row
+    # Python, no string duplication).
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    nregs = nation["n_regionkey"].to_numpy(zero_copy_only=False)
+    rkeys = region["r_regionkey"].to_numpy(zero_copy_only=False)
+    rnames = region["r_name"].to_pylist()
+    r_code = np.full(int(rkeys.max()) + 1, -1, dtype=np.int32)
+    r_code[rkeys] = np.arange(len(rkeys), dtype=np.int32)
+    n2code = np.full(int(nkeys.max()) + 1, -1, dtype=np.int32)
+    n2code[nkeys] = r_code[nregs]
+    lookup_ref = ray.put((n2code, rnames))
     from ray.data.aggregate import Count
 
-    class AddRegion:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["c_nationkey"].to_pylist()
-            names = pa.array([self.lookup[k] for k in keys], pa.string())
-            return batch.append_column("r_name", names)
+    def add_region(batch: pa.Table) -> pa.Table:
+        codes_map, names = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        codes = np.take(codes_map, keys)
+        names_arr = pa.DictionaryArray.from_arrays(
+            pa.array(codes, pa.int32()), pa.array(names, pa.string())
+        ).cast(pa.string())
+        return batch.append_column("r_name", names_arr)
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        AddRegion, batch_format="pyarrow", concurrency=2
+        add_region, batch_format="pyarrow"
     )
     return ds.groupby("r_name").aggregate(Count(alias_name="n_customers"))
 
@@ -143,7 +149,12 @@ def events_prev_gap(sf_dir: str):
     """(event_id, gap_us): microseconds since the user's previous event
     — the sorted per-partition window op (J4 locationInduction: walk
     prev/next by sorted timestamp; O7 sliding windows). Partition by
-    user, sort by (ts, event_id) within the group, diff."""
+    user, sort by (ts, event_id) within the group, diff.
+
+    gap_us is -1 for each user's first event (the NULL-free contract
+    for cross-engine hashing, same as events_asof_orders: a nullable
+    Int64 NA vs DuckDB float64 NaN hash-diverges even when values
+    agree)."""
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -151,9 +162,9 @@ def events_prev_gap(sf_dir: str):
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         us = g["ts"].astype("int64")
-        gap = us.diff()
+        gap = us.diff().fillna(-1)
         return pd.DataFrame(
-            {"event_id": g["event_id"], "gap_us": gap.astype("Int64")}
+            {"event_id": g["event_id"], "gap_us": gap.astype("int64")}
         )
 
     return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")

@@ -21,14 +21,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from sotohp_ray.functions.hashing import (
-    hamming64,
-    minhash_params,
-    minhash_signature,
-    shingle_hashes,
-    simhash64,
-)
+from sotohp_ray.functions.hashing import minhash_params, shingle_hashes
 from sotohp_ray.functions.tokenizer import CodeTokenizer
+from sotohp_ray.utils import actor_pool_size as _pool
 
 _TOK = CodeTokenizer()
 
@@ -217,6 +212,7 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from sotohp_ray.functions.hashing import (
+            _fmix64,
             band_hashes,
             batch_minhash_signatures,
             token_hash_array,
@@ -232,6 +228,14 @@ class MinHashStage:
         )
         bh = band_hashes(sig, self.bands)  # (n, bands)
         bands_idx = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        # bkey: ONE int64 mixing (band, band_hash) — the single-column
+        # bucket key every downstream pass groups/filters on (a rare
+        # mix collision only merges two buckets for the count pass; the
+        # real groupby is still on (band, band_hash))
+        bkey = _fmix64(
+            bh.reshape(-1).astype(np.uint64)
+            ^ (bands_idx.astype(np.uint64) + np.uint64(0x9E3779B9))
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(
@@ -242,119 +246,201 @@ class MinHashStage:
                 "band_hash": pa.array(
                     bh.reshape(-1).astype(np.int64), type=pa.int64()
                 ),
+                "bkey": pa.array(bkey, type=pa.int64()),
             }
         )
+
+
+def _dup_members(ds, num_keys_warn: int = 50_000_000):
+    """Rows of ``ds`` whose int64 ``bkey`` occurs more than once.
+
+    Two-pass dup-bucket detection that never runs per-group Python over
+    singleton buckets: (1) a vectorized count groupby on the single
+    int64 key finds dup keys (output is dup-bucket-sized, tiny on a
+    mostly-unique corpus); (2) dup keys broadcast ONCE via ``ray.put``
+    and each batch filters with one sorted ``np.isin`` — no per-row
+    Python membership tests. Returns (members_ds, n_dup_keys).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby("bkey").aggregate(Count(alias_name="n"))
+
+    def _dups_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n"], 1)).select(["bkey"])
+
+    dup_keys = np.sort(
+        counts.map_batches(_dups_only, batch_format="pyarrow")
+        .to_pandas()["bkey"]
+        .to_numpy()
+    )
+    if dup_keys.size == 0:
+        return None, 0
+    keyref = ray.put(dup_keys)
+
+    def _member(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keyref)
+        mask = np.isin(
+            batch["bkey"].to_numpy(zero_copy_only=False), keys,
+            assume_unique=False, kind="sort",
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_member, batch_format="pyarrow"), int(dup_keys.size)
+
+
+def _minhash_members(sf_dir: str, num_perm: int = 64, bands: int = 16):
+    """Band rows restricted to dup buckets: (doc_id, band, band_hash,
+    bkey) for every (doc, band) whose bucket has >1 member."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    ).materialize()  # band rows are tiny (4 ints per (doc, band)) and
+    # feed two passes — materializing avoids re-tokenizing the corpus
+    members, _ = _dup_members(ds)
+    return members
 
 
 def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     """(band, band_hash, n_docs, doc_ids) LSH buckets with >1 doc —
     near-dup candidate groups. shingle->minhash->band->bucket.
 
-    Two-step bucket detection instead of one map_groups over every
-    bucket: a vectorized ``groupby().count()`` finds the (few) buckets
-    with >1 member, then only THEIR rows are re-scanned (broadcast
-    membership filter) and grouped. On a mostly-unique corpus the
-    per-group Python cost is paid for dozens of real candidate
-    buckets, not for one DataFrame per singleton bucket."""
-    import ray
-    from ray.data.aggregate import Count
+    Fully distributed: dup buckets found by a count groupby on the
+    mixed int64 bucket key, members re-selected with a broadcast
+    ``np.isin`` filter, and the bucket rows assembled in a
+    ``groupby(bucket).map_groups`` that only ever sees dup buckets
+    (never one DataFrame per singleton bucket)."""
+    import pandas as pd
 
-    # band rows materialize once (tiny: 3 ints per (doc, band)) so the
-    # count pass and the member re-scan don't re-tokenize the corpus
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
-        batch_format="pyarrow",
-        concurrency=2,
-    ).materialize()
-    counts = ds.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="n_docs")
-    )
-    def _dups_only(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        return batch.filter(_pc.greater(batch["n_docs"], 1))
-
-    dup_buckets = counts.map_batches(
-        _dups_only, batch_format="pyarrow"
-    ).to_pandas()
-    if len(dup_buckets) == 0:
+    members = _minhash_members(sf_dir, num_perm, bands)
+    if members is None:
         return pa.table({
             "band": pa.array([], pa.int32()),
             "band_hash": pa.array([], pa.int64()),
             "n_docs": pa.array([], pa.int64()),
             "doc_ids": pa.array([], pa.string()),
         })
-    keys = set(zip(dup_buckets["band"], dup_buckets["band_hash"]))
-    keyref = ray.put(keys)
 
-    def _member(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        kk = _ray.get(keyref)
-        b = batch["band"].to_numpy(zero_copy_only=False)
-        h = batch["band_hash"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            ((int(x), int(y)) in kk for x, y in zip(b, h)),
-            dtype=bool, count=len(b),
-        )
-        return batch.filter(pa.array(mask))
-
-    members = ds.map_batches(_member, batch_format="pyarrow").to_pandas()
-    rows = []
-    for (bnd, bh), g in members.groupby(["band", "band_hash"]):
+    def bucket_row(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:  # bkey mix collision artifact
+            return g.iloc[0:0][["band", "band_hash"]].assign(
+                n_docs=pd.Series(dtype="int64"),
+                doc_ids=pd.Series(dtype="object"))
         ids = sorted(int(x) for x in g["doc_id"])
-        rows.append((int(bnd), int(bh), len(ids), ",".join(map(str, ids))))
-    rows.sort()
-    return pa.table({
-        "band": pa.array([r[0] for r in rows], pa.int32()),
-        "band_hash": pa.array([r[1] for r in rows], pa.int64()),
-        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
-        "doc_ids": pa.array([r[3] for r in rows], pa.string()),
-    })
+        return pd.DataFrame({
+            "band": [int(g["band"].iloc[0])],
+            "band_hash": [int(g["band_hash"].iloc[0])],
+            "n_docs": [len(ids)],
+            "doc_ids": [",".join(map(str, ids))],
+        })
+
+    return (
+        members.groupby(["band", "band_hash"])
+        .map_groups(bucket_row, batch_format="pandas")
+        .sort(["band", "band_hash"])
+    )
 
 
 def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     """Verified near-dup pairs: LSH candidates -> exact n-gram Jaccard
-    check (candidate generation distributed; verification per unique
-    pair on the small candidate set)."""
-    cand = minhash_candidates(sf_dir).to_pylist()
-    pairs = set()
-    for row in cand:
-        ids = [int(x) for x in row["doc_ids"].split(",")]
+    check, with the VERIFICATION distributed too (the round-1 version
+    read the whole corpus into a driver dict).
+
+    Shape: candidate texts are shipped per bucket — a broadcast
+    semi-join filters the docs table to candidate ids, a
+    ``groupby(doc_id)`` attaches each candidate's text to its bucket
+    membership rows, and a ``groupby(bucket)`` verifies each bucket's
+    pairs locally (exact shingle Jaccard). Pair dedup across buckets is
+    one final groupby on (doc_a, doc_b). No full-corpus driver read,
+    no all-pairs — matches the reference's grouped dedup discipline
+    (GoogleTakeoutTooling.scala:49-95)."""
+    import pandas as pd
+    import ray
+
+    members = _minhash_members(sf_dir)
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    if members is None:
+        return empty
+    mem = members.select_columns(["doc_id", "bkey"]).materialize()
+    cand_ids = np.sort(np.unique(mem.to_pandas()["doc_id"].to_numpy()))
+    if cand_ids.size == 0:
+        return empty
+    idref = ray.put(cand_ids)
+
+    def _cand_docs(batch: pa.Table) -> pa.Table:
+        ids = ray.get(idref)
+        mask = np.isin(
+            batch["doc_id"].to_numpy(zero_copy_only=False), ids, kind="sort"
+        )
+        out = batch.filter(pa.array(mask))
+        return pa.table({
+            "doc_id": out["doc_id"].cast(pa.int64()),
+            "bkey": pa.array(np.full(out.num_rows, -1, np.int64)),
+            "text": out["text"].cast(pa.string()),
+        })
+
+    texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _cand_docs, batch_format="pyarrow"
+    )
+
+    def _tag_member(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "bkey": batch["bkey"].cast(pa.int64()),
+            "text": pa.nulls(batch.num_rows, pa.string()),
+        })
+
+    both = mem.map_batches(_tag_member, batch_format="pyarrow").union(texts)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.loc[g["bkey"] == -1, "text"]
+        m = g[g["bkey"] != -1]
+        if t.empty or m.empty:
+            return pd.DataFrame({
+                "bkey": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "text": pd.Series(dtype="object")})
+        return pd.DataFrame({
+            "bkey": m["bkey"].values,
+            "doc_id": m["doc_id"].values,
+            "text": t.iloc[0],
+        })
+
+    bucketed = both.groupby("doc_id").map_groups(attach, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        txts = g["text"].to_numpy()[order]
+        shs = [shingle_hashes(_TOK.tokens_of(t), shingle_n) for t in txts]
+        ra, rb, rj = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    if not pairs:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    import pyarrow.parquet as pq
+                sa, sb = shs[i], shs[j]
+                inter = np.intersect1d(sa, sb).size
+                union = sa.size + sb.size - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    ra.append(int(ids[i]))
+                    rb.append(int(ids[j]))
+                    rj.append(round(jac, 6))
+        return pd.DataFrame({"doc_a": ra, "doc_b": rb, "jaccard": rj})
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    sh_cache: dict[int, np.ndarray] = {}
+    pairs = bucketed.groupby("bkey").map_groups(verify, batch_format="pandas")
 
-    def sh(d):
-        if d not in sh_cache:
-            sh_cache[d] = shingle_hashes(_TOK.tokens_of(texts[d]), shingle_n)
-        return sh_cache[d]
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
 
-    rows = []
-    for a, b in sorted(pairs):
-        sa, sb = sh(a), sh(b)
-        inter = np.intersect1d(sa, sb).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            rows.append((a, b, round(j, 6)))
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-        }
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .map_groups(first, batch_format="pandas")
+        .sort(["doc_a", "doc_b"])
     )
 
 
@@ -402,71 +488,126 @@ def simhash_fingerprints(sf_dir: str):
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
     """Pairs of docs whose SimHashes differ by <= max_hamming bits
-    (4x16-bit band blocking, then exact hamming verify)."""
-    fp = simhash_fingerprints(sf_dir).take_all()
-    sigs = [(r["doc_id"], int(r["simhash_hex"], 16)) for r in fp]
-    buckets: dict[tuple[int, int], list[int]] = {}
-    by_id = dict(sigs)
-    for d, s in sigs:
-        for band in range(4):
-            key = (band, (s >> (band * 16)) & 0xFFFF)
-            buckets.setdefault(key, []).append(d)
-    pairs = set()
-    for ids in buckets.values():
-        if len(ids) < 2:
-            continue
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = min(ids[i], ids[j]), max(ids[i], ids[j])
-                if hamming64(by_id[a], by_id[b]) <= max_hamming:
-                    pairs.add((a, b))
-    ps = sorted(pairs)
-    return pa.table(
-        {
-            "doc_a": pa.array([p[0] for p in ps], pa.int64()),
-            "doc_b": pa.array([p[1] for p in ps], pa.int64()),
-        }
+    (4x16-bit band blocking, then exact hamming verify) — fully
+    distributed: band rows -> dup-bucket filter (count groupby +
+    broadcast ``np.isin``) -> per-bucket hamming verify in
+    ``groupby(bucket).map_groups`` -> global pair dedup. The round-1
+    version pulled every fingerprint to the driver with take_all()."""
+    import pandas as pd
+
+    from sotohp_ray.functions.hashing import _fmix64
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        # simhash stage inlined: (doc_id, sig) -> 4 band rows each
+        sigs = np.array(
+            [int(h, 16) for h in batch["simhash_hex"].to_pylist()],
+            dtype=np.uint64,
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        rep_sig = np.repeat(sigs, 4)
+        band16 = (rep_sig >> (bands.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        bkey = _fmix64(
+            band16 ^ ((bands.astype(np.uint64) + np.uint64(1)) << np.uint64(48))
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "sig": pa.array(rep_sig.astype(np.int64), pa.int64()),
+            "bkey": pa.array(bkey, pa.int64()),
+        })
+
+    ds = simhash_fingerprints(sf_dir).map_batches(
+        band_rows, batch_format="pyarrow"
+    ).materialize()
+    members, _ = _dup_members(ds)
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if members is None:
+        return empty
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        # vectorized pairwise hamming within the (small) bucket
+        x = sigs[:, None] ^ sigs[None, :]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                            axis=2).sum(axis=2)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = ham[iu, ju] <= max_hamming
+        return pd.DataFrame({
+            "doc_a": ids[iu[keep]].astype("int64"),
+            "doc_b": ids[ju[keep]].astype("int64"),
+        })
+
+    pairs = members.groupby("bkey").map_groups(verify, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .map_groups(first, batch_format="pandas")
+        .sort(["doc_a", "doc_b"])
     )
 
 
-def doc_fingerprint(sf_dir: str, window: int = 4):
-    """(doc_id, n_fingerprints) winnowing-style: rolling min of shingle
-    hashes over a sliding window (document fingerprinting)."""
+def doc_fingerprint(sf_dir: str, window: int = 4, shingle_n: int = 3):
+    """(doc_id, n_fingerprints) winnowing-style document fingerprinting
+    (Schleimer et al., SIGMOD 2003): count of distinct sliding-window
+    minima over the doc's shingle-hash sequence. Vectorized over the
+    whole batch with the same token-hash + strided-window kernels as
+    MinHash (functions/hashing.py) — no per-doc Python loop.
+
+    Contract per doc with L tokens: L < shingle_n -> 0; shingle count
+    (L - shingle_n + 1) <= window -> 1; else distinct window minima."""
+    from sotohp_ray.functions.hashing import _WIN_MULS, _fmix64, token_hash_array
 
     def f(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
-        out = []
-        for toks in lists.to_pylist():
-            sh = np.array(
-                [h for h in _rolling_hashes(toks)], dtype=np.uint64
-            )
-            if sh.size == 0:
-                out.append(0)
-                continue
-            if sh.size <= window:
-                out.append(1)
-                continue
-            w = np.lib.stride_tricks.sliding_window_view(sh, window)
-            mins = w.min(axis=1)
-            out.append(int(np.unique(mins).size))
+        parents, flat = _TOK.exploded(_text_col(batch))
+        pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = token_hash_array(flat)
+        n = batch.num_rows
+        lengths = np.bincount(pn, minlength=n) if pn.size else np.zeros(
+            n, dtype=np.int64
+        )
+        counts = np.zeros(n, dtype=np.int64)
+        shlen = np.maximum(lengths - (shingle_n - 1), 0)
+        counts[(lengths >= shingle_n) & (shlen <= window)] = 1
+        nt = th.size
+        if nt >= shingle_n:
+            w = np.lib.stride_tricks.sliding_window_view(th, shingle_n)
+            valid = pn[: nt - shingle_n + 1] == pn[shingle_n - 1:]
+            sh_val = _fmix64(
+                (w * _WIN_MULS[:shingle_n]).sum(axis=1, dtype=np.uint64)
+            )[valid]
+            sh_par = pn[: nt - shingle_n + 1][valid]
+            ns = sh_val.size
+            if ns >= window:
+                wv = np.lib.stride_tricks.sliding_window_view(sh_val, window)
+                wvalid = sh_par[: ns - window + 1] == sh_par[window - 1:]
+                mins = wv.min(axis=1)[wvalid]
+                mpar = sh_par[: ns - window + 1][wvalid]
+                if mins.size:
+                    order = np.lexsort((mins, mpar))
+                    mpar, mins = mpar[order], mins[order]
+                    keep = np.ones(mpar.size, dtype=bool)
+                    keep[1:] = (np.diff(mpar) != 0) | (np.diff(mins) != 0)
+                    distinct = np.bincount(mpar[keep], minlength=n)
+                    big = shlen > window
+                    counts[big] = distinct[big]
         return pa.table(
-            {"doc_id": batch["doc_id"], "n_fingerprints": pa.array(out, pa.int64())}
+            {"doc_id": batch["doc_id"],
+             "n_fingerprints": pa.array(counts, pa.int64())}
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
-
-
-def _rolling_hashes(tokens: list[str], n: int = 3):
-    import zlib
-
-    if len(tokens) < n:
-        return []
-    return [
-        zlib.crc32(" ".join(tokens[i : i + n]).encode())
-        for i in range(len(tokens) - n + 1)
-    ]
 
 
 KEYWORD_QUERY = ("fast", "small")

@@ -24,8 +24,11 @@ import tempfile
 
 
 def input_fingerprint(file_path: str) -> str:
+    """Cheap content-change detector: (name, size, mtime_ns). Size
+    alone misses same-size edits; mtime_ns catches any rewrite without
+    paying a full content hash per resume check."""
     st = os.stat(file_path)
-    payload = f"{os.path.basename(file_path)}:{st.st_size}"
+    payload = f"{os.path.basename(file_path)}:{st.st_size}:{st.st_mtime_ns}"
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -69,6 +72,22 @@ def completed_partitions(
         if r.get("status") == "done" and r.get("config") == config_fingerprint:
             out[r["partition_id"]] = r
     return out
+
+
+def drop_partition(index_dir: str, partition_id: int) -> None:
+    """Remove a partition's lineage record AND its durable outputs
+    (docmeta/partials dirs) — used when the partition's input file
+    disappeared from the corpus, so its rows must not feed the merge
+    or the global stats."""
+    import shutil
+
+    p = _path(index_dir, partition_id)
+    if os.path.exists(p):
+        os.remove(p)
+    for sub in ("docmeta", "partials"):
+        d = os.path.join(index_dir, sub, f"partition-{partition_id:05d}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
 
 def write_json(final_path: str, payload: dict) -> None:

@@ -155,3 +155,91 @@ def test_quality_and_langid_schema():
     assert (q["n_tokens"] >= q["n_distinct_terms"]).all()
     lg = lang_guess(SF).to_pandas()
     assert set(lg["lang_guess"]) <= {"en", "und"}
+
+
+def test_minhash_short_rows_batch_independent():
+    """Identical short docs (fewer tokens than the shingle window) must
+    get identical signatures regardless of batch composition — the
+    round-1 reduceat bug folded other rows' hashes into short rows."""
+    from sotohp_ray.functions.hashing import (
+        batch_minhash_signatures, minhash_params,
+    )
+
+    a, b = minhash_params(16)
+    # rows: [t1 t2], [x]*5, [t1 t2]  (two identical short rows split by
+    # a longer one)
+    parents = np.array([0, 0, 1, 1, 1, 1, 1, 2, 2], dtype=np.int64)
+    th = np.array([11, 22, 7, 8, 9, 10, 12, 11, 22], dtype=np.uint64)
+    sig = batch_minhash_signatures(parents, th, 3, a, b, shingle_n=3)
+    assert np.array_equal(sig[0], sig[2])
+    # and the same row alone in its own batch gets the same signature
+    solo = batch_minhash_signatures(
+        np.array([0, 0], dtype=np.int64),
+        np.array([11, 22], dtype=np.uint64), 1, a, b, shingle_n=3,
+    )
+    assert np.array_equal(sig[0], solo[0])
+
+
+def test_embedding_near_dup_bucketed_matches_brute():
+    """The per-LSH-bucket physical plan must produce the identical
+    pair set as the broadcast all-pairs plan."""
+    from sotohp_ray.pipelines.ann import embedding_near_dup
+
+    brute = embedding_near_dup(SF, bucketed=False).to_pandas()
+    bucketed = embedding_near_dup(
+        SF, bucketed=True, lsh_planes=2, lsh_tables=16
+    ).to_pandas()
+    a = set(zip(brute["vec_id_a"], brute["vec_id_b"]))
+    b = set(zip(bucketed["vec_id_a"], bucketed["vec_id_b"]))
+    assert a == b and len(a) > 0
+
+
+def test_simhash_near_dups_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import simhash_near_dups
+
+    base = " ".join(f"tok{i} filler{i % 7}" for i in range(80))
+    near = base.replace("tok3", "tokx")
+    far = " ".join(f"zz{i} yy{i}" for i in range(80))
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([base, near, far]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = simhash_near_dups(str(d)).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_doc_fingerprint_vectorized_contract(tmp_path):
+    """0 for <3 tokens; 1 when the shingle count fits one window;
+    distinct window minima otherwise — and batch-composition
+    independent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import doc_fingerprint
+
+    texts = [
+        "one two",                               # 2 tokens -> 0
+        "one two three four five six",           # 6 tokens -> 4 shingles <= window -> 1
+        " ".join(f"tok{i}" for i in range(30)),  # 28 shingles -> windowed
+        "",                                      # empty -> 0
+    ]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = doc_fingerprint(str(d)).to_pandas().sort_values("doc_id")
+    vals = list(out["n_fingerprints"])
+    assert vals[0] == 0 and vals[3] == 0
+    assert vals[1] == 1
+    assert 1 <= vals[2] <= 25
