@@ -17,8 +17,10 @@ from typing import Any
 from sotohp_ray.functions.tokenizer import sql_token_expr
 from sotohp_ray.pipelines import ann, multimodal, relational, textops
 from sotohp_ray.pipelines.fulltext import (
+    DELETED_DOC_IDS,
     bm25_oracle_sql,
     bm25_topk,
+    bm25_topk_deleted,
     bm25_topk_distributed,
 )
 
@@ -36,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- full-text engine (the north star) ---
         "bm25_topk": lambda sf: bm25_topk(sf),
         "bm25_topk_distributed": lambda sf: bm25_topk_distributed(sf),
+        "bm25_topk_deleted": lambda sf: bm25_topk_deleted(sf),
         "term_df": textops.term_df,
         "token_counts": textops.token_counts,
         "doc_sha256": textops.doc_sha256,
@@ -46,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": textops.corpus_stats,
         "bigram_counts": textops.bigram_counts,
         "sample_stratified": textops.sample_stratified,
+        "sample_random": textops.sample_random,
+        "doc_length_histogram": textops.doc_length_histogram,
         # --- dedup family ---
         "dedup_exact": textops.dedup_exact,
         "minhash_candidates": textops.minhash_candidates,   # rows-only
@@ -62,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_thumbnails": multimodal.media_thumbnails,
+        "media_rotated": multimodal.media_rotated,
         "media_frame_sample": multimodal.media_frame_sample,
         "media_features": multimodal.media_features,        # rows-only
         # --- relational / streaming-shaped operator coverage ---
@@ -75,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": relational.events_asof_orders,
         "events_sessionize": relational.events_sessionize,
         "events_page": relational.events_page,
+        "events_cursor_nav": relational.events_cursor_nav,
+        "customer_geo_distance": relational.customer_geo_distance,
         "parts_per_brand": relational.parts_per_brand,
     }
 
@@ -86,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": bm25_oracle_sql(),
         "bm25_topk_distributed": bm25_oracle_sql(),
+        "bm25_topk_deleted": bm25_oracle_sql(exclude_ids=DELETED_DOC_IDS),
         "term_df": f"""
             SELECT term, count(*) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({toks}))
@@ -128,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": textops.corpus_stats_sql(),
         "bigram_counts": textops.bigram_counts_sql(),
         "sample_stratified": textops.sample_stratified_sql(),
+        "sample_random": textops.sample_random_sql(),
+        "doc_length_histogram": textops.doc_length_histogram_sql(),
         "embedding_near_dup": ann.embedding_near_dup_sql(),
         "knn_label_consensus": ann.knn_label_consensus_sql(),
         "events_asof_orders": relational.events_asof_orders_sql(),
@@ -135,7 +146,10 @@ def oracle_sql() -> dict[str, str]:
         "events_page": relational.events_page_sql(),
         "media_inventory": multimodal.media_inventory_sql(),
         "media_thumbnails": multimodal.media_thumbnails_sql(),
+        "media_rotated": multimodal.media_rotated_sql(),
         "media_frame_sample": multimodal.media_frame_sample_sql(),
+        "events_cursor_nav": relational.events_cursor_nav_sql(),
+        "customer_geo_distance": relational.customer_geo_distance_sql(),
         "knn_cosine": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe

@@ -158,3 +158,22 @@ def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     return arr[ys][:, xs]
+
+
+def rotate(arr: np.ndarray, degrees: int) -> np.ndarray:
+    """Rotate (h, w, c) by a multiple of 90 degrees clockwise — the
+    exact-pixel subset of ``BasicImaging.rotate`` (BasicImaging.scala:
+    57-70 rotates with bicubic resampling for arbitrary angles; right-
+    angle rotations are pixel permutations and need no resampling)."""
+    if degrees % 90 != 0:
+        raise NotImplementedError(
+            "non-right-angle rotation needs a resampling imaging "
+            "library (BasicImaging.scala:57-70 bicubic path)"
+        )
+    return np.rot90(arr, -(degrees // 90) % 4, axes=(0, 1))
+
+
+def mirror(arr: np.ndarray, horizontal: bool) -> np.ndarray:
+    """Mirror (h, w, c): horizontal flips columns, vertical flips rows
+    (BasicImaging.scala:160-180 mirrorHorizontally/mirrorVertically)."""
+    return arr[:, ::-1] if horizontal else arr[::-1]

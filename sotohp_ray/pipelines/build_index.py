@@ -304,9 +304,48 @@ def build_index(
             return stats
 
     t1 = time.perf_counter()
+    merge_phase(index_dir, config, n_docs, stats["avgdl"], lineage_fp)
+    stats["merged"] = True
+    stats["t_phase1_sec"] = round(t_phase1, 3)
+    stats["t_merge_sec"] = round(time.perf_counter() - t1, 3)
+
+    def _dir_bytes(d: str) -> int:
+        total = 0
+        for root, _, names in os.walk(d):
+            for nm in names:
+                total += os.path.getsize(os.path.join(root, nm))
+        return total
+
+    stats["corpus_bytes"] = sum(os.path.getsize(f) for f in files)
+    stats["dictionary_bytes"] = _dir_bytes(os.path.join(index_dir, "dictionary"))
+    stats["docmeta_bytes"] = _dir_bytes(os.path.join(index_dir, "docmeta"))
+    if stats["corpus_bytes"]:
+        stats["dictionary_to_corpus_ratio"] = round(
+            stats["dictionary_bytes"] / stats["corpus_bytes"], 4
+        )
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True, default=str)
+    return stats
+
+
+def merge_phase(
+    index_dir: str,
+    config: IndexConfig,
+    n_docs: int,
+    avgdl: float,
+    lineage_fp: str,
+) -> None:
+    """Phase 2 standalone (also reused by compaction, which rewrites
+    partials and must rebuild the dictionary with fresh df/N/avgdl):
+    shuffle-free bucketed merge of all partials into dictionary
+    shards, then the merge metrics + done marker."""
+    import ray
+    import ray.data
+
+    cfg_fp = _config_fingerprint(config)
+    marker = os.path.join(index_dir, "_MERGE_DONE.json")
     from sotohp_ray.stages.merge import merge_shard
 
-    avgdl = stats["avgdl"]
     partials_dir = os.path.join(index_dir, "partials")
     dict_dir = os.path.join(index_dir, "dictionary")
     import shutil
@@ -417,27 +456,6 @@ def build_index(
         )
     with open(marker, "w") as f:
         json.dump({"config": cfg_fp, "lineage": lineage_fp}, f)
-    stats["merged"] = True
-    stats["t_phase1_sec"] = round(t_phase1, 3)
-    stats["t_merge_sec"] = round(time.perf_counter() - t1, 3)
-
-    def _dir_bytes(d: str) -> int:
-        total = 0
-        for root, _, names in os.walk(d):
-            for nm in names:
-                total += os.path.getsize(os.path.join(root, nm))
-        return total
-
-    stats["corpus_bytes"] = sum(os.path.getsize(f) for f in files)
-    stats["dictionary_bytes"] = _dir_bytes(dict_dir)
-    stats["docmeta_bytes"] = _dir_bytes(os.path.join(index_dir, "docmeta"))
-    if stats["corpus_bytes"]:
-        stats["dictionary_to_corpus_ratio"] = round(
-            stats["dictionary_bytes"] / stats["corpus_bytes"], 4
-        )
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1, sort_keys=True, default=str)
-    return stats
 
 
 def _main() -> None:

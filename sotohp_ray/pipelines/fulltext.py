@@ -103,13 +103,81 @@ def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
     dm = pq.read_table(
         os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
     )
-    eng2orig = np.zeros(s.n_docs, dtype=np.int64)
+    eng2orig = np.zeros(s.space, dtype=np.int64)
     eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
         [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
     )
     rows = []
     for qi, q in enumerate(queries):
-        full = s.search_exact(q, k=s.n_docs)  # all matches, exact scores
+        full = s.search_exact(q, k=s.space)  # all matches, exact scores
+        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        for d, sc in ranked:
+            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+DELETED_DOC_IDS = (3, 17, 54, 121, 200)
+
+
+def deleted_documents_index(
+    sf_dir: str, deleted_ids=DELETED_DOC_IDS
+) -> str:
+    """A copy of the documents index with ``deleted_ids`` tombstoned
+    and compacted (cached per (corpus, id-set)). The delete+compact
+    path of S5 — ElasticOperations.scala:113-130 analog."""
+    import shutil
+
+    from sotohp_ray.pipelines.delete import compact_index, delete_docs
+
+    base = documents_index(sf_dir)
+    key = hashlib.sha256(
+        ("del:" + ",".join(str(i) for i in deleted_ids)).encode()
+    ).hexdigest()[:8]
+    index_dir = os.path.join(_cache_dir(sf_dir), f"index-del-{key}")
+    marker = os.path.join(index_dir, "_DELETE_DONE.json")
+    if os.path.exists(marker):
+        return index_dir
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    shutil.copytree(base, index_dir)
+    n = delete_docs(
+        index_dir, paths=[f"{i:010d}" for i in deleted_ids]
+    )
+    compact_index(index_dir)
+    import json as _json
+
+    with open(marker, "w") as f:
+        _json.dump({"deleted": list(deleted_ids), "tombstoned": n}, f)
+    return index_dir
+
+
+def bm25_topk_deleted(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    deleted_ids=DELETED_DOC_IDS,
+) -> pa.Table:
+    """(query_id, doc_id, score) AFTER deleting ``deleted_ids`` and
+    compacting — must equal a from-scratch BM25 over the surviving
+    docs (the oracle recomputes df/N/avgdl on the filtered table)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = deleted_documents_index(sf_dir, deleted_ids)
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    eng2orig = np.zeros(s.space, dtype=np.int64)
+    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
+    )
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
         ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
         for d, sc in ranked:
             rows.append((qi, int(eng2orig[d]), round(sc, 4)))
@@ -161,7 +229,7 @@ class _ShardSearcher:
             # oracle path: exact scores over all matches, then the
             # rounding contract (round(score,4) desc, doc_id asc) —
             # identical ranking rule to the SQL oracle
-            full = self.searcher.search_exact(q, k=self.searcher.n_docs)
+            full = self.searcher.search_exact(q, k=self.searcher.space)
             ranked = sorted(
                 ((int(self.eng2orig[d]), round(sc, 4)) for d, sc in full),
                 key=lambda t: (-t[1], t[0]),
@@ -213,10 +281,12 @@ def bm25_topk_distributed(sf_dir: str, queries=DOC_QUERIES, k: int = 10):
     )
 
 
-def bm25_oracle_sql(queries=DOC_QUERIES, k: int = 10) -> str:
+def bm25_oracle_sql(queries=DOC_QUERIES, k: int = 10, exclude_ids=None) -> str:
     """DuckDB SQL computing the same BM25 top-k on ``documents``.
     Query tokenization happens here in Python (same tokenizer), emitted
-    as a VALUES list of (query_id, term, qtf)."""
+    as a VALUES list of (query_id, term, qtf). ``exclude_ids`` filters
+    the collection first — the oracle for the delete+compact pipeline
+    (every statistic recomputed over the surviving docs)."""
     tok = CodeTokenizer()
     vals = []
     for qi, q in enumerate(queries):
@@ -226,16 +296,22 @@ def bm25_oracle_sql(queries=DOC_QUERIES, k: int = 10) -> str:
             vals.append(f"({qi}, '{term}', {qtf})")
     values_sql = ", ".join(vals)
     texpr = sql_token_expr("text")
+    if exclude_ids:
+        lst = ", ".join(str(int(i)) for i in exclude_ids)
+        src = f"(SELECT * FROM documents WHERE doc_id NOT IN ({lst}))"
+    else:
+        src = "documents"
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term FROM documents
+WITH docs_src AS (SELECT * FROM {src}),
+toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM docs_src
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
 stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+  SELECT (SELECT count(*) FROM docs_src)::DOUBLE AS n,
          (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM docs_src) AS avgdl
 ),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(query_id, term, qtf) AS (VALUES {values_sql}),

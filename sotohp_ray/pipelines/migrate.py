@@ -1,0 +1,190 @@
+"""Offline index migration (S8) — the analog of the reference's
+``MediaMigrationTool.scala:22-577`` (rewrite stored artifacts to a new
+physical format in place, resumably, without touching semantics).
+
+``migrate_codec`` rewrites every dictionary shard's posting blobs from
+the current codec to a new one (e.g. varint -> pfor). Scale/safety
+shape:
+
+- one Ray task per shard file (embarrassingly parallel, no shuffle);
+- migrated shards land in a staging dir (``dictionary.migrating-X/``)
+  with per-shard atomic writes; a re-run SKIPS shards already staged,
+  so an interrupted migration resumes where it stopped;
+- the final swap (staging dir -> ``dictionary/`` + config.json update)
+  happens only after every shard is staged, so readers never observe a
+  mixed-codec index;
+- block geometry (block_last / block_max) is invariant under the codec
+  change and is carried over verbatim — only blobs/offsets/tf_base are
+  re-encoded — so post-migration results are bit-identical
+  (pytest-verified).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sotohp_ray.config import IndexConfig
+from sotohp_ray.functions import codec as pcodec
+from sotohp_ray.state import lineage as lin
+
+
+def _migrate_shard(path: str, out_path: str, old_codec: str,
+                   new_codec: str, block_size: int) -> int:
+    t = pq.read_table(path)
+    blob_col = t["blob"].combine_chunks()
+    import pyarrow.compute as pc
+
+    has_blob = np.flatnonzero(
+        ~pc.is_null(blob_col).to_numpy(zero_copy_only=False)
+    )
+    if has_blob.size == 0:
+        lin.atomic_write_table(t, out_path)
+        return 0
+    dfs = t["df"].to_numpy(zero_copy_only=False)
+    tf_bases = t["tf_base"].to_numpy(zero_copy_only=False)
+    last_col = t["block_last"].combine_chunks()
+    goffs_col = t["block_gap_offs"].combine_chunks()
+    toffs_col = t["block_tf_offs"].combine_chunks()
+
+    blobs = blob_col.to_pylist()
+    goffs_new = goffs_col.to_pylist()
+    toffs_new = toffs_col.to_pylist()
+    tfb_new = tf_bases.astype(np.int64).tolist()
+    for i in has_blob:
+        df = int(dfs[i])
+        last = last_col[i].values.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nblocks = last.size
+        counts = np.full(nblocks, block_size, dtype=np.int64)
+        counts[-1] = df - block_size * (nblocks - 1)
+        docs, tfs = pcodec.decode_postings(
+            blob_col[i].as_buffer(), df, int(tf_bases[i]),
+            block_counts=counts,
+            gap_offs=goffs_col[i].values.to_numpy(zero_copy_only=False),
+            tf_offs=toffs_col[i].values.to_numpy(zero_copy_only=False),
+            codec=old_codec,
+        )
+        # scores only shape block_max, which we carry over verbatim —
+        # pass zeros and drop the recomputed bmax
+        blob, last2, goffs, toffs, tfb, _bmax = pcodec.encode_postings_blocks(
+            docs, tfs, np.zeros(docs.size, dtype=np.float64),
+            block_size, codec=new_codec,
+        )
+        assert np.array_equal(last2.astype(np.int64), last)
+        blobs[i] = blob
+        goffs_new[i] = goffs.tolist()
+        toffs_new[i] = toffs.tolist()
+        tfb_new[i] = int(tfb)
+
+    def set_col(tbl, name, arr):
+        return tbl.set_column(
+            tbl.schema.get_field_index(name), name, arr
+        )
+
+    t = set_col(t, "blob", pa.array(blobs, pa.large_binary()))
+    t = set_col(
+        t, "block_gap_offs", pa.array(goffs_new, pa.large_list(pa.uint32()))
+    )
+    t = set_col(
+        t, "block_tf_offs", pa.array(toffs_new, pa.large_list(pa.uint32()))
+    )
+    t = set_col(t, "tf_base", pa.array(tfb_new, pa.uint32()))
+    lin.atomic_write_table(t, out_path)
+    return int(has_blob.size)
+
+
+def migrate_codec(index_dir: str, new_codec: str) -> dict:
+    """Rewrite the final index's posting codec in place. Resumable;
+    no-op if the index already uses ``new_codec``."""
+    import ray
+    import ray.data
+
+    if new_codec not in pcodec.CODECS:
+        raise ValueError(f"unknown codec {new_codec!r}")
+    with open(os.path.join(index_dir, "config.json")) as f:
+        config = IndexConfig.from_json(f.read())
+    if config.codec == new_codec:
+        return {"migrated_shards": 0, "codec": new_codec, "noop": True}
+
+    dict_dir = os.path.join(index_dir, "dictionary")
+    staging = os.path.join(index_dir, f"dictionary.migrating-{new_codec}")
+    os.makedirs(staging, exist_ok=True)
+    shard_files = sorted(
+        n for n in os.listdir(dict_dir) if n.endswith(".parquet")
+    )
+    todo = [
+        n for n in shard_files
+        if not os.path.exists(os.path.join(staging, n))
+    ]
+    old_codec, block_size = config.codec, config.block_size
+
+    def _one(batch: dict) -> dict:
+        out = []
+        for name in batch["name"]:
+            out.append(_migrate_shard(
+                os.path.join(dict_dir, str(name)),
+                os.path.join(staging, str(name)),
+                old_codec, new_codec, block_size,
+            ))
+        return {"migrated_terms": np.asarray(out, dtype=np.int64)}
+
+    n_terms = 0
+    if todo:
+        res = ray.data.from_items(
+            [{"name": n} for n in todo]
+        ).map_batches(
+            _one, batch_size=1, batch_format="numpy", num_cpus=1
+        ).to_pandas()
+        n_terms = int(res["migrated_terms"].sum())
+
+    # atomic swap: all shards staged -> replace dictionary + config
+    old_dir = dict_dir + ".old"
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.replace(dict_dir, old_dir)
+    os.replace(staging, dict_dir)
+    shutil.rmtree(old_dir)
+    new_config = IndexConfig(
+        num_term_shards=config.num_term_shards,
+        block_size=config.block_size,
+        salt_rows=config.salt_rows,
+        codec=new_codec,
+        partials_codec=config.partials_codec,
+        tokenizer=config.tokenizer,
+        bm25=config.bm25,
+    )
+    with open(os.path.join(index_dir, "config.json"), "w") as f:
+        f.write(new_config.to_json())
+    return {
+        "migrated_shards": len(shard_files),
+        "re_encoded_terms": n_terms,
+        "codec": new_codec,
+        "noop": False,
+    }
+
+
+def _main() -> None:
+    """CLI: ``python -m sotohp_ray.pipelines.migrate INDEX --codec pfor``."""
+    import argparse
+
+    import ray
+
+    p = argparse.ArgumentParser(description="Migrate index posting codec")
+    p.add_argument("index_dir")
+    p.add_argument("--codec", required=True, choices=sorted(pcodec.CODECS))
+    args = p.parse_args()
+    if not ray.is_initialized():
+        ray.init()
+    print(json.dumps(migrate_codec(args.index_dir, args.codec)))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()

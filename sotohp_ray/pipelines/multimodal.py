@@ -203,6 +203,88 @@ def media_thumbnails_sql(sizes=THUMB_SIZES) -> str:
     """
 
 
+ROTATE_OPS = ("rot90", "rot180", "mirror_h", "mirror_v")
+
+
+class _Rotator:
+    """Rotate / mirror fan-out (M14, BasicImaging.scala:43-92 rotate +
+    :160-180 mirror): one image row -> one row per op. Decode once,
+    permute pixels, re-encode; the emitted corner pixel proves the
+    permutation happened (the SQL oracle recomputes it from doc_id)."""
+
+    def __init__(self, ops=ROTATE_OPS):
+        self.ops = tuple(ops)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        payloads = _payloads(batch)
+        o_id, o_op, o_w, o_h, o_b, o_px = [], [], [], [], [], []
+        for i, p in enumerate(payloads):
+            if p[:4] != mc.MAGIC_IMAGE:
+                continue
+            img = mc.decode_image(p)
+            for op in self.ops:
+                if op == "rot90":
+                    out = mc.rotate(img, 90)
+                elif op == "rot180":
+                    out = mc.rotate(img, 180)
+                elif op == "mirror_h":
+                    out = mc.mirror(img, horizontal=True)
+                else:
+                    out = mc.mirror(img, horizontal=False)
+                enc = mc.encode_image(np.ascontiguousarray(out))
+                o_id.append(int(ids[i]))
+                o_op.append(op)
+                o_h.append(out.shape[0])
+                o_w.append(out.shape[1])
+                o_b.append(len(enc))
+                o_px.append(int(out[0, 0, 0]))
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "op": pa.array(o_op, pa.string()),
+            "width": pa.array(o_w, pa.int64()),
+            "height": pa.array(o_h, pa.int64()),
+            "out_bytes": pa.array(o_b, pa.int64()),
+            "corner_px": pa.array(o_px, pa.int64()),
+        })
+
+
+def media_rotated(sf_dir: str, ops=ROTATE_OPS):
+    """(doc_id, op, width, height, out_bytes, corner_px) per image per
+    rotate/mirror op — corner_px is the top-left red value AFTER the
+    permutation, recomputed arithmetically by the oracle."""
+    return media_table(sf_dir).map_batches(
+        _Rotator, fn_constructor_kwargs={"ops": ops},
+        batch_format="pyarrow", concurrency=_pool(), batch_size=MEDIA_BATCH)
+
+
+def media_rotated_sql(ops=ROTATE_OPS) -> str:
+    """Pixel (y, x, 0) of a synth image = (doc_id + (y*w + x)*3*31) %
+    256 (media_codec.synth_payload). Each op's new top-left maps to a
+    known source pixel: rot90cw->(h-1, 0), rot180->(h-1, w-1),
+    mirror_h->(0, w-1), mirror_v->(h-1, 0)."""
+    lst = ", ".join(f"'{o}'" for o in ops)
+    return f"""
+        WITH img AS (
+          SELECT doc_id, 16 + (doc_id*7919)%49 AS w,
+                 16 + (doc_id*104729)%33 AS h
+          FROM documents WHERE doc_id % 3 = 0
+        ), op AS (SELECT unnest([{lst}]) AS op)
+        SELECT doc_id, op,
+               CASE WHEN op = 'rot90' THEN h ELSE w END AS width,
+               CASE WHEN op = 'rot90' THEN w ELSE h END AS height,
+               16 + 3*w*h AS out_bytes,
+               (doc_id + 31 * 3 * (
+                 CASE op
+                   WHEN 'rot90'    THEN (h-1)*w
+                   WHEN 'rot180'   THEN (h-1)*w + (w-1)
+                   WHEN 'mirror_h' THEN (w-1)
+                   ELSE                 (h-1)*w
+                 END)) % 256 AS corner_px
+        FROM img CROSS JOIN op
+    """
+
+
 class _FrameSampler:
     """Video frame sampling: every ``stride``-th frame re-encoded as a
     standalone image row (the video analog of miniature fan-out)."""

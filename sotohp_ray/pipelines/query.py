@@ -138,8 +138,22 @@ class Searcher:
                 config = IndexConfig.from_json(f.read())
         self.config = config
         self.tok = CodeTokenizer(config.tokenizer)
-        self.n_docs = int(self.stats["n_docs"])
+        self.n_docs = int(self.stats["n_docs"])  # LIVE docs (scoring N)
+        # dense-array size: doc ids stay sparse after compaction (no
+        # renumber), so arrays are sized by the original id space
+        self.space = int(self.stats.get("doc_id_space", self.stats["n_docs"]))
         self.avgdl = float(self.stats["avgdl"])
+        # tombstones: logical deletes not yet compacted — excluded from
+        # every result; surviving docs score with pre-delete stats
+        # until compact_index runs (the Lucene deleted-docs contract)
+        from sotohp_ray.pipelines.delete import load_tombstones
+
+        tomb = load_tombstones(index_dir)
+        self._deleted = None
+        if tomb.size:
+            mask = np.zeros(self.space, dtype=bool)
+            mask[tomb.astype(np.int64)] = True
+            self._deleted = mask
 
         # columnar dictionary: term -> row index; blobs/block metadata
         # are materialized lazily per queried term (and cached). At
@@ -165,7 +179,7 @@ class Searcher:
         dm = pq.read_table(
             os.path.join(index_dir, "docmeta"), columns=["doc_id", "doc_len"]
         )
-        dl = np.zeros(self.n_docs, dtype=np.float64)
+        dl = np.zeros(self.space, dtype=np.float64)
         dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
             "doc_len"
         ].to_numpy(zero_copy_only=False)
@@ -272,13 +286,15 @@ class Searcher:
         qterms = self._query_terms(query)
         if not qterms:
             return []
-        scores = np.zeros(self.n_docs, dtype=np.float64)
+        scores = np.zeros(self.space, dtype=np.float64)
         for term, qw in qterms:
             d, f = self._decode_full(term)
             dli = self.doc_len[d]
             scores[d] += self._contrib(
                 qw, int(self._dfs[self._row[term]]), f.astype(np.float64), dli
             )
+        if self._deleted is not None:
+            scores[self._deleted] = 0.0
         nz = np.flatnonzero(scores > 0.0)
         if nz.size == 0:
             return []
@@ -400,8 +416,9 @@ class Searcher:
                 scorers.sort(key=lambda x: x["qi"])
                 dl = self.doc_len[pivot_doc]
                 s = 0.0
-                for x in scorers:
-                    s += self._contrib(x["qw"], x["df"], x["c"].tf(), dl)
+                if self._deleted is None or not self._deleted[pivot_doc]:
+                    for x in scorers:
+                        s += self._contrib(x["qw"], x["df"], x["c"].tf(), dl)
                 if s > 0.0:
                     if len(heap) < k:
                         heapq.heappush(heap, (s, -pivot_doc))
@@ -429,7 +446,7 @@ class Searcher:
         """Vectorized TAAT over doc range [pivot_doc, n_docs), merged
         with the WAND heap (docs < pivot_doc)."""
         base = pivot_doc
-        width = self.n_docs - base
+        width = self.space - base
         if width <= 0:
             out = sorted(heap, key=lambda t: (-t[0], -t[1]))
             return [(-d, s) for s, d in out]
@@ -444,6 +461,8 @@ class Searcher:
             scores[d] += self._contrib(
                 qw, int(self._dfs[self._row[term]]), fl, self.doc_len[d + base]
             )
+        if self._deleted is not None:
+            scores[self._deleted[base:]] = 0.0
         nz = np.flatnonzero(scores > 0.0)
         cand = [(float(scores[i]), int(i + base)) for i in
                 nz[np.lexsort((nz, -scores[nz]))[:k]]]

@@ -331,6 +331,157 @@ def events_page_sql(offset: int = 100, k: int = 50) -> str:
     """
 
 
+CURSOR_EVENT_ID = 5000
+
+
+def events_cursor_nav(sf_dir: str, cursor_event_id: int = CURSOR_EVENT_ID):
+    """(pos, event_id, ts) for pos in first/last/prev/next relative to
+    the cursor row — ordered point-cursor navigation (O2:
+    mediaFirst/Last/Previous/Next, MediaServiceLive.scala:114-176),
+    keyed by the total order (ts, event_id).
+
+    Scale shape: each batch emits at most 4 candidate rows (vectorized
+    min/max within the batch — a combiner, not a sort), and the final
+    pick runs over <= 4 rows per block on the driver. No global sort,
+    no full materialization."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts"],
+        filters=[("event_id", "=", cursor_event_id)],
+    )
+    c_ts = ct["ts"][0].cast(pa.int64()).as_py()
+    c_id = cursor_event_id
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].combine_chunks().cast(pa.int64()) \
+            if isinstance(batch["ts"], pa.ChunkedArray) \
+            else batch["ts"].cast(pa.int64())
+        tsv = np.asarray(ts)
+        if ids.size == 0:
+            return pa.table({
+                "pos": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((ids, tsv))
+        after = (tsv > c_ts) | ((tsv == c_ts) & (ids > c_id))
+        before = (tsv < c_ts) | ((tsv == c_ts) & (ids < c_id))
+        pos, eid, tso = [], [], []
+
+        def emit(p, i):
+            pos.append(p)
+            eid.append(int(ids[i]))
+            tso.append(int(tsv[i]))
+
+        emit("first", order[0])
+        emit("last", order[-1])
+        ai = np.flatnonzero(after)
+        if ai.size:
+            sub = ai[np.lexsort((ids[ai], tsv[ai]))[0]]
+            emit("next", sub)
+        bi = np.flatnonzero(before)
+        if bi.size:
+            sub = bi[np.lexsort((ids[bi], tsv[bi]))[-1]]
+            emit("prev", sub)
+        return pa.table({
+            "pos": pa.array(pos, pa.string()),
+            "event_id": pa.array(eid, pa.int64()),
+            "ts_us": pa.array(tso, pa.int64()),
+        })
+
+    cand = (
+        _read(sf_dir, "events", ["event_id", "ts"])
+        .map_batches(candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for p in ("first", "last", "next", "prev"):
+        g = cand[cand["pos"] == p]
+        if g.empty:
+            continue
+        asc = p in ("first", "next")
+        g = g.sort_values(["ts_us", "event_id"], ascending=[asc, asc])
+        rows.append(g.iloc[0])
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
+def events_cursor_nav_sql(cursor_event_id: int = CURSOR_EVENT_ID) -> str:
+    return f"""
+        WITH c AS (
+          SELECT epoch_us(ts) AS ts_us, event_id
+          FROM events WHERE event_id = {cursor_event_id}
+        )
+        (SELECT 'first' AS pos, event_id, epoch_us(ts) AS ts_us
+         FROM events ORDER BY ts, event_id LIMIT 1)
+        UNION ALL
+        (SELECT 'last', event_id, epoch_us(ts) FROM events
+         ORDER BY ts DESC, event_id DESC LIMIT 1)
+        UNION ALL
+        (SELECT 'next', e.event_id, epoch_us(e.ts) FROM events e, c
+         WHERE (epoch_us(e.ts), e.event_id) > (c.ts_us, c.event_id)
+         ORDER BY e.ts, e.event_id LIMIT 1)
+        UNION ALL
+        (SELECT 'prev', e.event_id, epoch_us(e.ts) FROM events e, c
+         WHERE (epoch_us(e.ts), e.event_id) < (c.ts_us, c.event_id)
+         ORDER BY e.ts DESC, e.event_id DESC LIMIT 1)
+    """
+
+
+GEO_REF_LAT, GEO_REF_LON = 47.6, -122.3
+
+
+def customer_geo_distance(sf_dir: str, k: int = 20):
+    """(c_custkey, dist_km): the k customers nearest a reference point
+    by haversine distance (M15 geo kernels — Location.scala:53-70
+    distanceTo; coordinates derived deterministically from custkey
+    because the testdata has no geo columns, same derivation in the
+    oracle). Per-batch vectorized distance + top-k combiner, tiny
+    final sort."""
+    from sotohp_ray.functions.geo import haversine_km
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lat = ((keys * 37) % 18000) / 100.0 - 90.0
+        lon = ((keys * 91) % 36000) / 100.0 - 180.0
+        d = np.round(haversine_km(lat, lon, GEO_REF_LAT, GEO_REF_LON), 2)
+        take = min(k, keys.size)
+        order = np.lexsort((keys, d))[:take]  # per-batch top-k combiner
+        return pa.table({
+            "c_custkey": pa.array(keys[order], pa.int64()),
+            "dist_km": pa.array(d[order], pa.float64()),
+        })
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["dist_km", "c_custkey"])
+        .limit(k)
+    )
+
+
+def customer_geo_distance_sql(k: int = 20) -> str:
+    return f"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                 ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+          FROM customer
+        )
+        SELECT c_custkey,
+               round(2 * 6371.0 * asin(sqrt(
+                 sin(radians({GEO_REF_LAT} - lat) / 2) ^ 2
+                 + cos(radians(lat)) * cos(radians({GEO_REF_LAT}))
+                   * sin(radians({GEO_REF_LON} - lon) / 2) ^ 2
+               )), 2) AS dist_km
+        FROM pts
+        ORDER BY dist_km, c_custkey LIMIT {k}
+    """
+
+
 def parts_per_brand(sf_dir: str):
     """(p_brand, n_parts, avg_retail): grouped stats with rounding."""
     from ray.data.aggregate import Count, Mean

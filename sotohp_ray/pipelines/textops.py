@@ -763,6 +763,72 @@ def bigram_counts_sql(min_count: int = 5) -> str:
     """
 
 
+def doc_length_histogram(sf_dir: str, bucket: int = 100):
+    """(bucket_lo, n_docs): corpus length histogram — the bucketed
+    count-by-facet aggregate of A2 (Statistics.scala:84-93 counts by
+    focal-length bucket; here the facet is n_chars). Per-batch
+    vectorized bucket+count combiner, then one tiny groupby over
+    partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lo = pc.multiply(
+            pc.divide(batch["n_chars"], bucket), pa.scalar(bucket)
+        )
+        g = (
+            pa.table({"bucket_lo": lo})
+            .group_by("bucket_lo")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["bucket_lo", "n_partial"])
+
+    return (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(Sum("n_partial", alias_name="n_docs"))
+    )
+
+
+def doc_length_histogram_sql(bucket: int = 100) -> str:
+    return f"""
+        SELECT (n_chars // {bucket}) * {bucket} AS bucket_lo,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+
+SAMPLE_RATE_PPM = 100_000  # 10%
+_SAMPLE_MUL = 2654435761  # Knuth multiplicative hash (public constant)
+
+
+def sample_random(sf_dir: str, rate_ppm: int = SAMPLE_RATE_PPM):
+    """(doc_id, lang): uniform pseudo-random sample at ``rate_ppm``
+    parts-per-million — O5 (`mediaSelectRandom`, ApiApp.scala:804-814)
+    made reproducible: membership is a multiplicative hash of doc_id
+    against a fixed threshold, so the sample is deterministic, seedable
+    (change the multiplier), selected WITHOUT any coordination between
+    partitions, and exactly reproducible in SQL."""
+    threshold = (rate_ppm * (1 << 32)) // 1_000_000
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_SAMPLE_MUL)) % np.uint64(1 << 32)
+        return batch.filter(pa.array(h < np.uint64(threshold)))
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def sample_random_sql(rate_ppm: int = SAMPLE_RATE_PPM) -> str:
+    threshold = (rate_ppm * (1 << 32)) // 1_000_000
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * {_SAMPLE_MUL}) % 4294967296 < {threshold}
+    """
+
+
 def sample_stratified(sf_dir: str, per_group: int = 20):
     """(doc_id, lang): deterministic stratified sample — the first
     ``per_group`` doc_ids of each lang (O5 random-select made

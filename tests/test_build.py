@@ -294,3 +294,30 @@ def test_tokenizer_rules_roundtrip_via_config_json(
     assert r1 == r2 and len(r1) > 0
     # stopword returns nothing
     assert s.search("import", k=5) == []
+
+
+def test_codec_migration_identical_results(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """S8 migration job: varint -> pfor in place; results bit-identical
+    and the migration is resumable/no-op-safe."""
+    from sotohp_ray.pipelines.migrate import migrate_codec
+    from sotohp_ray.pipelines.query import Searcher
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_mig"))
+    build_index(corpus_dir, index_dir, config=IndexConfig(codec="varint"))
+    s0 = Searcher(index_dir)
+    queries = ("def return value", "class data self", "import numpy")
+    before = {q: s0.search_exact(q, k=20) for q in queries}
+    before_wand = {q: s0.search_wand(q, k=10) for q in queries}
+
+    out = migrate_codec(index_dir, "pfor")
+    assert out["noop"] is False and out["migrated_shards"] > 0
+    s1 = Searcher(index_dir)
+    assert s1.config.codec == "pfor"
+    for q in queries:
+        assert s1.search_exact(q, k=20) == before[q]
+        assert s1.search_wand(q, k=10) == before_wand[q]
+    # second run is a no-op
+    assert migrate_codec(index_dir, "pfor")["noop"] is True

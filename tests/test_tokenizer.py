@@ -92,3 +92,19 @@ def test_sql_parity_with_duckdb(tok):
     ).fetchall()
     for i, toks in rows:
         assert toks == tok.tokens_of(texts[i]), texts[i]
+
+
+def test_geo_kernels():
+    import numpy as np
+
+    from sotohp_ray.functions.geo import dms_to_decimal, haversine_km
+
+    assert dms_to_decimal("40°26'46\"N") == pytest.approx(40.446111, abs=1e-5)
+    assert dms_to_decimal("79°58'56\"W") == pytest.approx(-79.982222, abs=1e-5)
+    assert dms_to_decimal("12.5°S") == pytest.approx(-12.5)
+    with pytest.raises(ValueError):
+        dms_to_decimal("not a coordinate")
+    # Paris -> London ~ 343-344 km
+    d = haversine_km(np.array([48.8566]), np.array([2.3522]), 51.5074, -0.1278)
+    assert 330 < float(d[0]) < 350
+    assert float(haversine_km(np.array([10.0]), np.array([20.0]), 10.0, 20.0)[0]) == 0.0
