@@ -95,13 +95,17 @@ def index_partition_table(
     sha = sha256_column(content)
     uuids = doc_uuid_column(t["repo"], t["path"], t["commit"])
 
-    tf_tbl = tok.term_frequencies(content)
-    rows = tf_tbl["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tfs = tf_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    terms = tf_tbl["term"]
+    # numpy TF fast path: postings come back already sorted by
+    # (term_code, row) — with dense ascending doc_ids that IS the
+    # (term, doc) postings order, so no lexsort is needed below
+    rows, tcodes_s, tf_i, term_dict = tok.term_frequency_codes(content)
+    tfs = tf_i.astype(np.uint64)
 
-    doc_len = np.zeros(n, dtype=np.uint64)
-    np.add.at(doc_len, rows, tfs)
+    doc_len = (
+        np.bincount(rows, weights=tf_i, minlength=n).astype(np.uint64)
+        if rows.size
+        else np.zeros(n, dtype=np.uint64)
+    )
 
     docmeta = pa.table(
         {
@@ -121,21 +125,10 @@ def index_partition_table(
     )
 
     # ---- partial postings, vectorized ------------------------------
-    # dictionary-encode terms once; sort postings by (term_code, doc)
-    tcodes_arr = pc.dictionary_encode(terms)
-    tcodes_arr = (
-        tcodes_arr.combine_chunks()
-        if isinstance(tcodes_arr, pa.ChunkedArray)
-        else tcodes_arr
-    )
-    term_dict = tcodes_arr.dictionary  # unique terms
-    tcodes = tcodes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    post_docs = doc_ids[rows]
-    order = np.lexsort((post_docs, tcodes))
-    tcodes_s = tcodes[order]
-    docs_s = post_docs[order]
-    tfs_s = tfs[order]
-    dls_s = doc_len[rows][order]
+    # already in (term_code, doc) order from term_frequency_codes
+    docs_s = doc_ids[rows]
+    tfs_s = tfs
+    dls_s = doc_len[rows]
 
     # segment boundaries per term
     if tcodes_s.size == 0:
