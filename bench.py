@@ -21,6 +21,7 @@ Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import subprocess
@@ -206,7 +207,17 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     return out
 
 
+def _quiet_ray_noise() -> None:
+    """Silence the cosmetic "Failed to hash the schemas" warning that
+    pandas-block groupby stages emit (Ray Data logs it per reduce task;
+    it is benign schema-dedup fallback, not an error)."""
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+
 def main():
+    _quiet_ray_noise()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 

@@ -481,12 +481,21 @@ def _embedding_near_dup_bucketed(
     for d in per_table[1:]:
         allp = allp.union(d)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    # cross-table pair dedup on a coarse hash partition (vectorized
+    # drop_duplicates inside each group — never one map_groups call
+    # per pair)
+    def add_pkey(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["pkey"] = (g["vec_id_a"].to_numpy() & 0x3F).astype("int64")
+        return g
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["vec_id_a", "vec_id_b"])
 
     return (
-        allp.groupby(["vec_id_a", "vec_id_b"])
-        .map_groups(first, batch_format="pandas")
+        allp.map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(dedup, batch_format="pandas")
         .select_columns(["vec_id_a", "vec_id_b", "score"])
     )
 

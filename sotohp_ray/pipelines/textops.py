@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from sotohp_ray.functions.hashing import minhash_params, shingle_hashes
+from sotohp_ray.functions.hashing import minhash_params
 from sotohp_ray.functions.tokenizer import CodeTokenizer
 from sotohp_ray.utils import actor_pool_size as _pool
 
@@ -198,17 +198,30 @@ def dedup_exact(sf_dir: str):
 
 
 class MinHashStage:
-    """Actor-pool stage: LSH band emission. Permutation coefficients
-    built once per actor (__init__); the whole batch is one vectorized
-    pass (token hashing per unique token, windowed shingle mixing,
-    signature minima and band hashes all in numpy — no per-doc
-    Python loop)."""
+    """LSH band emission. Runs as a TASK-pool ``map_batches`` stage
+    with per-worker cached state (``for_worker``): the permutation
+    coefficients are cheap to build, and a dedicated actor pool would
+    pay a fresh process spawn (~2 s) per pipeline run — the
+    PartitionIndexer discipline (build_index.py). The whole batch is
+    one vectorized pass (token hashing per unique token, windowed
+    shingle mixing, signature minima and band hashes all in numpy —
+    no per-doc Python loop)."""
+
+    _cache: dict[tuple, "MinHashStage"] = {}
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
         self.a, self.b = minhash_params(num_perm)
         self.num_perm = num_perm
         self.bands = bands
         self.shingle_n = shingle_n
+
+    @classmethod
+    def for_worker(cls, num_perm: int, bands: int, shingle_n: int = 3):
+        key = (num_perm, bands, shingle_n)
+        inst = cls._cache.get(key)
+        if inst is None:
+            inst = cls._cache[key] = cls(num_perm, bands, shingle_n)
+        return inst
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from sotohp_ray.functions.hashing import (
@@ -280,11 +293,16 @@ def _dup_members(ds, num_keys_warn: int = 50_000_000):
 
     def _member(batch: pa.Table) -> pa.Table:
         keys = ray.get(keyref)
-        mask = np.isin(
-            batch["bkey"].to_numpy(zero_copy_only=False), keys,
-            assume_unique=False, kind="sort",
-        )
-        return batch.filter(pa.array(mask))
+        bk = batch["bkey"].to_numpy(zero_copy_only=False)
+        mask = np.isin(bk, keys, assume_unique=False, kind="sort")
+        out = batch.filter(pa.array(mask))
+        # coarse partition key: ~256 groups, each holding many whole
+        # buckets — downstream passes groupby THIS and run vectorized
+        # within-group joins/groupbys instead of per-bucket map_groups
+        coarse = (
+            out["bkey"].to_numpy(zero_copy_only=False) & 0xFF
+        ).astype(np.int64)
+        return out.append_column("coarse", pa.array(coarse, pa.int64()))
 
     return ds.map_batches(_member, batch_format="pyarrow"), int(dup_keys.size)
 
@@ -292,11 +310,11 @@ def _dup_members(ds, num_keys_warn: int = 50_000_000):
 def _minhash_members(sf_dir: str, num_perm: int = 64, bands: int = 16):
     """Band rows restricted to dup buckets: (doc_id, band, band_hash,
     bkey) for every (doc, band) whose bucket has >1 member."""
+    def stage(batch: pa.Table) -> pa.Table:
+        return MinHashStage.for_worker(num_perm, bands)(batch)
+
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
-        batch_format="pyarrow",
-        concurrency=_pool(),
+        stage, batch_format="pyarrow"
     ).materialize()  # band rows are tiny (4 ints per (doc, band)) and
     # feed two passes — materializing avoids re-tokenizing the corpus
     members, _ = _dup_members(ds)
@@ -323,23 +341,28 @@ def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
             "doc_ids": pa.array([], pa.string()),
         })
 
-    def bucket_row(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:  # bkey mix collision artifact
-            return g.iloc[0:0][["band", "band_hash"]].assign(
-                n_docs=pd.Series(dtype="int64"),
-                doc_ids=pd.Series(dtype="object"))
-        ids = sorted(int(x) for x in g["doc_id"])
-        return pd.DataFrame({
-            "band": [int(g["band"].iloc[0])],
-            "band_hash": [int(g["band_hash"].iloc[0])],
-            "n_docs": [len(ids)],
-            "doc_ids": [",".join(map(str, ids))],
-        })
+    def bucket_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # one COARSE group holds many buckets; assemble them all with
+        # one vectorized pandas groupby (per-bucket map_groups paid
+        # ~1 ms of per-group overhead per bucket — thousands of dup
+        # buckets made that the wall)
+        g = g.sort_values(["band", "band_hash", "doc_id"])
+        out = g.groupby(["band", "band_hash"], sort=True).agg(
+            n_docs=("doc_id", "size"),
+            doc_ids=("doc_id", lambda s: ",".join(map(str, s))),
+        ).reset_index()
+        return out[out["n_docs"] > 1]  # bkey mix collision artifacts
 
-    return (
-        members.groupby(["band", "band_hash"])
-        .map_groups(bucket_row, batch_format="pandas")
-        .sort(["band", "band_hash"])
+    rows = (
+        members.groupby("coarse")
+        .map_groups(bucket_rows, batch_format="pandas")
+        .to_pandas()  # output-sized: one row per dup bucket
+    )
+    return pa.Table.from_pandas(
+        rows.sort_values(["band", "band_hash"]).reset_index(drop=True)[
+            ["band", "band_hash", "n_docs", "doc_ids"]
+        ],
+        preserve_index=False,
     )
 
 
@@ -372,75 +395,139 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
         return empty
     idref = ray.put(cand_ids)
 
-    def _cand_docs(batch: pa.Table) -> pa.Table:
+    # coarse doc-hash partitions: shingle-set rows and membership rows
+    # meet in the SAME group, where one vectorized pandas merge
+    # attaches them. Shingles are computed ONCE per candidate doc in a
+    # fully vectorized batch pass (the same token-hash + strided-window
+    # kernels as MinHash) — no per-doc tokenizer calls anywhere.
+    def _cand_shingles(batch: pa.Table) -> pa.Table:
+        from sotohp_ray.functions.hashing import (
+            _WIN_MULS, _fmix64, token_hash_array,
+        )
+
         ids = ray.get(idref)
         mask = np.isin(
             batch["doc_id"].to_numpy(zero_copy_only=False), ids, kind="sort"
         )
         out = batch.filter(pa.array(mask))
+        if out.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "bkey": pa.array([], pa.int64()),
+                "shingles": pa.array([], pa.large_list(pa.uint64())),
+                "dkey": pa.array([], pa.int64()),
+            })
+        parents, flat = _TOK.exploded(_text_col(out))
+        pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = token_hash_array(flat)
+        n = out.num_rows
+        nt = th.size
+        sh_par = np.zeros(0, dtype=np.int64)
+        sh_val = np.zeros(0, dtype=np.uint64)
+        if nt >= shingle_n:
+            w = np.lib.stride_tricks.sliding_window_view(th, shingle_n)
+            valid = pn[: nt - shingle_n + 1] == pn[shingle_n - 1:]
+            sh_val = _fmix64(
+                (w * _WIN_MULS[:shingle_n]).sum(axis=1, dtype=np.uint64)
+            )[valid]
+            sh_par = pn[: nt - shingle_n + 1][valid]
+        # short rows (0 < len < shingle_n): one whole-row shingle, the
+        # same segment-sum rule as batch_minhash_signatures, so short
+        # identical docs still verify as near-dups
+        row_len = np.bincount(pn, minlength=n) if nt else np.zeros(
+            n, dtype=np.int64
+        )
+        short = np.flatnonzero((row_len > 0) & (row_len < shingle_n))
+        if short.size:
+            offsets0 = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(row_len, out=offsets0[1:])
+            pre = _fmix64(th * _WIN_MULS[0])
+            csum = np.concatenate(
+                ([np.uint64(0)], np.cumsum(pre, dtype=np.uint64))
+            )
+            sums = csum[offsets0[short + 1]] - csum[offsets0[short]]
+            sh_par = np.concatenate((sh_par, short))
+            sh_val = np.concatenate((sh_val, _fmix64(sums)))
+        # distinct shingles per row, grouped by row
+        order = np.lexsort((sh_val, sh_par))
+        sh_par, sh_val = sh_par[order], sh_val[order]
+        keep = np.ones(sh_par.size, dtype=bool)
+        keep[1:] = (np.diff(sh_par) != 0) | (np.diff(sh_val) != 0)
+        sh_par, sh_val = sh_par[keep], sh_val[keep]
+        lengths = np.bincount(sh_par, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        shingles = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(sh_val, pa.uint64()),
+        )
+        d = out["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": out["doc_id"].cast(pa.int64()),
-            "bkey": pa.array(np.full(out.num_rows, -1, np.int64)),
-            "text": out["text"].cast(pa.string()),
+            "bkey": pa.array(np.full(n, -1, np.int64)),
+            "shingles": shingles,
+            "dkey": pa.array((d & 0xFF).astype(np.int64), pa.int64()),
         })
 
     texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _cand_docs, batch_format="pyarrow"
+        _cand_shingles, batch_format="pyarrow"
     )
 
     def _tag_member(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "bkey": batch["bkey"].cast(pa.int64()),
-            "text": pa.nulls(batch.num_rows, pa.string()),
+            "shingles": pa.nulls(batch.num_rows, pa.large_list(pa.uint64())),
+            "dkey": pa.array((d & 0xFF).astype(np.int64), pa.int64()),
         })
 
     both = mem.map_batches(_tag_member, batch_format="pyarrow").union(texts)
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.loc[g["bkey"] == -1, "text"]
-        m = g[g["bkey"] != -1]
-        if t.empty or m.empty:
-            return pd.DataFrame({
-                "bkey": pd.Series(dtype="int64"),
-                "doc_id": pd.Series(dtype="int64"),
-                "text": pd.Series(dtype="object")})
-        return pd.DataFrame({
-            "bkey": m["bkey"].values,
-            "doc_id": m["doc_id"].values,
-            "text": t.iloc[0],
-        })
+        t = g.loc[g["bkey"] == -1, ["doc_id", "shingles"]].drop_duplicates(
+            "doc_id"
+        )
+        m = g.loc[g["bkey"] != -1, ["doc_id", "bkey"]]
+        out = m.merge(t, on="doc_id", how="inner")
+        out["coarse"] = (out["bkey"].to_numpy() & 0xFF).astype("int64")
+        return out[["coarse", "bkey", "doc_id", "shingles"]]
 
-    bucketed = both.groupby("doc_id").map_groups(attach, batch_format="pandas")
+    bucketed = both.groupby("dkey").map_groups(attach, batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        txts = g["text"].to_numpy()[order]
-        shs = [shingle_hashes(_TOK.tokens_of(t), shingle_n) for t in txts]
+        # one coarse group = many whole buckets; all-pairs exact
+        # Jaccard on the precomputed sorted shingle sets
         ra, rb, rj = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                sa, sb = shs[i], shs[j]
-                inter = np.intersect1d(sa, sb).size
-                union = sa.size + sb.size - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    ra.append(int(ids[i]))
-                    rb.append(int(ids[j]))
-                    rj.append(round(jac, 6))
-        return pd.DataFrame({"doc_a": ra, "doc_b": rb, "jaccard": rj})
+        for _, b in g.groupby("bkey", sort=False):
+            ids = b["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            shs = b["shingles"].to_numpy()[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    sa = np.asarray(shs[i], dtype=np.uint64)
+                    sb = np.asarray(shs[j], dtype=np.uint64)
+                    inter = np.intersect1d(sa, sb).size
+                    union = sa.size + sb.size - inter
+                    jac = inter / union if union else 0.0
+                    if jac >= threshold:
+                        ra.append(int(ids[i]))
+                        rb.append(int(ids[j]))
+                        rj.append(round(jac, 6))
+        out = pd.DataFrame({"doc_a": ra, "doc_b": rb, "jaccard": rj})
+        return out.drop_duplicates(["doc_a", "doc_b"])
 
-    pairs = bucketed.groupby("bkey").map_groups(verify, batch_format="pandas")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
-
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(first, batch_format="pandas")
-        .sort(["doc_a", "doc_b"])
+    pairs = bucketed.groupby("coarse").map_groups(
+        verify, batch_format="pandas"
+    )
+    # cross-group dedup + ordering on the RESULT set (output-sized —
+    # the verified pair list is what the caller materializes anyway;
+    # within-group dupes were already dropped distributed)
+    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        preserve_index=False,
     )
 
 
@@ -529,30 +616,42 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
         return empty
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
-        # vectorized pairwise hamming within the (small) bucket
-        x = sigs[:, None] ^ sigs[None, :]
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
-                            axis=2).sum(axis=2)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = ham[iu, ju] <= max_hamming
-        return pd.DataFrame({
-            "doc_a": ids[iu[keep]].astype("int64"),
-            "doc_b": ids[ju[keep]].astype("int64"),
+        # one coarse group = many whole buckets; vectorized pairwise
+        # hamming within each bucket, dedup within the group
+        pa_, pb_ = [], []
+        for _, b in g.groupby("bkey", sort=False):
+            if len(b) < 2:
+                continue
+            ids = b["doc_id"].to_numpy()
+            sigs = b["sig"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids)
+            ids, sigs = ids[order], sigs[order]
+            x = sigs[:, None] ^ sigs[None, :]
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+            ).sum(axis=2)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = ham[iu, ju] <= max_hamming
+            pa_.append(ids[iu[keep]])
+            pb_.append(ids[ju[keep]])
+        if not pa_:
+            return pd.DataFrame({
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64")})
+        out = pd.DataFrame({
+            "doc_a": np.concatenate(pa_).astype("int64"),
+            "doc_b": np.concatenate(pb_).astype("int64"),
         })
+        return out.drop_duplicates(["doc_a", "doc_b"])
 
-    pairs = members.groupby("bkey").map_groups(verify, batch_format="pandas")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
-
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(first, batch_format="pandas")
-        .sort(["doc_a", "doc_b"])
+    pairs = members.groupby("coarse").map_groups(
+        verify, batch_format="pandas"
+    )
+    # output-sized finalize (see near_dup_pairs)
+    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        preserve_index=False,
     )
 
 
