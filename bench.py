@@ -204,6 +204,22 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("embedding_near_dup", lambda: ann.embedding_near_dup(sf_dir))
     timed("media_inventory", lambda: multimodal.media_inventory(sf_dir))
     timed("media_thumbnails", lambda: multimodal.media_thumbnails(sf_dir))
+    # round-2 operators
+    timed("near_dup_pairs", lambda: textops.near_dup_pairs(sf_dir))
+    timed("simhash_near_dups", lambda: textops.simhash_near_dups(sf_dir))
+    timed("doc_length_histogram",
+          lambda: textops.doc_length_histogram(sf_dir))
+    timed("sample_random", lambda: textops.sample_random(sf_dir))
+    timed("ann_lsh_search", lambda: ann.ann_lsh_search(sf_dir))
+    timed("knn_label_consensus", lambda: ann.knn_label_consensus(sf_dir))
+    timed("media_rotated", lambda: multimodal.media_rotated(sf_dir))
+    timed("events_cursor_nav", lambda: relational.events_cursor_nav(sf_dir))
+    timed("customer_geo_distance",
+          lambda: relational.customer_geo_distance(sf_dir))
+    from sotohp_ray.pipelines.fulltext import bm25_topk_deleted
+
+    timed("bm25_topk_deleted_cold",
+          lambda: bm25_topk_deleted(sf_dir))  # copy+tombstone+compact+query
     return out
 
 
