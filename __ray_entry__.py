@@ -22,6 +22,10 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_topk,
     bm25_topk_deleted,
     bm25_topk_distributed,
+    phrase_oracle_sql,
+    phrase_topk,
+    proximity_oracle_sql,
+    proximity_topk,
 )
 
 
@@ -39,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: bm25_topk(sf),
         "bm25_topk_distributed": lambda sf: bm25_topk_distributed(sf),
         "bm25_topk_deleted": lambda sf: bm25_topk_deleted(sf),
+        "phrase_topk": lambda sf: phrase_topk(sf),
+        "proximity_topk": lambda sf: proximity_topk(sf),
         "term_df": textops.term_df,
         "token_counts": textops.token_counts,
         "doc_sha256": textops.doc_sha256,
@@ -95,6 +101,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_oracle_sql(),
         "bm25_topk_distributed": bm25_oracle_sql(),
         "bm25_topk_deleted": bm25_oracle_sql(exclude_ids=DELETED_DOC_IDS),
+        "phrase_topk": phrase_oracle_sql(),
+        "proximity_topk": proximity_oracle_sql(),
         "term_df": f"""
             SELECT term, count(*) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({toks}))

@@ -19,7 +19,8 @@ from dataclasses import dataclass, field
 # physical index layout version: part of every config/lineage
 # fingerprint, so a format change invalidates stale checkpoints and
 # cached indexes instead of mixing layouts
-INDEX_FORMAT = 3
+# v4: positional postings (pos0/pos_blob in partials + dictionary)
+INDEX_FORMAT = 4
 
 
 @dataclass(frozen=True)

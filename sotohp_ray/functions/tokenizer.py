@@ -143,6 +143,46 @@ class CodeTokenizer:
         row_r = (uk % np.uint64(n_rows)).astype(np.int64)
         return row_r, code_r, tf.astype(np.int64), d.dictionary
 
+    def term_frequency_codes_positions(
+        self, content: pa.Array | pa.ChunkedArray
+    ) -> tuple:
+        """Like ``term_frequency_codes`` but also returns token
+        POSITIONS (0-based index in the analyzed token stream of each
+        row) per occurrence: (row_idx, code, tf, dictionary,
+        occ_positions) where ``occ_positions`` holds every occurrence's
+        position, grouped by (code, row) in ascending position order —
+        aligned 1:1 with the postings via ``tf`` (posting i owns
+        occ_positions[sum(tf[:i]) : sum(tf[:i+1])])."""
+        import numpy as np
+
+        parents, flat = self.exploded(content)
+        d = pc.dictionary_encode(flat)
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        if codes.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z, d.dictionary, z
+        n_rows = int(pn.max()) + 1
+        # position within row: exploded order is document order and pn
+        # is nondecreasing, so each row's first index is a searchsorted
+        row_first = np.searchsorted(pn, np.arange(n_rows), side="left")
+        positions = np.arange(pn.size, dtype=np.int64) - row_first[pn]
+        key = codes.astype(np.uint64) * np.uint64(n_rows) + pn.astype(
+            np.uint64
+        )
+        order = np.argsort(key, kind="stable")  # stable: positions stay
+        # ascending within each (code, row) pair
+        key_s = key[order]
+        occ_pos = positions[order]
+        bounds = np.flatnonzero(np.diff(key_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        tf = np.diff(np.concatenate((starts, [key_s.size])))
+        uk = key_s[starts]
+        code_r = (uk // np.uint64(n_rows)).astype(np.int64)
+        row_r = (uk % np.uint64(n_rows)).astype(np.int64)
+        return row_r, code_r, tf.astype(np.int64), d.dictionary, occ_pos
+
     def tokens_of(self, text: str) -> list[str]:
         """Single-string convenience (query parsing, tests)."""
         lists = self.token_lists(pa.array([text], type=pa.large_string()))

@@ -365,6 +365,7 @@ def merge_phase(
         "term_shard", "term", "salt", "count",
         "doc0", "tf0", "dl0",
         "doc_blob", "tf_blob", "dl_blob",
+        "pos0", "pos_blob", "cf_partial",
     ]
     config_kwargs = _config_to_kwargs(config)
 

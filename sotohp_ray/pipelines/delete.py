@@ -146,9 +146,12 @@ def _compact_partition(
     removed_postings += int(drop_inline.sum())
 
     # multi-posting rows: decode, filter, re-encode (only rows that
-    # actually contain a deleted doc are rewritten)
+    # actually contain a deleted doc are rewritten); occurrence
+    # positions are filtered segment-wise with their postings
     tf_blob = t["tf_blob"].combine_chunks()
     dl_blob = t["dl_blob"].combine_chunks()
+    pos_blob = t["pos_blob"].combine_chunks()
+    cf_part = t["cf_partial"].to_numpy(zero_copy_only=False).astype(np.int64)
     new_cols: dict[int, dict] = {}
     for i in np.flatnonzero(~inline):
         c = int(counts[i])
@@ -162,21 +165,43 @@ def _compact_partition(
         if kept == 0:
             keep_row[i] = False
             continue
-        tfs = dec(tf_blob[i].as_buffer(), c)[m]
+        tfs_all = dec(tf_blob[i].as_buffer(), c)
+        tfs = tfs_all[m]
         dls = dec(dl_blob[i].as_buffer(), c)[m]
         d = docs[m]
         g = np.empty(kept, dtype=np.uint64)
         g[0] = d[0]
         np.subtract(d[1:], d[:-1], out=g[1:])
+        # positions: decode to absolute, keep surviving postings'
+        # occurrence segments, re-delta with reset at new starts
+        # (positions are always varint, independent of partials codec)
+        oc = int(cf_part[i])
+        pg = pcodec.varint_decode(pos_blob[i].as_buffer(), oc)
+        cum = np.cumsum(pg, dtype=np.uint64)
+        lens = tfs_all.astype(np.int64)
+        p_starts = np.zeros(c, dtype=np.int64)
+        np.cumsum(lens[:-1], out=p_starts[1:])
+        base = np.zeros(c, dtype=np.uint64)
+        base[1:] = cum[p_starts[1:] - 1]
+        occ_abs = cum - np.repeat(base, lens)
+        occ_keep = occ_abs[np.repeat(m, lens)]
+        new_lens = tfs.astype(np.int64)
+        np_starts = np.zeros(kept, dtype=np.int64)
+        np.cumsum(new_lens[:-1], out=np_starts[1:])
+        npg = occ_keep.copy()
+        if npg.size:
+            npg[1:] -= occ_keep[:-1]
+            npg[np_starts] = occ_keep[np_starts]
         new_cols[i] = {
             "count": kept,
             "doc_blob": enc(g), "tf_blob": enc(tfs), "dl_blob": enc(dls),
+            "pos_blob": pcodec.varint_encode(npg),
             "cf_partial": int(tfs.sum()), "max_tf": int(tfs.max()),
         }
 
     if new_cols or not keep_row.all():
         cols = {name: t[name].to_pylist() for name in
-                ("count", "doc_blob", "tf_blob", "dl_blob",
+                ("count", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
                  "cf_partial", "max_tf")}
         for i, upd in new_cols.items():
             for k, v in upd.items():

@@ -122,6 +122,219 @@ def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
     )
 
 
+PHRASE_QUERIES = (
+    "table hash",
+    "merge group",
+    "part filter",
+    "slow hash batch",
+    "row column sort",
+    "customer part join",
+)
+
+
+def phrase_topk(sf_dir: str, phrases=PHRASE_QUERIES, k: int = 10) -> pa.Table:
+    """(query_id, doc_id, score): exact PHRASE search over the
+    positional index — documents containing the analyzed tokens at
+    consecutive positions, ranked by BM25 over the phrase terms with
+    the (round(score,4) DESC, doc_id ASC) contract. The positions
+    travel the whole engine (SPIMI partials -> bucketed merge ->
+    dictionary pos streams); the SQL oracle recomputes matches from
+    token subscripts."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    eng2orig = np.zeros(s.space, dtype=np.int64)
+    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
+    )
+    rows = []
+    for qi, p in enumerate(phrases):
+        full = s.search_phrase(p, k=s.space)
+        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        for d, sc in ranked:
+            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def phrase_oracle_sql(phrases=PHRASE_QUERIES, k: int = 10) -> str:
+    """DuckDB oracle: phrase match via token-subscript self-joins, then
+    the same BM25 scoring as bm25_oracle_sql restricted to matching
+    docs."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    qvals, match_parts = [], []
+    for qi, p in enumerate(phrases):
+        toks = tok.tokens_of(p)
+        from collections import Counter
+
+        for term, qtf in sorted(Counter(toks).items()):
+            qvals.append(f"({qi}, '{term}', {qtf})")
+        joins, conds = [], []
+        for off, term in enumerate(toks):
+            if off == 0:
+                conds.append(f"t0.term = '{term}'")
+                continue
+            joins.append(
+                f"JOIN toks t{off} ON t{off}.doc_id = t0.doc_id "
+                f"AND t{off}.pos = t0.pos + {off} "
+                f"AND t{off}.term = '{term}'"
+            )
+        match_parts.append(
+            f"SELECT DISTINCT {qi} AS query_id, t0.doc_id "
+            f"FROM toks t0 {' '.join(joins)} WHERE {conds[0]}"
+        )
+    values_sql = ", ".join(qvals)
+    matches_sql = " UNION ALL ".join(match_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {values_sql}),
+matches AS ({matches_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1.0)
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT s.query_id, s.doc_id, round(s.score, 4) AS score
+FROM scores s JOIN matches m
+  ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY s.query_id ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+) <= {k}
+ORDER BY s.query_id, s.doc_id
+"""
+
+
+PROXIMITY_QUERIES = (
+    ("slow", "batch"),
+    ("customer", "join"),
+    ("window", "query"),
+    ("row", "sort"),
+)
+PROXIMITY_WINDOW = 3
+
+
+def proximity_topk(
+    sf_dir: str, pairs=PROXIMITY_QUERIES, window: int = PROXIMITY_WINDOW,
+    k: int = 10,
+) -> pa.Table:
+    """(query_id, doc_id, score): proximity search — docs where the two
+    terms occur within ``window`` positions (either order), BM25-ranked
+    with the standard rounding contract."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    eng2orig = np.zeros(s.space, dtype=np.int64)
+    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
+    )
+    rows = []
+    for qi, (a, b) in enumerate(pairs):
+        full = s.search_proximity(a, b, window=window, k=s.space)
+        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        for d, sc in ranked:
+            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def proximity_oracle_sql(
+    pairs=PROXIMITY_QUERIES, window: int = PROXIMITY_WINDOW, k: int = 10
+) -> str:
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    qvals, match_parts = [], []
+    for qi, (a, b) in enumerate(pairs):
+        ta, tb = tok.tokens_of(a)[0], tok.tokens_of(b)[0]
+        from collections import Counter
+
+        for term, qtf in sorted(Counter([ta, tb]).items()):
+            qvals.append(f"({qi}, '{term}', {qtf})")
+        match_parts.append(
+            f"SELECT DISTINCT {qi} AS query_id, t0.doc_id "
+            f"FROM toks t0 JOIN toks t1 ON t1.doc_id = t0.doc_id "
+            f"AND abs(t1.pos - t0.pos) <= {window} "
+            f"AND t1.term = '{tb}' WHERE t0.term = '{ta}'"
+        )
+    values_sql = ", ".join(qvals)
+    matches_sql = " UNION ALL ".join(match_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {values_sql}),
+matches AS ({matches_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1.0)
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT s.query_id, s.doc_id, round(s.score, 4) AS score
+FROM scores s JOIN matches m
+  ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY s.query_id ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+) <= {k}
+ORDER BY s.query_id, s.doc_id
+"""
+
+
 DELETED_DOC_IDS = (3, 17, 54, 121, 200)
 
 

@@ -166,6 +166,7 @@ class Searcher:
             term: i for i, term in enumerate(t["term"].to_pylist())
         }
         self._dfs = t["df"].to_numpy(zero_copy_only=False)
+        self._cfs = t["cf"].to_numpy(zero_copy_only=False)
         self._maxs = t["max_score"].to_numpy(zero_copy_only=False)
         self._doc0 = t["doc0"].to_numpy(zero_copy_only=False)
         self._tf0 = t["tf0"].to_numpy(zero_copy_only=False)
@@ -273,6 +274,136 @@ class Searcher:
             self._dec_cache[term] = out
             self._dec_cache_postings += n
         return out
+
+    def _positions_of(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, occ_positions): absolute token positions of
+        every occurrence, concatenated in posting order (posting i owns
+        occ[sum(tfs[:i]) : sum(tfs[:i+1])]). Positions are stored as
+        ONE varint stream per term (decoded wholesale — phrase queries
+        always touch the full list)."""
+        i = self._row[term]
+        docs, tfs = self._decode_full(term)
+        df = int(self._dfs[i])
+        cf = int(self._cfs[i])
+        if df == 1 and cf == 1:
+            pos_col = self._tbl["pos0"]
+            return docs, tfs, np.array([pos_col[i].as_py()], dtype=np.uint64)
+        blob = self._tbl["pos_blob"][i].as_buffer()
+        pg = pcodec.varint_decode(blob, cf)
+        cum = np.cumsum(pg, dtype=np.uint64)
+        lens = tfs.astype(np.int64)
+        p_starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=p_starts[1:])
+        base = np.zeros(lens.size, dtype=np.uint64)
+        base[1:] = cum[p_starts[1:] - 1]
+        occ = cum - np.repeat(base, lens)
+        return docs, tfs, occ
+
+    _POS_SHIFT = 32  # phrase-alignment key = doc << 32 | shifted pos
+
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase search: documents containing the analyzed
+        phrase tokens at consecutive positions, ranked by BM25 over the
+        phrase terms (same rounding/tie-break contract as exact
+        search). Alignment is fully vectorized: each term's (doc,
+        pos - offset) pairs become one uint64 key; a phrase start is a
+        key appearing in EVERY term's set, found with one sort +
+        run-length over the concatenated keys."""
+        toks = self.tok.tokens_of(phrase)
+        if not toks or any(t not in self._row for t in toks):
+            return []
+        m = len(toks)
+        key_parts = []
+        for off, term in enumerate(toks):
+            docs, tfs, occ = self._positions_of(term)
+            occ_docs = np.repeat(docs, tfs.astype(np.int64))
+            # shift by (m - off) keeps keys positive at pos 0
+            keys = (occ_docs << np.uint64(self._POS_SHIFT)) | (
+                occ.astype(np.uint64) + np.uint64(m - off)
+            )
+            # duplicate phrase terms contribute the SAME (doc,pos) set
+            # at different shifts; within one (term, off) keys are
+            # unique because positions are unique per (term, doc)
+            key_parts.append(keys)
+        allk = np.concatenate(key_parts)
+        allk.sort()
+        if allk.size == 0:
+            return []
+        bounds = np.flatnonzero(np.diff(allk)) + 1
+        starts = np.concatenate(([0], bounds))
+        runs = np.diff(np.concatenate((starts, [allk.size])))
+        hit_keys = allk[starts[runs == m]]
+        if hit_keys.size == 0:
+            return []
+        match_docs = np.unique(
+            (hit_keys >> np.uint64(self._POS_SHIFT)).astype(np.int64)
+        )
+        if self._deleted is not None:
+            match_docs = match_docs[~self._deleted[match_docs]]
+            if match_docs.size == 0:
+                return []
+        # BM25 over the phrase terms, restricted to matching docs
+        scores = np.zeros(match_docs.size, dtype=np.float64)
+        for term, qw in self._query_terms(phrase):
+            docs, tfs = self._decode_full(term)
+            idx = np.searchsorted(docs, match_docs.astype(np.uint64))
+            tf = tfs[idx].astype(np.float64)
+            scores += self._contrib(
+                qw, int(self._dfs[self._row[term]]), tf,
+                self.doc_len[match_docs],
+            )
+        order = np.lexsort((match_docs, -scores))[:k]
+        return [(int(match_docs[i]), float(scores[i])) for i in order]
+
+    def search_proximity(
+        self, term_a: str, term_b: str, window: int = 3, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Proximity search: docs where ``term_a`` and ``term_b`` occur
+        within ``window`` token positions (either order), ranked by
+        BM25 over the two terms. Vectorized nearest-occurrence check:
+        each a-occurrence probes the sorted (doc<<32|pos) key array of
+        b with one searchsorted; its two neighbors are the only
+        possible within-window partners."""
+        ta = self.tok.tokens_of(term_a)
+        tb = self.tok.tokens_of(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("proximity terms must analyze to one token")
+        a, b = ta[0], tb[0]
+        if a not in self._row or b not in self._row:
+            return []
+        docs_a, tfs_a, occ_a = self._positions_of(a)
+        docs_b, tfs_b, occ_b = self._positions_of(b)
+        SH = np.uint64(self._POS_SHIFT)
+        ka = (np.repeat(docs_a, tfs_a.astype(np.int64)) << SH) | occ_a
+        kb = (np.repeat(docs_b, tfs_b.astype(np.int64)) << SH) | occ_b
+        if ka.size == 0 or kb.size == 0:
+            return []
+        idx = np.searchsorted(kb, ka)
+        hit = np.zeros(ka.size, dtype=bool)
+        for nb in (idx - 1, idx):
+            valid = (nb >= 0) & (nb < kb.size)
+            kv = kb[np.clip(nb, 0, max(kb.size - 1, 0))]
+            same_doc = (kv >> SH) == (ka >> SH)
+            dist = np.abs(
+                (kv & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                - (ka & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            )
+            hit |= valid & same_doc & (dist <= window)
+        match_docs = np.unique((ka[hit] >> SH).astype(np.int64))
+        if self._deleted is not None and match_docs.size:
+            match_docs = match_docs[~self._deleted[match_docs]]
+        if match_docs.size == 0:
+            return []
+        scores = np.zeros(match_docs.size, dtype=np.float64)
+        for term, qw in self._query_terms(f"{term_a} {term_b}"):
+            docs, tfs = self._decode_full(term)
+            i2 = np.searchsorted(docs, match_docs.astype(np.uint64))
+            scores += self._contrib(
+                qw, int(self._dfs[self._row[term]]),
+                tfs[i2].astype(np.float64), self.doc_len[match_docs],
+            )
+        order = np.lexsort((match_docs, -scores))[:k]
+        return [(int(match_docs[i]), float(scores[i])) for i in order]
 
     def _contrib(self, qw: float, df: int, tf, dl):
         k1, b = self.config.bm25.k1, self.config.bm25.b

@@ -45,6 +45,14 @@ DICT_SCHEMA = pa.schema(
         ("block_tf_offs", pa.large_list(pa.uint32())),
         ("tf_base", pa.uint32()),
         ("block_max", pa.large_list(pa.float32())),
+        # positional postings (phrase/proximity): pos0 inlined for the
+        # df==1 & tf==1 tail; otherwise pos_blob = varint stream of
+        # per-occurrence position deltas (absolute at each posting
+        # start), cf occurrences total. Positions are always varint —
+        # they are only decoded wholesale on phrase queries, so block
+        # alignment buys nothing.
+        ("pos0", pa.uint64()),
+        ("pos_blob", pa.large_binary()),
     ]
 )
 
@@ -88,6 +96,7 @@ def merge_shard(
     doc_col = doc_blob_col
     tf_col = group["tf_blob"].combine_chunks()
     dl_col = group["dl_blob"].combine_chunks()
+    pos_col = group["pos_blob"].combine_chunks()
     for i in np.flatnonzero(~inline):
         c = int(counts[i])
         pos = int(row_starts[i])
@@ -95,6 +104,58 @@ def merge_shard(
         docs[pos : pos + c] = np.cumsum(gaps, dtype=np.uint64)
         tfs[pos : pos + c] = dec(tf_col[i].as_buffer(), c)
         dls[pos : pos + c] = dec(dl_col[i].as_buffer(), c)
+
+    # ---- occurrence positions: ZERO decode/encode --------------------
+    # A posting's position stream (absolute first value, deltas after)
+    # is INVARIANT under posting reorder, so the merge only moves BYTE
+    # RANGES: per-posting byte spans come from varint terminator bits
+    # (one vectorized pass over the raw bytes), inline pos0 values are
+    # batch-encoded once, and the sorted per-term streams are a single
+    # fancy-index gather over the concatenated byte buffer.
+    lens_all = tfs.astype(np.int64)
+    post_bstart = np.zeros(total, dtype=np.int64)
+    post_blen = np.zeros(total, dtype=np.int64)
+    pos_null = _pc.is_null(pos_col).to_numpy(zero_copy_only=False)
+    blob_rows = np.flatnonzero(~pos_null)
+    if blob_rows.size:
+        joined = b"".join(pos_col[int(i)].as_py() for i in blob_rows)
+        b_np = np.frombuffer(joined, dtype=np.uint8)
+        # byte boundary after each varint value
+        vb = np.concatenate(
+            ([0], np.flatnonzero(b_np < 0x80) + 1)
+        ).astype(np.int64)
+        # flat posting selector for blob rows, in stream order
+        bcounts = counts[blob_rows]
+        tot_post = int(bcounts.sum())
+        sel_cum = np.zeros(blob_rows.size + 1, dtype=np.int64)
+        np.cumsum(bcounts, out=sel_cum[1:])
+        within = np.arange(tot_post, dtype=np.int64) - np.repeat(
+            sel_cum[:-1], bcounts
+        )
+        post_sel = np.repeat(row_starts[blob_rows], bcounts) + within
+        seg_lens = lens_all[post_sel]
+        pv = np.zeros(seg_lens.size + 1, dtype=np.int64)
+        np.cumsum(seg_lens, out=pv[1:])
+        post_bstart[post_sel] = vb[pv[:-1]]
+        post_blen[post_sel] = vb[pv[1:]] - vb[pv[:-1]]
+    else:
+        b_np = np.zeros(0, dtype=np.uint8)
+    pos0_rows = np.flatnonzero(pos_null)
+    if pos0_rows.size:
+        p0vals = group["pos0"].to_numpy(zero_copy_only=False)[pos0_rows]
+        p0buf, p0lens = pcodec.varint_encode_with_lengths(
+            p0vals.astype(np.uint64)
+        )
+        p0start = np.zeros(p0lens.size, dtype=np.int64)
+        np.cumsum(p0lens[:-1], out=p0start[1:])
+        sel = row_starts[pos0_rows]
+        post_bstart[sel] = p0start + b_np.size  # after the blob buffer
+        post_blen[sel] = p0lens
+        buf_all = np.concatenate(
+            (b_np, np.frombuffer(p0buf, dtype=np.uint8))
+        )
+    else:
+        buf_all = b_np
 
     # term code per posting
     import pyarrow.compute as pc
@@ -117,19 +178,55 @@ def merge_shard(
     tfs_s = tfs[order]
     dls_s = dls[order]
 
+    # permute position byte-spans with their postings and materialize
+    # the sorted stream with ONE gather; per-term blobs are then plain
+    # byte slices at term boundaries
+    sb = post_bstart[order]
+    sl = post_blen[order]
+    out_boff = np.zeros(sl.size + 1, dtype=np.int64)
+    np.cumsum(sl, out=out_boff[1:])
+    total_b = int(out_boff[-1])
+    if total_b:
+        # gather indices WITHOUT np.repeat(counts): millions of 1-3
+        # byte segments make per-segment repeat a straggler; instead
+        # write each segment's jump delta at its start and cumsum
+        # (every posting has >= 1 position byte, so segment starts are
+        # strictly increasing)
+        jump = np.ones(total_b, dtype=np.int64)
+        jump[0] = sb[0]
+        if sl.size > 1:
+            jump[out_boff[1:-1]] = sb[1:] - (sb[:-1] + sl[:-1]) + 1
+        pos_sorted = buf_all[np.cumsum(jump)]
+    else:
+        pos_sorted = np.zeros(0, dtype=np.uint8)
+
     bounds = np.flatnonzero(np.diff(codes_s)) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [codes_s.size]))
     seg_len = ends - starts
 
-    # df == 1 terms (the long identifier tail): fully vectorized —
-    # exact BM25 score, no blocks, posting inlined
-    single = seg_len == 1
+    # df == 1 & tf == 1 terms (the long identifier tail): fully
+    # vectorized — exact BM25 score, no blocks, posting + position
+    # inlined. df==1 rows with tf>1 need a position blob, so they take
+    # the multi path.
+    single = (seg_len == 1) & (tfs_s[starts] == 1)
     s_idx = np.flatnonzero(single)
     m_idx = np.flatnonzero(~single)
     s_pos = starts[s_idx]
     s_docs = docs_s[s_pos]
     s_tfs = tfs_s[s_pos]
+    # singles' positions: decode one varint each, vectorized over byte
+    # lanes (a tf==1 posting's stream is exactly one absolute value)
+    s_pos0 = np.zeros(s_idx.size, dtype=np.uint64)
+    if s_idx.size:
+        sp_off = out_boff[s_pos]
+        sp_len = sl[s_pos]
+        for j in range(int(sp_len.max()) if sp_len.size else 0):
+            has = sp_len > j
+            byt = pos_sorted[
+                np.minimum(sp_off + j, max(total_b - 1, 0))
+            ].astype(np.uint64)
+            s_pos0[has] |= (byt[has] & np.uint64(0x7F)) << np.uint64(7 * j)
     s_f = s_tfs.astype(np.float64)
     s_dl = dls_s[s_pos].astype(np.float64)
     idf1 = math.log(1.0 + (n_docs - 1 + 0.5) / (1 + 0.5))
@@ -149,7 +246,7 @@ def merge_shard(
     )
     uniq_list = uniq_multi.to_pylist()
     o_df, o_cf, o_max, o_tfbase = [], [], [], []
-    o_blob, o_last, o_goffs, o_toffs, o_bmax = [], [], [], [], []
+    o_blob, o_last, o_goffs, o_toffs, o_bmax, o_pos = [], [], [], [], [], []
     for j, k in enumerate(m_idx):
         lo, hi = int(starts[k]), int(ends[k])
         df = hi - lo
@@ -162,6 +259,8 @@ def merge_shard(
         blob, last, goffs, toffs, tf_base, bmax = pcodec.encode_postings_blocks(
             d, tfs_s[lo:hi], scores, config.block_size, codec=config.codec
         )
+        # positions: byte-range slice of the sorted stream
+        o_pos.append(pos_sorted[out_boff[lo]: out_boff[hi]].tobytes())
         o_df.append(df)
         o_cf.append(int(tfs_s[lo:hi].sum()))
         o_max.append(float(bmax.max()))
@@ -266,6 +365,18 @@ def merge_shard(
                         type=pa.large_list(pa.float32()),
                     ),
                     empty_list_f32,
+                ]
+            ),
+            "pos0": pa.array(
+                np.concatenate(
+                    [np.zeros(n_m, dtype=np.uint64), s_pos0]
+                ),
+                type=pa.uint64(),
+            ),
+            "pos_blob": pa.concat_arrays(
+                [
+                    pa.array(o_pos, type=pa.large_binary()),
+                    pa.nulls(n_s, type=pa.large_binary()),
                 ]
             ),
         },

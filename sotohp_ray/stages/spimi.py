@@ -66,6 +66,11 @@ PARTIALS_SCHEMA = pa.schema(
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
         ("dl_blob", pa.large_binary()),
+        # positions: pos0 inlined for the (count==1, tf==1) tail;
+        # otherwise pos_blob = delta-encoded occurrence positions
+        # (absolute at each posting start), cf_partial occurrences
+        ("pos0", pa.uint64()),
+        ("pos_blob", pa.large_binary()),
         ("cf_partial", pa.uint64()),
         ("max_tf", pa.uint32()),
     ]
@@ -97,8 +102,12 @@ def index_partition_table(
 
     # numpy TF fast path: postings come back already sorted by
     # (term_code, row) — with dense ascending doc_ids that IS the
-    # (term, doc) postings order, so no lexsort is needed below
-    rows, tcodes_s, tf_i, term_dict = tok.term_frequency_codes(content)
+    # (term, doc) postings order, so no lexsort is needed below.
+    # occ_pos carries every occurrence's token position (phrase /
+    # proximity support), aligned with postings via tf.
+    rows, tcodes_s, tf_i, term_dict, occ_pos = (
+        tok.term_frequency_codes_positions(content)
+    )
     tfs = tf_i.astype(np.uint64)
 
     doc_len = (
@@ -143,6 +152,25 @@ def index_partition_table(
         uniq_terms = term_dict.take(pa.array(tcodes_s[starts], type=pa.int64()))
         shard_per_term = term_shard_ids(uniq_terms, config.num_term_shards)
 
+    # per-occurrence position gaps (absolute value at each posting
+    # start so any posting range slices self-contained)
+    n_post = tfs_s.size
+    occ_starts = np.zeros(n_post + 1, dtype=np.int64)
+    np.cumsum(tf_i, out=occ_starts[1:])
+    pos_u = occ_pos.astype(np.uint64)
+    pos_gaps = np.empty(pos_u.size, dtype=np.uint64)
+    if pos_u.size:
+        pos_gaps[0] = pos_u[0]
+        np.subtract(pos_u[1:], pos_u[:-1], out=pos_gaps[1:])
+        pos_gaps[occ_starts[:-1]] = pos_u[occ_starts[:-1]]
+
+    # positions are ALWAYS varint in partials (self-delimiting, so the
+    # whole partition's stream encodes ONCE and every chunk/row slices
+    # its byte range — zero per-chunk position encodes)
+    pos_bytes_all, pos_lens_all = pcodec.varint_encode_with_lengths(pos_gaps)
+    pos_bcum = np.zeros(pos_gaps.size + 1, dtype=np.int64)
+    np.cumsum(pos_lens_all, out=pos_bcum[1:])
+
     salt_rows = config.salt_rows
     seg_len = ends - starts
     single = seg_len == 1  # df_partial == 1 tail: fully vectorized
@@ -150,7 +178,7 @@ def index_partition_table(
     single_idx = np.flatnonzero(single)
 
     col_shard, col_term, col_salt, col_count = [], [], [], []
-    col_doc, col_tf, col_dl, col_cf, col_maxtf = [], [], [], [], []
+    col_doc, col_tf, col_dl, col_pos, col_cf, col_maxtf = [], [], [], [], [], []
     enc, _ = pcodec.CODECS[config.partials_codec]
     if multi_idx.size:
         uniq_list = uniq_terms.take(pa.array(multi_idx)).to_pylist()
@@ -172,12 +200,28 @@ def index_partition_table(
                 col_doc.append(enc(gaps))
                 col_tf.append(enc(tfs_s[c0:c1]))
                 col_dl.append(enc(dls_s[c0:c1]))
+                col_pos.append(
+                    pos_bytes_all[
+                        pos_bcum[occ_starts[c0]]: pos_bcum[occ_starts[c1]]
+                    ]
+                )
                 col_cf.append(int(tfs_s[c0:c1].sum()))
                 col_maxtf.append(int(tfs_s[c0:c1].max()))
                 salt += 1
     n_multi = len(col_shard)
     n_single = single_idx.size
     s_pos = starts[single_idx]
+    # singles: tf==1 inlines its position as pos0 (null blob); tf>1
+    # slices its byte range from the partition stream
+    s_tf1 = tfs_s[s_pos] == 1
+    single_pos_blobs = [
+        None
+        if one
+        else pos_bytes_all[
+            pos_bcum[occ_starts[p]]: pos_bcum[occ_starts[p + 1]]
+        ]
+        for p, one in zip(s_pos, s_tf1)
+    ]
 
     partials = pa.table(
         {
@@ -248,6 +292,21 @@ def index_partition_table(
                 [
                     pa.array(col_dl, type=pa.large_binary()),
                     pa.nulls(n_single, type=pa.large_binary()),
+                ]
+            ),
+            "pos0": pa.array(
+                np.concatenate(
+                    [np.zeros(n_multi, dtype=np.uint64),
+                     np.where(
+                         s_tf1, pos_u[occ_starts[s_pos]], np.uint64(0)
+                     ) if n_single else np.zeros(0, dtype=np.uint64)]
+                ),
+                type=pa.uint64(),
+            ),
+            "pos_blob": pa.concat_arrays(
+                [
+                    pa.array(col_pos, type=pa.large_binary()),
+                    pa.array(single_pos_blobs, type=pa.large_binary()),
                 ]
             ),
             "cf_partial": pa.array(

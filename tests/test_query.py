@@ -98,3 +98,113 @@ def test_small_block_size_wand(ray_session, tiny_corpus, tmp_path_factory):
     s = Searcher(idx)
     for q in reference_queries(corpus_dir):
         assert s.search_wand(q["q"], q["k"]) == s.search_exact(q["q"], q["k"])
+
+
+def test_phrase_search_matches_bruteforce(small_index):
+    """Positions survive SPIMI -> salt chunks -> merge: phrase results
+    equal a per-doc Python scan of the analyzed token streams."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    tok = CodeTokenizer()
+
+    # analyzed token stream per engine doc id (via docmeta key order)
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    key2id = {
+        (r, p, c): d
+        for r, p, c, d in zip(
+            dm["repo"].to_pylist(), dm["path"].to_pylist(),
+            dm["commit"].to_pylist(), dm["doc_id"].to_pylist(),
+        )
+    }
+    streams = {}
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            streams[key2id[(r, p, c)]] = tok.tokens_of(content)
+
+    for phrase in ("query batch", "return self", "sort join merge",
+                   "zz qq never together"):
+        ptoks = tok.tokens_of(phrase)
+        expect = set()
+        for d, toks in streams.items():
+            for i in range(len(toks) - len(ptoks) + 1):
+                if toks[i: i + len(ptoks)] == ptoks:
+                    expect.add(d)
+                    break
+        got = {d for d, _ in s.search_phrase(phrase, k=s.space)}
+        assert got == expect, phrase
+        assert len(expect) > 0 or phrase == "zz qq never together"
+
+
+def test_proximity_matches_bruteforce(small_index):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    tok = CodeTokenizer()
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    key2id = {
+        (r, p, c): d
+        for r, p, c, d in zip(
+            dm["repo"].to_pylist(), dm["path"].to_pylist(),
+            dm["commit"].to_pylist(), dm["doc_id"].to_pylist(),
+        )
+    }
+    streams = {}
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            streams[key2id[(r, p, c)]] = tok.tokens_of(content)
+
+    for a, b, w in (("term", "batch", 3), ("join", "filter", 5)):
+        expect = set()
+        for d, toks in streams.items():
+            pa_ = [i for i, t in enumerate(toks) if t == a]
+            pb_ = [i for i, t in enumerate(toks) if t == b]
+            if any(abs(x - y) <= w for x in pa_ for y in pb_):
+                expect.add(d)
+        got = {d for d, _ in s.search_proximity(a, b, window=w, k=s.space)}
+        assert got == expect, (a, b, w)
+        assert expect
+
+
+def test_phrase_positions_survive_salt_chunking(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """salt_rows=4 forces multi-chunk partials; phrase results must be
+    identical to the default build."""
+    from sotohp_ray.config import IndexConfig
+    from sotohp_ray.pipelines.build_index import build_index
+    from sotohp_ray.pipelines.query import Searcher
+
+    corpus_dir, _ = tiny_corpus
+    base_dir = str(tmp_path_factory.mktemp("idx_pb"))
+    salt_dir = str(tmp_path_factory.mktemp("idx_ps"))
+    build_index(corpus_dir, base_dir, config=IndexConfig())
+    build_index(corpus_dir, salt_dir, config=IndexConfig(salt_rows=4))
+    s0, s1 = Searcher(base_dir), Searcher(salt_dir)
+    for phrase in ("query batch", "return self", "sort join merge"):
+        r0 = s0.search_phrase(phrase, 50)
+        assert r0 == s1.search_phrase(phrase, 50)
+        assert len(r0) > 0
