@@ -216,10 +216,16 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("events_cursor_nav", lambda: relational.events_cursor_nav(sf_dir))
     timed("customer_geo_distance",
           lambda: relational.customer_geo_distance(sf_dir))
-    from sotohp_ray.pipelines.fulltext import bm25_topk_deleted
+    from sotohp_ray.pipelines.fulltext import (
+        bm25_topk_deleted,
+        phrase_topk,
+        proximity_topk,
+    )
 
     timed("bm25_topk_deleted_cold",
           lambda: bm25_topk_deleted(sf_dir))  # copy+tombstone+compact+query
+    timed("phrase_topk", lambda: phrase_topk(sf_dir))
+    timed("proximity_topk", lambda: proximity_topk(sf_dir))
     return out
 
 

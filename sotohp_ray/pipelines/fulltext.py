@@ -429,8 +429,21 @@ class _ShardSearcher:
             batch["query_id"].to_pylist(), batch["query"].to_pylist()
         ):
             if self.mode == "serve":
-                # production path: adaptive block-max WAND, top-k only
-                for d, sc in self.searcher.search_wand(q, self.k):
+                # production path: adaptive block-max WAND, top-k only.
+                # Query-syntax routing: "quoted" -> phrase; a NEAR/3 b
+                # -> proximity; else free terms (Lucene-ish surface).
+                if q.startswith('"') and q.endswith('"') and len(q) > 2:
+                    hits = self.searcher.search_phrase(q[1:-1], self.k)
+                elif " NEAR/" in q:
+                    left, rest = q.split(" NEAR/", 1)
+                    w, right = rest.split(" ", 1)
+                    hits = self.searcher.search_proximity(
+                        left.strip(), right.strip(), window=int(w),
+                        k=self.k,
+                    )
+                else:
+                    hits = self.searcher.search_wand(q, self.k)
+                for d, sc in hits:
                     q_ids.append(qi)
                     doc_ids.append(
                         int(self.eng2orig[d])

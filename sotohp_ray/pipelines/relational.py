@@ -111,14 +111,23 @@ def top_customers_by_spend(sf_dir: str, k: int = 10):
         Sum("o_totalprice", alias_name="total_spend")
     )
 
-    def round_col(batch: pa.Table) -> pa.Table:
+    def round_topk(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index("total_spend")
-        return batch.set_column(i, "total_spend", pc.round(batch["total_spend"], 2))
+        batch = batch.set_column(
+            i, "total_spend", pc.round(batch["total_spend"], 2)
+        )
+        # per-batch top-k combiner: the aggregate output is one row per
+        # customer — still too many rows for a global sort at scale
+        v = batch["total_spend"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -v))[: min(k, v.size)]
+        return batch.take(pa.array(order))
 
+    cand = agg.map_batches(round_topk, batch_format="pyarrow").to_pandas()
     return (
-        agg.map_batches(round_col, batch_format="pyarrow")
-        .sort(["total_spend", "o_custkey"], descending=[True, False])
-        .limit(k)
+        cand.sort_values(["total_spend", "o_custkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
 
 
@@ -187,11 +196,29 @@ def events_type_stats(sf_dir: str):
 
 
 def events_topk_by_value(sf_dir: str, k: int = 20):
-    """(event_id, value): global top-k sort with tie-break (O1/O3)."""
-    return (
+    """(event_id, value): global top-k with tie-break (O1/O3/O6).
+    Per-batch top-k COMBINER (vectorized lexsort) instead of a global
+    sort — a full distributed sort for a top-20 would be an
+    all-to-all shuffle of every row; the combiner ships at most k rows
+    per block and the final merge is output-sized."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        take = min(k, v.size)
+        order = np.lexsort((e, -v))[:take]
+        return batch.take(pa.array(order))
+
+    cand = (
         _read(sf_dir, "events", ["event_id", "value"])
-        .sort(["value", "event_id"], descending=[True, False])
-        .limit(k)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # ≤ k rows per block: output-sized
+    )
+    return (
+        cand.sort_values(["value", "event_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
 
 
@@ -312,15 +339,27 @@ def events_sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
 
 def events_page(sf_dir: str, offset: int = 100, k: int = 50):
     """(event_id, user_id, ts): ordered page — the bounded ordered walk
-    of O3 (`mediaStream(fromKey, limit)`, limit<=200). Distributed sort
-    + limit(offset+k) keeps only the page prefix on the driver; the
-    offset slice is a tiny local tail."""
-    page = (
+    of O3 (`mediaStream(fromKey, limit)`, limit<=200). Per-batch
+    smallest-(offset+k) combiner instead of a global sort: each block
+    ships at most offset+k rows and the final page slice is
+    output-sized on the driver."""
+    n = offset + k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if not isinstance(batch["ts"], pa.ChunkedArray) \
+            else batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts))[: min(n, e.size)]
+        return batch.take(pa.array(order))
+
+    cand = (
         _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .sort(["ts", "event_id"])
-        .limit(offset + k)
+        .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    page = cand.sort_values(["ts", "event_id"]).reset_index(drop=True)
     return page.iloc[offset:offset + k].reset_index(drop=True)
 
 
