@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
         "ann_lsh_search": ann.ann_lsh_search,               # rows-only
+        "ann_ivf_search": ann.ann_ivf_search,               # rows-only
+        "ann_ivf_buckets": ann.ann_ivf_buckets,             # rows-only
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_thumbnails": multimodal.media_thumbnails,

@@ -272,6 +272,131 @@ def ann_lsh_search(
     return _topk_merge(ds, k)
 
 
+def _train_centroids(
+    sf_dir: str, n_centroids: int, sample_rows: int = 4096,
+    iters: int = 8, seed: int = 42,
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side SAMPLE (first row
+    groups; the sample is small by contract — at 10^9 vectors you
+    still train on ~10^4-10^5 rows). Returns L2-normalized centroids
+    (spherical k-means: cosine assignment == dot with normalized
+    centroids)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches, n = [], 0
+    for rg in range(f.metadata.num_row_groups):
+        t = f.read_row_group(rg, columns=["vec_id", "embedding"])
+        batches.append(t)
+        n += t.num_rows
+        if n >= sample_rows:
+            break
+    import pyarrow as _pa
+
+    t = _pa.concat_tables(batches)
+    _, X = _emb_matrix(t.slice(0, min(n, sample_rows)))
+    Xn = _normalize(X)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, Xn.shape[0])
+    C = Xn[rng.choice(Xn.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = Xn[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class _IVFScorer:
+    """IVF probe + exact re-rank fused in one streaming stage:
+    centroids + per-query probe sets built once per actor; per batch,
+    vectors are assigned to their centroid (one matmul) and only rows
+    whose centroid is probed by a query get scored for it."""
+
+    def __init__(self, ref, k: int):
+        import ray
+
+        self.q_ids, self.Q, self.C, self.probes = ray.get(ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        cent = np.argmax(Xn @ self.C.T, axis=1)  # (batch,)
+        out_q, out_v, out_s = [], [], []
+        for j in range(self.q_ids.size):
+            rows = np.flatnonzero(
+                np.isin(cent, self.probes[j]) & (ids != self.q_ids[j])
+            )
+            if rows.size == 0:
+                continue
+            s = np.round(Xn[rows] @ self.Q[j], 5)
+            take = min(self.k, rows.size)
+            order = np.lexsort((ids[rows], -s))[:take]
+            out_q.extend([int(self.q_ids[j])] * take)
+            out_v.extend(ids[rows][order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_ivf_search(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    n_centroids: int = 32, n_probe: int = 8,
+):
+    """(query_id, vec_id, score): IVF approximate nearest neighbors —
+    the trained-partition scale path alongside LSH. Centroids are
+    k-means-trained on a sample (driver-side, seeded), every vector is
+    assigned to its nearest centroid, and each query scores ONLY the
+    ``n_probe`` closest centroid buckets (exact cosine re-rank inside).
+    At cluster scale the assignment is the partitioner: vectors are
+    written bucketed by centroid and a query touches n_probe/n_centroids
+    of the data. Recall vs brute force is pytest-gated."""
+    import ray
+
+    C = _train_centroids(sf_dir, n_centroids)
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    qc = Q @ C.T  # (m, k)
+    probes = np.argsort(-qc, axis=1)[:, :n_probe]
+    ref = ray.put((q_ids, Q, C, [probes[j] for j in range(q_ids.size)]))
+    ds = _emb(sf_dir).map_batches(
+        _IVFScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(ds, k)
+
+
+def ann_ivf_buckets(sf_dir: str, n_centroids: int = 32):
+    """(vec_id, centroid): the IVF partition assignment — the
+    write-side bucketing a cluster deployment persists (one partition
+    dir per centroid) so probes read only their buckets."""
+    import ray
+
+    C = _train_centroids(sf_dir, n_centroids)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        Cm = _ray.get(cref)
+        ids, X = _emb_matrix(batch)
+        cent = np.argmax(_normalize(X) @ Cm.T, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "centroid": pa.array(cent.astype(np.int64), pa.int64()),
+        })
+
+    return _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
 def knn_label_consensus(
     sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10
 ):

@@ -243,3 +243,27 @@ def test_doc_fingerprint_vectorized_contract(tmp_path):
     assert vals[0] == 0 and vals[3] == 0
     assert vals[1] == 1
     assert 1 <= vals[2] <= 25
+
+
+def test_ann_ivf_search_recall_and_exactness():
+    """IVF probe machinery: probing EVERY centroid must equal brute
+    force exactly (the approximation is ONLY the probe subset), and
+    default probes keep useful recall."""
+    from sotohp_ray.pipelines.ann import ann_ivf_search, knn_cosine
+
+    brute = knn_cosine(SF).to_pandas()
+    full = ann_ivf_search(SF, n_centroids=16, n_probe=16).to_pandas()
+    for q in range(5):
+        bs = list(brute[brute.query_id == q].sort_values(
+            ["score", "vec_id"], ascending=[False, True]).vec_id)
+        fs = list(full[full.query_id == q].sort_values(
+            ["score", "vec_id"], ascending=[False, True]).vec_id)
+        assert bs == fs, q
+
+    approx = ann_ivf_search(SF).to_pandas()
+    recalls = []
+    for q in range(5):
+        bs = set(brute[brute.query_id == q].vec_id)
+        as_ = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(bs & as_) / len(bs))
+    assert np.mean(recalls) >= 0.35, recalls
