@@ -116,32 +116,12 @@ class CodeTokenizer:
 
         One dictionary-encode + ONE int64 argsort replaces the generic
         Arrow hash-groupby of ``term_frequencies`` AND the downstream
-        (doc, term) lexsort in the SPIMI stage: rows ascend within each
-        code run, and doc_ids ascend with rows, so the output order is
-        already the postings order the merge expects. Measured ~2x on
-        the phase-1 per-partition wall."""
-        import numpy as np
-
-        parents, flat = self.exploded(content)
-        d = pc.dictionary_encode(flat)
-        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
-        if codes.size == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z, z, d.dictionary
-        n_rows = int(pn.max()) + 1
-        key = codes.astype(np.uint64) * np.uint64(n_rows) + pn.astype(
-            np.uint64
+        (doc, term) lexsort in the SPIMI stage. Thin wrapper over the
+        positions variant (one kernel to maintain)."""
+        row_r, code_r, tf, dic, _ = self.term_frequency_codes_positions(
+            content
         )
-        key.sort()  # in-place: we only need run lengths, not a gather
-        bounds = np.flatnonzero(np.diff(key)) + 1
-        starts = np.concatenate(([0], bounds))
-        tf = np.diff(np.concatenate((starts, [key.size])))
-        uk = key[starts]
-        code_r = (uk // np.uint64(n_rows)).astype(np.int64)
-        row_r = (uk % np.uint64(n_rows)).astype(np.int64)
-        return row_r, code_r, tf.astype(np.int64), d.dictionary
+        return row_r, code_r, tf, dic
 
     def term_frequency_codes_positions(
         self, content: pa.Array | pa.ChunkedArray

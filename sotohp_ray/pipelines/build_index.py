@@ -277,6 +277,12 @@ def build_index(
         "partitions_done": len(records),
         "partitions_total": len(files),
         "config": cfg_fp,
+        # dense doc-id space = total corpus rows (ids are partition
+        # prefix sums); after a compaction n_docs < space because ids
+        # stay sparse — searchers size arrays by space, score with
+        # n_docs. Recomputing from the corpus keeps a resumed build
+        # after compact_index consistent.
+        "doc_id_space": int(bases[-1] + counts[-1]) if files else 0,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)

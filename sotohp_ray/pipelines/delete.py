@@ -68,7 +68,20 @@ def delete_docs(
     is atomic and append-only; repeating a delete is a no-op."""
     ids: list[int] = []
     if engine_doc_ids is not None:
-        ids.extend(int(x) for x in engine_doc_ids)
+        want_ids = np.array(sorted({int(x) for x in engine_doc_ids}),
+                            dtype=np.uint64)
+        dm_ids = pq.read_table(
+            os.path.join(index_dir, "docmeta"), columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        unknown = np.setdiff1d(want_ids, dm_ids)
+        if unknown.size:
+            # an unvalidated out-of-range tombstone would crash every
+            # subsequent Searcher init — reject it here instead
+            raise ValueError(
+                f"engine_doc_ids not present in docmeta: "
+                f"{unknown[:10].tolist()}"
+            )
+        ids.extend(int(x) for x in want_ids)
     if doc_uuids or paths:
         dm = pq.read_table(
             os.path.join(index_dir, "docmeta"),
@@ -120,17 +133,18 @@ def _compact_partition(
     removed_tokens = int(
         dm["doc_len"].to_numpy(zero_copy_only=False)[~keep_doc].sum()
     )
-    if removed_docs:
-        lin.atomic_write_table(dm.filter(pa.array(keep_doc)), dm_path)
-
-    pdir = os.path.join(index_dir, "partials", f"partition-{pid:05d}")
-    t = pq.read_table(os.path.join(pdir, "data.parquet"))
-    removed_postings = 0
     if removed_docs == 0:
+        # untouched partition: decide from docmeta alone, never read
+        # the (much larger) partials file
         return {
             "partition_id": pid, "removed_docs": 0,
             "removed_tokens": 0, "removed_postings": 0,
         }
+    lin.atomic_write_table(dm.filter(pa.array(keep_doc)), dm_path)
+
+    pdir = os.path.join(index_dir, "partials", f"partition-{pid:05d}")
+    t = pq.read_table(os.path.join(pdir, "data.parquet"))
+    removed_postings = 0
 
     counts = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
     doc_blob = t["doc_blob"].combine_chunks()

@@ -432,16 +432,22 @@ class _ShardSearcher:
                 # production path: adaptive block-max WAND, top-k only.
                 # Query-syntax routing: "quoted" -> phrase; a NEAR/3 b
                 # -> proximity; else free terms (Lucene-ish surface).
+                hits = None
                 if q.startswith('"') and q.endswith('"') and len(q) > 2:
                     hits = self.searcher.search_phrase(q[1:-1], self.k)
                 elif " NEAR/" in q:
-                    left, rest = q.split(" NEAR/", 1)
-                    w, right = rest.split(" ", 1)
-                    hits = self.searcher.search_proximity(
-                        left.strip(), right.strip(), window=int(w),
-                        k=self.k,
-                    )
-                else:
+                    try:
+                        left, rest = q.split(" NEAR/", 1)
+                        w, right = rest.split(" ", 1)
+                        hits = self.searcher.search_proximity(
+                            left.strip(), right.strip(), window=int(w),
+                            k=self.k,
+                        )
+                    except ValueError:
+                        # malformed NEAR syntax must not kill the
+                        # serving actor — degrade to term search
+                        hits = None
+                if hits is None:
                     hits = self.searcher.search_wand(q, self.k)
                 for d, sc in hits:
                     q_ids.append(qi)

@@ -108,6 +108,7 @@ def migrate_codec(index_dir: str, new_codec: str) -> dict:
 
     if new_codec not in pcodec.CODECS:
         raise ValueError(f"unknown codec {new_codec!r}")
+    _recover_interrupted_swap(index_dir)
     with open(os.path.join(index_dir, "config.json")) as f:
         config = IndexConfig.from_json(f.read())
     if config.codec == new_codec:
@@ -144,13 +145,14 @@ def migrate_codec(index_dir: str, new_codec: str) -> dict:
         ).to_pandas()
         n_terms = int(res["migrated_terms"].sum())
 
-    # atomic swap: all shards staged -> replace dictionary + config
-    old_dir = dict_dir + ".old"
-    if os.path.isdir(old_dir):
-        shutil.rmtree(old_dir)
-    os.replace(dict_dir, old_dir)
-    os.replace(staging, dict_dir)
-    shutil.rmtree(old_dir)
+    # crash-safe swap. Steps (each an atomic rename): (1) the NEW
+    # config lands as config.json.next FIRST — it is the intent record
+    # _recover_interrupted_swap replays from; (2) dictionary -> .old;
+    # (3) staging -> dictionary; (4) config.json.next -> config.json;
+    # (5) rm .old. A kill between any two steps is finished by the
+    # recovery pass on the next call, and readers can never observe
+    # new-codec blobs under an old-codec config (config promotes only
+    # after the dictionary swap).
     new_config = IndexConfig(
         num_term_shards=config.num_term_shards,
         block_size=config.block_size,
@@ -160,14 +162,55 @@ def migrate_codec(index_dir: str, new_codec: str) -> dict:
         tokenizer=config.tokenizer,
         bm25=config.bm25,
     )
-    with open(os.path.join(index_dir, "config.json"), "w") as f:
-        f.write(new_config.to_json())
+    next_cfg = os.path.join(index_dir, "config.json.next")
+    lin.write_json(next_cfg, json.loads(new_config.to_json()))
+    old_dir = dict_dir + ".old"
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.replace(dict_dir, old_dir)
+    os.replace(staging, dict_dir)
+    os.replace(next_cfg, os.path.join(index_dir, "config.json"))
+    shutil.rmtree(old_dir)
     return {
         "migrated_shards": len(shard_files),
         "re_encoded_terms": n_terms,
         "codec": new_codec,
         "noop": False,
     }
+
+
+def _recover_interrupted_swap(index_dir: str) -> None:
+    """Finish a swap interrupted between its atomic steps (see the
+    step list in ``migrate_codec``)."""
+    import glob
+
+    dict_dir = os.path.join(index_dir, "dictionary")
+    old_dir = dict_dir + ".old"
+    next_cfg = os.path.join(index_dir, "config.json.next")
+    if os.path.exists(next_cfg):
+        staged = glob.glob(os.path.join(index_dir, "dictionary.migrating-*"))
+        if not os.path.isdir(dict_dir):
+            # killed between (2) and (3): promote the staging dir
+            # (next_cfg existing proves staging was complete)
+            if staged:
+                os.replace(staged[0], dict_dir)
+            elif os.path.isdir(old_dir):  # staging vanished: roll back
+                os.replace(old_dir, dict_dir)
+                os.remove(next_cfg)
+                return
+        # re-evaluate after any promote above — a stale `staged` list
+        # here once skipped the config promote and left pfor bytes
+        # under a varint config
+        if os.path.isdir(dict_dir) and not glob.glob(
+            os.path.join(index_dir, "dictionary.migrating-*")
+        ):
+            # killed between (3) and (4): promote the config
+            os.replace(next_cfg, os.path.join(index_dir, "config.json"))
+        # killed before (2) with both dirs intact: leave next_cfg for
+        # the caller's normal path (it rewrites it after staging)
+    if os.path.isdir(old_dir) and not os.path.exists(next_cfg):
+        # killed between (4) and (5)
+        shutil.rmtree(old_dir)
 
 
 def _main() -> None:

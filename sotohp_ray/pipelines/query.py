@@ -175,6 +175,9 @@ class Searcher:
         # production engine keeps): term -> (doc_ids, tfs), bounded by
         # total cached postings; insertion-order eviction
         self._dec_cache: dict[str, tuple] = {}
+        # decoded-positions cache (phrase/proximity serving): bounded
+        # by entry count; positions are ~1 value per occurrence
+        self._pos_cache: dict[str, tuple] = {}
         self._dec_cache_postings = 0
         self.dec_cache_budget = 8_000_000
         dm = pq.read_table(
@@ -192,14 +195,18 @@ class Searcher:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def _record(self, term: str) -> dict:
-        """Lazy per-term record (cached): inline posting for df==1,
-        blob + block metadata views otherwise."""
+        """Lazy per-term record (cached): inline posting for the
+        blobless tail (df==1 AND tf==1 — a df==1 term whose single doc
+        repeats it goes through the blob path so its positions fit),
+        blob + block metadata views otherwise. The branch is on blob
+        NULLNESS, not df: branching on df==1 alone silently read the
+        zeroed inline columns for df==1/tf>1 terms."""
         rec = self._rec_cache.get(term)
         if rec is not None:
             return rec
         i = self._row[term]
         df = int(self._dfs[i])
-        if df == 1:
+        if not self._tbl["blob"][i].is_valid:
             d = np.array([self._doc0[i]], dtype=np.uint64)
             f = np.array([self._tf0[i]], dtype=np.uint64)
             rec = {
@@ -281,15 +288,21 @@ class Searcher:
         occ[sum(tfs[:i]) : sum(tfs[:i+1])]). Positions are stored as
         ONE varint stream per term (decoded wholesale — phrase queries
         always touch the full list)."""
+        hit = self._pos_cache.get(term)
+        if hit is not None:
+            return hit
         i = self._row[term]
         docs, tfs = self._decode_full(term)
-        df = int(self._dfs[i])
         cf = int(self._cfs[i])
-        if df == 1 and cf == 1:
-            pos_col = self._tbl["pos0"]
-            return docs, tfs, np.array([pos_col[i].as_py()], dtype=np.uint64)
-        blob = self._tbl["pos_blob"][i].as_buffer()
-        pg = pcodec.varint_decode(blob, cf)
+        pb = self._tbl["pos_blob"][i]
+        if not pb.is_valid:  # blobless tail: df==1 AND tf==1
+            out = (
+                docs, tfs,
+                np.array([self._tbl["pos0"][i].as_py()], dtype=np.uint64),
+            )
+            self._pos_cache[term] = out
+            return out
+        pg = pcodec.varint_decode(pb.as_buffer(), cf)
         cum = np.cumsum(pg, dtype=np.uint64)
         lens = tfs.astype(np.int64)
         p_starts = np.zeros(lens.size, dtype=np.int64)
@@ -297,6 +310,9 @@ class Searcher:
         base = np.zeros(lens.size, dtype=np.uint64)
         base[1:] = cum[p_starts[1:] - 1]
         occ = cum - np.repeat(base, lens)
+        if len(self._pos_cache) > 256:
+            self._pos_cache.pop(next(iter(self._pos_cache)))
+        self._pos_cache[term] = (docs, tfs, occ)
         return docs, tfs, occ
 
     _POS_SHIFT = 32  # phrase-alignment key = doc << 32 | shifted pos

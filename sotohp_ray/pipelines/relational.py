@@ -157,7 +157,7 @@ def top_customers_by_spend(sf_dir: str, k: int = 10):
 def events_hourly(sf_dir: str):
     """(user_id, hour, n_events, sum_value): tumbling 1h window —
     streaming-shaped workload as groupby over (key, window) (§2.9)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
@@ -213,7 +213,7 @@ def events_prev_gap(sf_dir: str):
 
 def events_type_stats(sf_dir: str):
     """(event_type, n, sum_value): grouped totals (A1-style)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
@@ -435,8 +435,14 @@ def events_cursor_nav(sf_dir: str, cursor_event_id: int = CURSOR_EVENT_ID):
         columns=["event_id", "ts"],
         filters=[("event_id", "=", cursor_event_id)],
     )
-    c_ts = ct["ts"][0].cast(pa.int64()).as_py()
-    c_id = cursor_event_id
+    has_cursor = ct.num_rows > 0
+    if has_cursor:
+        c_ts = ct["ts"][0].cast(pa.int64()).as_py()
+        c_id = cursor_event_id
+    else:
+        # nonexistent cursor: degrade like the SQL form (empty cursor
+        # CTE) — first/last still answer, prev/next are empty
+        c_ts = c_id = 0
 
     def candidates(batch: pa.Table) -> pa.Table:
         ids = batch["event_id"].to_numpy(zero_copy_only=False)
@@ -451,8 +457,11 @@ def events_cursor_nav(sf_dir: str, cursor_event_id: int = CURSOR_EVENT_ID):
                 "ts_us": pa.array([], pa.int64()),
             })
         order = np.lexsort((ids, tsv))
-        after = (tsv > c_ts) | ((tsv == c_ts) & (ids > c_id))
-        before = (tsv < c_ts) | ((tsv == c_ts) & (ids < c_id))
+        if has_cursor:
+            after = (tsv > c_ts) | ((tsv == c_ts) & (ids > c_id))
+            before = (tsv < c_ts) | ((tsv == c_ts) & (ids < c_id))
+        else:
+            after = before = np.zeros(ids.size, dtype=bool)
         pos, eid, tso = [], [], []
 
         def emit(p, i):
@@ -567,8 +576,6 @@ def customer_geo_distance_sql(k: int = 20) -> str:
 
 def parts_per_brand(sf_dir: str):
     """(p_brand, n_parts, avg_retail): grouped stats with rounding."""
-    from ray.data.aggregate import Count, Mean
-
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])

@@ -23,7 +23,6 @@ import pyarrow.compute as pc
 
 from sotohp_ray.functions.hashing import minhash_params
 from sotohp_ray.functions.tokenizer import CodeTokenizer
-from sotohp_ray.utils import actor_pool_size as _pool
 
 _TOK = CodeTokenizer()
 
@@ -264,7 +263,7 @@ class MinHashStage:
         )
 
 
-def _dup_members(ds, num_keys_warn: int = 50_000_000):
+def _dup_members(ds):
     """Rows of ``ds`` whose int64 ``bkey`` occurs more than once.
 
     Two-pass dup-bucket detection that never runs per-group Python over

@@ -321,3 +321,85 @@ def test_codec_migration_identical_results(
         assert s1.search_wand(q, k=10) == before_wand[q]
     # second run is a no-op
     assert migrate_codec(index_dir, "pfor")["noop"] is True
+
+
+def test_migration_swap_recovery(ray_session, tiny_corpus, tmp_path_factory):
+    """A migration killed between swap steps is finished by the
+    recovery pass on the next call; readers never see a mixed state."""
+    import shutil
+
+    from sotohp_ray.pipelines.migrate import migrate_codec
+    from sotohp_ray.pipelines.query import Searcher
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_swapcrash"))
+    build_index(corpus_dir, index_dir, config=IndexConfig(codec="varint"))
+    s0 = Searcher(index_dir)
+    before = s0.search_exact("def return value", k=20)
+
+    # simulate a crash between step (2) and (3): dictionary renamed
+    # away, staging complete, config.json.next written
+    migrate_codec(index_dir, "pfor")
+    # roll the index back to varint to stage again cleanly
+    migrate_codec(index_dir, "varint")
+    dict_dir = os.path.join(index_dir, "dictionary")
+    staging = os.path.join(index_dir, "dictionary.migrating-pfor")
+    shutil.copytree(dict_dir, staging)  # stand-in for staged output
+    # re-encode staging for real so contents are valid pfor
+    shutil.rmtree(staging)
+    from sotohp_ray.pipelines.migrate import _migrate_shard
+
+    os.makedirs(staging)
+    for name in sorted(os.listdir(dict_dir)):
+        if name.endswith(".parquet"):
+            _migrate_shard(
+                os.path.join(dict_dir, name), os.path.join(staging, name),
+                "varint", "pfor", IndexConfig().block_size,
+            )
+    from sotohp_ray.state.lineage import write_json
+
+    cfg = IndexConfig(codec="pfor")
+    write_json(os.path.join(index_dir, "config.json.next"),
+               json.loads(cfg.to_json()))
+    os.replace(dict_dir, dict_dir + ".old")  # crash right here
+
+    out = migrate_codec(index_dir, "pfor")  # recovery finishes the swap
+    assert out["noop"] is True  # recovered to pfor before the run
+    s1 = Searcher(index_dir)
+    assert s1.config.codec == "pfor"
+    assert s1.search_exact("def return value", k=20) == before
+    assert not os.path.exists(os.path.join(index_dir, "config.json.next"))
+    assert not os.path.isdir(dict_dir + ".old")
+
+
+def test_build_after_compaction_keeps_doc_id_space(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """build_index re-run after compact_index must keep doc_id_space >=
+    max doc id (stats rewrite previously dropped it and Searcher
+    crashed on sparse ids)."""
+    from sotohp_ray.pipelines.delete import compact_index, delete_docs
+    from sotohp_ray.pipelines.query import Searcher
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_space"))
+    build_index(corpus_dir, index_dir)
+    delete_docs(index_dir, engine_doc_ids=[0, 5])
+    compact_index(index_dir)
+    stats = build_index(corpus_dir, index_dir)  # resume path
+    assert stats["doc_id_space"] == 64
+    s = Searcher(index_dir)  # must not IndexError
+    assert s.space == 64 and s.n_docs == 62
+    assert len(s.search_exact("def return value", k=10)) > 0
+
+
+def test_delete_rejects_unknown_engine_ids(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    from sotohp_ray.pipelines.delete import delete_docs
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_badid"))
+    build_index(corpus_dir, index_dir)
+    with pytest.raises(ValueError, match="not present"):
+        delete_docs(index_dir, engine_doc_ids=[10**9])

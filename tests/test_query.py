@@ -208,3 +208,41 @@ def test_phrase_positions_survive_salt_chunking(
         r0 = s0.search_phrase(phrase, 50)
         assert r0 == s1.search_phrase(phrase, 50)
         assert len(r0) > 0
+
+
+def test_df1_multi_tf_term_searchable(ray_session, tmp_path_factory):
+    """A term occurring multiple times in exactly ONE document goes
+    through the blob path in the merge (positions need a stream);
+    the Searcher must branch on blob nullness, not df==1 — round-2
+    regression where such terms silently vanished from search and
+    crashed phrase queries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.build_index import build_index
+
+    d = tmp_path_factory.mktemp("corpus_df1tf3")
+    t = pa.table({
+        "repo": pa.array(["r"] * 3),
+        "path": pa.array(["a.py", "b.py", "c.py"]),
+        "commit": pa.array(["0"] * 3),
+        "lang": pa.array(["py"] * 3),
+        "content": pa.array([
+            "zebra zebra zebra common word",
+            "common word here",
+            "word here too",
+        ]),
+    })
+    pq.write_table(t, str(d / "part-00000.parquet"))
+    idx = str(tmp_path_factory.mktemp("idx_df1tf3"))
+    build_index(str(d), idx)
+    s = Searcher(idx)
+    hits = s.search_exact("zebra", k=5)
+    assert len(hits) == 1 and hits[0][1] > 0
+    assert s.search_wand("zebra", k=5) == hits
+    # phrase over the repeated term must not crash and must match
+    ph = s.search_phrase("zebra zebra", k=5)
+    assert [d_ for d_, _ in ph] == [hits[0][0]]
+    # proximity with the df==1 term
+    pr = s.search_proximity("zebra", "common", window=4, k=5)
+    assert [d_ for d_, _ in pr] == [hits[0][0]]
