@@ -281,10 +281,15 @@ def _dup_members(ds):
     def _dups_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch["n"], 1)).select(["bkey"])
 
-    dup_keys = np.sort(
-        counts.map_batches(_dups_only, batch_format="pyarrow")
-        .to_pandas()["bkey"]
-        .to_numpy()
+    dup_df = counts.map_batches(
+        _dups_only, batch_format="pyarrow"
+    ).to_pandas()
+    # an all-unique corpus yields an empty frame that LOSES its schema
+    # in to_pandas — guard before the column access
+    dup_keys = (
+        np.sort(dup_df["bkey"].to_numpy())
+        if len(dup_df)
+        else np.zeros(0, dtype=np.int64)
     )
     if dup_keys.size == 0:
         return None, 0
@@ -306,16 +311,46 @@ def _dup_members(ds):
     return ds.map_batches(_member, batch_format="pyarrow"), int(dup_keys.size)
 
 
+def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
+    """The MinHash BAND INDEX as a durable derived artifact: (doc_id,
+    band, band_hash, bkey) rows, written once per (corpus, params) to
+    a cache dir and streamed thereafter (band rows are 4 ints per
+    (doc, band) — tiny next to the corpus). This is the artifact a
+    production dedup pipeline persists: signature computation is the
+    expensive pass, every candidate/verify consumer is a cheap scan
+    over it. Atomic dir rename = idempotent under concurrent builds."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import ray.data
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = _hl.sha256(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"mh{num_perm}-{bands}".encode()
+    ).hexdigest()[:12]
+    cache = os.path.join("/tmp", "sotohp_ray_cache", f"bands-{key}")
+    if not os.path.isdir(cache):
+        def stage(batch: pa.Table) -> pa.Table:
+            return MinHashStage.for_worker(num_perm, bands)(batch)
+
+        tmp = cache + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            stage, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:  # concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ray.data.read_parquet(cache)
+
+
 def _minhash_members(sf_dir: str, num_perm: int = 64, bands: int = 16):
     """Band rows restricted to dup buckets: (doc_id, band, band_hash,
     bkey) for every (doc, band) whose bucket has >1 member."""
-    def stage(batch: pa.Table) -> pa.Table:
-        return MinHashStage.for_worker(num_perm, bands)(batch)
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        stage, batch_format="pyarrow"
-    ).materialize()  # band rows are tiny (4 ints per (doc, band)) and
-    # feed two passes — materializing avoids re-tokenizing the corpus
+    ds = _minhash_band_index(sf_dir, num_perm, bands)
     members, _ = _dup_members(ds)
     return members
 
