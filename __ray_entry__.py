@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_topk": lambda sf: proximity_topk(sf),
         "term_df": textops.term_df,
         "token_counts": textops.token_counts,
+        "token_estimate": textops.token_estimate,
         "doc_sha256": textops.doc_sha256,
         # --- text analysis / quality ---
         "quality_stats": textops.quality_stats,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": f"""
             SELECT doc_id, len({texpr}) AS n_tokens FROM documents
         """,
+        "token_estimate": textops.token_estimate_sql(),
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "quality_stats": f"""
             WITH t AS ({toks}),

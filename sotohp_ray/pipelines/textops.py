@@ -78,6 +78,51 @@ def token_counts(sf_dir: str):
     )
 
 
+BPE_CHUNK = 4  # chars per subword unit in the estimator
+
+
+def token_estimate(sf_dir: str, chunk: int = BPE_CHUNK):
+    """(doc_id, n_subwords): BPE-ish token-count estimator — analyzed
+    tokens split into ceil(len/chunk) subword units (the ~4-chars-per-
+    token rule real BPE vocabularies average out to). Vectorized: one
+    list_value_length + flatten per batch, no per-row Python."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        n = batch.num_rows
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        units = -(-lens // chunk)  # ceil
+        out = np.zeros(n, dtype=np.int64)
+        pn = parents.to_numpy(zero_copy_only=False)
+        if pn.size:
+            out = np.bincount(pn, weights=units, minlength=n).astype(
+                np.int64
+            )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_subwords": pa.array(out, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def token_estimate_sql(chunk: int = BPE_CHUNK) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform({texpr},
+                 t -> CAST(ceil(length(t) / {chunk}.0) AS BIGINT))), 0)
+                 AS BIGINT) AS n_subwords
+        FROM documents
+    """
+
+
 def term_df(sf_dir: str):
     """(term, df) document frequencies — per-batch combiner then a tiny
     groupby over partials (A1: explicit partial+final aggregation)."""
