@@ -195,20 +195,41 @@ def events_prev_gap(sf_dir: str):
     gap_us is -1 for each user's first event (the NULL-free contract
     for cross-engine hashing, same as events_asof_orders: a nullable
     Int64 NA vs DuckDB float64 NaN hash-diverges even when values
-    agree)."""
+    agree).
+
+    Partitioning: groupby on a COARSE user-hash (64 groups), not one
+    group per user — inside a group, one vectorized sort by (user, ts,
+    id) + diff with resets at user boundaries handles every user at
+    once (per-user map_groups paid ~1 ms of pandas overhead per
+    user)."""
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64")
-        gap = us.diff().fillna(-1)
-        return pd.DataFrame(
-            {"event_id": g["event_id"], "gap_us": gap.astype("int64")}
+    def add_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ukey", pa.array((u & 0x3F).astype(np.int64), pa.int64())
         )
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        order = np.lexsort((e, us, u))
+        u, us, e = u[order], us[order], e[order]
+        gap = np.empty(us.size, dtype=np.int64)
+        if us.size:
+            gap[0] = -1
+            gap[1:] = us[1:] - us[:-1]
+            gap[np.flatnonzero(np.diff(u)) + 1] = -1  # first per user
+        return pd.DataFrame({"event_id": e, "gap_us": gap})
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(gaps, batch_format="pandas")
+    )
 
 
 def events_type_stats(sf_dir: str):
@@ -283,21 +304,31 @@ def events_asof_orders(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
-    # tag + union so ONE groupby(key) co-partitions both sides
+    # tag + union so ONE groupby co-partitions both sides — on a
+    # COARSE key hash (64 groups): inside a group, ONE lexsort of the
+    # combined stream (orders before events at equal ts, the <=
+    # semantics) and running cumsum/accumulate kernels answer every
+    # user at once (the round-1 per-user map_groups paid pandas
+    # overhead per user; the reference's per-record index walk paid 7
+    # minutes on 114k docs)
     def tag_ev(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "key": batch["user_id"].cast(pa.int64()),
+            "ukey": pa.array((u & 0x3F).astype(np.int64), pa.int64()),
             "event_id": batch["event_id"].cast(pa.int64()),
             "ts": batch["ts"].cast(pa.timestamp("us")),
-            "side": pa.array(["e"] * len(batch), pa.string()),
+            "is_order": pa.array(np.zeros(len(batch), bool)),
         })
 
     def tag_or(batch: pa.Table) -> pa.Table:
+        u = batch["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table({
             "key": batch["o_custkey"].cast(pa.int64()),
+            "ukey": pa.array((u & 0x3F).astype(np.int64), pa.int64()),
             "event_id": pa.array([-1] * len(batch), pa.int64()),
             "ts": batch["o_orderdate"].cast(pa.timestamp("us")),
-            "side": pa.array(["o"] * len(batch), pa.string()),
+            "is_order": pa.array(np.ones(len(batch), bool)),
         })
 
     both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
@@ -305,27 +336,43 @@ def events_asof_orders(sf_dir: str):
     )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["side"] == "e"]
-        if e.empty:
+        u = g["key"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        is_o = g["is_order"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        pri = (~is_o).astype(np.int8)  # orders first at equal ts (<=)
+        order = np.lexsort((pri, ts, u))
+        u, ts, is_o, eid = u[order], ts[order], is_o[order], eid[order]
+        n = u.size
+        if n == 0 or not (~is_o).any():
             return pd.DataFrame(
                 {"event_id": pd.Series([], dtype="int64"),
                  "n_prior_orders": pd.Series([], dtype="int64"),
                  "last_order_gap_us": pd.Series([], dtype="int64")})
-        odates = np.sort(g.loc[g["side"] == "o", "ts"].astype("int64").values)
-        ets = e["ts"].astype("int64").values
-        n_prior = np.searchsorted(odates, ets, side="right")
+        c = np.cumsum(is_o.astype(np.int64))  # orders seen so far
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(u)) + 1))
+        # order-count at each row's USER START (broadcast per group)
+        sb = np.zeros(n, dtype=np.int64)
+        sb[starts] = 1
+        gidx = np.cumsum(sb) - 1
+        cb_per_group = np.where(starts > 0, c[starts - 1], 0)
+        cb = cb_per_group[gidx]
+        n_prior = c - cb  # valid at event rows (their own is_o = 0)
+        # running position of the most recent order row
+        lp = np.where(is_o, np.arange(n, dtype=np.int64), -1)
+        lp = np.maximum.accumulate(lp)
+        ev_rows = np.flatnonzero(~is_o)
+        np_e = n_prior[ev_rows]
         gap = np.where(
-            n_prior > 0,
-            ets - odates[np.maximum(n_prior - 1, 0)],
-            -1,
+            np_e > 0, ts[ev_rows] - ts[np.maximum(lp[ev_rows], 0)], -1
         )
         return pd.DataFrame({
-            "event_id": e["event_id"].values,
-            "n_prior_orders": n_prior.astype("int64"),
+            "event_id": eid[ev_rows],
+            "n_prior_orders": np_e.astype("int64"),
             "last_order_gap_us": gap.astype("int64"),
         })
 
-    return both.groupby("key").map_groups(asof, batch_format="pandas")
+    return both.groupby("ukey").map_groups(asof, batch_format="pandas")
 
 
 def events_asof_orders_sql() -> str:
@@ -353,16 +400,43 @@ def events_sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    def add_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ukey", pa.array((u & 0x3F).astype(np.int64), pa.int64())
+        )
+
     def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64")
-        brk = us.diff().isna() | (us.diff() > gap_us)
+        # coarse group: every user at once — session breaks at idle
+        # gaps OR user boundaries, session_seq = cumsum of breaks
+        # minus the cumsum value at the user's start (vectorized reset)
+        us = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        order = np.lexsort((e, us, u))
+        u, us, e = u[order], us[order], e[order]
+        n = us.size
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "session_seq": pd.Series(dtype="int64")})
+        brk = np.ones(n, dtype=np.int64)
+        brk[1:] = ((us[1:] - us[:-1]) > gap_us) | (u[1:] != u[:-1])
+        seq = np.cumsum(brk)
+        user_starts = np.concatenate(([0], np.flatnonzero(np.diff(u)) + 1))
+        base = np.zeros(n, dtype=np.int64)
+        base[user_starts] = seq[user_starts]
+        base = np.maximum.accumulate(base)
         return pd.DataFrame({
-            "event_id": g["event_id"],
-            "session_seq": (brk.cumsum() - 1).astype("int64"),
+            "event_id": e,
+            "session_seq": seq - base,
         })
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(sess, batch_format="pandas")
+    )
 
 
 def events_sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
