@@ -141,10 +141,14 @@ def atomic_write_bucketed(
     )
     # no column statistics (the rgmap sidecar IS the bucket lookup —
     # stats on large_binary blob columns would bloat the footer with
-    # min/max blob bytes and dominate merge-side footer parse time)
-    # and no re-compression (posting blobs are already entropy-coded)
+    # min/max blob bytes and dominate merge-side footer parse time).
+    # ZSTD halves the partials bytes (tf/dl varint streams are mostly
+    # repeated small values; position gaps compress moderately) at
+    # ~2 ms/partition encode — partials ARE the shuffle payload, so
+    # this halves the exchange volume at cluster scale and the
+    # writeback pressure single-node
     writer = pq.ParquetWriter(
-        tmp, table.schema, write_statistics=False, compression="NONE"
+        tmp, table.schema, write_statistics=False, compression="ZSTD"
     )
     try:
         for lo, hi in zip(bounds[:-1], bounds[1:]):
