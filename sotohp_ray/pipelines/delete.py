@@ -70,18 +70,25 @@ def delete_docs(
     if engine_doc_ids is not None:
         want_ids = np.array(sorted({int(x) for x in engine_doc_ids}),
                             dtype=np.uint64)
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            st = json.load(f)
+        space = int(st.get("doc_id_space", st["n_docs"]))
+        # ids beyond the id space are genuine caller errors (an
+        # unvalidated out-of-range tombstone would crash every
+        # subsequent Searcher init); ids INSIDE the space but absent
+        # from docmeta were already deleted+compacted — dropping them
+        # keeps the documented repeat-a-delete-is-a-no-op contract
+        bad = want_ids[want_ids >= np.uint64(space)]
+        if bad.size:
+            raise ValueError(
+                f"engine_doc_ids outside the index id space "
+                f"(doc_id_space={space}): {bad[:10].tolist()}"
+            )
         dm_ids = pq.read_table(
             os.path.join(index_dir, "docmeta"), columns=["doc_id"]
         )["doc_id"].to_numpy(zero_copy_only=False)
-        unknown = np.setdiff1d(want_ids, dm_ids)
-        if unknown.size:
-            # an unvalidated out-of-range tombstone would crash every
-            # subsequent Searcher init — reject it here instead
-            raise ValueError(
-                f"engine_doc_ids not present in docmeta: "
-                f"{unknown[:10].tolist()}"
-            )
-        ids.extend(int(x) for x in want_ids)
+        present = want_ids[np.isin(want_ids, dm_ids)]
+        ids.extend(int(x) for x in present)
     if doc_uuids or paths:
         dm = pq.read_table(
             os.path.join(index_dir, "docmeta"),

@@ -300,7 +300,7 @@ class Searcher:
                 docs, tfs,
                 np.array([self._tbl["pos0"][i].as_py()], dtype=np.uint64),
             )
-            self._pos_cache[term] = out
+            self._pos_cache_put(term, out)
             return out
         pg = pcodec.varint_decode(pb.as_buffer(), cf)
         cum = np.cumsum(pg, dtype=np.uint64)
@@ -310,10 +310,17 @@ class Searcher:
         base = np.zeros(lens.size, dtype=np.uint64)
         base[1:] = cum[p_starts[1:] - 1]
         occ = cum - np.repeat(base, lens)
+        self._pos_cache_put(term, (docs, tfs, occ))
+        return docs, tfs, occ
+
+    def _pos_cache_put(self, term: str, out: tuple) -> None:
+        """Bounded insert (covers BOTH the blob and blobless paths —
+        the df==1 tail is the bulk of a real vocabulary, so an
+        unbounded blobless path would grow forever in a serving
+        actor)."""
         if len(self._pos_cache) > 256:
             self._pos_cache.pop(next(iter(self._pos_cache)))
-        self._pos_cache[term] = (docs, tfs, occ)
-        return docs, tfs, occ
+        self._pos_cache[term] = out
 
     _POS_SHIFT = 32  # phrase-alignment key = doc << 32 | shifted pos
 

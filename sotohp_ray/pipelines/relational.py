@@ -186,6 +186,18 @@ def events_hourly(sf_dir: str):
     return out.map_batches(round_col, batch_format="pyarrow")
 
 
+
+_COARSE_MASK = 0x3F  # 64 coarse user-hash groups for the window ops
+
+
+def _ukey(arr):
+    """Coarse co-partitioning key for per-user window kernels — ONE
+    definition so both sides of a co-partitioned join always agree."""
+    import pyarrow as _pa
+
+    return _pa.array((arr & _COARSE_MASK).astype(np.int64), _pa.int64())
+
+
 def events_prev_gap(sf_dir: str):
     """(event_id, gap_us): microseconds since the user's previous event
     — the sorted per-partition window op (J4 locationInduction: walk
@@ -208,9 +220,7 @@ def events_prev_gap(sf_dir: str):
 
     def add_key(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "ukey", pa.array((u & 0x3F).astype(np.int64), pa.int64())
-        )
+        return batch.append_column("ukey", _ukey(u))
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         us = g["ts"].astype("int64").to_numpy()
@@ -315,7 +325,7 @@ def events_asof_orders(sf_dir: str):
         u = batch["user_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "key": batch["user_id"].cast(pa.int64()),
-            "ukey": pa.array((u & 0x3F).astype(np.int64), pa.int64()),
+            "ukey": _ukey(u),
             "event_id": batch["event_id"].cast(pa.int64()),
             "ts": batch["ts"].cast(pa.timestamp("us")),
             "is_order": pa.array(np.zeros(len(batch), bool)),
@@ -325,7 +335,7 @@ def events_asof_orders(sf_dir: str):
         u = batch["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table({
             "key": batch["o_custkey"].cast(pa.int64()),
-            "ukey": pa.array((u & 0x3F).astype(np.int64), pa.int64()),
+            "ukey": _ukey(u),
             "event_id": pa.array([-1] * len(batch), pa.int64()),
             "ts": batch["o_orderdate"].cast(pa.timestamp("us")),
             "is_order": pa.array(np.ones(len(batch), bool)),
@@ -402,9 +412,7 @@ def events_sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US):
 
     def add_key(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "ukey", pa.array((u & 0x3F).astype(np.int64), pa.int64())
-        )
+        return batch.append_column("ukey", _ukey(u))
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         # coarse group: every user at once — session breaks at idle

@@ -380,8 +380,15 @@ def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
         def stage(batch: pa.Table) -> pa.Table:
             return MinHashStage.for_worker(num_perm, bands)(batch)
 
-        tmp = cache + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # PRIVATE staging dir per builder (a shared fixed tmp path let
+        # two concurrent builders interleave writes and promote a dir
+        # with duplicated band rows); only the rename is shared state
+        import tempfile
+
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = tempfile.mkdtemp(
+            dir=os.path.dirname(cache), prefix=f"bands-{key}.tmp-"
+        )
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
             stage, batch_format="pyarrow"
         ).write_parquet(tmp)

@@ -396,10 +396,18 @@ def test_build_after_compaction_keeps_doc_id_space(
 def test_delete_rejects_unknown_engine_ids(
     ray_session, tiny_corpus, tmp_path_factory
 ):
-    from sotohp_ray.pipelines.delete import delete_docs
+    """Out-of-space ids are caller errors (an unvalidated tombstone
+    would crash every Searcher); in-space ids absent from docmeta are
+    already-deleted no-ops (repeat-a-delete stays idempotent even
+    across a compaction)."""
+    from sotohp_ray.pipelines.delete import compact_index, delete_docs
 
     corpus_dir, _ = tiny_corpus
     index_dir = str(tmp_path_factory.mktemp("idx_badid"))
     build_index(corpus_dir, index_dir)
-    with pytest.raises(ValueError, match="not present"):
+    with pytest.raises(ValueError, match="outside the index id space"):
         delete_docs(index_dir, engine_doc_ids=[10**9])
+    assert delete_docs(index_dir, engine_doc_ids=[3]) == 1
+    compact_index(index_dir)
+    # re-issuing the delete after compaction is a no-op, not an error
+    assert delete_docs(index_dir, engine_doc_ids=[3]) == 0
