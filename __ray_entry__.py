@@ -18,6 +18,8 @@ from sotohp_ray.functions.tokenizer import sql_token_expr
 from sotohp_ray.pipelines import ann, multimodal, relational, textops
 from sotohp_ray.pipelines.fulltext import (
     DELETED_DOC_IDS,
+    bm25_facets,
+    bm25_facets_sql,
     bm25_oracle_sql,
     bm25_topk,
     bm25_topk_deleted,
@@ -45,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": lambda sf: bm25_topk_deleted(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
+        "bm25_facets": lambda sf: bm25_facets(sf),
         "term_df": textops.term_df,
         "token_counts": textops.token_counts,
         "token_estimate": textops.token_estimate,
@@ -106,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_deleted": bm25_oracle_sql(exclude_ids=DELETED_DOC_IDS),
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
+        "bm25_facets": bm25_facets_sql(),
         "term_df": f"""
             SELECT term, count(*) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({toks}))

@@ -234,6 +234,59 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+def bm25_facets(sf_dir: str, queries=DOC_QUERIES) -> pa.Table:
+    """(query_id, lang, n_matches): facet counts over ALL matching
+    docs per query — the search-plus-aggregation shape of the
+    reference's gallery facets (ApiApp.scala search endpoints return
+    hit counts per facet alongside the page). Matching = any query
+    term present (score > 0); facet values come from docmeta, joined
+    by one vectorized gather."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "lang"]
+    )
+    lang_vals = sorted(set(dm["lang"].to_pylist()))
+    lang_code = {v: i for i, v in enumerate(lang_vals)}
+    codes = np.zeros(s.space, dtype=np.int64)
+    codes[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [lang_code[v] for v in dm["lang"].to_pylist()], dtype=np.int64
+    )
+    rows = []
+    for qi, q in enumerate(queries):
+        hits = s.search_exact(q, k=s.space)
+        if not hits:
+            continue
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        cnt = np.bincount(codes[ids], minlength=len(lang_vals))
+        for ci in np.flatnonzero(cnt):
+            rows.append((qi, lang_vals[ci], int(cnt[ci])))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "n_matches": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def bm25_facets_sql(queries=DOC_QUERIES) -> str:
+    """Matching docs = docs containing ANY analyzed query term."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    parts = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(tok.tokens_of(q)))
+        lst = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"SELECT {qi} AS query_id, d.lang, count(DISTINCT d.doc_id)"
+            f" AS n_matches FROM documents d WHERE EXISTS ("
+            f"SELECT 1 FROM unnest({texpr.replace('text', 'd.text')}) "
+            f"AS u(t) WHERE t IN ({lst})) GROUP BY d.lang"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id, lang"
+
+
 PROXIMITY_QUERIES = (
     ("slow", "batch"),
     ("customer", "join"),
