@@ -111,7 +111,10 @@ def atomic_write_table(table, final_path: str) -> None:
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
     os.close(fd)
-    pq.write_table(table, tmp)
+    # ZSTD: docmeta's hex digests/uuids compress ~45% vs snappy and the
+    # dictionary ~25%, for ~1 ms extra per file — index bytes on disk
+    # are also index bytes shuffled/replicated at cluster scale
+    pq.write_table(table, tmp, compression="ZSTD")
     os.replace(tmp, final_path)
 
 
