@@ -20,6 +20,7 @@ from sotohp_ray.pipelines.fulltext import (
     DELETED_DOC_IDS,
     bm25_facets,
     bm25_facets_sql,
+    keyword_search_indexed,
     bm25_oracle_sql,
     bm25_topk,
     bm25_topk_deleted,
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
+        "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "term_df": textops.term_df,
         "token_counts": textops.token_counts,
         "token_estimate": textops.token_estimate,
@@ -110,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
+        "keyword_search_indexed": textops.keyword_search_sql(),
         "term_df": f"""
             SELECT term, count(*) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({toks}))

@@ -234,6 +234,29 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
+    """(doc_id,): docs whose analyzed term set contains ALL keywords,
+    answered FROM THE INVERTED INDEX (posting-set intersection bounded
+    by the keywords' df) instead of the full-corpus scan of
+    textops.keyword_search — same answer, same SQL oracle, the
+    index-backed retrieval path the reference's naive scan was a
+    placeholder for (MediaServiceLive.scala:108-112 'temporary')."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    eng2orig = np.zeros(s.space, dtype=np.int64)
+    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
+    )
+    hits = s.search_boolean(" ".join(keywords), mode="and")
+    out = np.sort(eng2orig[hits]) if hits.size else np.zeros(0, np.int64)
+    return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+
 def bm25_facets(sf_dir: str, queries=DOC_QUERIES) -> pa.Table:
     """(query_id, lang, n_matches): facet counts over ALL matching
     docs per query — the search-plus-aggregation shape of the

@@ -626,6 +626,42 @@ class Searcher:
         norm.sort(key=lambda t: (-t[0], t[1]))
         return [(d, s) for s, d in norm[:k]]
 
+    def search_boolean(
+        self, query: str, mode: str = "and"
+    ) -> np.ndarray:
+        """Unranked boolean retrieval over the inverted index: sorted
+        doc_ids containing ALL (``and``) or ANY (``or``) analyzed
+        query terms — the index-backed counterpart of the reference's
+        naive forall-contains scan (MediaServiceLive.scala:108-112).
+        Set algebra over decoded posting doc arrays (each sorted), so
+        cost is bounded by the query terms' df, not the corpus."""
+        toks = self.tok.tokens_of(query)
+        seen: list[str] = []
+        for t in toks:
+            if t not in seen:
+                seen.append(t)
+        present = [t for t in seen if t in self._row]
+        if mode == "and" and len(present) != len(seen):
+            return np.zeros(0, dtype=np.int64)  # a term matches nothing
+        if not present:
+            return np.zeros(0, dtype=np.int64)
+        sets = []
+        for t in present:
+            d, _ = self._decode_full(t)
+            sets.append(d.astype(np.int64))
+        sets.sort(key=len)  # intersect smallest-first
+        out = sets[0]
+        for d in sets[1:]:
+            if mode == "and":
+                out = out[np.isin(out, d, assume_unique=True, kind="sort")]
+                if out.size == 0:
+                    break
+            else:
+                out = np.union1d(out, d)
+        if self._deleted is not None and out.size:
+            out = out[~self._deleted[out]]
+        return out
+
     def search(self, query: str, k: int = 10, mode: str = "wand"):
         if mode == "exact":
             return self.search_exact(query, k)
