@@ -29,13 +29,7 @@ import sys
 import time
 
 BENCH_CORPUS = "/tmp/sotohp_bench_corpus"
-# Index OUTPUT goes to tmpfs: the scaling criterion is about the
-# ENGINE's N->4N behavior, and this VM's virtio disk (plus a ~3 GB
-# page-cache cap) otherwise makes every level writeback-bound by an
-# amount that varies run to run. A real cluster node has NVMe-class
-# bandwidth per core; tmpfs is the sandbox stand-in that lets the
-# proxy measure compute+shuffle instead of one VM's disk.
-BENCH_INDEX = "/dev/shm/sotohp_bench_index"
+BENCH_INDEX = "/tmp/sotohp_bench_index"
 
 
 def ensure_bench_corpus() -> str:
@@ -87,14 +81,24 @@ def run_headline(ncpu: int) -> dict:
     # individual build times vary up to 2x at high core counts; the
     # min is the sustained-throughput number the scaling criterion is
     # about (both runs are complete fresh builds)
+    build_only = os.environ.get("SOTOHP_BENCH_MODE") == "buildonly"
     t_build = None
-    for _ in range(2):
+    for _ in range(1 if build_only else 2):
         shutil.rmtree(BENCH_INDEX, ignore_errors=True)
         t0 = time.perf_counter()
         stats = build_index(corpus, BENCH_INDEX)
         t = time.perf_counter() - t0
         t_build = t if t_build is None else min(t_build, t)
     n_docs = stats["n_docs"]
+    if build_only:
+        return {
+            "index_build_sec": round(t_build, 3),
+            "index_build_docs_per_sec": round(n_docs / t_build, 1),
+            "t_phase1_sec": stats.get("t_phase1_sec"),
+            "t_merge_sec": stats.get("t_merge_sec"),
+            "n_docs": n_docs,
+            "num_cpus": ncpu,
+        }
 
     # query latency is measured on a FIXED-size serving shard (the
     # first 16 partitions, ~100k docs): at fleet scale queries fan out
@@ -261,53 +265,77 @@ def main():
             )
             ensure_bench_corpus()
             ray.shutdown()
-        # Three N->4N pairs on the same input, fresh process per level.
-        # All levels share ONE socket here, so higher levels contend for
-        # memory bandwidth that separate nodes of a real cluster would
-        # each bring — the low-contention 2->8 pair is the honest proxy
-        # for N->4N NODES; 4->16 and 8->32 are reported alongside to
-        # show the single-socket saturation curve.
-        levels = (2, 8, 4, 16, 32)
-        res = {}
-        for n in levels:
+        # The headline N->4N pair (2->8) runs INTERLEAVED in time —
+        # (2,8) x 3 rounds, each level a fresh process, pairing only
+        # ADJACENT runs — because this box's disk throughput drifts
+        # ~2x over tens of minutes: a sequential sweep can hand one
+        # level a degraded window and another a clean one, measuring
+        # the drift instead of the engine. The median adjacent-pair
+        # ratio cancels the drift. All levels share ONE socket, so
+        # higher levels also contend for memory bandwidth that
+        # separate nodes of a real cluster would each bring; 4->16 and
+        # 8->32 are reported single-shot to show that saturation
+        # curve, not as the criterion.
+        def run_level(n, mode="buildonly"):
             env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(n), SOTOHP_BENCH_MODE="headline"
+                os.environ, RAY_GRAFT_CPUS=str(n), SOTOHP_BENCH_MODE=mode
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
-            res[n] = json.loads(out.strip().splitlines()[-1])["queries"]
+            return json.loads(out.strip().splitlines()[-1])["queries"]
 
-        def eff(lo, hi):
-            return round(
-                (res[lo]["index_build_sec"] / res[hi]["index_build_sec"])
-                / (hi / lo),
-                3,
-            )
-
+        rounds = []
+        for _ in range(3):
+            r2 = run_level(2)
+            r8 = run_level(8)
+            rounds.append((r2["index_build_sec"], r8["index_build_sec"]))
+        ratios = sorted(
+            round((t2 / t8) / 4.0, 3) for t2, t8 in rounds
+        )
+        eff28 = ratios[len(ratios) // 2]  # median adjacent-pair ratio
+        # saturation-curve pairs also adjacent-in-time for the same
+        # reason (a degraded window once made the 16-CPU level read
+        # "slower" than the 4-CPU one)
+        r4 = run_level(4)
+        r16 = run_level(16)
+        r8b = run_level(8)
+        r32 = run_level(32)
+        singles = {4: r4, 16: r16, 32: r32}
+        best2 = min(t2 for t2, _ in rounds)
+        best8 = min([t8 for _, t8 in rounds] + [r8b["index_build_sec"]])
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
-                    "value": eff(2, 8),
+                    "value": eff28,
                     "unit": "ratio",
                     "pairs": {
-                        "2->8": eff(2, 8),
-                        "4->16": eff(4, 16),
-                        "8->32": eff(8, 32),
+                        "2->8": eff28,
+                        "2->8_all_rounds": ratios,
+                        "4->16": round(
+                            (singles[4]["index_build_sec"]
+                             / singles[16]["index_build_sec"]) / 4.0, 3),
+                        "8->32": round(
+                            (r8b["index_build_sec"]
+                             / singles[32]["index_build_sec"]) / 4.0, 3),
                     },
                     "build_sec": {
-                        str(n): res[n]["index_build_sec"] for n in levels
+                        "2": best2, "8": best8,
+                        **{str(n): singles[n]["index_build_sec"]
+                           for n in (4, 16, 32)},
                     },
                     "docs_per_sec": {
-                        str(n): res[n]["index_build_docs_per_sec"]
-                        for n in levels
+                        "2": round(1_200_000 / best2, 1),
+                        "8": round(1_200_000 / best8, 1),
+                        **{str(n): singles[n]["index_build_docs_per_sec"]
+                           for n in (4, 16, 32)},
                     },
                     "queries": {},
                     "sf": "bench_corpus_1200k",
-                    "num_cpus": sorted(levels),
+                    "num_cpus": [2, 4, 8, 16, 32],
                 }
             )
         )
@@ -329,7 +357,7 @@ def main():
 
     t_total0 = time.perf_counter()
     queries = run_headline(ncpu)
-    if os.environ.get("SOTOHP_BENCH_MODE") != "headline":
+    if os.environ.get("SOTOHP_BENCH_MODE") not in ("headline", "buildonly"):
         queries.update(run_sf_pipelines(sf_dir))
     total = time.perf_counter() - t_total0
     print(
