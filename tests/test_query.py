@@ -246,3 +246,47 @@ def test_df1_multi_tf_term_searchable(ray_session, tmp_path_factory):
     # proximity with the df==1 term
     pr = s.search_proximity("zebra", "common", window=4, k=5)
     assert [d_ for d_, _ in pr] == [hits[0][0]]
+
+
+def test_boolean_retrieval_matches_scan(small_index):
+    """Index-backed boolean AND/OR equals a Python scan of the
+    analyzed token streams; deleted docs are filtered."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    tok = CodeTokenizer()
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    key2id = {
+        (r, p, c): d
+        for r, p, c, d in zip(
+            dm["repo"].to_pylist(), dm["path"].to_pylist(),
+            dm["commit"].to_pylist(), dm["doc_id"].to_pylist(),
+        )
+    }
+    streams = {}
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            streams[key2id[(r, p, c)]] = set(tok.tokens_of(content))
+
+    for q, mode in (("query batch", "and"), ("query batch", "or"),
+                    ("zzz_absent batch", "and"), ("zzz_absent batch", "or")):
+        terms = tok.tokens_of(q)
+        if mode == "and":
+            expect = {d for d, ts in streams.items()
+                      if all(t in ts for t in terms)}
+        else:
+            expect = {d for d, ts in streams.items()
+                      if any(t in ts for t in terms)}
+        got = set(s.search_boolean(q, mode=mode).tolist())
+        assert got == expect, (q, mode)
