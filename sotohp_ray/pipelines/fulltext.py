@@ -92,6 +92,20 @@ def documents_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _eng2orig(index_dir: str, space: int) -> np.ndarray:
+    """Engine doc_id -> original doc_id gather array (docmeta path is
+    the zero-padded original id). ONE definition — several pipelines
+    map results back; a drifting copy would silently mis-map ids."""
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    out = np.zeros(space, dtype=np.int64)
+    out[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
+        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
+    )
+    return out
+
+
 def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
     """(query_id, doc_id, score): engine BM25 top-k per query, ranked
     by (round(score,4) desc, doc_id asc)."""
@@ -100,13 +114,7 @@ def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
     # engine doc_id -> original doc_id via docmeta path (zero-padded)
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
-    )
-    eng2orig = np.zeros(s.space, dtype=np.int64)
-    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
-    )
+    eng2orig = _eng2orig(index_dir, s.space)
     rows = []
     for qi, q in enumerate(queries):
         full = s.search_exact(q, k=s.space)  # all matches, exact scores
@@ -144,13 +152,7 @@ def phrase_topk(sf_dir: str, phrases=PHRASE_QUERIES, k: int = 10) -> pa.Table:
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
-    )
-    eng2orig = np.zeros(s.space, dtype=np.int64)
-    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
-    )
+    eng2orig = _eng2orig(index_dir, s.space)
     rows = []
     for qi, p in enumerate(phrases):
         full = s.search_phrase(p, k=s.space)
@@ -245,13 +247,15 @@ def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
-    )
-    eng2orig = np.zeros(s.space, dtype=np.int64)
-    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
-    )
+    # ORACLE PARITY: the SQL checks the LITERAL keyword against the
+    # analyzed token list, so a keyword the analyzer would drop
+    # ("42"), case-fold ("Fast") or split ("fooBar") can never match
+    # there — mirror that by requiring each keyword to round-trip the
+    # analyzer unchanged, else the result is empty
+    for kw in keywords:
+        if s.tok.tokens_of(kw) != [kw]:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+    eng2orig = _eng2orig(index_dir, s.space)
     hits = s.search_boolean(" ".join(keywords), mode="and")
     out = np.sort(eng2orig[hits]) if hits.size else np.zeros(0, np.int64)
     return pa.table({"doc_id": pa.array(out, pa.int64())})
@@ -279,10 +283,11 @@ def bm25_facets(sf_dir: str, queries=DOC_QUERIES) -> pa.Table:
     )
     rows = []
     for qi, q in enumerate(queries):
-        hits = s.search_exact(q, k=s.space)
-        if not hits:
+        # match set = boolean OR over the index (same score>0 docs as
+        # exact scoring, without scoring/sorting/objectifying them)
+        ids = s.search_boolean(q, mode="or")
+        if ids.size == 0:
             continue
-        ids = np.array([d for d, _ in hits], dtype=np.int64)
         cnt = np.bincount(codes[ids], minlength=len(lang_vals))
         for ci in np.flatnonzero(cnt):
             rows.append((qi, lang_vals[ci], int(cnt[ci])))
@@ -330,13 +335,7 @@ def proximity_topk(
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
-    )
-    eng2orig = np.zeros(s.space, dtype=np.int64)
-    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
-    )
+    eng2orig = _eng2orig(index_dir, s.space)
     rows = []
     for qi, (a, b) in enumerate(pairs):
         full = s.search_proximity(a, b, window=window, k=s.space)
@@ -457,13 +456,7 @@ def bm25_topk_deleted(
 
     index_dir = deleted_documents_index(sf_dir, deleted_ids)
     s = Searcher(index_dir)
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
-    )
-    eng2orig = np.zeros(s.space, dtype=np.int64)
-    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
-    )
+    eng2orig = _eng2orig(index_dir, s.space)
     rows = []
     for qi, q in enumerate(queries):
         full = s.search_exact(q, k=s.space)
@@ -565,16 +558,10 @@ def bm25_topk_distributed(sf_dir: str, queries=DOC_QUERIES, k: int = 10):
 
     index_dir = documents_index(sf_dir)
     dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+        os.path.join(index_dir, "docmeta"), columns=["doc_id"]
     )
-    n_docs = int(
-        np.max(dm["doc_id"].to_numpy(zero_copy_only=False)) + 1
-    )
-    eng2orig = np.zeros(n_docs, dtype=np.int64)
-    eng2orig[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
-    )
-    mapref = ray.put(eng2orig)
+    space = int(np.max(dm["doc_id"].to_numpy(zero_copy_only=False)) + 1)
+    mapref = ray.put(_eng2orig(index_dir, space))
     qds = ray.data.from_items(
         [{"query_id": i, "query": q} for i, q in enumerate(queries)]
     )

@@ -635,6 +635,8 @@ class Searcher:
         naive forall-contains scan (MediaServiceLive.scala:108-112).
         Set algebra over decoded posting doc arrays (each sorted), so
         cost is bounded by the query terms' df, not the corpus."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         toks = self.tok.tokens_of(query)
         seen: list[str] = []
         for t in toks:
@@ -649,15 +651,16 @@ class Searcher:
         for t in present:
             d, _ = self._decode_full(t)
             sets.append(d.astype(np.int64))
-        sets.sort(key=len)  # intersect smallest-first
-        out = sets[0]
-        for d in sets[1:]:
-            if mode == "and":
+        if mode == "or":
+            # one concat + unique beats T incremental union re-sorts
+            out = np.unique(np.concatenate(sets))
+        else:
+            sets.sort(key=len)  # intersect smallest-first
+            out = sets[0]
+            for d in sets[1:]:
                 out = out[np.isin(out, d, assume_unique=True, kind="sort")]
                 if out.size == 0:
                     break
-            else:
-                out = np.union1d(out, d)
         if self._deleted is not None and out.size:
             out = out[~self._deleted[out]]
         return out

@@ -389,9 +389,15 @@ def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
         tmp = tempfile.mkdtemp(
             dir=os.path.dirname(cache), prefix=f"bands-{key}.tmp-"
         )
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            stage, batch_format="pyarrow"
-        ).write_parquet(tmp)
+        try:
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                stage, batch_format="pyarrow"
+            ).write_parquet(tmp)
+        except BaseException:
+            # failed write must not leak a uniquely-named staging dir
+            # (nothing else ever reclaims it)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, cache)
         except OSError:  # concurrent builder won the rename
