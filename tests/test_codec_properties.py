@@ -119,3 +119,97 @@ def test_tokenizer_total_function(text):
         assert t == t.lower()
         assert t != ""
         assert not t.isdigit()
+
+
+# ---------------------------------------------------------- positions
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs_strategy, st.sampled_from([1, 2, 65536]))
+def test_positions_roundtrip_spimi_merge(token_docs, salt_rows):
+    """Positions survive SPIMI -> salt chunking -> merge byte-shuffle:
+    for every (term, doc), the decoded dictionary position stream
+    equals the brute positions in the analyzed token stream. Pure
+    in-process (no Ray): index_partition_table + merge_shard +
+    the Searcher's decode math."""
+    import pyarrow as pa
+
+    from sotohp_ray.config import IndexConfig
+    from sotohp_ray.stages.merge import merge_shard
+    from sotohp_ray.stages.spimi import index_partition_table
+
+    cfg = IndexConfig(num_term_shards=1, salt_rows=salt_rows)
+    n = len(token_docs)
+    t = pa.table({
+        "repo": pa.array(["r"] * n),
+        "path": pa.array([f"{i:05d}" for i in range(n)]),
+        "commit": pa.array(["0"] * n),
+        "lang": pa.array(["x"] * n),
+        "content": pa.array([" ".join(toks) for toks in token_docs]),
+    })
+    docmeta, partials, metrics = index_partition_table(t, 0, 0, cfg)
+    if partials.num_rows == 0:
+        return
+    d = merge_shard(
+        partials, n, max(metrics["token_count"] / max(n, 1), 1e-9), cfg
+    )
+    # docmeta order == path order == original doc index here
+    brute = {}
+    for i, toks in enumerate(token_docs):
+        for p, tok in enumerate(toks):
+            brute.setdefault(tok, {}).setdefault(i, []).append(p)
+
+    dfs = d["df"].to_numpy(zero_copy_only=False)
+    cfs = d["cf"].to_numpy(zero_copy_only=False)
+    for row in range(d.num_rows):
+        term = d["term"][row].as_py()
+        df, cf = int(dfs[row]), int(cfs[row])
+        # decode postings
+        if not d["blob"][row].is_valid:
+            docs = np.array([d["doc0"][row].as_py()], dtype=np.int64)
+            tfs = np.array([d["tf0"][row].as_py()], dtype=np.int64)
+        else:
+            last = d["block_last"][row].values.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            counts = np.full(last.size, cfg.block_size, dtype=np.int64)
+            counts[-1] = df - cfg.block_size * (last.size - 1)
+            docs_u, tfs_u = pcodec.decode_postings(
+                d["blob"][row].as_buffer(), df,
+                int(d["tf_base"][row].as_py()),
+                block_counts=counts,
+                gap_offs=d["block_gap_offs"][row].values.to_numpy(
+                    zero_copy_only=False),
+                tf_offs=d["block_tf_offs"][row].values.to_numpy(
+                    zero_copy_only=False),
+                codec=cfg.codec,
+            )
+            docs = docs_u.astype(np.int64)
+            tfs = tfs_u.astype(np.int64)
+        # decode positions (the Searcher's math)
+        if not d["pos_blob"][row].is_valid:
+            occ = np.array([d["pos0"][row].as_py()], dtype=np.int64)
+        else:
+            pg = pcodec.varint_decode(d["pos_blob"][row].as_buffer(), cf)
+            cum = np.cumsum(pg, dtype=np.uint64)
+            p_starts = np.zeros(docs.size, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=p_starts[1:])
+            base = np.zeros(docs.size, dtype=np.uint64)
+            base[1:] = cum[p_starts[1:] - 1]
+            occ = (cum - np.repeat(base, tfs)).astype(np.int64)
+        # compare per posting
+        off = 0
+        expect_docs = sorted(brute[term])
+        assert list(docs) == expect_docs, term
+        for doc, tf in zip(docs, tfs):
+            got = occ[off: off + tf].tolist()
+            assert got == brute[term][int(doc)], (term, doc)
+            off += tf
+        assert off == cf
