@@ -121,3 +121,83 @@ def test_compaction_equals_fresh_build(
 
     for q in ("def return value", "class data self", "import numpy"):
         assert by_key(s, index_dir, q) == by_key(sf, fresh_index, q)
+
+
+def test_compaction_matches_fresh_build_randomized(ray_session):
+    """Randomized compaction equivalence: for several random corpora
+    and delete sets (including whole-partition wipes and df==1-term
+    owners), delete+compact results equal a fresh build without the
+    deleted docs — compared by (path, score) so id sparsity doesn't
+    mask divergence."""
+    import random
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from sotohp_ray.config import IndexConfig
+
+    rng = random.Random(1234)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "uniq"]
+    for trial in range(4):
+        root = tempfile.mkdtemp(prefix="cmp_rand_", dir="/tmp")
+        try:
+            n = rng.randint(6, 14)
+            texts = []
+            for i in range(n):
+                toks = [rng.choice(words) for _ in range(rng.randint(1, 12))]
+                if i == 0:
+                    toks += [f"only{trial}"] * rng.randint(1, 3)  # df==1
+                texts.append(" ".join(toks))
+            mk = lambda lo, hi: pa.table({
+                "repo": pa.array(["r"] * (hi - lo)),
+                "path": pa.array([f"{i:05d}" for i in range(lo, hi)]),
+                "commit": pa.array(["0"] * (hi - lo)),
+                "lang": pa.array(["x"] * (hi - lo)),
+                "content": pa.array(texts[lo:hi]),
+            })
+            corpus = os.path.join(root, "corpus")
+            os.makedirs(corpus)
+            half = n // 2
+            pq.write_table(mk(0, half), os.path.join(corpus, "part-00000.parquet"))
+            pq.write_table(mk(half, n), os.path.join(corpus, "part-00001.parquet"))
+            idx = os.path.join(root, "idx")
+            build_index(corpus, idx, config=IndexConfig(num_term_shards=4))
+            # random delete set — sometimes an entire partition
+            if trial == 2:
+                dels = list(range(half))
+            else:
+                dels = sorted(rng.sample(range(n), rng.randint(1, n - 2)))
+            delete_docs(idx, paths=[f"{i:05d}" for i in dels])
+            compact_index(idx)
+
+            fresh_c = os.path.join(root, "fresh_corpus")
+            os.makedirs(fresh_c)
+            keep = [i for i in range(n) if i not in dels]
+            kt = pa.table({
+                "repo": pa.array(["r"] * len(keep)),
+                "path": pa.array([f"{i:05d}" for i in keep]),
+                "commit": pa.array(["0"] * len(keep)),
+                "lang": pa.array(["x"] * len(keep)),
+                "content": pa.array([texts[i] for i in keep]),
+            })
+            pq.write_table(kt, os.path.join(fresh_c, "part-00000.parquet"))
+            fresh_i = os.path.join(root, "fresh_idx")
+            build_index(fresh_c, fresh_i, config=IndexConfig(num_term_shards=4))
+
+            def by_key(idx_dir, query):
+                s = Searcher(idx_dir)
+                dm = pq.read_table(
+                    os.path.join(idx_dir, "docmeta"),
+                    columns=["doc_id", "path"],
+                )
+                p = dict(zip(dm["doc_id"].to_pylist(), dm["path"].to_pylist()))
+                return sorted(
+                    (p[d], round(sc, 9))
+                    for d, sc in s.search_exact(query, k=1000)
+                )
+
+            for q in words + [f"only{trial}", "alpha beta gamma"]:
+                assert by_key(idx, q) == by_key(fresh_i, q), (trial, q, dels)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
