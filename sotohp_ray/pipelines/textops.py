@@ -364,18 +364,12 @@ def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
     production dedup pipeline persists: signature computation is the
     expensive pass, every candidate/verify consumer is a cheap scan
     over it. Atomic dir rename = idempotent under concurrent builds."""
-    import hashlib as _hl
     import os
     import shutil
 
     import ray.data
 
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    key = _hl.sha256(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"mh{num_perm}-{bands}".encode()
-    ).hexdigest()[:12]
-    cache = os.path.join("/tmp", "sotohp_ray_cache", f"bands-{key}")
+    cache = _band_cache_dir(sf_dir, num_perm, bands)
     if not os.path.isdir(cache):
         def stage(batch: pa.Table) -> pa.Table:
             return MinHashStage.for_worker(num_perm, bands)(batch)
@@ -387,7 +381,8 @@ def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
 
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         tmp = tempfile.mkdtemp(
-            dir=os.path.dirname(cache), prefix=f"bands-{key}.tmp-"
+            dir=os.path.dirname(cache),
+            prefix=os.path.basename(cache) + ".tmp-",
         )
         try:
             _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -405,12 +400,56 @@ def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
     return ray.data.read_parquet(cache)
 
 
+def _band_cache_dir(sf_dir: str, num_perm: int, bands: int) -> str:
+    import hashlib as _hl
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = _hl.sha256(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"mh{num_perm}-{bands}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp", "sotohp_ray_cache", f"bands-{key}")
+
+
 def _minhash_members(sf_dir: str, num_perm: int = 64, bands: int = 16):
     """Band rows restricted to dup buckets: (doc_id, band, band_hash,
-    bkey) for every (doc, band) whose bucket has >1 member."""
+    bkey, coarse) for every (doc, band) whose bucket has >1 member.
+    Cached next to the band index (pure function of it): the dup-count
+    groupby + membership filter run once per corpus, and both
+    minhash_candidates and near_dup_pairs stream the result."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    band_cache = _band_cache_dir(sf_dir, num_perm, bands)
+    mem_cache = band_cache + "-members"
+    if os.path.isdir(mem_cache):
+        names = os.listdir(mem_cache)
+        if not names:  # no dup buckets in this corpus
+            return None
+        return ray.data.read_parquet(mem_cache)
     ds = _minhash_band_index(sf_dir, num_perm, bands)
     members, _ = _dup_members(ds)
-    return members
+    tmp = tempfile.mkdtemp(
+        dir=os.path.dirname(mem_cache),
+        prefix=os.path.basename(mem_cache) + ".tmp-",
+    )
+    try:
+        if members is not None:
+            members.write_parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, mem_cache)
+    except OSError:  # concurrent builder won
+        shutil.rmtree(tmp, ignore_errors=True)
+    if members is None:
+        return None
+    return ray.data.read_parquet(mem_cache)
 
 
 def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
