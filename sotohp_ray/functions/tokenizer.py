@@ -105,7 +105,11 @@ class CodeTokenizer:
         parents, flat = self.exploded(content)
         t = pa.table({"row_idx": parents, "term": flat})
         g = t.group_by(["row_idx", "term"]).aggregate([("term", "count")])
-        return g.rename_columns(["row_idx", "term", "tf"])
+        from sotohp_ray.utils import agg_select
+
+        return agg_select(
+            g, {"row_idx": "row_idx", "term": "term", "term_count": "tf"}
+        )
 
     def term_frequency_codes(
         self, content: pa.Array | pa.ChunkedArray

@@ -100,6 +100,26 @@ def _migrate_shard(path: str, out_path: str, old_codec: str,
     return int(has_blob.size)
 
 
+_MANIFEST = "_MANIFEST.json"  # '_' prefix: ignored by pyarrow datasets
+
+
+def _dict_fingerprint(dict_dir: str) -> str:
+    """Identity of a dictionary's CONTENTS: sorted (name, size,
+    mtime_ns) of its shard files. Any rewrite (compaction, rebuild,
+    re-merge) changes it; rename preserves it — so it ties a staging
+    dir to the exact source dictionary its shards were derived from."""
+    import hashlib
+
+    names = sorted(
+        n for n in os.listdir(dict_dir) if n.endswith(".parquet")
+    )
+    parts = []
+    for n in names:
+        st = os.stat(os.path.join(dict_dir, n))
+        parts.append(f"{n}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()
+
+
 def migrate_codec(index_dir: str, new_codec: str) -> dict:
     """Rewrite the final index's posting codec in place. Resumable;
     no-op if the index already uses ``new_codec``."""
@@ -116,7 +136,31 @@ def migrate_codec(index_dir: str, new_codec: str) -> dict:
 
     dict_dir = os.path.join(index_dir, "dictionary")
     staging = os.path.join(index_dir, f"dictionary.migrating-{new_codec}")
+    # resume trusts staged shards ONLY if the staging manifest proves
+    # they were derived from THIS dictionary (ADVICE r2: a dictionary
+    # rewritten between an interrupted migration and the retry would
+    # otherwise promote stale shards, resurrecting deleted docs)
+    src_fp = _dict_fingerprint(dict_dir)
+    man_path = os.path.join(staging, _MANIFEST)
+    if os.path.isdir(staging):
+        ok = False
+        if os.path.exists(man_path):
+            try:
+                with open(man_path) as f:
+                    man = json.load(f)
+                ok = (
+                    man.get("source_fingerprint") == src_fp
+                    and man.get("target_codec") == new_codec
+                )
+            except (OSError, ValueError):
+                ok = False
+        if not ok:
+            shutil.rmtree(staging)
     os.makedirs(staging, exist_ok=True)
+    if not os.path.exists(man_path):
+        lin.write_json(man_path, {
+            "source_fingerprint": src_fp, "target_codec": new_codec,
+        })
     shard_files = sorted(
         n for n in os.listdir(dict_dir) if n.endswith(".parquet")
     )
@@ -182,30 +226,68 @@ def migrate_codec(index_dir: str, new_codec: str) -> dict:
 def _recover_interrupted_swap(index_dir: str) -> None:
     """Finish a swap interrupted between its atomic steps (see the
     step list in ``migrate_codec``)."""
-    import glob
-
     dict_dir = os.path.join(index_dir, "dictionary")
     old_dir = dict_dir + ".old"
     next_cfg = os.path.join(index_dir, "config.json.next")
     if os.path.exists(next_cfg):
-        staged = glob.glob(os.path.join(index_dir, "dictionary.migrating-*"))
+        # the staging dir to promote is DERIVED from the codec the
+        # intent record names — a glob()[0] once picked a different
+        # codec's leftover staging dir, leaving blobs under a
+        # mismatched codec config (ADVICE r2)
+        try:
+            with open(next_cfg) as f:
+                next_codec = IndexConfig.from_json(f.read()).codec
+        except (OSError, ValueError):
+            next_codec = None
+        staging = (
+            os.path.join(index_dir, f"dictionary.migrating-{next_codec}")
+            if next_codec
+            else None
+        )
         if not os.path.isdir(dict_dir):
-            # killed between (2) and (3): promote the staging dir
-            # (next_cfg existing proves staging was complete)
-            if staged:
-                os.replace(staged[0], dict_dir)
-            elif os.path.isdir(old_dir):  # staging vanished: roll back
+            # killed between (2) and (3): promote the staging dir —
+            # but only if its manifest ties it to the dictionary now
+            # sitting at .old (rename preserves mtimes, so the
+            # fingerprints match iff the staged shards were derived
+            # from exactly that dictionary)
+            promote = False
+            if staging and os.path.isdir(staging):
+                man_path = os.path.join(staging, _MANIFEST)
+                try:
+                    with open(man_path) as f:
+                        man = json.load(f)
+                    promote = (
+                        man.get("target_codec") == next_codec
+                        and (
+                            not os.path.isdir(old_dir)
+                            or man.get("source_fingerprint")
+                            == _dict_fingerprint(old_dir)
+                        )
+                    )
+                except (OSError, ValueError):
+                    promote = False
+            if promote:
+                os.replace(staging, dict_dir)
+            elif os.path.isdir(old_dir):  # stale/absent staging: roll back
                 os.replace(old_dir, dict_dir)
                 os.remove(next_cfg)
                 return
         # re-evaluate after any promote above — a stale `staged` list
         # here once skipped the config promote and left pfor bytes
         # under a varint config
-        if os.path.isdir(dict_dir) and not glob.glob(
-            os.path.join(index_dir, "dictionary.migrating-*")
+        if (
+            next_codec
+            and os.path.isdir(dict_dir)
+            and not os.path.isdir(staging)
         ):
             # killed between (3) and (4): promote the config
             os.replace(next_cfg, os.path.join(index_dir, "config.json"))
+        elif next_codec is None and os.path.isdir(dict_dir):
+            # unreadable intent record with the dictionary intact:
+            # drop it rather than ever promoting garbage over
+            # config.json (write_json is atomic, so this is a
+            # never-in-practice guard)
+            os.remove(next_cfg)
         # killed before (2) with both dirs intact: leave next_cfg for
         # the caller's normal path (it rewrites it after staging)
     if os.path.isdir(old_dir) and not os.path.exists(next_cfg):

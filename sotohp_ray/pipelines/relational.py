@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from sotohp_ray.utils import agg_select
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
@@ -47,10 +49,12 @@ def q1_pricing_summary(sf_dir: str):
             [("l_quantity", "sum"), ("l_extendedprice", "sum"),
              ("disc_price", "sum"), ([], "count_all")]
         )
-        return g.rename_columns([
-            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-            "sum_disc_price", "count_order",
-        ])
+        return agg_select(g, {
+            "l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+            "l_quantity_sum": "sum_qty",
+            "l_extendedprice_sum": "sum_base_price",
+            "disc_price_sum": "sum_disc_price", "count_all": "count_order",
+        })
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -168,7 +172,10 @@ def events_hourly(sf_dir: str):
         g = batch.group_by(["user_id", "hour"]).aggregate(
             [([], "count_all"), ("value", "sum")]
         )
-        return g.rename_columns(["user_id", "hour", "n_events", "value_sum"])
+        return agg_select(g, {
+            "user_id": "user_id", "hour": "hour",
+            "count_all": "n_events", "value_sum": "value_sum",
+        })
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -252,7 +259,10 @@ def events_type_stats(sf_dir: str):
         g = batch.group_by("event_type").aggregate(
             [([], "count_all"), ("value", "sum")]
         )
-        return g.rename_columns(["event_type", "n", "value_sum"])
+        return agg_select(g, {
+            "event_type": "event_type",
+            "count_all": "n", "value_sum": "value_sum",
+        })
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -668,7 +678,10 @@ def parts_per_brand(sf_dir: str):
         g = batch.group_by("p_brand").aggregate(
             [([], "count_all"), ("p_retailprice", "sum")]
         )
-        return g.rename_columns(["p_brand", "n_parts", "price_sum"])
+        return agg_select(g, {
+            "p_brand": "p_brand",
+            "count_all": "n_parts", "p_retailprice_sum": "price_sum",
+        })
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 
 from sotohp_ray.functions.hashing import minhash_params
 from sotohp_ray.functions.tokenizer import CodeTokenizer
+from sotohp_ray.utils import agg_select
 
 _TOK = CodeTokenizer()
 
@@ -135,7 +136,7 @@ def term_df(sf_dir: str):
             .group_by("term")
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["term", "df_partial"])
+        return agg_select(g, {"term": "term", "count_all": "df_partial"})
 
     ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby("term").aggregate(Sum("df_partial", alias_name="df"))
@@ -371,6 +372,9 @@ def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
 
     cache = _band_cache_dir(sf_dir, num_perm, bands)
     if not os.path.isdir(cache):
+        _evict_stale_band_caches(
+            sf_dir, num_perm, bands, os.path.basename(cache)
+        )
         def stage(batch: pa.Table) -> pa.Table:
             return MinHashStage.for_worker(num_perm, bands)(batch)
 
@@ -397,7 +401,52 @@ def _minhash_band_index(sf_dir: str, num_perm: int = 64, bands: int = 16):
             os.rename(tmp, cache)
         except OSError:  # concurrent builder won the rename
             shutil.rmtree(tmp, ignore_errors=True)
+        # sidecar records which (corpus, params) this key belongs to,
+        # so a later rebuild after the corpus changes can evict it
+        with open(cache + ".src", "w") as f:
+            f.write(_band_src_tag(sf_dir, num_perm, bands))
     return ray.data.read_parquet(cache)
+
+
+def _band_src_tag(sf_dir: str, num_perm: int, bands: int) -> str:
+    import os
+
+    return f"{os.path.abspath(sf_dir)}\nmh{num_perm}-{bands}"
+
+
+def _evict_stale_band_caches(
+    sf_dir: str, num_perm: int, bands: int, current_base: str
+) -> None:
+    """Drop band/member cache dirs left by EARLIER versions of this
+    (corpus, params) — the key embeds the corpus file's size+mtime, so
+    every corpus rewrite would otherwise leak a full band-rows +
+    members copy on disk forever (ADVICE r2). Only dirs whose sidecar
+    records the SAME corpus path and params are touched; caches for
+    other corpora or other (num_perm, bands) settings stay."""
+    import glob
+    import os
+    import shutil
+
+    root = os.path.join("/tmp", "sotohp_ray_cache")
+    cur_tag = _band_src_tag(sf_dir, num_perm, bands)
+    for src in glob.glob(os.path.join(root, "bands-*.src")):
+        base = os.path.basename(src)[: -len(".src")]
+        if base == current_base:
+            continue
+        try:
+            with open(src) as f:
+                tag = f.read()
+        except OSError:
+            continue
+        if tag != cur_tag:
+            continue  # different corpus or params: still valid
+        shutil.rmtree(os.path.join(root, base), ignore_errors=True)
+        shutil.rmtree(os.path.join(root, base + "-members"),
+                      ignore_errors=True)
+        try:
+            os.remove(src)
+        except OSError:
+            pass
 
 
 def _band_cache_dir(sf_dir: str, num_perm: int, bands: int) -> str:
@@ -959,7 +1008,9 @@ def bigram_counts(sf_dir: str, min_count: int = 5):
             "t2": flat.slice(1, nt - 1).filter(pa.array(same_doc)),
         })
         g = t.group_by(["t1", "t2"]).aggregate([("t1", "count")])
-        return g.rename_columns(["t1", "t2", "n_partial"])
+        return agg_select(
+            g, {"t1": "t1", "t2": "t2", "t1_count": "n_partial"}
+        )
 
     agg = (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1010,7 +1061,9 @@ def doc_length_histogram(sf_dir: str, bucket: int = 100):
             .group_by("bucket_lo")
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["bucket_lo", "n_partial"])
+        return agg_select(
+            g, {"bucket_lo": "bucket_lo", "count_all": "n_partial"}
+        )
 
     return (
         _docs(sf_dir, ["n_chars"])
@@ -1052,10 +1105,15 @@ def sample_random(sf_dir: str, rate_ppm: int = SAMPLE_RATE_PPM):
 
 
 def sample_random_sql(rate_ppm: int = SAMPLE_RATE_PPM) -> str:
+    # HUGEINT (int128) product, then % 2^32: BIGINT would overflow
+    # (error) for doc_id above ~3.5e9, while the engine path wraps in
+    # uint64 — and (id*MUL mod 2^64) mod 2^32 == (id*MUL) mod 2^32
+    # exactly (2^32 divides 2^64), so the int128 form matches the
+    # numpy wrap for every non-negative doc_id
     threshold = (rate_ppm * (1 << 32)) // 1_000_000
     return f"""
         SELECT doc_id, lang FROM documents
-        WHERE (doc_id * {_SAMPLE_MUL}) % 4294967296 < {threshold}
+        WHERE (doc_id::HUGEINT * {_SAMPLE_MUL}) % 4294967296 < {threshold}
     """
 
 

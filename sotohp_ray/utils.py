@@ -3,6 +3,18 @@
 from __future__ import annotations
 
 
+def agg_select(t, mapping: dict[str, str]):
+    """Rename + reorder a ``pa.Table.group_by().aggregate()`` output BY
+    NAME: ``mapping`` is {pyarrow_output_name: new_name} covering every
+    wanted column. The key-vs-aggregate column ORDER of pyarrow's
+    aggregate output has differed across versions, so a positional
+    ``rename_columns`` can silently swap keys with sums on an upgrade;
+    selecting by name fails loudly (KeyError) instead."""
+    import pyarrow as pa
+
+    return pa.table({new: t[old] for old, new in mapping.items()})
+
+
 def actor_pool_size(max_frac: float = 1.0, cap: int = 64) -> tuple[int, int]:
     """Autoscaling ``concurrency=(min, max)`` for an actor-pool
     ``map_batches`` stage, derived from the cluster's CPU count instead

@@ -347,7 +347,9 @@ def test_migration_swap_recovery(ray_session, tiny_corpus, tmp_path_factory):
     shutil.copytree(dict_dir, staging)  # stand-in for staged output
     # re-encode staging for real so contents are valid pfor
     shutil.rmtree(staging)
-    from sotohp_ray.pipelines.migrate import _migrate_shard
+    from sotohp_ray.pipelines.migrate import (
+        _MANIFEST, _dict_fingerprint, _migrate_shard,
+    )
 
     os.makedirs(staging)
     for name in sorted(os.listdir(dict_dir)):
@@ -358,6 +360,11 @@ def test_migration_swap_recovery(ray_session, tiny_corpus, tmp_path_factory):
             )
     from sotohp_ray.state.lineage import write_json
 
+    # a real migration stamps the staging dir before staging shards
+    write_json(os.path.join(staging, _MANIFEST), {
+        "source_fingerprint": _dict_fingerprint(dict_dir),
+        "target_codec": "pfor",
+    })
     cfg = IndexConfig(codec="pfor")
     write_json(os.path.join(index_dir, "config.json.next"),
                json.loads(cfg.to_json()))
@@ -370,6 +377,104 @@ def test_migration_swap_recovery(ray_session, tiny_corpus, tmp_path_factory):
     assert s1.search_exact("def return value", k=20) == before
     assert not os.path.exists(os.path.join(index_dir, "config.json.next"))
     assert not os.path.isdir(dict_dir + ".old")
+
+
+def test_migration_stale_staging_discarded(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """A staging dir left by an interrupted migration must be DISCARDED
+    when the dictionary was rewritten in between (delete+compact here):
+    resuming by filename alone would promote pre-compaction postings
+    and resurrect deleted docs (ADVICE r2, medium)."""
+    import shutil
+
+    from sotohp_ray.pipelines.delete import compact_index, delete_docs
+    from sotohp_ray.pipelines.migrate import (
+        _MANIFEST, _dict_fingerprint, _migrate_shard, migrate_codec,
+    )
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.state.lineage import write_json
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_stale_staging"))
+    build_index(corpus_dir, index_dir, config=IndexConfig(codec="varint"))
+    dict_dir = os.path.join(index_dir, "dictionary")
+    staging = os.path.join(index_dir, "dictionary.migrating-pfor")
+
+    # interrupted migration: staging fully written, swap never started
+    os.makedirs(staging)
+    write_json(os.path.join(staging, _MANIFEST), {
+        "source_fingerprint": _dict_fingerprint(dict_dir),
+        "target_codec": "pfor",
+    })
+    for name in sorted(os.listdir(dict_dir)):
+        if name.endswith(".parquet"):
+            _migrate_shard(
+                os.path.join(dict_dir, name), os.path.join(staging, name),
+                "varint", "pfor", IndexConfig().block_size,
+            )
+
+    # dictionary rewritten between the interrupt and the retry
+    s0 = Searcher(index_dir)
+    victim = s0.search_exact("def return value", k=1)[0][0]
+    delete_docs(index_dir, engine_doc_ids=[victim])
+    compact_index(index_dir)
+    expected = Searcher(index_dir).search_exact("def return value", k=20)
+    assert all(d != victim for d, _ in expected)
+
+    out = migrate_codec(index_dir, "pfor")
+    assert out["noop"] is False
+    got = Searcher(index_dir).search_exact("def return value", k=20)
+    assert got == expected  # stale staged shards were NOT promoted
+    assert all(d != victim for d, _ in got)
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def test_recovery_staging_derived_from_intent_codec(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """Recovery must promote the staging dir NAMED BY config.json.next,
+    not an alphabetically-first leftover from a different codec's
+    abandoned migration (ADVICE r2: glob()[0] picked the wrong dir)."""
+    from sotohp_ray.pipelines.migrate import (
+        _MANIFEST, _dict_fingerprint, _migrate_shard, migrate_codec,
+    )
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.state.lineage import write_json
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_intent_codec"))
+    build_index(corpus_dir, index_dir, config=IndexConfig(codec="pfor"))
+    before = Searcher(index_dir).search_exact("def return value", k=20)
+    dict_dir = os.path.join(index_dir, "dictionary")
+
+    # abandoned leftover that sorts BEFORE the real staging dir
+    leftover = os.path.join(index_dir, "dictionary.migrating-aaa")
+    os.makedirs(leftover)
+
+    # real crash state: migrating pfor -> varint, killed between the
+    # dictionary rename (2) and the staging promote (3)
+    staging = os.path.join(index_dir, "dictionary.migrating-varint")
+    os.makedirs(staging)
+    write_json(os.path.join(staging, _MANIFEST), {
+        "source_fingerprint": _dict_fingerprint(dict_dir),
+        "target_codec": "varint",
+    })
+    for name in sorted(os.listdir(dict_dir)):
+        if name.endswith(".parquet"):
+            _migrate_shard(
+                os.path.join(dict_dir, name), os.path.join(staging, name),
+                "pfor", "varint", IndexConfig().block_size,
+            )
+    write_json(os.path.join(index_dir, "config.json.next"),
+               json.loads(IndexConfig(codec="varint").to_json()))
+    os.replace(dict_dir, dict_dir + ".old")  # crash right here
+
+    out = migrate_codec(index_dir, "varint")
+    assert out["noop"] is True  # recovery finished the varint swap
+    s1 = Searcher(index_dir)
+    assert s1.config.codec == "varint"
+    assert s1.search_exact("def return value", k=20) == before
 
 
 def test_build_after_compaction_keeps_doc_id_space(
