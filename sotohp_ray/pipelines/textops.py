@@ -546,6 +546,34 @@ def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     )
 
 
+def _clique_pairs(keys: np.ndarray, ids: np.ndarray):
+    """All within-group pairs (doc_a < doc_b) for rows grouped by
+    ``keys`` — vectorized per distinct group SIZE (one triu gather per
+    size, not one Python iteration per pair). Used to expand
+    identical-content cliques exactly once."""
+    order = np.lexsort((ids, keys))
+    k, v = keys[order], ids[order]
+    if k.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+    lens = np.diff(np.concatenate((starts, [k.size])))
+    pa_, pb_ = [], []
+    for L in np.unique(lens):
+        if L < 2:
+            continue
+        S = starts[lens == L]
+        gather = v[S[:, None] + np.arange(L)[None, :]]
+        iu, ju = np.triu_indices(int(L), 1)
+        pa_.append(gather[:, iu].ravel())
+        pb_.append(gather[:, ju].ravel())
+    if not pa_:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return (
+        np.concatenate(pa_).astype(np.int64),
+        np.concatenate(pb_).astype(np.int64),
+    )
+
+
 def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     """Verified near-dup pairs: LSH candidates -> exact n-gram Jaccard
     check, with the VERIFICATION distributed too (the round-1 version
@@ -595,6 +623,8 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
                 "doc_id": pa.array([], pa.int64()),
                 "bkey": pa.array([], pa.int64()),
                 "shingles": pa.array([], pa.large_list(pa.uint64())),
+                "ckey": pa.array([], pa.int64()),
+                "n_sh": pa.array([], pa.int64()),
                 "dkey": pa.array([], pa.int64()),
             })
         parents, flat = _TOK.exploded(_text_col(out))
@@ -641,70 +671,215 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
             pa.array(offsets, pa.int64()),
             pa.array(sh_val, pa.uint64()),
         )
+        # content key: 64-bit digest of the sorted-unique shingle set.
+        # Docs with equal ckey have IDENTICAL shingle sets, so the
+        # verify stage collapses them to one representative (the
+        # mega-bucket fix: a crawl cluster of B identical boilerplate
+        # docs costs 1 rep, not B^2/2 pair checks). Python loop is over
+        # CANDIDATE docs only (already LSH-filtered).
+        import hashlib as _hl
+
+        ckey = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            seg = sh_val[offsets[i]:offsets[i + 1]]
+            ckey[i] = np.int64(np.uint64(int.from_bytes(
+                _hl.blake2b(seg.tobytes(), digest_size=8).digest(), "little"
+            )))
+        # n_sh lets the clique path exclude empty shingle sets (their
+        # jaccard is 0 against everything — the union-0 contract — so
+        # a shared empty-set ckey must never form an "identical"
+        # clique). Kept as a plain int64 column, NOT a null mask: a
+        # nullable int64 becomes float64 in pandas and float64 cannot
+        # represent a full-range 64-bit content key exactly.
         d = out["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": out["doc_id"].cast(pa.int64()),
             "bkey": pa.array(np.full(n, -1, np.int64)),
             "shingles": shingles,
+            "ckey": pa.array(ckey, pa.int64()),
+            "n_sh": pa.array(
+                (offsets[1:] - offsets[:-1]).astype(np.int64), pa.int64()
+            ),
             "dkey": pa.array((d & 0xFF).astype(np.int64), pa.int64()),
         })
 
+    # materialized: the shingle rows feed BOTH the bucket-verify path
+    # and the identical-clique path below — without this the expensive
+    # shingle stage would execute twice (candidate-sized, spillable)
     texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _cand_shingles, batch_format="pyarrow"
-    )
+    ).materialize()
 
     def _tag_member(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "bkey": batch["bkey"].cast(pa.int64()),
             "shingles": pa.nulls(batch.num_rows, pa.large_list(pa.uint64())),
+            "ckey": z,  # placeholder; attach takes ckey from text rows
+            "n_sh": z,
             "dkey": pa.array((d & 0xFF).astype(np.int64), pa.int64()),
         })
 
     both = mem.map_batches(_tag_member, batch_format="pyarrow").union(texts)
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.loc[g["bkey"] == -1, ["doc_id", "shingles"]].drop_duplicates(
-            "doc_id"
-        )
+        t = g.loc[
+            g["bkey"] == -1, ["doc_id", "shingles", "ckey"]
+        ].drop_duplicates("doc_id")
         m = g.loc[g["bkey"] != -1, ["doc_id", "bkey"]]
         out = m.merge(t, on="doc_id", how="inner")
         out["coarse"] = (out["bkey"].to_numpy() & 0xFF).astype("int64")
-        return out[["coarse", "bkey", "doc_id", "shingles"]]
+        return out[["coarse", "bkey", "doc_id", "shingles", "ckey"]]
 
     bucketed = both.groupby("dkey").map_groups(attach, batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # one coarse group = many whole buckets; all-pairs exact
-        # Jaccard on the precomputed sorted shingle sets
-        ra, rb, rj = [], [], []
+        # One coarse group = many whole buckets. The mega-bucket fix
+        # rests on one invariant: equal shingle SETS (equal ckey) =>
+        # equal MinHash signature => equal band hashes => identical
+        # bucket membership. So:
+        # (1) collapse the GROUP to its distinct content keys once
+        #     (members per ckey are the same in every bucket);
+        # (2) per bucket, verify REP pairs only — exact Jaccard,
+        #     vectorized as a sort-merge over the concatenated rep
+        #     shingle arrays (runs of an equal shingle value contribute
+        #     1 to every rep pair in the run — no per-pair
+        #     np.intersect1d) — and dedup rep pairs across buckets;
+        # (3) expand passing rep pairs to the members' cross product
+        #     ONCE per group. Same-content (same-ckey) pairs are NOT
+        #     emitted here at all — the dedicated clique path in
+        #     ``near_dup_pairs`` emits each identical-content clique
+        #     exactly once globally. A crawl cluster of B identical
+        #     docs costs one rep here, not B^2/2 pair checks per band
+        #     bucket.
+        uniq_docs = g.drop_duplicates("doc_id")
+        dids = uniq_docs["doc_id"].to_numpy()
+        shs = uniq_docs["shingles"].to_numpy()
+        cks = uniq_docs["ckey"].to_numpy().astype(np.int64)
+        lens = np.fromiter(
+            (len(s) for s in shs), count=dids.size, dtype=np.int64
+        )
+        # a doc with no shingles has jaccard 0 against everything
+        # (including another empty doc — union 0 -> 0.0 contract)
+        nz = lens > 0
+        dids, shs, cks, lens = dids[nz], shs[nz], cks[nz], lens[nz]
+        empty = pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        })
+        if dids.size < 2:
+            return empty
+        uniq_ck, inv = np.unique(cks, return_inverse=True)
+        R = uniq_ck.size
+        # members sorted by doc_id within each rep group
+        morder = np.lexsort((dids, inv))
+        msort = dids[morder]
+        starts = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(np.bincount(inv, minlength=R), out=starts[1:])
+        rep_rows = morder[starts[:-1]]
+        rlens = lens[rep_rows]
+        passing: dict[tuple[int, int], float] = {}
         for _, b in g.groupby("bkey", sort=False):
-            ids = b["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            shs = b["shingles"].to_numpy()[order]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    sa = np.asarray(shs[i], dtype=np.uint64)
-                    sb = np.asarray(shs[j], dtype=np.uint64)
-                    inter = np.intersect1d(sa, sb).size
-                    union = sa.size + sb.size - inter
-                    jac = inter / union if union else 0.0
-                    if jac >= threshold:
-                        ra.append(int(ids[i]))
-                        rb.append(int(ids[j]))
-                        rj.append(round(jac, 6))
-        out = pd.DataFrame({"doc_a": ra, "doc_b": rb, "jaccard": rj})
+            bck = np.unique(b["ckey"].to_numpy().astype(np.int64))
+            # map bucket ckeys -> group rep indices (drop empty-shingle
+            # ckeys, which were filtered from uniq_ck)
+            pos = np.searchsorted(uniq_ck, bck)
+            valid = pos < R
+            pos, bv = pos[valid], bck[valid]
+            ridx_all = pos[uniq_ck[pos] == bv]
+            Rb = ridx_all.size
+            if Rb < 2:
+                continue
+            vals = np.concatenate(
+                [np.asarray(shs[rep_rows[r]], dtype=np.uint64)
+                 for r in ridx_all]
+            )
+            ridx = np.repeat(ridx_all, rlens[ridx_all])
+            o2 = np.argsort(vals, kind="stable")
+            sv, si = vals[o2], ridx[o2]
+            bnd = np.flatnonzero(np.diff(sv)) + 1
+            rstarts = np.concatenate(([0], bnd))
+            rl = np.diff(np.concatenate((rstarts, [sv.size])))
+            key_parts = []
+            for L in np.unique(rl):
+                if L < 2:
+                    continue
+                S = rstarts[rl == L]
+                gather = si[S[:, None] + np.arange(L)[None, :]]
+                iu, ju = np.triu_indices(int(L), 1)
+                A = gather[:, iu].ravel()
+                B = gather[:, ju].ravel()
+                key_parts.append(np.minimum(A, B) * R + np.maximum(A, B))
+            if not key_parts:
+                continue
+            uk, inter = np.unique(
+                np.concatenate(key_parts), return_counts=True
+            )
+            lo, hi = uk // R, uk % R
+            union = rlens[lo] + rlens[hi] - inter
+            jac = inter / union
+            ok = jac >= threshold
+            for a_r, b_r, j in zip(lo[ok], hi[ok], jac[ok]):
+                passing.setdefault((int(a_r), int(b_r)), float(j))
+        ra, rb, rj = [], [], []
+        # cross-content expansion, once per passing rep pair
+        for (a_r, b_r), j in passing.items():
+            ma = msort[starts[a_r]:starts[a_r + 1]]
+            mb = msort[starts[b_r]:starts[b_r + 1]]
+            A = np.repeat(ma, mb.size)
+            B = np.tile(mb, ma.size)
+            ra.append(np.minimum(A, B))
+            rb.append(np.maximum(A, B))
+            rj.append(np.full(A.size, round(j, 6)))
+        if not ra:
+            return empty
+        out = pd.DataFrame({
+            "doc_a": np.concatenate(ra).astype("int64"),
+            "doc_b": np.concatenate(rb).astype("int64"),
+            "jaccard": np.concatenate(rj),
+        })
         return out.drop_duplicates(["doc_a", "doc_b"])
 
     pairs = bucketed.groupby("coarse").map_groups(
         verify, batch_format="pandas"
     )
+
+    # identical-content cliques (jaccard exactly 1.0), emitted ONCE
+    # globally: equal shingle sets => equal MinHash signature =>
+    # identical bucket membership, so every same-ckey pair is a
+    # guaranteed LSH candidate and needs no verification. The dup-ckey
+    # member list is found distributed (count groupby + broadcast
+    # filter); the expansion itself is output-sized.
+    def _ck_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["n_sh"], 0))
+        return pa.table({"doc_id": t["doc_id"], "bkey": t["ckey"]})
+
+    eq_frames = []
+    if threshold <= 1.0:
+        eq_members, _ = _dup_members(
+            texts.map_batches(_ck_rows, batch_format="pyarrow")
+        )
+        if eq_members is not None:
+            em = eq_members.select_columns(["doc_id", "bkey"]).to_pandas()
+            a, b = _clique_pairs(
+                em["bkey"].to_numpy(), em["doc_id"].to_numpy()
+            )
+            import pandas as _pd
+
+            eq_frames.append(_pd.DataFrame({
+                "doc_a": a, "doc_b": b,
+                "jaccard": np.full(a.size, 1.0),
+            }))
+
     # cross-group dedup + ordering on the RESULT set (output-sized —
     # the verified pair list is what the caller materializes anyway;
     # within-group dupes were already dropped distributed)
-    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    out = pd.concat(
+        [pairs.to_pandas()] + eq_frames, ignore_index=True
+    ).drop_duplicates(["doc_a", "doc_b"])
     return pa.Table.from_pandas(
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         preserve_index=False,
@@ -796,28 +971,60 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
         return empty
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # one coarse group = many whole buckets; vectorized pairwise
-        # hamming within each bucket, dedup within the group
-        pa_, pb_ = [], []
+        # One coarse group = many whole buckets. Bucket membership is a
+        # function of the SIGNATURE (band16 slices of it), so docs with
+        # identical sigs collapse to one representative for the whole
+        # group: per bucket only the DISTINCT sigs present are
+        # pairwise-hammed (in bounded row chunks), passing rep pairs
+        # are deduped across buckets and expanded ONCE to the members'
+        # cross product. Identical-sig (hamming-0) cliques are emitted
+        # by the dedicated clique path in ``simhash_near_dups``, not
+        # here — a mega-bucket of B identical docs costs one rep, not
+        # a B x B hamming matrix per band.
+        uniq_docs = g.drop_duplicates("doc_id")
+        dids = uniq_docs["doc_id"].to_numpy()
+        sgs = uniq_docs["sig"].to_numpy().astype(np.uint64)
+        empty = pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64")})
+        if dids.size < 2:
+            return empty
+        uniq, inv = np.unique(sgs, return_inverse=True)
+        R = uniq.size
+        morder = np.lexsort((dids, inv))
+        msort = dids[morder]  # ascending within each sig group
+        starts = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(np.bincount(inv, minlength=R), out=starts[1:])
+        passing: set[tuple[int, int]] = set()
+        CHUNK = 2048  # caps the xor matrix at CHUNK x Rb
         for _, b in g.groupby("bkey", sort=False):
-            if len(b) < 2:
+            bsig = np.unique(b["sig"].to_numpy().astype(np.uint64))
+            ridx = np.searchsorted(uniq, bsig)
+            Rb = ridx.size
+            if Rb < 2:
                 continue
-            ids = b["doc_id"].to_numpy()
-            sigs = b["sig"].to_numpy().astype(np.uint64)
-            order = np.argsort(ids)
-            ids, sigs = ids[order], sigs[order]
-            x = sigs[:, None] ^ sigs[None, :]
-            ham = np.unpackbits(
-                x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
-            ).sum(axis=2)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = ham[iu, ju] <= max_hamming
-            pa_.append(ids[iu[keep]])
-            pb_.append(ids[ju[keep]])
+            bu = uniq[ridx]
+            for c0 in range(0, Rb, CHUNK):
+                chunk = bu[c0:c0 + CHUNK]
+                x = chunk[:, None] ^ bu[None, :]
+                ham = np.unpackbits(
+                    x.view(np.uint8).reshape(chunk.size, Rb, 8), axis=2
+                ).sum(axis=2)
+                ci, cj = np.nonzero(ham <= max_hamming)
+                gi, gj = ridx[ci + c0], ridx[cj]
+                keep = gi < gj  # upper triangle only; skips same-sig
+                for a_r, b_r in zip(gi[keep], gj[keep]):
+                    passing.add((int(a_r), int(b_r)))
+        pa_, pb_ = [], []
+        for a_r, b_r in passing:
+            ma = msort[starts[a_r]:starts[a_r + 1]]
+            mb = msort[starts[b_r]:starts[b_r + 1]]
+            A = np.repeat(ma, mb.size)
+            B = np.tile(mb, ma.size)
+            pa_.append(np.minimum(A, B))
+            pb_.append(np.maximum(A, B))
         if not pa_:
-            return pd.DataFrame({
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64")})
+            return empty
         out = pd.DataFrame({
             "doc_a": np.concatenate(pa_).astype("int64"),
             "doc_b": np.concatenate(pb_).astype("int64"),
@@ -827,8 +1034,39 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
     pairs = members.groupby("coarse").map_groups(
         verify, batch_format="pandas"
     )
+
+    # identical-sig cliques (hamming 0), emitted ONCE globally: equal
+    # sigs => identical band buckets, so every same-sig pair is a
+    # guaranteed candidate. One row per doc is the band==0 slice of
+    # the materialized band rows (each doc's 4 band rows are emitted
+    # consecutively by band_rows).
+    def _sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.ones(ids.size, dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        t = batch.filter(pa.array(first))
+        return pa.table({"doc_id": t["doc_id"], "bkey": t["sig"]})
+
+    eq_frames = []
+    eq_members, _ = _dup_members(
+        ds.map_batches(_sig_rows, batch_format="pyarrow")
+    )
+    if eq_members is not None:
+        # a doc's 4 band rows can straddle a batch boundary, making
+        # the per-batch first-occurrence mask emit it twice — dedupe
+        # here (clique-member-sized)
+        em = (
+            eq_members.select_columns(["doc_id", "bkey"])
+            .to_pandas()
+            .drop_duplicates(["doc_id", "bkey"])
+        )
+        a, b = _clique_pairs(em["bkey"].to_numpy(), em["doc_id"].to_numpy())
+        eq_frames.append(pd.DataFrame({"doc_a": a, "doc_b": b}))
+
     # output-sized finalize (see near_dup_pairs)
-    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    out = pd.concat(
+        [pairs.to_pandas()] + eq_frames, ignore_index=True
+    ).drop_duplicates(["doc_a", "doc_b"])
     return pa.Table.from_pandas(
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         preserve_index=False,

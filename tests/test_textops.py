@@ -267,3 +267,158 @@ def test_ann_ivf_search_recall_and_exactness():
         as_ = set(approx[approx.query_id == q].vec_id)
         recalls.append(len(bs & as_) / len(bs))
     assert np.mean(recalls) >= 0.35, recalls
+
+
+def _brute_shingle_sets(texts, shingle_n=3):
+    """Reference shingle sets mirroring the pipeline contract: token
+    3-gram tuples; 0 < len < n -> one whole-row shingle; empty -> {}."""
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+
+    tok = CodeTokenizer()
+    out = []
+    for t in texts:
+        toks = tok.tokens_of(t)
+        if len(toks) >= shingle_n:
+            out.append({
+                tuple(toks[i:i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            })
+        elif toks:
+            out.append({tuple(toks)})
+        else:
+            out.append(set())
+    return out
+
+
+def test_near_dup_pairs_jaccard_matches_bruteforce(tmp_path):
+    """Every emitted pair's jaccard must equal the brute-force shingle
+    jaccard, every pair must be above threshold, and every
+    identical-content pair must be present (identical contents share
+    every LSH bucket, so they are guaranteed candidates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    # 6 base docs, each with 2-4 exact copies and 1-2 mutated variants
+    for b in range(6):
+        base = " ".join(rng.choice(vocab, size=40))
+        copies = int(rng.integers(2, 5))
+        texts += [base] * copies
+        for _ in range(int(rng.integers(1, 3))):
+            toks = base.split()
+            for pos in rng.integers(0, 40, size=3):
+                toks[int(pos)] = f"mut{int(rng.integers(0, 9))}"
+            texts.append(" ".join(toks))
+    # plus unrelated docs
+    for _ in range(8):
+        texts.append(" ".join(rng.choice(vocab[25:], size=12)))
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    thr = 0.5
+    out = near_dup_pairs(str(d), threshold=thr).to_pandas()
+    sets = _brute_shingle_sets(texts)
+
+    def brute_jac(i, j):
+        u = len(sets[i] | sets[j])
+        return len(sets[i] & sets[j]) / u if u else 0.0
+
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    assert got, "no pairs found"
+    for (a, b), j in got.items():
+        assert a < b
+        bj = brute_jac(int(a), int(b))
+        assert bj >= thr, (a, b, bj)
+        assert abs(j - round(bj, 6)) < 1e-9, (a, b, j, bj)
+    # all identical-content pairs present at jaccard 1.0
+    for i in range(n):
+        for k in range(i + 1, n):
+            if sets[i] and sets[i] == sets[k]:
+                assert got.get((i, k)) == 1.0, (i, k)
+
+
+def test_near_dup_mega_bucket_collapse(tmp_path):
+    """A planted 5000-identical-doc cluster (one mega dup-bucket per
+    band) must complete fast via representative collapse and emit the
+    full clique plus the cross pairs to a small mutated cluster —
+    per-pair verification would be 12.5M intersect1d calls."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import near_dup_pairs
+
+    B = 5000
+    base = " ".join(f"tok{i} filler{i % 7}" for i in range(60))
+    mutated = base.replace("tok3", "tokx")  # high-jaccard variant
+    far = " ".join(f"zz{i} yy{i}" for i in range(60))
+    ids = [0, 1] + list(range(10, 10 + B))
+    texts = [mutated, far] + [base] * B
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    t0 = time.perf_counter()
+    out = near_dup_pairs(str(d), threshold=0.6).to_pandas()
+    wall = time.perf_counter() - t0
+    a = out["doc_a"].to_numpy()
+    b = out["doc_b"].to_numpy()
+    j = out["jaccard"].to_numpy()
+    in_cluster = (a >= 10) & (b >= 10)
+    assert in_cluster.sum() == B * (B - 1) // 2
+    assert (j[in_cluster] == 1.0).all()
+    # mutated doc 0 pairs with EVERY cluster member at the same jaccard
+    cross = (a == 0) & (b >= 10)
+    assert cross.sum() == B
+    assert np.unique(j[cross]).size == 1 and j[cross][0] >= 0.6
+    # far doc 1 pairs with nothing
+    assert ((a == 1) | (b == 1)).sum() == 0
+    assert wall < 120, f"mega-bucket collapse too slow: {wall:.1f}s"
+
+
+def test_simhash_mega_bucket_collapse(tmp_path):
+    """Same planted mega-cluster through the SimHash path: identical
+    sigs collapse to one rep, the clique is emitted once, and the
+    near variant expands against every member."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import simhash_near_dups
+
+    B = 3000
+    base = " ".join(f"tok{i} filler{i % 7}" for i in range(80))
+    near = base.replace("tok3", "tokx")
+    far = " ".join(f"zz{i} yy{i}" for i in range(80))
+    ids = [0, 1] + list(range(10, 10 + B))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([near, far] + [base] * B),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = simhash_near_dups(str(d)).to_pandas()
+    a = out["doc_a"].to_numpy()
+    b = out["doc_b"].to_numpy()
+    in_cluster = (a >= 10) & (b >= 10)
+    assert in_cluster.sum() == B * (B - 1) // 2
+    cross = (a == 0) & (b >= 10)
+    assert cross.sum() == B  # near variant pairs with every member
+    assert ((a == 1) | (b == 1)).sum() == 0
