@@ -10,13 +10,21 @@ artifact]), canonical normalization `NormalizeProcessor.scala:16-66`
 malformed -> nulls).
 
 Design for 100 TB: media travel as opaque ``large_binary`` columns with
-typed metadata columns beside them; every stage is an actor-pool
-``map_batches`` (codec state initialised once per actor, the DJL
-predictor pattern SURVEY.md section 2.3) with a SMALL ``batch_size`` so
-batch x concurrency of decoded frames fits the worker heap; outputs are
-re-encoded binary + scalar metadata, never Python objects. Only the
-byte-level codec is synthetic here (real codec libs are absent — see
-functions/media_codec.py); the schemas, fan-out shapes, actor
+typed metadata columns beside them; every stage is a ``map_batches``
+TASK pool whose stage object is built once per worker process and
+cached (``_per_worker`` — the MinHashStage/PartitionIndexer
+discipline): Ray reuses worker processes across tasks, so codec/model
+state amortizes exactly like an actor's ``__init__`` but without
+paying a fresh actor-pool spin-up per short pipeline (which was a 2x
+wall regression on these stages in round 2). A stage that needs
+pinned resources (GPU predictor) would pass ``concurrency=`` to flip
+back to a dedicated actor pool — the stage objects themselves are
+already shaped for it (state in ``__init__``, work in ``__call__``,
+the DJL predictor pattern SURVEY.md section 2.3). ``batch_size`` is
+kept SMALL so a batch of decoded frames fits the worker heap; outputs
+are re-encoded binary + scalar metadata, never Python objects. Only
+the byte-level codec is synthetic here (real codec libs are absent —
+see functions/media_codec.py); the schemas, fan-out shapes, stage
 signatures and verification are real, and because payload shapes are
 pure integer functions of doc_id the SQL oracles verify the decoded
 outputs end-to-end.
@@ -28,7 +36,24 @@ import numpy as np
 import pyarrow as pa
 
 from sotohp_ray.functions import media_codec as mc
-from sotohp_ray.utils import actor_pool_size as _pool
+
+_WORKER_STAGES: dict = {}
+
+
+def _per_worker(cls, **kw):
+    """Task-pool adapter with once-per-worker stage state: the first
+    task a Ray worker process runs builds ``cls(**kw)``; every later
+    task on that worker reuses it. Same amortization as an actor-pool
+    ``__init__``, none of the per-run actor spin-up."""
+    key = (cls.__qualname__, tuple(sorted(kw.items())))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _WORKER_STAGES.get(key)
+        if inst is None:
+            inst = _WORKER_STAGES[key] = cls(**kw)
+        return inst(batch)
+
+    return fn
 
 THUMB_SIZES = (32, 64)
 FRAME_STRIDE = 4
@@ -113,7 +138,7 @@ def media_inventory(sf_dir: str):
     """(doc_id, media_kind, payload_bytes, width, height, sample_rate,
     n_samples, n_frames) — decoded from the actual container bytes."""
     return media_table(sf_dir).map_batches(
-        _Inventory, batch_format="pyarrow", concurrency=_pool(),
+        _per_worker(_Inventory), batch_format="pyarrow",
         batch_size=MEDIA_BATCH)
 
 
@@ -181,8 +206,8 @@ class _Thumbnailer:
 def media_thumbnails(sf_dir: str, sizes=THUMB_SIZES):
     """(doc_id, size, width, height, thumb_bytes) per image per size."""
     return media_table(sf_dir).map_batches(
-        _Thumbnailer, fn_constructor_kwargs={"sizes": sizes},
-        batch_format="pyarrow", concurrency=_pool(), batch_size=MEDIA_BATCH)
+        _per_worker(_Thumbnailer, sizes=tuple(sizes)),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH)
 
 
 def media_thumbnails_sql(sizes=THUMB_SIZES) -> str:
@@ -254,8 +279,8 @@ def media_rotated(sf_dir: str, ops=ROTATE_OPS):
     rotate/mirror op — corner_px is the top-left red value AFTER the
     permutation, recomputed arithmetically by the oracle."""
     return media_table(sf_dir).map_batches(
-        _Rotator, fn_constructor_kwargs={"ops": ops},
-        batch_format="pyarrow", concurrency=_pool(), batch_size=MEDIA_BATCH)
+        _per_worker(_Rotator, ops=tuple(ops)),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH)
 
 
 def media_rotated_sql(ops=ROTATE_OPS) -> str:
@@ -315,8 +340,8 @@ class _FrameSampler:
 def media_frame_sample(sf_dir: str, stride: int = FRAME_STRIDE):
     """(doc_id, frame_idx, frame_bytes) for every sampled frame."""
     return media_table(sf_dir).map_batches(
-        _FrameSampler, fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow", concurrency=_pool(), batch_size=MEDIA_BATCH)
+        _per_worker(_FrameSampler, stride=stride),
+        batch_format="pyarrow", batch_size=MEDIA_BATCH)
 
 
 def media_frame_sample_sql(stride: int = FRAME_STRIDE) -> str:
@@ -368,5 +393,5 @@ def media_features(sf_dir: str):
     descriptor per media row (rows-only check: no SQL for pixel
     stats)."""
     return media_table(sf_dir).map_batches(
-        _FeatureExtractor, batch_format="pyarrow", concurrency=_pool(),
+        _per_worker(_FeatureExtractor), batch_format="pyarrow",
         batch_size=MEDIA_BATCH)
