@@ -482,12 +482,22 @@ class _ShardSearcher:
     each dictionary-shard group and queries fan out."""
 
     def __init__(self, index_dir: str, k: int, mapref=None,
-                 mode: str = "oracle"):
+                 mode: str = "oracle", group_actors=None):
         import ray
 
-        from sotohp_ray.pipelines.query import Searcher
+        from sotohp_ray.pipelines.query import FanoutSearcher, Searcher
 
-        self.searcher = Searcher(index_dir)
+        if group_actors is not None:
+            # sharded serving: this pool actor holds NO dictionary at
+            # all — exact scoring fans out to the shard-group servers
+            # and merges per-term contributions (bit-identical to a
+            # full-dictionary search_exact; see FanoutSearcher)
+            self.searcher = FanoutSearcher(
+                index_dir, n_groups=len(group_actors),
+                actors=group_actors,
+            )
+        else:
+            self.searcher = Searcher(index_dir)
         self.k = k
         self.eng2orig = ray.get(mapref) if mapref is not None else None
         self.mode = mode
@@ -548,13 +558,21 @@ class _ShardSearcher:
         )
 
 
-def bm25_topk_distributed(sf_dir: str, queries=DOC_QUERIES, k: int = 10):
-    """Same result as ``bm25_topk`` but served THROUGH Ray Data: the
-    query set is a Dataset, scored by an actor pool of searchers —
-    the distributed serving path (verified against the same SQL
-    oracle)."""
+def bm25_topk_distributed(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10, n_groups: int = 4
+):
+    """Same result as ``bm25_topk`` but served THROUGH Ray Data with
+    the index SHARDED: one ``_GroupServer`` actor per dictionary shard
+    group (each loads ONLY its shards — per-actor dictionary memory
+    scales with the group, not the vocabulary), a pool of stateless
+    query workers fanning each query's terms out to the groups that
+    own them and merging exact BM25 contributions (verified against
+    the same SQL oracle). The sharded-serving path the reference gets
+    from Elasticsearch (ElasticOperations.scala:91-97)."""
     import ray
     import ray.data
+
+    from sotohp_ray.pipelines.query import _GroupServer, group_bounds
 
     index_dir = documents_index(sf_dir)
     dm = pq.read_table(
@@ -562,6 +580,13 @@ def bm25_topk_distributed(sf_dir: str, queries=DOC_QUERIES, k: int = 10):
     )
     space = int(np.max(dm["doc_id"].to_numpy(zero_copy_only=False)) + 1)
     mapref = ray.put(_eng2orig(index_dir, space))
+    with open(os.path.join(index_dir, "config.json")) as f:
+        S = IndexConfig.from_json(f.read()).num_term_shards
+    cls = ray.remote(num_cpus=0)(_GroupServer)  # see FanoutSearcher
+    group_actors = [
+        cls.remote(index_dir, lo, hi)
+        for lo, hi in group_bounds(S, n_groups)
+    ]
     qds = ray.data.from_items(
         [{"query_id": i, "query": q} for i, q in enumerate(queries)]
     )
@@ -569,6 +594,7 @@ def bm25_topk_distributed(sf_dir: str, queries=DOC_QUERIES, k: int = 10):
         _ShardSearcher,
         fn_constructor_kwargs={
             "index_dir": index_dir, "k": k, "mapref": mapref,
+            "group_actors": group_actors,
         },
         batch_format="pyarrow",
         concurrency=_pool(max_frac=0.5),

@@ -120,12 +120,33 @@ class _TermCursor:
 
 
 class Searcher:
-    """Loads the dictionary + doc lengths once (init-once worker state —
-    at cluster scale this is one actor per dictionary shard group;
-    single-node it is one in-process object)."""
+    """Loads the dictionary + doc lengths once (init-once worker state).
 
-    def __init__(self, index_dir: str, config: IndexConfig | None = None):
+    Two scopes:
+    - full (``shard_range=None``): every dictionary shard — the
+      single-replica serving object (phrase/proximity/WAND need the
+      whole vocabulary present to distinguish "term not in corpus"
+      from "term not in my shards").
+    - shard group (``shard_range=(lo, hi)``): ONLY the dictionary
+      shards with ``lo <= term_shard < hi`` are read and held — the
+      per-actor memory footprint scales with the group, not the
+      corpus vocabulary. Group searchers serve per-term score
+      contributions (``search_contribs``) that a ``FanoutSearcher``
+      merges bit-identically to full-dictionary ``search_exact``.
+      Per-doc stats (doc lengths, tombstones) are still held whole:
+      any document can appear in any term shard (Lucene's norms-like
+      footprint, 8 B/doc — the remaining per-doc state).
+
+    Reference analog: Elasticsearch-side sharded indices
+    (ElasticOperations.scala:91-97 time-partitioned indices)."""
+
+    def __init__(self, index_dir: str, config: IndexConfig | None = None,
+                 shard_range: tuple[int, int] | None = None):
+        import time as _time
+
+        _t0 = _time.perf_counter()
         self.index_dir = index_dir
+        self.shard_range = shard_range
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         cfgp = os.path.join(index_dir, "config.json")
@@ -156,11 +177,34 @@ class Searcher:
             self._deleted = mask
 
         # columnar dictionary: term -> row index; blobs/block metadata
-        # are materialized lazily per queried term (and cached). At
-        # cluster scale this is one loaded shard group per searcher
-        # actor; loading every blob into Python objects up front would
-        # cost seconds for a 100k-term vocabulary.
-        t = pq.read_table(os.path.join(index_dir, "dictionary"))
+        # are materialized lazily per queried term (and cached).
+        # Loading every blob into Python objects up front would cost
+        # seconds for a 100k-term vocabulary. With shard_range set,
+        # only that group's shard files are read — per-actor memory
+        # scales with the group size.
+        dict_dir = os.path.join(index_dir, "dictionary")
+        if shard_range is None:
+            t = pq.read_table(dict_dir)
+            self.dict_bytes_loaded = sum(
+                os.path.getsize(os.path.join(dict_dir, n))
+                for n in os.listdir(dict_dir) if n.endswith(".parquet")
+            )
+        else:
+            lo, hi = shard_range
+            files = []
+            self.dict_bytes_loaded = 0
+            for n in sorted(os.listdir(dict_dir)):
+                if not (n.startswith("shard-") and n.endswith(".parquet")):
+                    continue
+                sid = int(n[len("shard-"):-len(".parquet")])
+                if lo <= sid < hi:
+                    p = os.path.join(dict_dir, n)
+                    files.append(p)
+                    self.dict_bytes_loaded += os.path.getsize(p)
+            if files:
+                t = pq.read_table(files)
+            else:  # group owns no terms in this corpus
+                t = pq.read_table(dict_dir).slice(0, 0)
         self._tbl = t.combine_chunks()
         self._row: dict[str, int] = {
             term: i for i, term in enumerate(t["term"].to_pylist())
@@ -188,6 +232,8 @@ class Searcher:
             "doc_len"
         ].to_numpy(zero_copy_only=False)
         self.doc_len = dl
+        self.n_terms_loaded = len(self._row)
+        self.load_sec = _time.perf_counter() - _t0
 
     # ---- shared helpers --------------------------------------------
 
@@ -456,6 +502,43 @@ class Searcher:
         top = nz[order[:k]]
         return [(int(d), float(scores[d])) for d in top]
 
+    def search_contribs(self, query: str):
+        """Per-term BM25 contributions for the query terms THIS
+        searcher's dictionary owns: (doc_ids:int64[], qi:int64[],
+        contrib:float64[]), where ``qi`` is the term's first-appearance
+        index over the whole analyzed query (computed identically by
+        every shard group, so merged contributions sorted by (doc, qi)
+        and summed left-to-right reproduce ``search_exact``'s float64
+        accumulation order bit-for-bit). Tombstone filtering happens at
+        the merge — the fan-out layer holds the (small) tombstone set."""
+        toks = self.tok.tokens_of(query)
+        qtf = Counter(toks)
+        seen: list[str] = []
+        for t in toks:
+            if t not in seen:
+                seen.append(t)
+        d_parts, q_parts, c_parts = [], [], []
+        for qi, term in enumerate(seen):
+            if term not in self._row:
+                continue
+            d, f = self._decode_full(term)
+            di = d.astype(np.int64)
+            contrib = self._contrib(
+                float(qtf[term]), int(self._dfs[self._row[term]]),
+                f.astype(np.float64), self.doc_len[di],
+            )
+            d_parts.append(di)
+            q_parts.append(np.full(di.size, qi, dtype=np.int64))
+            c_parts.append(contrib)
+        if not d_parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.float64)
+        return (
+            np.concatenate(d_parts),
+            np.concatenate(q_parts),
+            np.concatenate(c_parts),
+        )
+
     # ---- block-max WAND --------------------------------------------
 
     def search_wand(
@@ -669,6 +752,144 @@ class Searcher:
         if mode == "exact":
             return self.search_exact(query, k)
         return self.search_wand(query, k)
+
+
+class _GroupServer:
+    """Ray actor body: one dictionary shard group, loaded once."""
+
+    def __init__(self, index_dir: str, lo: int, hi: int):
+        self.searcher = Searcher(index_dir, shard_range=(lo, hi))
+
+    def contribs(self, query: str):
+        return self.searcher.search_contribs(query)
+
+    def load_stats(self) -> dict:
+        s = self.searcher
+        return {
+            "n_terms": s.n_terms_loaded,
+            "dict_bytes": s.dict_bytes_loaded,
+            "load_sec": s.load_sec,
+        }
+
+
+def group_bounds(num_term_shards: int, n_groups: int) -> list[tuple[int, int]]:
+    """Contiguous shard ranges covering [0, S) as evenly as possible."""
+    n_groups = max(1, min(n_groups, num_term_shards))
+    step = (num_term_shards + n_groups - 1) // n_groups
+    return [
+        (lo, min(num_term_shards, lo + step))
+        for lo in range(0, num_term_shards, step)
+    ]
+
+
+class FanoutSearcher:
+    """Sharded serving: queries fan out to one actor per dictionary
+    shard group (each holding ONLY its shards — per-actor memory
+    scales with the group, the ES-style sharded-index analog of
+    ElasticOperations.scala:91-97), and per-term contributions merge
+    into exact BM25 scores. Routing: a group is called only if it owns
+    at least one analyzed query term (``term_shard_of``).
+
+    The merge is BIT-IDENTICAL to a full-dictionary
+    ``Searcher.search_exact``: contributions are sorted by (doc_id,
+    query-term index) and summed left-to-right per doc — the same
+    float64 accumulation order as the single searcher's term-at-a-time
+    loop. WAND stays a single-replica optimization: its pruning needs
+    a global threshold over all of a query's terms, so the distributed
+    path serves exact scoring (cost bounded by the query terms' df,
+    as TAAT always is)."""
+
+    def __init__(self, index_dir: str, n_groups: int = 4, actors=None):
+        import ray
+
+        with open(os.path.join(index_dir, "config.json")) as f:
+            self.config = IndexConfig.from_json(f.read())
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.tok = CodeTokenizer(self.config.tokenizer)
+        self.space = int(
+            self.stats.get("doc_id_space", self.stats["n_docs"])
+        )
+        S = self.config.num_term_shards
+        self.bounds = group_bounds(S, n_groups)
+        from sotohp_ray.pipelines.delete import load_tombstones
+
+        tomb = load_tombstones(index_dir)
+        self._deleted = None
+        if tomb.size:
+            mask = np.zeros(self.space, dtype=bool)
+            mask[tomb.astype(np.int64)] = True
+            self._deleted = mask
+        if actors is None:
+            # num_cpus=0: group servers are IO/lookup-bound between
+            # short decode bursts; reserving whole CPUs for them can
+            # deadlock a small session when they coexist with an
+            # actor-pool stage (a real cluster would give each group
+            # its own node-level resources instead)
+            cls = ray.remote(num_cpus=0)(_GroupServer)
+            actors = [
+                cls.remote(index_dir, lo, hi) for lo, hi in self.bounds
+            ]
+        self.actors = actors
+
+    def _groups_for(self, query: str) -> list[int]:
+        from sotohp_ray.functions.hashing import term_shard_of
+
+        S = self.config.num_term_shards
+        hit = set()
+        for t in set(self.tok.tokens_of(query)):
+            s = term_shard_of(t, S)
+            for gi, (lo, hi) in enumerate(self.bounds):
+                if lo <= s < hi:
+                    hit.add(gi)
+                    break
+        return sorted(hit)
+
+    def search_exact(self, query: str, k: int = 10):
+        import ray
+
+        gids = self._groups_for(query)
+        if not gids:
+            return []
+        parts = ray.get(
+            [self.actors[g].contribs.remote(query) for g in gids]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        qis = np.concatenate([p[1] for p in parts])
+        cs = np.concatenate([p[2] for p in parts])
+        if docs.size == 0:
+            return []
+        order = np.lexsort((qis, docs))
+        d, c = docs[order], cs[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(d)) + 1)
+        )
+        # strictly SEQUENTIAL left-to-right per-doc sums (layered adds
+        # across segments, one layer per query-term slot): reduceat /
+        # add.reduce use unrolled/pairwise accumulation, which differs
+        # from search_exact's ((c0+c1)+c2) binary-add order in the
+        # last ulp — and bit-identity with the single searcher is the
+        # contract
+        seg_lens = np.diff(np.concatenate((starts, [d.size])))
+        sums = c[starts].copy()
+        for kk in range(1, int(seg_lens.max())):
+            m = seg_lens > kk
+            sums[m] += c[starts[m] + kk]
+        udocs = d[starts]
+        if self._deleted is not None:
+            live = ~self._deleted[udocs]
+            udocs, sums = udocs[live], sums[live]
+        pos = sums > 0.0
+        udocs, sums = udocs[pos], sums[pos]
+        if udocs.size == 0:
+            return []
+        top = np.lexsort((udocs, -sums))[:k]
+        return [(int(udocs[i]), float(sums[i])) for i in top]
+
+    def load_stats(self) -> list[dict]:
+        import ray
+
+        return ray.get([a.load_stats.remote() for a in self.actors])
 
 
 def _main() -> None:

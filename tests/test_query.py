@@ -290,3 +290,53 @@ def test_boolean_retrieval_matches_scan(small_index):
                       if any(t in ts for t in terms)}
         got = set(s.search_boolean(q, mode=mode).tolist())
         assert got == expect, (q, mode)
+
+
+def test_fanout_equals_single_searcher(small_index):
+    """A 4-group shard fan-out must return bit-identical results to
+    the full-dictionary Searcher on every reference query, and each
+    group must load only its slice of the vocabulary."""
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    for q in reference_queries(small_index[0]):
+        assert f.search_exact(q["q"], q["k"]) == s.search_exact(
+            q["q"], q["k"]
+        ), q
+    # absent/empty queries behave like the single searcher
+    assert f.search_exact("", 10) == []
+    assert f.search_exact("zzznotfound", 10) == []
+    # per-group load scales with the group, and the groups tile the
+    # full dictionary exactly
+    stats = f.load_stats()
+    assert len(stats) == 4
+    terms = [st["n_terms"] for st in stats]
+    assert sum(terms) == s.n_terms_loaded
+    assert max(terms) < s.n_terms_loaded
+    assert sum(st["dict_bytes"] for st in stats) == s.dict_bytes_loaded
+    assert max(st["dict_bytes"] for st in stats) < s.dict_bytes_loaded
+
+
+def test_fanout_respects_tombstones(small_index, tmp_path_factory):
+    """Deleted docs must vanish from fan-out results exactly as they
+    do from the single searcher (the merge layer owns the tombstones)."""
+    import shutil
+
+    from sotohp_ray.pipelines.delete import delete_docs
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    queries = reference_queries(small_index[0])[:10]
+    victim = Searcher(index_dir).search_exact(queries[0]["q"], 1)[0][0]
+    idx2 = str(tmp_path_factory.mktemp("idx_fanout_del"))
+    shutil.rmtree(idx2)
+    shutil.copytree(index_dir, idx2)
+    delete_docs(idx2, engine_doc_ids=[victim])
+    s = Searcher(idx2)
+    f = FanoutSearcher(idx2, n_groups=4)
+    for q in queries:
+        got = f.search_exact(q["q"], q["k"])
+        assert got == s.search_exact(q["q"], q["k"]), q
+        assert all(d != victim for d, _ in got)
