@@ -177,10 +177,78 @@ def index_partition_table(
     multi_idx = np.flatnonzero(~single)
     single_idx = np.flatnonzero(single)
 
-    col_shard, col_term, col_salt, col_count = [], [], [], []
-    col_doc, col_tf, col_dl, col_pos, col_cf, col_maxtf = [], [], [], [], [], []
     enc, _ = pcodec.CODECS[config.partials_codec]
-    if multi_idx.size:
+    col_doc, col_tf, col_dl, col_pos = [], [], [], []
+    shard_multi = np.zeros(0, dtype=np.uint32)
+    term_multi = pa.array([], type=pa.string())
+    salt_multi = np.zeros(0, dtype=np.uint32)
+    count_multi = np.zeros(0, dtype=np.uint32)
+    cf_multi = np.zeros(0, dtype=np.uint64)
+    maxtf_multi = np.zeros(0, dtype=np.uint32)
+    if multi_idx.size and config.partials_codec == "varint":
+        # --- vectorized salt chunking (the positions-stream pattern):
+        # the partition's gap/tf/dl streams varint-encode ONCE with
+        # per-value byte lengths; every chunk row slices its byte
+        # range — zero per-chunk Python encodes. Valid because varint
+        # is per-value self-delimiting, so a slice of the whole-stream
+        # encoding is bit-identical to encoding the chunk alone.
+        mlo, mhi = starts[multi_idx], ends[multi_idx]
+        n_chunks = (mhi - mlo + salt_rows - 1) // salt_rows
+        tot = int(n_chunks.sum())
+        tkc = np.repeat(np.arange(multi_idx.size), n_chunks)
+        csum0 = np.zeros(multi_idx.size + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=csum0[1:])
+        salt_multi = (
+            np.arange(tot, dtype=np.int64) - csum0[:-1][tkc]
+        ).astype(np.uint32)
+        c0 = mlo[tkc] + salt_multi.astype(np.int64) * salt_rows
+        c1 = np.minimum(mhi[tkc], c0 + salt_rows)
+        # doc gaps, reset to the absolute doc id at EVERY segment and
+        # chunk start (single-term resets avoid cross-term uint64
+        # wraparound gaps bloating the shared stream encode)
+        gaps_all = np.empty(docs_s.size, dtype=np.uint64)
+        gaps_all[0] = docs_s[0]
+        np.subtract(docs_s[1:], docs_s[:-1], out=gaps_all[1:])
+        gaps_all[starts] = docs_s[starts]
+        gaps_all[c0] = docs_s[c0]
+        gbytes, glens = pcodec.varint_encode_with_lengths(gaps_all)
+        tbytes, tlens = pcodec.varint_encode_with_lengths(tfs_s)
+        lbytes, llens = pcodec.varint_encode_with_lengths(dls_s)
+        gcum = np.zeros(docs_s.size + 1, dtype=np.int64)
+        tcum = np.zeros(docs_s.size + 1, dtype=np.int64)
+        lcum = np.zeros(docs_s.size + 1, dtype=np.int64)
+        np.cumsum(glens, out=gcum[1:])
+        np.cumsum(tlens, out=tcum[1:])
+        np.cumsum(llens, out=lcum[1:])
+        col_doc = [gbytes[gcum[a]:gcum[b]] for a, b in zip(c0, c1)]
+        col_tf = [tbytes[tcum[a]:tcum[b]] for a, b in zip(c0, c1)]
+        col_dl = [lbytes[lcum[a]:lcum[b]] for a, b in zip(c0, c1)]
+        col_pos = [
+            pos_bytes_all[pos_bcum[occ_starts[a]]:pos_bcum[occ_starts[b]]]
+            for a, b in zip(c0, c1)
+        ]
+        shard_multi = shard_per_term[multi_idx][tkc].astype(np.uint32)
+        term_multi = uniq_terms.take(
+            pa.array(multi_idx[tkc], type=pa.int64())
+        ).cast(pa.string())
+        count_multi = (c1 - c0).astype(np.uint32)
+        # cf per chunk from the occurrence prefix sums; max_tf via the
+        # reduceat boundary-pair trick (odd outputs discarded)
+        cf_multi = (occ_starts[c1] - occ_starts[c0]).astype(np.uint64)
+        tf_pad = np.concatenate(
+            (tfs_s, np.zeros(1, dtype=tfs_s.dtype))
+        )
+        bnds = np.empty(2 * tot, dtype=np.int64)
+        bnds[0::2] = c0
+        bnds[1::2] = c1
+        maxtf_multi = np.maximum.reduceat(tf_pad, bnds)[0::2].astype(
+            np.uint32
+        )
+    elif multi_idx.size:
+        # non-self-delimiting partials codec (e.g. pfor): each chunk
+        # must encode independently — the original per-chunk loop
+        col_shard, col_term, col_salt = [], [], []
+        col_count, col_cf, col_maxtf = [], [], []
         uniq_list = uniq_terms.take(pa.array(multi_idx)).to_pylist()
         for j, k in enumerate(multi_idx):
             lo, hi = int(starts[k]), int(ends[k])
@@ -208,7 +276,13 @@ def index_partition_table(
                 col_cf.append(int(tfs_s[c0:c1].sum()))
                 col_maxtf.append(int(tfs_s[c0:c1].max()))
                 salt += 1
-    n_multi = len(col_shard)
+        shard_multi = np.asarray(col_shard, dtype=np.uint32)
+        term_multi = pa.array(col_term, type=pa.string())
+        salt_multi = np.asarray(col_salt, dtype=np.uint32)
+        count_multi = np.asarray(col_count, dtype=np.uint32)
+        cf_multi = np.asarray(col_cf, dtype=np.uint64)
+        maxtf_multi = np.asarray(col_maxtf, dtype=np.uint32)
+    n_multi = len(col_doc)
     n_single = single_idx.size
     s_pos = starts[single_idx]
     # singles: tf==1 inlines its position as pos0 (null blob); tf>1
@@ -227,23 +301,19 @@ def index_partition_table(
         {
             "term_shard": pa.array(
                 np.concatenate(
-                    [
-                        np.asarray(col_shard, dtype=np.uint32),
-                        shard_per_term[single_idx].astype(np.uint32),
-                    ]
+                    [shard_multi, shard_per_term[single_idx].astype(np.uint32)]
                 ),
                 type=pa.uint32(),
             ),
             "term": pa.concat_arrays(
                 [
-                    pa.array(col_term, type=pa.string()),
+                    term_multi,
                     uniq_terms.take(pa.array(single_idx)).cast(pa.string()),
                 ]
             ),
             "salt": pa.array(
                 np.concatenate(
-                    [np.asarray(col_salt, dtype=np.uint32),
-                     np.zeros(n_single, dtype=np.uint32)]
+                    [salt_multi, np.zeros(n_single, dtype=np.uint32)]
                 ),
                 type=pa.uint32(),
             ),
@@ -253,8 +323,7 @@ def index_partition_table(
             ),
             "count": pa.array(
                 np.concatenate(
-                    [np.asarray(col_count, dtype=np.uint32),
-                     np.ones(n_single, dtype=np.uint32)]
+                    [count_multi, np.ones(n_single, dtype=np.uint32)]
                 ),
                 type=pa.uint32(),
             ),
@@ -310,15 +379,12 @@ def index_partition_table(
                 ]
             ),
             "cf_partial": pa.array(
-                np.concatenate(
-                    [np.asarray(col_cf, dtype=np.uint64), tfs_s[s_pos]]
-                ),
+                np.concatenate([cf_multi, tfs_s[s_pos]]),
                 type=pa.uint64(),
             ),
             "max_tf": pa.array(
                 np.concatenate(
-                    [np.asarray(col_maxtf, dtype=np.uint32),
-                     tfs_s[s_pos].astype(np.uint32)]
+                    [maxtf_multi, tfs_s[s_pos].astype(np.uint32)]
                 ),
                 type=pa.uint32(),
             ),
