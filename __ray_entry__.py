@@ -18,6 +18,7 @@ from sotohp_ray.functions.tokenizer import sql_token_expr
 from sotohp_ray.pipelines import ann, multimodal, relational, textops
 from sotohp_ray.pipelines.fulltext import (
     DELETED_DOC_IDS,
+    UPDATED_DOC_IDS,
     bm25_facets,
     bm25_facets_sql,
     keyword_search_indexed,
@@ -25,6 +26,7 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_topk,
     bm25_topk_deleted,
     bm25_topk_distributed,
+    bm25_topk_updated,
     phrase_oracle_sql,
     phrase_topk,
     proximity_oracle_sql,
@@ -46,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: bm25_topk(sf),
         "bm25_topk_distributed": lambda sf: bm25_topk_distributed(sf),
         "bm25_topk_deleted": lambda sf: bm25_topk_deleted(sf),
+        "bm25_topk_updated": lambda sf: bm25_topk_updated(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
@@ -109,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_oracle_sql(),
         "bm25_topk_distributed": bm25_oracle_sql(),
         "bm25_topk_deleted": bm25_oracle_sql(exclude_ids=DELETED_DOC_IDS),
+        "bm25_topk_updated": bm25_oracle_sql(update_ids=UPDATED_DOC_IDS),
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),

@@ -602,12 +602,99 @@ def bm25_topk_distributed(
     )
 
 
-def bm25_oracle_sql(queries=DOC_QUERIES, k: int = 10, exclude_ids=None) -> str:
+UPDATED_DOC_IDS = (7, 42, 99, 123, 250)
+UPDATE_SUFFIX = " zanzibar quartz flux batch window"
+
+
+def updated_documents_index(
+    sf_dir: str, updated_ids=UPDATED_DOC_IDS, suffix=UPDATE_SUFFIX
+) -> str:
+    """A copy of the documents index brought up to date via the
+    per-doc SYNC path (pipelines/update.py): the full corpus is
+    re-presented with ``updated_ids``' texts modified; sync detects
+    exactly those K docs by content hash, tombstones their old engine
+    ids, indexes them as one increment partition, and compacts. Cached
+    per (corpus, id-set). Reference analog: synchronizeState hash
+    resync, MediaServiceLive.scala:1317-1349."""
+    import shutil
+
+    from sotohp_ray.pipelines.update import sync_changed_docs
+
+    base = documents_index(sf_dir)
+    key = hashlib.sha256(
+        ("upd:" + ",".join(str(i) for i in updated_ids) + suffix).encode()
+    ).hexdigest()[:8]
+    index_dir = os.path.join(_cache_dir(sf_dir), f"index-upd-{key}")
+    marker = os.path.join(index_dir, "_SYNC_DONE.json")
+    if os.path.exists(marker):
+        return index_dir
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    shutil.copytree(base, index_dir)
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    upd = set(int(i) for i in updated_ids)
+    texts = [
+        (x + suffix) if int(i) in upd else x for i, x in zip(ids, texts)
+    ]
+    incoming = pa.table({
+        "repo": pa.array(["docs"] * len(ids)),
+        "path": pa.array([f"{int(d):010d}" for d in ids]),
+        "commit": pa.array(["0"] * len(ids)),
+        "lang": t["lang"].combine_chunks().cast(pa.string()),
+        "content": pa.array(texts, pa.large_string()),
+    })
+    out = sync_changed_docs(index_dir, incoming)
+    assert out["changed"] == len(upd), out
+    import json as _json
+
+    with open(marker, "w") as f:
+        _json.dump({"updated": sorted(upd), **{
+            k: v for k, v in out.items() if k != "stats"}}, f)
+    return index_dir
+
+
+def bm25_topk_updated(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    updated_ids=UPDATED_DOC_IDS, suffix=UPDATE_SUFFIX,
+) -> pa.Table:
+    """(query_id, doc_id, score) AFTER the per-doc sync updated
+    ``updated_ids``' texts — must equal a from-scratch BM25 over the
+    MODIFIED table (the oracle rewrites those docs' text in SQL and
+    recomputes df/N/avgdl)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = updated_documents_index(sf_dir, updated_ids, suffix)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        for d, sc in ranked:
+            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def bm25_oracle_sql(
+    queries=DOC_QUERIES, k: int = 10, exclude_ids=None,
+    update_ids=None, update_suffix=UPDATE_SUFFIX,
+) -> str:
     """DuckDB SQL computing the same BM25 top-k on ``documents``.
     Query tokenization happens here in Python (same tokenizer), emitted
     as a VALUES list of (query_id, term, qtf). ``exclude_ids`` filters
-    the collection first — the oracle for the delete+compact pipeline
-    (every statistic recomputed over the surviving docs)."""
+    the collection first — the oracle for the delete+compact pipeline;
+    ``update_ids`` rewrites those docs' text (append ``update_suffix``)
+    — the oracle for the per-doc sync pipeline. Every statistic is
+    recomputed over the modified collection."""
     tok = CodeTokenizer()
     vals = []
     for qi, q in enumerate(queries):
@@ -620,6 +707,13 @@ def bm25_oracle_sql(queries=DOC_QUERIES, k: int = 10, exclude_ids=None) -> str:
     if exclude_ids:
         lst = ", ".join(str(int(i)) for i in exclude_ids)
         src = f"(SELECT * FROM documents WHERE doc_id NOT IN ({lst}))"
+    elif update_ids:
+        lst = ", ".join(str(int(i)) for i in update_ids)
+        sfx = update_suffix.replace("'", "''")
+        src = (
+            f"(SELECT doc_id, CASE WHEN doc_id IN ({lst}) "
+            f"THEN text || '{sfx}' ELSE text END AS text FROM documents)"
+        )
     else:
         src = "documents"
     return f"""

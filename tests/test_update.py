@@ -1,0 +1,133 @@
+"""Per-doc update/sync (pipelines/update.py): hash-diff detection,
+tombstone + increment partition, and the sync==fresh-build contract."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sotohp_ray.config import IndexConfig
+from sotohp_ray.pipelines.build_index import build_index
+from sotohp_ray.pipelines.query import Searcher
+from sotohp_ray.pipelines.update import detect_changes, sync_changed_docs
+
+QUERIES = ("def return value", "class data self", "import numpy",
+           "changedmarker sentinel")
+
+
+def _corpus_table(corpus_dir):
+    files = sorted(
+        os.path.join(corpus_dir, n)
+        for n in os.listdir(corpus_dir) if n.endswith(".parquet")
+    )
+    return pa.concat_tables(pq.read_table(f) for f in files), files
+
+
+def _results_by_path(index_dir, queries=QUERIES):
+    """Engine results keyed by stable doc identity (path) — engine
+    doc_ids differ between a synced and a fresh index by design."""
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    path_of = dict(zip(dm["doc_id"].to_pylist(), dm["path"].to_pylist()))
+    out = {}
+    for q in queries:
+        full = s.search_exact(q, k=s.space)
+        out[q] = sorted(
+            (path_of[d], round(sc, 9)) for d, sc in full
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def synced_vs_fresh(ray_session, tiny_corpus, tmp_path_factory):
+    """Build base; modify 5 docs + add 2 new docs; sync one index and
+    fresh-build another from the modified corpus."""
+    corpus_dir, _ = tiny_corpus
+    base_idx = str(tmp_path_factory.mktemp("idx_sync_base"))
+    build_index(corpus_dir, base_idx, config=IndexConfig())
+
+    t, files = _corpus_table(corpus_dir)
+    texts = t["content"].to_pylist()
+    changed_paths = sorted(t["path"].to_pylist())[:5]
+    pathset = set(changed_paths)
+    texts = [
+        (x + "\nchangedmarker sentinel value")
+        if p in pathset else x
+        for p, x in zip(t["path"].to_pylist(), texts)
+    ]
+    mod = t.set_column(
+        t.schema.get_field_index("content"), "content",
+        pa.array(texts, t.schema.field("content").type),
+    )
+    new_rows = pa.table({
+        "repo": pa.array([t["repo"][0].as_py()] * 2),
+        "path": pa.array(["zz_new_a.py", "zz_new_b.py"]),
+        "commit": pa.array([t["commit"][0].as_py()] * 2),
+        "lang": pa.array(["py", "py"]),
+        "content": pa.array(
+            ["def new_doc_a(): return 1\nchangedmarker sentinel",
+             "class NewDocB: pass"],
+            t.schema.field("content").type),
+    })
+    incoming = pa.concat_tables(
+        [mod.select(new_rows.column_names), new_rows]
+    )
+
+    # fresh-build reference over the modified corpus
+    fresh_corpus = str(tmp_path_factory.mktemp("corpus_mod"))
+    step = (incoming.num_rows + 3) // 4
+    for p in range(4):
+        sl = incoming.slice(p * step, step)
+        if sl.num_rows:
+            pq.write_table(
+                sl, os.path.join(fresh_corpus, f"part-{p:05d}.parquet")
+            )
+    fresh_idx = str(tmp_path_factory.mktemp("idx_sync_fresh"))
+    build_index(fresh_corpus, fresh_idx, config=IndexConfig())
+
+    return base_idx, incoming, fresh_idx, changed_paths
+
+
+def test_sync_matches_fresh_build(synced_vs_fresh):
+    base_idx, incoming, fresh_idx, changed_paths = synced_vs_fresh
+    out = sync_changed_docs(base_idx, incoming)
+    assert out["changed"] == 5 and out["new"] == 2
+    assert out["tombstoned"] == 5
+    got = _results_by_path(base_idx)
+    want = _results_by_path(fresh_idx)
+    for q in QUERIES:
+        assert got[q] == want[q], q
+    # the sentinel term finds the changed + new docs
+    s = Searcher(base_idx)
+    hits = s.search_exact("changedmarker", k=s.space)
+    assert len(hits) == 6  # 5 changed + 1 new doc containing it
+
+
+def test_sync_idempotent(synced_vs_fresh):
+    """Re-presenting the same corpus after a sync is a no-op (the
+    hash-resync idempotency contract)."""
+    base_idx, incoming, fresh_idx, _ = synced_vs_fresh
+    before = _results_by_path(base_idx)
+    out = sync_changed_docs(base_idx, incoming)
+    assert out["changed"] == 0 and out["new"] == 0
+    assert out["tombstoned"] == 0
+    assert _results_by_path(base_idx) == before
+
+
+def test_detect_changes_ignores_unchanged(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    corpus_dir, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("idx_detect"))
+    build_index(corpus_dir, idx, config=IndexConfig())
+    t, _ = _corpus_table(corpus_dir)
+    det = detect_changes(
+        idx, t.select(["repo", "path", "commit", "lang", "content"])
+    )
+    assert det["changed_rows"] == [] and det["new_rows"] == []
+    shutil.rmtree(idx, ignore_errors=True)
