@@ -97,6 +97,13 @@ class IndexConfig:
         one encode call each) and die after the merge, so they default
         to varint (cheapest per-call encode); the final index is
         size/decode-bound and defaults to pfor.
+    path_include / path_ignore: S1 include/ignore masks — RE2 regexes
+        applied to each row's ``path`` during indexing (reference
+        analog: FileSystemSearch.scala:56-77 includeMask/ignoreMask
+        filters in the filesystem walk). A row indexes iff it matches
+        ``path_include`` (when set) and does NOT match ``path_ignore``
+        (when set). Part of the config fingerprint, so changing a mask
+        correctly invalidates partition lineage.
     """
 
     num_term_shards: int = 64
@@ -104,6 +111,8 @@ class IndexConfig:
     salt_rows: int = 65536
     codec: str = "pfor"
     partials_codec: str = "varint"
+    path_include: str | None = None
+    path_ignore: str | None = None
     tokenizer: TokenizerRules = field(default_factory=TokenizerRules)
     bm25: BM25Params = field(default_factory=BM25Params)
 
@@ -116,6 +125,8 @@ class IndexConfig:
                 "salt_rows": self.salt_rows,
                 "codec": self.codec,
                 "partials_codec": self.partials_codec,
+                "path_include": self.path_include,
+                "path_ignore": self.path_ignore,
                 "tokenizer_version": self.tokenizer.version_hash(),
                 # full rules (not just the hash) so a Searcher opened
                 # on this index reconstructs the EXACT analyzer — a
@@ -149,6 +160,8 @@ class IndexConfig:
             salt_rows=cj["salt_rows"],
             codec=cj["codec"],
             partials_codec=cj.get("partials_codec", "varint"),
+            path_include=cj.get("path_include"),
+            path_ignore=cj.get("path_ignore"),
             tokenizer=tok,
             bm25=BM25Params(k1=cj["bm25"]["k1"], b=cj["bm25"]["b"]),
         )

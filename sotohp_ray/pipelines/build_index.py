@@ -159,6 +159,8 @@ def _config_from_kwargs(kw: dict) -> IndexConfig:
         salt_rows=kw["salt_rows"],
         codec=kw["codec"],
         partials_codec=kw.get("partials_codec", "varint"),
+        path_include=kw.get("path_include"),
+        path_ignore=kw.get("path_ignore"),
         tokenizer=TokenizerRules(
             rewritings=tuple(tuple(x) for x in kw["rewritings"]),
             mappings=tuple(tuple(x) for x in kw["mappings"]),
@@ -175,6 +177,8 @@ def _config_to_kwargs(c: IndexConfig) -> dict:
         "salt_rows": c.salt_rows,
         "codec": c.codec,
         "partials_codec": c.partials_codec,
+        "path_include": c.path_include,
+        "path_ignore": c.path_ignore,
         "rewritings": [list(x) for x in c.tokenizer.rewritings],
         "mappings": [list(x) for x in c.tokenizer.mappings],
         "stopwords": sorted(c.tokenizer.stopwords),

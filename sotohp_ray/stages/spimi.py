@@ -85,6 +85,21 @@ def index_partition_table(
     metrics). Separated from I/O so it is unit-testable and reusable in
     a plain ``read_parquet -> map_batches`` pipeline."""
     tok = tokenizer or CodeTokenizer(config.tokenizer)
+    # S1 include/ignore masks: vectorized RE2 path filter before any
+    # other work (FileSystemSearch.scala:56-77 analog). Doc ids stay
+    # partition-base + kept-row index — dense within the partition,
+    # gapped across partitions when rows were masked out (the same
+    # sparse-id contract compaction already established).
+    if config.path_include is not None:
+        t = t.filter(
+            pc.match_substring_regex(t["path"], config.path_include)
+        )
+    if config.path_ignore is not None:
+        t = t.filter(
+            pc.invert(
+                pc.match_substring_regex(t["path"], config.path_ignore)
+            )
+        )
     n = t.num_rows
     idx = pc.sort_indices(
         t,

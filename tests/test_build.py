@@ -516,3 +516,65 @@ def test_delete_rejects_unknown_engine_ids(
     compact_index(index_dir)
     # re-issuing the delete after compaction is a no-op, not an error
     assert delete_docs(index_dir, engine_doc_ids=[3]) == 0
+
+
+def test_s1_path_masks_equal_prefiltered_corpus(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """S1 include/ignore masks: building WITH masks must equal building
+    from a corpus pre-filtered to the same row subset — identical
+    per-path results on every query (doc ids differ by design: masked
+    builds keep partition bases, so the id space is gapped).
+    Reference analog: FileSystemSearch.scala:56-77."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus_dir, _ = tiny_corpus
+    include, ignore = r"src/pkg1", r"\.(js|go)$"
+
+    # reference: manually pre-filtered corpus
+    import re
+
+    filt_dir = str(tmp_path_factory.mktemp("corpus_masked"))
+    kept_paths = []
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        keep = [
+            bool(re.search(include, p)) and not re.search(ignore, p)
+            for p in t["path"].to_pylist()
+        ]
+        sub = t.filter(pa.array(keep))
+        kept_paths += sub["path"].to_pylist()
+        if sub.num_rows:
+            pq.write_table(
+                sub, os.path.join(filt_dir, os.path.basename(f))
+            )
+    assert 0 < len(kept_paths) < 64  # masks actually select a subset
+
+    idx_masked = str(tmp_path_factory.mktemp("idx_masked"))
+    stats_m = build_index(
+        corpus_dir, idx_masked,
+        config=IndexConfig(path_include=include, path_ignore=ignore),
+    )
+    idx_ref = str(tmp_path_factory.mktemp("idx_prefiltered"))
+    stats_r = build_index(filt_dir, idx_ref, config=IndexConfig())
+    assert stats_m["n_docs"] == stats_r["n_docs"] == len(kept_paths)
+
+    def by_path(index_dir, q):
+        s = Searcher(index_dir)
+        dm = pq.read_table(
+            os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+        )
+        path_of = dict(
+            zip(dm["doc_id"].to_pylist(), dm["path"].to_pylist())
+        )
+        return sorted(
+            (path_of[d], round(sc, 9))
+            for d, sc in s.search_exact(q, k=s.space)
+        )
+
+    for q in ("def return value", "import self", "parse http request"):
+        assert by_path(idx_masked, q) == by_path(idx_ref, q), q
