@@ -113,18 +113,56 @@ def minhash_signature(
     return vals.min(axis=1)
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64(data: bytes) -> int:
+    """Scalar 64-bit FNV-1a — the reference definition the vectorized
+    array form must match byte-for-byte."""
+    h = _FNV_OFFSET
+    with np.errstate(over="ignore"):  # uint64 wrap IS the definition
+        for b in data:
+            h = (h ^ np.uint64(b)) * _FNV_PRIME
+    return int(h)
+
+
+def fnv1a64_array(strs: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a per string: one masked pass per BYTE
+    POSITION (bounded by the longest string), each pass an array op
+    over every string — no per-string Python hashing (the round-2
+    simhash stage paid one blake2b call per unique token)."""
+    s = strs.combine_chunks() if isinstance(strs, pa.ChunkedArray) else strs
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    s = s.cast(pa.large_utf8())
+    bufs = s.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        s.offset: s.offset + n + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    starts = offs[:-1]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(int(lens.max()) if n else 0):
+        m = lens > j
+        h[m] = (h[m] ^ data[starts[m] + j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token multiset (weights = tf)."""
+    """64-bit SimHash over token multiset (weights = tf). Token hash =
+    64-bit FNV-1a (vectorizable — see ``fnv1a64_array``; the batch
+    simhash stage must produce identical fingerprints)."""
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     from collections import Counter
 
     for tok, w in Counter(tokens).items():
-        hv = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
-        )
-        bits = (hv >> np.arange(64, dtype=np.uint64)) & 1
+        hv = fnv1a64(tok.encode())
+        bits = (np.uint64(hv) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), w, -w)
     out = 0
     for i in range(64):

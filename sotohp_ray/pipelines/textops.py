@@ -888,26 +888,19 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
 
 def simhash_fingerprints(sf_dir: str):
     """(doc_id, simhash_hex) 64-bit SimHash per doc — vectorized over
-    the batch: one blake2b per UNIQUE token, then per-bit signed
-    occurrence counts via bincount (summing +-1 per occurrence equals
-    the tf-weighted definition in ``simhash64``)."""
-    import hashlib as _hl
+    the batch: vectorized FNV-1a over the UNIQUE-token dictionary
+    (``fnv1a64_array``: one masked array op per byte position, no
+    per-token Python hashing), then per-bit signed occurrence counts
+    via bincount (summing +-1 per occurrence equals the tf-weighted
+    definition in ``simhash64``)."""
+    from sotohp_ray.functions.hashing import fnv1a64_array
 
     def f(batch: pa.Table) -> pa.Table:
         parents, flat = _TOK.exploded(_text_col(batch))
         n = len(batch)
         d = pc.dictionary_encode(flat)
         d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
-        uniq_hv = np.array(
-            [
-                int.from_bytes(
-                    _hl.blake2b(u.as_py().encode(), digest_size=8).digest(),
-                    "little",
-                )
-                for u in d.dictionary
-            ],
-            dtype=np.uint64,
-        )
+        uniq_hv = fnv1a64_array(d.dictionary)
         hv = uniq_hv[d.indices.to_numpy(zero_copy_only=False)]
         pn = parents.to_numpy(zero_copy_only=False)
         sig = np.zeros(n, dtype=np.uint64)

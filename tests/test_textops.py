@@ -96,6 +96,54 @@ def test_near_dup_pairs_planted(tmp_path):
     assert all((a, b) != (0, 2) and (a, b) != (1, 2) for a, b in zip(out["doc_a"], out["doc_b"]))
 
 
+def test_fnv1a64_array_matches_scalar():
+    """Vectorized FNV-1a (one masked pass per byte position) must be
+    byte-for-byte identical to the scalar reference definition,
+    including empty and multi-byte-UTF8 strings and chunked/offset
+    arrays — it feeds simhash_fingerprints, so a mismatch silently
+    changes every fingerprint."""
+    import pyarrow as pa
+
+    from sotohp_ray.functions.hashing import fnv1a64, fnv1a64_array
+
+    toks = ["", "a", "tok", "tok1", "naïve", "日本語", "x" * 300, "b"]
+    arr = pa.array(toks)
+    got = fnv1a64_array(arr)
+    expect = [fnv1a64(t.encode()) for t in toks]
+    assert [int(v) for v in got] == expect
+    # sliced (non-zero offset) and chunked inputs take the buffer path
+    assert [int(v) for v in fnv1a64_array(arr.slice(2, 4))] == expect[2:6]
+    ch = pa.chunked_array([toks[:3], toks[3:]])
+    assert [int(v) for v in fnv1a64_array(ch)] == expect
+
+
+def test_simhash_batch_stage_matches_scalar(tmp_path):
+    """simhash_fingerprints (vectorized batch stage) must produce the
+    same fingerprint as scalar simhash64 over the stage's tokenizer
+    output for every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.hashing import simhash64
+    from sotohp_ray.pipelines.textops import _TOK, simhash_fingerprints
+
+    texts = [
+        "def parse(x): return x + 1",
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "",
+        "naïve café déjà-vu 日本語テキスト",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = simhash_fingerprints(str(d)).to_pandas()
+    out = out.set_index("doc_id")["simhash_hex"].to_dict()
+    for i, txt in enumerate(texts):
+        toks = _TOK.tokens_of(txt)
+        assert out[i] == f"{simhash64(toks):016x}", i
+
+
 def test_simhash_hamming_close_for_near_dups():
     from sotohp_ray.functions.hashing import hamming64, simhash64
 
