@@ -276,25 +276,49 @@ def _train_centroids(
     sf_dir: str, n_centroids: int, sample_rows: int = 4096,
     iters: int = 8, seed: int = 42,
 ) -> np.ndarray:
-    """Seeded Lloyd's k-means on a driver-side SAMPLE (first row
-    groups; the sample is small by contract — at 10^9 vectors you
-    still train on ~10^4-10^5 rows). Returns L2-normalized centroids
-    (spherical k-means: cosine assignment == dot with normalized
-    centroids)."""
+    """Seeded Lloyd's k-means on an UNBIASED sample. Membership is the
+    same multiplicative-hash filter as ``sample_random`` (vec_id *
+    Knuth mul mod 2^32 under a threshold), evaluated DISTRIBUTED per
+    batch — so a table physically sorted by any latent cluster key
+    still yields a uniform sample (the round-2 version read the FIRST
+    row groups, which was biased in that case). The driver only ever
+    sees ~2x sample_rows hash-selected rows, deterministically
+    truncated to sample_rows by (hash, vec_id) order regardless of
+    partitioning. Returns L2-normalized centroids (spherical k-means:
+    cosine assignment == dot with normalized centroids)."""
     import pyarrow.parquet as pq
+    import ray
+    import ray.data
 
-    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    batches, n = [], 0
-    for rg in range(f.metadata.num_row_groups):
-        t = f.read_row_group(rg, columns=["vec_id", "embedding"])
-        batches.append(t)
-        n += t.num_rows
-        if n >= sample_rows:
-            break
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet"
+    ).metadata.num_rows
+    frac = min(1.0, (2.0 * sample_rows) / max(n_total, 1))
+    thr = np.uint64(min(int(frac * (1 << 32)) + 1, 1 << 32))
+    mul = np.uint64(2654435761)  # Knuth multiplicative hash constant
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        hv = (ids.astype(np.uint64) * mul) % np.uint64(1 << 32)
+        keep = hv < thr
+        return batch.filter(pa.array(keep)).append_column(
+            "_hv", pa.array(hv[keep].astype(np.int64))
+        )
+
     import pyarrow as _pa
 
-    t = _pa.concat_tables(batches)
-    _, X = _emb_matrix(t.slice(0, min(n, sample_rows)))
+    sample = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(pick, batch_format="pyarrow")
+    t = _pa.concat_tables(
+        ray.get(sample.to_arrow_refs()), promote_options="default"
+    )
+    order = _pa.compute.sort_indices(
+        t, sort_keys=[("_hv", "ascending"), ("vec_id", "ascending")]
+    )
+    t = t.take(order.slice(0, min(t.num_rows, sample_rows)))
+    n = t.num_rows
+    _, X = _emb_matrix(t)
     Xn = _normalize(X)
     rng = np.random.RandomState(seed)
     k = min(n_centroids, Xn.shape[0])
@@ -405,46 +429,36 @@ def knn_label_consensus(
     neighbors (ties broken by smaller label), plus the reference's
     top-2 agreement signal (the two nearest neighbors carry the same
     label => confident; FaceInference.scala:112-146's consensus rule,
-    J3). Labels are attached with one vectorized ``np.take`` against a
-    broadcast vec_id->label array (small side broadcast once)."""
+    J3). Labels are attached OUTPUT-SIZED: the <= m*k kNN result rows
+    come back to the driver, and ONLY those neighbors' labels are read
+    via parquet predicate pushdown (row-group pruning) — the round-2
+    version built a driver array sized by max(vec_id), which is 8 GB
+    at 10^9 vectors regardless of how few queries ran."""
     import pandas as pd
     import pyarrow.parquet as pq
-    import ray
 
+    knn = knn_cosine(sf_dir, query_ids, k).to_pandas()  # <= m*k rows
+    need = sorted({int(v) for v in knn["vec_id"]})
     lt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label"],
+        filters=[("vec_id", "in", need)],
     )
-    vids = lt["vec_id"].to_numpy(zero_copy_only=False)
-    labs = lt["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lookup = np.full(int(vids.max()) + 1, -1, dtype=np.int64)
-    lookup[vids] = labs
-    lref = ray.put(lookup)
+    lab_of = dict(zip(lt["vec_id"].to_pylist(), lt["label"].to_pylist()))
+    knn["label"] = knn["vec_id"].map(lab_of).astype(np.int64)
 
-    knn = knn_cosine(sf_dir, query_ids, k)
-
-    def add_label(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lref)
-        lab = np.take(lk, batch["vec_id"].to_numpy(zero_copy_only=False))
-        return batch.append_column("label", pa.array(lab, pa.int64()))
-
-    def consensus(g: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for qid, g in knn.groupby("query_id", sort=True):
         g = g.sort_values(["score", "vec_id"], ascending=[False, True])
         labels = g["label"].to_numpy()
         vals, counts = np.unique(labels, return_counts=True)
         order = np.lexsort((vals, -counts))
-        pred = int(vals[order[0]])
-        top2 = int(labels.size >= 2 and labels[0] == labels[1])
-        return pd.DataFrame({
-            "query_id": [int(g["query_id"].iloc[0])],
-            "pred_label": [pred],
-            "top2_agree": [top2],
+        rows.append({
+            "query_id": int(qid),
+            "pred_label": int(vals[order[0]]),
+            "top2_agree": int(labels.size >= 2 and labels[0] == labels[1]),
         })
-
-    return (
-        knn.map_batches(add_label, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(consensus, batch_format="pandas")
-    )
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
 def knn_label_consensus_sql(query_ids=DEFAULT_QUERY_IDS, k: int = 10) -> str:

@@ -317,6 +317,56 @@ def test_ann_ivf_search_recall_and_exactness():
     assert np.mean(recalls) >= 0.35, recalls
 
 
+def test_ivf_training_unbiased_on_cluster_sorted_table(tmp_path):
+    """IVF centroid training must stay uniform when the table is
+    PHYSICALLY SORTED by the latent cluster key: the round-2 sampler
+    read the first row groups, so on this fixture (4 clusters, rows
+    ordered by cluster, 256-row row groups, sample_rows=256) it
+    trained only on cluster 0 and probe-1 recall collapsed. The
+    multiplicative-hash sample sees every cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.ann import (
+        _normalize, _train_centroids, ann_ivf_search, knn_cosine,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, per = 8, 500
+    centers = np.eye(4, dim) * 10.0  # well-separated cluster centers
+    X = np.concatenate(
+        [centers[c] + rng.normal(0, 0.3, (per, dim)) for c in range(4)]
+    )
+    t = pa.table({
+        "vec_id": pa.array(np.arange(4 * per), pa.int64()),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in X],
+            pa.list_(pa.float32()),
+        ),
+        "label": pa.array(np.repeat(np.arange(4), per), pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"), row_group_size=256)
+
+    # 1) trained centroids cover ALL 4 clusters despite sample<cluster0
+    C = _train_centroids(str(d), n_centroids=4, sample_rows=256)
+    Cn = _normalize(centers.astype(np.float64))
+    for c in range(4):
+        assert (C @ Cn[c]).max() > 0.9, f"cluster {c} not represented"
+
+    # 2) probe-1 IVF recall vs brute on one query per cluster
+    qids = [0, per, 2 * per, 3 * per]
+    brute = knn_cosine(str(d), query_ids=qids).to_pandas()
+    approx = ann_ivf_search(
+        str(d), query_ids=qids, n_centroids=4, n_probe=1
+    ).to_pandas()
+    for q in qids:
+        bs = set(brute[brute.query_id == q].vec_id)
+        as_ = set(approx[approx.query_id == q].vec_id)
+        assert len(bs & as_) / len(bs) >= 0.9, q
+
+
 def _brute_shingle_sets(texts, shingle_n=3):
     """Reference shingle sets mirroring the pipeline contract: token
     3-gram tuples; 0 < len < n -> one whole-row shingle; empty -> {}."""
