@@ -317,16 +317,19 @@ def main():
         eff832 = round(
             (r8b["index_build_sec"]
              / singles[32]["index_build_sec"]) / 4.0, 3)
-        # the north rule asks for >= 0.8 between SOME N and 4N on the
-        # same input; report the best measured N->4N pair as the
-        # headline (both low-contention pairs evidence it — which one
-        # wins depends on which disk-drift window each landed in) with
-        # every pair and per-round ratio disclosed alongside
+        # headline = the PRE-REGISTERED 2->8 median-of-rounds: the
+        # interleaved median is the one estimator here that cancels
+        # the box's disk drift, and 2->8 is the pair a single socket
+        # can run without the memory-bandwidth contention separate
+        # cluster nodes would each bring. 4->16 / 8->32 are disclosed
+        # single-shot saturation points, not candidates for the
+        # headline (mixing estimators of different variance via max()
+        # biased it upward).
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
-                    "value": max(eff28, eff416),
+                    "value": eff28,
                     "unit": "ratio",
                     "pairs": {
                         "2->8": eff28,
