@@ -118,9 +118,15 @@ def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
     rows = []
     for qi, q in enumerate(queries):
         full = s.search_exact(q, k=s.space)  # all matches, exact scores
-        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        # tie-break on ORIGINAL ids (map before sorting): identical to
+        # engine-id order for fresh/compacted builds (monotonic map),
+        # and stays oracle-correct if the index was ever synced
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
         for d, sc in ranked:
-            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+            rows.append((qi, d, sc))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -156,9 +162,15 @@ def phrase_topk(sf_dir: str, phrases=PHRASE_QUERIES, k: int = 10) -> pa.Table:
     rows = []
     for qi, p in enumerate(phrases):
         full = s.search_phrase(p, k=s.space)
-        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        # tie-break on ORIGINAL ids (map before sorting): identical to
+        # engine-id order for fresh/compacted builds (monotonic map),
+        # and stays oracle-correct if the index was ever synced
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
         for d, sc in ranked:
-            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+            rows.append((qi, d, sc))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -339,9 +351,15 @@ def proximity_topk(
     rows = []
     for qi, (a, b) in enumerate(pairs):
         full = s.search_proximity(a, b, window=window, k=s.space)
-        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        # tie-break on ORIGINAL ids (map before sorting): identical to
+        # engine-id order for fresh/compacted builds (monotonic map),
+        # and stays oracle-correct if the index was ever synced
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
         for d, sc in ranked:
-            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+            rows.append((qi, d, sc))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -460,9 +478,15 @@ def bm25_topk_deleted(
     rows = []
     for qi, q in enumerate(queries):
         full = s.search_exact(q, k=s.space)
-        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        # tie-break on ORIGINAL ids (map before sorting): identical to
+        # engine-id order for fresh/compacted builds (monotonic map),
+        # and stays oracle-correct if the index was ever synced
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
         for d, sc in ranked:
-            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+            rows.append((qi, d, sc))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -488,6 +512,16 @@ class _ShardSearcher:
         from sotohp_ray.pipelines.query import FanoutSearcher, Searcher
 
         if group_actors is not None:
+            # FanoutSearcher implements exact scoring only — WAND's
+            # pruning needs a global threshold, so serve-mode routing
+            # (search_wand/search_phrase/search_proximity) has no
+            # fan-out analog yet; rejecting here beats an
+            # AttributeError that kills the serving actor mid-query
+            if mode == "serve":
+                raise ValueError(
+                    "group_actors requires mode='oracle' (exact): "
+                    "WAND/phrase/proximity serving is single-replica"
+                )
             # sharded serving: this pool actor holds NO dictionary at
             # all — exact scoring fans out to the shard-group servers
             # and merges per-term contributions (bit-identical to a
@@ -672,9 +706,17 @@ def bm25_topk_updated(
     rows = []
     for qi, q in enumerate(queries):
         full = s.search_exact(q, k=s.space)
-        ranked = sorted(full, key=lambda t: (-round(t[1], 4), t[0]))[:k]
+        # map to ORIGINAL ids BEFORE the tie-break sort: in a synced
+        # index the updated docs sit at the TOP of the engine id space,
+        # so engine-id order is NOT original-id order and a
+        # round(score,4) tie at the k boundary would resolve
+        # differently than the SQL oracle's ORDER BY doc_id ASC
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
         for d, sc in ranked:
-            rows.append((qi, int(eng2orig[d]), round(sc, 4)))
+            rows.append((qi, d, sc))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], pa.int64()),

@@ -197,15 +197,13 @@ def migrate_codec(index_dir: str, new_codec: str) -> dict:
     # recovery pass on the next call, and readers can never observe
     # new-codec blobs under an old-codec config (config promotes only
     # after the dictionary swap).
-    new_config = IndexConfig(
-        num_term_shards=config.num_term_shards,
-        block_size=config.block_size,
-        salt_rows=config.salt_rows,
-        codec=new_codec,
-        partials_codec=config.partials_codec,
-        tokenizer=config.tokenizer,
-        bm25=config.bm25,
-    )
+    # dataclasses.replace copies EVERY field — a field-by-field rebuild
+    # here once silently dropped the S1 path masks from config.json,
+    # changing the config fingerprint (spurious lineage invalidation)
+    # and un-masking later syncs
+    import dataclasses
+
+    new_config = dataclasses.replace(config, codec=new_codec)
     next_cfg = os.path.join(index_dir, "config.json.next")
     lin.write_json(next_cfg, json.loads(new_config.to_json()))
     old_dir = dict_dir + ".old"

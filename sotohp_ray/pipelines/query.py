@@ -203,8 +203,24 @@ class Searcher:
                     self.dict_bytes_loaded += os.path.getsize(p)
             if files:
                 t = pq.read_table(files)
-            else:  # group owns no terms in this corpus
-                t = pq.read_table(dict_dir).slice(0, 0)
+            else:
+                # group owns no terms in this corpus: an empty table
+                # with the dictionary schema, from a SCHEMA-ONLY read —
+                # materializing the whole dictionary just to slice row
+                # 0 would cost this one actor the full-vocabulary load
+                # the shard-group design exists to avoid
+                any_shard = next(
+                    (
+                        os.path.join(dict_dir, n)
+                        for n in sorted(os.listdir(dict_dir))
+                        if n.startswith("shard-") and n.endswith(".parquet")
+                    ),
+                    None,
+                )
+                if any_shard is not None:
+                    t = pq.read_schema(any_shard).empty_table()
+                else:
+                    t = pq.read_table(dict_dir).slice(0, 0)
         self._tbl = t.combine_chunks()
         self._row: dict[str, int] = {
             term: i for i, term in enumerate(t["term"].to_pylist())

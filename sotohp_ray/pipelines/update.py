@@ -2,27 +2,45 @@
 analog: ``MediaServiceLive.scala:1317-1349,1522`` synchronizeState
 re-processes only documents whose per-doc state hash changed).
 
-``sync_changed_docs`` takes the CURRENT corpus rows (the sync scan)
-and re-indexes only what actually changed:
+``sync_changed_docs`` takes corpus rows (the sync scan) and re-indexes
+only what actually changed:
 
 1. **Detect** — each incoming row's identity is its deterministic
    doc_uuid (repo, path, commit) and its content state is its
-   content_sha256. Docmeta rows for the incoming uuids are read with a
-   parquet ``in`` filter (the broadcast-semi-join shape: the sync
-   batch is small, the index is not); a row is *changed* when its sha
-   differs and *new* when its uuid is absent. Unchanged rows cost one
-   hash compare and nothing else.
+   content_sha256. Docmeta is scanned in batches with a hash-set
+   membership test (``pc.is_in`` against the incoming uuid set — NOT a
+   parquet ``in``-filter expression, whose literal list would be
+   corpus-sized for a full resync); a row is *changed* when its sha
+   differs and *new* when its uuid is absent. With
+   ``remove_missing=True`` the same scan also collects live docs
+   ABSENT from the incoming rows, which are then tombstoned — so
+   presenting the full current corpus propagates deletions exactly
+   like the reference's full re-sync. Unchanged rows cost one hash
+   compare and nothing else.
 2. **Tombstone + append** — changed docs' old engine ids are
    tombstoned (pipelines/delete.py); the changed+new rows become ONE
    new increment partition appended at ``base_doc_id = doc_id_space``
    (append-only id allocation — no base shifts, so no cascade
    re-indexing of existing partitions). The increment's input rows are
-   persisted under ``index_dir/increments/`` so the partition has a
-   durable, fingerprintable input like every other partition.
+   persisted under ``index_dir/increments/`` plus an INTENT sidecar
+   ``partition-N.json`` recording (pid, base, rows) BEFORE any index
+   state changes — the crash-recovery record.
 3. **Merge** — compaction applies the tombstones and reruns the
    bucketed merge with exact post-update df/N/avgdl, so search results
    equal an index freshly built over the updated corpus (the
    compaction==fresh-build contract, pytest-verified for deletes).
+
+Crash safety: every step is either idempotent or replayable. The
+``doc_id_space`` bump is written (atomically) BEFORE the increment is
+indexed, so a half-indexed increment can never put docmeta ids beyond
+the recorded space (which would crash ``Searcher.__init__``). Every
+``sync_changed_docs`` call begins with ``_repair_interrupted``: any
+increment intent without a 'done' lineage record is re-indexed from
+its persisted input (all partition writes are atomic tmp+rename, so
+re-running is safe), and a stale merge marker or pending tombstones
+trigger the finishing merge/compaction that the interrupted run never
+reached. A retry therefore REPAIRS instead of silently no-op'ing on
+the "detect sees the new docmeta rows as current" early exit.
 
 Source-of-truth caveat: an increment represents state newer than the
 original corpus directory. A later full ``build_index`` against that
@@ -38,6 +56,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from sotohp_ray.config import IndexConfig
@@ -55,11 +74,75 @@ def _existing_partition_ids(index_dir: str) -> list[int]:
     )
 
 
-def detect_changes(index_dir: str, incoming: pa.Table) -> dict:
+def _increments_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "increments")
+
+
+def _read_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def _write_stats(index_dir: str, stats: dict) -> None:
+    # atomic (tmp+rename): stats.json is read by every Searcher; a
+    # torn write would take the whole index offline
+    lin.write_json(os.path.join(index_dir, "stats.json"), stats)
+
+
+def _scan_docmeta(
+    index_dir: str, uuids: list[str], collect_missing: bool = False
+) -> tuple[pa.Table, np.ndarray]:
+    """Batched docmeta scan: (rows whose doc_uuid is in ``uuids``,
+    doc_ids of live rows NOT in ``uuids`` when requested). Membership
+    is one hash-set probe per row (``pc.is_in``) over column-pruned
+    64k-row batches — never a corpus-sized filter-expression literal,
+    never more than one batch of docmeta in driver memory at a time
+    beyond the (incoming-sized) matches."""
+    import pyarrow.dataset as pads
+
+    dm_dir = os.path.join(index_dir, "docmeta")
+    vs = pa.array(sorted(set(uuids)), pa.string())
+    ds = pads.dataset(dm_dir, format="parquet")
+    matched, missing = [], []
+    scanner = ds.scanner(
+        columns=["doc_id", "doc_uuid", "content_sha256"],
+        batch_size=65536,
+    )
+    for b in scanner.to_batches():
+        t = pa.Table.from_batches([b])
+        m = pc.is_in(t["doc_uuid"], value_set=vs)
+        matched.append(t.filter(m))
+        if collect_missing:
+            missing.append(
+                t.filter(pc.invert(m))["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+    tbl = (
+        pa.concat_tables(matched)
+        if matched
+        else pa.table({
+            "doc_id": pa.array([], pa.uint64()),
+            "doc_uuid": pa.array([], pa.string()),
+            "content_sha256": pa.array([], pa.string()),
+        })
+    )
+    miss = (
+        np.concatenate(missing)
+        if missing
+        else np.zeros(0, dtype=np.uint64)
+    )
+    return tbl, miss
+
+
+def detect_changes(
+    index_dir: str, incoming: pa.Table, collect_missing: bool = False
+) -> dict:
     """-> {"changed_rows": int[], "new_rows": int[], "old_ids": int[],
-    "uuids": list[str], "shas": list[str]} — row indices into
-    ``incoming`` that need re-indexing, plus the engine doc_ids their
-    previous versions occupy."""
+    "missing_ids": uint64[], "uuids": list[str], "shas": list[str]} —
+    row indices into ``incoming`` that need re-indexing, the engine
+    doc_ids their previous versions occupy, and (when requested) live
+    engine ids absent from ``incoming`` (i.e. deletions)."""
     from sotohp_ray.functions.hashing import doc_uuid_column, sha256_column
     from sotohp_ray.pipelines.delete import load_tombstones
 
@@ -69,11 +152,7 @@ def detect_changes(index_dir: str, incoming: pa.Table) -> dict:
     shas = sha256_column(
         incoming["content"].combine_chunks()
     ).to_pylist()
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"),
-        columns=["doc_id", "doc_uuid", "content_sha256"],
-        filters=[("doc_uuid", "in", list(set(uuids)))],
-    )
+    dm, miss = _scan_docmeta(index_dir, uuids, collect_missing)
     # a doc synced twice before compaction has BOTH its tombstoned old
     # row and its live row in docmeta — only the live one is current
     tomb = load_tombstones(index_dir)
@@ -82,6 +161,8 @@ def detect_changes(index_dir: str, incoming: pa.Table) -> dict:
         dm = dm.filter(
             pa.array(~np.isin(ids.astype(np.uint64), tomb, kind="sort"))
         )
+        if miss.size:
+            miss = miss[~np.isin(miss, tomb, kind="sort")]
     prev = {
         u: (int(d), s)
         for d, u, s in zip(
@@ -102,96 +183,226 @@ def detect_changes(index_dir: str, incoming: pa.Table) -> dict:
         "changed_rows": changed,
         "new_rows": new,
         "old_ids": old_ids,
+        "missing_ids": miss,
         "uuids": uuids,
         "shas": shas,
     }
 
 
-def sync_changed_docs(
-    index_dir: str, incoming: pa.Table, compact: bool = True
-) -> dict:
-    """Re-index exactly the incoming rows whose content changed (plus
-    brand-new rows). Idempotent: a second sync with the same rows is a
-    no-op. Returns counts + the new stats."""
+def _finish_merge(index_dir: str, config: IndexConfig) -> dict:
+    """Recompute global stats from 'done' lineage records, persist
+    them, and (re)run the bucketed merge unless the merge marker
+    already matches the current lineage fingerprint. Idempotent — the
+    finishing step of both the append path and crash repair."""
+    import hashlib
+
+    from sotohp_ray.pipelines.build_index import (
+        _config_fingerprint,
+        merge_phase,
+    )
+
+    records = [
+        r for r in lin.read_records(index_dir)
+        if r.get("status") == "done"
+    ]
+    n_docs = sum(r["doc_count"] for r in records)
+    total_tokens = sum(r["token_count"] for r in records)
+    stats = _read_stats(index_dir)
+    stats["n_docs"] = n_docs
+    stats["total_tokens"] = total_tokens
+    stats["total_postings"] = sum(r["posting_count"] for r in records)
+    stats["avgdl"] = (total_tokens / n_docs) if n_docs else 0.0
+    _write_stats(index_dir, stats)
+    lineage_fp = hashlib.sha256(
+        json.dumps(
+            sorted(
+                (r["partition_id"], r["input_fingerprint"])
+                for r in records
+            )
+        ).encode()
+    ).hexdigest()[:16]
+    marker = os.path.join(index_dir, "_MERGE_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        if (
+            m.get("config") == _config_fingerprint(config)
+            and m.get("lineage") == lineage_fp
+        ):
+            return stats  # dictionary already reflects this lineage
+        os.remove(marker)
+    merge_phase(
+        index_dir, config, n_docs, stats["avgdl"], lineage_fp
+    )
+    return stats
+
+
+def _repair_interrupted(
+    index_dir: str, config: IndexConfig, compact: bool
+) -> bool:
+    """Replay any work an interrupted sync left behind. Returns True
+    if something was repaired. Three recoverable states, in order:
+
+    - an increment intent exists but its partition has no 'done'
+      lineage record -> re-index it from the persisted increment input
+      (atomic overwrites make the replay safe);
+    - tombstones are pending and the caller allows compaction -> the
+      interrupted run tombstoned old versions but never compacted;
+    - the merge marker doesn't match the current lineage fingerprint
+      -> partitions were indexed but the dictionary was never rebuilt.
+    """
     import hashlib
 
     from sotohp_ray.pipelines.build_index import (
         PartitionIndexer,
+        _config_fingerprint,
         _config_to_kwargs,
-        merge_phase,
+    )
+    from sotohp_ray.pipelines.delete import compact_index, load_tombstones
+
+    inc_dir = _increments_dir(index_dir)
+    done = {
+        r["partition_id"]
+        for r in lin.read_records(index_dir)
+        if r.get("status") == "done"
+    }
+    reindexed = False
+    if os.path.isdir(inc_dir):
+        for name in sorted(os.listdir(inc_dir)):
+            if not (name.startswith("partition-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(inc_dir, name)) as f:
+                intent = json.load(f)
+            pid = int(intent["pid"])
+            if pid in done:
+                continue
+            inc_path = os.path.join(
+                inc_dir, f"partition-{pid:05d}.parquet"
+            )
+            if not os.path.exists(inc_path):
+                continue  # intent written, input lost: nothing to replay
+            base = int(intent["base"])
+            stats = _read_stats(index_dir)
+            space = int(stats.get("doc_id_space", stats["n_docs"]))
+            if space < base + int(intent["rows"]):
+                stats["doc_id_space"] = base + int(intent["rows"])
+                _write_stats(index_dir, stats)
+            ix = PartitionIndexer(_config_to_kwargs(config), index_dir)
+            ix._index_one(pid, inc_path, base)
+            reindexed = True
+
+    pending_tombs = load_tombstones(index_dir).size > 0
+    records = [
+        r for r in lin.read_records(index_dir)
+        if r.get("status") == "done"
+    ]
+    lineage_fp = hashlib.sha256(
+        json.dumps(
+            sorted(
+                (r["partition_id"], r["input_fingerprint"])
+                for r in records
+            )
+        ).encode()
+    ).hexdigest()[:16]
+    marker = os.path.join(index_dir, "_MERGE_DONE.json")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        stale = not (
+            m.get("config") == _config_fingerprint(config)
+            and m.get("lineage") == lineage_fp
+        )
+    if pending_tombs and compact:
+        compact_index(index_dir)
+        return True
+    if reindexed or stale:
+        _finish_merge(index_dir, config)
+        return True
+    return False
+
+
+def sync_changed_docs(
+    index_dir: str,
+    incoming: pa.Table,
+    compact: bool = True,
+    remove_missing: bool = False,
+) -> dict:
+    """Re-index exactly the incoming rows whose content changed (plus
+    brand-new rows); with ``remove_missing=True``, also tombstone live
+    docs absent from ``incoming`` (full-corpus resync semantics — only
+    pass it when ``incoming`` IS the complete current corpus).
+    Idempotent: a second sync with the same rows is a no-op; a retry
+    after a crash repairs the interrupted run first. Returns counts +
+    the new stats."""
+    from sotohp_ray.pipelines.build_index import (
+        PartitionIndexer,
+        _config_to_kwargs,
     )
     from sotohp_ray.pipelines.delete import compact_index, delete_docs
 
     with open(os.path.join(index_dir, "config.json")) as f:
         config = IndexConfig.from_json(f.read())
-    det = detect_changes(index_dir, incoming)
-    rows = det["changed_rows"] + det["new_rows"]
-    if not rows:
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            stats = json.load(f)
-        return {"changed": 0, "new": 0, "tombstoned": 0, "stats": stats}
-
-    if det["old_ids"]:
-        delete_docs(index_dir, engine_doc_ids=det["old_ids"])
-
-    # one increment partition, ids appended at the top of the space
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
-    base = int(stats.get("doc_id_space", stats["n_docs"]))
-    pid = (max(_existing_partition_ids(index_dir), default=-1)) + 1
-    inc = incoming.take(pa.array(sorted(rows), pa.int64()))
-    inc_path = os.path.join(
-        index_dir, "increments", f"partition-{pid:05d}.parquet"
+    _repair_interrupted(index_dir, config, compact)
+    det = detect_changes(
+        index_dir, incoming, collect_missing=remove_missing
     )
-    lin.atomic_write_table(inc, inc_path)
-    ix = PartitionIndexer(_config_to_kwargs(config), index_dir)
-    ix._index_one(pid, inc_path, base)
+    rows = det["changed_rows"] + det["new_rows"]
+    missing = det["missing_ids"] if remove_missing else np.zeros(
+        0, dtype=np.uint64
+    )
+    if not rows and not missing.size:
+        return {
+            "changed": 0, "new": 0, "tombstoned": 0, "removed": 0,
+            "stats": _read_stats(index_dir),
+        }
 
-    # the id space grew; record it BEFORE compaction so searcher
-    # arrays size correctly (compaction preserves doc_id_space)
-    stats["doc_id_space"] = base + inc.num_rows
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1, sort_keys=True, default=str)
+    dead = list(det["old_ids"]) + [int(i) for i in missing]
+    if dead:
+        delete_docs(index_dir, engine_doc_ids=dead)
 
-    if compact and det["old_ids"]:
+    pid = None
+    if rows:
+        # one increment partition, ids appended at the top of the
+        # space. Durable order matters: (1) increment input parquet,
+        # (2) intent json {pid, base, rows} — the replay record,
+        # (3) doc_id_space bump, (4) index. A crash between any two
+        # steps is repaired by _repair_interrupted on the next call;
+        # the space bump precedes indexing so docmeta can never hold
+        # ids >= the recorded space (Searcher arrays size from it).
+        stats = _read_stats(index_dir)
+        base = int(stats.get("doc_id_space", stats["n_docs"]))
+        pid = (max(_existing_partition_ids(index_dir), default=-1)) + 1
+        inc = incoming.take(pa.array(sorted(rows), pa.int64()))
+        inc_path = os.path.join(
+            _increments_dir(index_dir), f"partition-{pid:05d}.parquet"
+        )
+        lin.atomic_write_table(inc, inc_path)
+        lin.write_json(
+            os.path.join(
+                _increments_dir(index_dir), f"partition-{pid:05d}.json"
+            ),
+            {"pid": pid, "base": base, "rows": inc.num_rows},
+        )
+        stats["doc_id_space"] = base + inc.num_rows
+        _write_stats(index_dir, stats)
+        ix = PartitionIndexer(_config_to_kwargs(config), index_dir)
+        ix._index_one(pid, inc_path, base)
+
+    if compact and dead:
         new_stats = compact_index(index_dir)
     else:
         # pure additions (or caller defers compaction): recompute the
         # global stats from lineage and rerun the merge so the new
         # partition's postings are queryable with exact df/N/avgdl
-        records = [
-            r for r in lin.read_records(index_dir)
-            if r.get("status") == "done"
-        ]
-        n_docs = sum(r["doc_count"] for r in records)
-        total_tokens = sum(r["token_count"] for r in records)
-        new_stats = dict(stats)
-        new_stats["n_docs"] = n_docs
-        new_stats["total_tokens"] = total_tokens
-        new_stats["total_postings"] = sum(
-            r["posting_count"] for r in records
-        )
-        new_stats["avgdl"] = (total_tokens / n_docs) if n_docs else 0.0
-        with open(os.path.join(index_dir, "stats.json"), "w") as f:
-            json.dump(new_stats, f, indent=1, sort_keys=True, default=str)
-        lineage_fp = hashlib.sha256(
-            json.dumps(
-                sorted(
-                    (r["partition_id"], r["input_fingerprint"])
-                    for r in records
-                )
-            ).encode()
-        ).hexdigest()[:16]
-        marker = os.path.join(index_dir, "_MERGE_DONE.json")
-        if os.path.exists(marker):
-            os.remove(marker)
-        merge_phase(
-            index_dir, config, n_docs, new_stats["avgdl"], lineage_fp
-        )
-    return {
+        new_stats = _finish_merge(index_dir, config)
+    out = {
         "changed": len(det["changed_rows"]),
         "new": len(det["new_rows"]),
         "tombstoned": len(det["old_ids"]),
-        "increment_partition": pid,
+        "removed": int(missing.size),
         "stats": new_stats,
     }
+    if pid is not None:
+        out["increment_partition"] = pid
+    return out

@@ -323,6 +323,30 @@ def test_codec_migration_identical_results(
     assert migrate_codec(index_dir, "pfor")["noop"] is True
 
 
+def test_migration_preserves_path_masks(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """migrate_codec must carry EVERY config field into the promoted
+    config.json — a field-by-field rebuild once dropped the S1 path
+    masks, un-masking later syncs and spuriously invalidating all
+    partition lineage via the changed config fingerprint."""
+    from sotohp_ray.pipelines.migrate import migrate_codec
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_mig_masks"))
+    cfg = IndexConfig(
+        codec="varint", path_include=r"src/", path_ignore=r"\.go$"
+    )
+    build_index(corpus_dir, index_dir, config=cfg)
+    migrate_codec(index_dir, "pfor")
+    with open(os.path.join(index_dir, "config.json")) as f:
+        after = IndexConfig.from_json(f.read())
+    assert after.codec == "pfor"
+    assert after.path_include == cfg.path_include
+    assert after.path_ignore == cfg.path_ignore
+    assert after.tokenizer.version_hash() == cfg.tokenizer.version_hash()
+
+
 def test_migration_swap_recovery(ray_session, tiny_corpus, tmp_path_factory):
     """A migration killed between swap steps is finished by the
     recovery pass on the next call; readers never see a mixed state."""

@@ -319,6 +319,22 @@ def test_fanout_equals_single_searcher(small_index):
     assert max(st["dict_bytes"] for st in stats) < s.dict_bytes_loaded
 
 
+def test_shard_searcher_rejects_serve_mode_with_groups(small_index):
+    """FanoutSearcher implements exact scoring only; serve-mode
+    (WAND/phrase routing) with group_actors must be rejected at
+    construction instead of AttributeError-ing mid-query and killing
+    the serving actor."""
+    import pytest
+
+    from sotohp_ray.pipelines.fulltext import _ShardSearcher
+
+    _, index_dir, _, _ = small_index
+    with pytest.raises(ValueError, match="single-replica"):
+        _ShardSearcher(
+            index_dir, k=10, mode="serve", group_actors=[object()]
+        )
+
+
 def test_fanout_respects_tombstones(small_index, tmp_path_factory):
     """Deleted docs must vanish from fan-out results exactly as they
     do from the single searcher (the merge layer owns the tombstones)."""

@@ -119,6 +119,140 @@ def test_sync_idempotent(synced_vs_fresh):
     assert _results_by_path(base_idx) == before
 
 
+def test_sync_remove_missing_propagates_deletions(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """Presenting the full current corpus with remove_missing=True must
+    tombstone docs that disappeared from it — a full re-sync equals a
+    fresh build over the reduced corpus."""
+    corpus_dir, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("idx_rm"))
+    build_index(corpus_dir, idx, config=IndexConfig())
+    t, _ = _corpus_table(corpus_dir)
+    drop = set(sorted(t["path"].to_pylist())[:3])
+    keep = pa.array([p not in drop for p in t["path"].to_pylist()])
+    reduced = t.filter(keep).select(
+        ["repo", "path", "commit", "lang", "content"]
+    )
+    out = sync_changed_docs(idx, reduced, remove_missing=True)
+    assert out["removed"] == 3
+    assert out["changed"] == 0 and out["new"] == 0
+
+    fresh_corpus = str(tmp_path_factory.mktemp("corpus_rm"))
+    pq.write_table(
+        reduced, os.path.join(fresh_corpus, "part-00000.parquet")
+    )
+    fresh_idx = str(tmp_path_factory.mktemp("idx_rm_fresh"))
+    build_index(fresh_corpus, fresh_idx, config=IndexConfig())
+    assert _results_by_path(idx) == _results_by_path(fresh_idx)
+    # idempotent: a second identical resync removes nothing
+    out2 = sync_changed_docs(idx, reduced, remove_missing=True)
+    assert out2["removed"] == 0 and out2["changed"] == 0
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_sync_retry_repairs_crash_before_compaction(
+    ray_session, tiny_corpus, tmp_path_factory, monkeypatch
+):
+    """Kill the sync AFTER the increment is indexed but BEFORE the
+    finishing compaction: the old round-2 retry saw the new docmeta
+    rows as current, returned changed=0 and never merged — updated
+    docs stayed unsearchable forever. The retry must repair."""
+    import pyarrow.compute as pc
+
+    import sotohp_ray.pipelines.delete as del_mod
+
+    corpus_dir, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("idx_crash"))
+    build_index(corpus_dir, idx, config=IndexConfig())
+    t, _ = _corpus_table(corpus_dir)
+    texts = t["content"].to_pylist()
+    changed = set(sorted(t["path"].to_pylist())[:2])
+    texts = [
+        (x + "\ncrashmarker sentinel") if p in changed else x
+        for p, x in zip(t["path"].to_pylist(), texts)
+    ]
+    incoming = t.set_column(
+        t.schema.get_field_index("content"), "content",
+        pa.array(texts, t.schema.field("content").type),
+    ).select(["repo", "path", "commit", "lang", "content"])
+
+    real_compact = del_mod.compact_index
+
+    def boom(index_dir):
+        raise RuntimeError("injected crash before compaction")
+
+    monkeypatch.setattr(del_mod, "compact_index", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sync_changed_docs(idx, incoming)
+    monkeypatch.setattr(del_mod, "compact_index", real_compact)
+
+    out = sync_changed_docs(idx, incoming)  # retry repairs
+    assert out["changed"] == 0 and out["new"] == 0
+    s = Searcher(idx)
+    hits = s.search_exact("crashmarker", k=s.space)
+    assert len(hits) == 2
+    # equal to a fresh build over the modified corpus
+    fresh_corpus = str(tmp_path_factory.mktemp("corpus_crash"))
+    pq.write_table(
+        incoming, os.path.join(fresh_corpus, "part-00000.parquet")
+    )
+    fresh_idx = str(tmp_path_factory.mktemp("idx_crash_fresh"))
+    build_index(fresh_corpus, fresh_idx, config=IndexConfig())
+    assert _results_by_path(idx) == _results_by_path(fresh_idx)
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_repair_completes_unindexed_increment(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """Crash between the intent record and the increment indexing: the
+    persisted input + intent json are enough to replay the partition
+    on the next sync call, even one that otherwise detects nothing."""
+    import json as _json
+
+    from sotohp_ray.pipelines.update import (
+        _existing_partition_ids,
+        _increments_dir,
+    )
+    from sotohp_ray.state import lineage as lin
+
+    corpus_dir, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("idx_intent"))
+    build_index(corpus_dir, idx, config=IndexConfig())
+    t, _ = _corpus_table(corpus_dir)
+    inc = pa.table({
+        "repo": pa.array([t["repo"][0].as_py()]),
+        "path": pa.array(["zz_orphan.py"]),
+        "commit": pa.array([t["commit"][0].as_py()]),
+        "lang": pa.array(["py"]),
+        "content": pa.array(
+            ["def orphanmarker(): return 42"],
+            t.schema.field("content").type,
+        ),
+    })
+    with open(os.path.join(idx, "stats.json")) as f:
+        stats = _json.load(f)
+    base = int(stats.get("doc_id_space", stats["n_docs"]))
+    pid = max(_existing_partition_ids(idx), default=-1) + 1
+    lin.atomic_write_table(
+        inc, os.path.join(_increments_dir(idx), f"partition-{pid:05d}.parquet")
+    )
+    lin.write_json(
+        os.path.join(_increments_dir(idx), f"partition-{pid:05d}.json"),
+        {"pid": pid, "base": base, "rows": 1},
+    )
+    # sync with the UNCHANGED corpus: detect finds nothing, but the
+    # repair pass must still index + merge the orphan increment
+    out = sync_changed_docs(
+        idx, t.select(["repo", "path", "commit", "lang", "content"])
+    )
+    assert out["changed"] == 0 and out["new"] == 0
+    s = Searcher(idx)
+    assert len(s.search_exact("orphanmarker", k=s.space)) == 1
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 def test_detect_changes_ignores_unchanged(
     ray_session, tiny_corpus, tmp_path_factory
 ):
