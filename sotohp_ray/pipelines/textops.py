@@ -579,14 +579,17 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     check, with the VERIFICATION distributed too (the round-1 version
     read the whole corpus into a driver dict).
 
-    Shape: candidate texts are shipped per bucket — a broadcast
-    semi-join filters the docs table to candidate ids, a
-    ``groupby(doc_id)`` attaches each candidate's text to its bucket
-    membership rows, and a ``groupby(bucket)`` verifies each bucket's
-    pairs locally (exact shingle Jaccard). Pair dedup across buckets is
-    one final groupby on (doc_a, doc_b). No full-corpus driver read,
-    no all-pairs — matches the reference's grouped dedup discipline
-    (GoogleTakeoutTooling.scala:49-95)."""
+    Shape: ONE map pass + ONE shuffle. The dup-bucket member list is
+    read to the driver once (candidate-set-sized, never corpus-sized)
+    and the doc→bucket map is broadcast via ``ray.put``; the shingle
+    stage
+    computes each candidate doc's shingle set once (fully vectorized)
+    and emits its rows already keyed by bucket, so the only wide op is
+    the ``groupby(coarse-bucket)`` verify. Identical-content cliques
+    are detected driver-side from candidate-sized (doc, ckey) columns.
+    Pair dedup across buckets is output-sized. No full-corpus driver
+    read, no all-pairs — matches the reference's grouped dedup
+    discipline (GoogleTakeoutTooling.scala:49-95)."""
     import pandas as pd
     import ray
 
@@ -597,35 +600,39 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     )
     if members is None:
         return empty
-    mem = members.select_columns(["doc_id", "bkey"]).materialize()
-    cand_ids = np.sort(np.unique(mem.to_pandas()["doc_id"].to_numpy()))
-    if cand_ids.size == 0:
+    mdf = members.select_columns(["doc_id", "bkey"]).to_pandas()
+    if not len(mdf):
         return empty
-    idref = ray.put(cand_ids)
+    m_doc = mdf["doc_id"].to_numpy().astype(np.int64)
+    m_bk = mdf["bkey"].to_numpy().astype(np.int64)
+    order = np.argsort(m_doc, kind="stable")
+    m_doc, m_bk = m_doc[order], m_bk[order]
+    mapref = ray.put((m_doc, m_bk))
 
-    # coarse doc-hash partitions: shingle-set rows and membership rows
-    # meet in the SAME group, where one vectorized pandas merge
-    # attaches them. Shingles are computed ONCE per candidate doc in a
-    # fully vectorized batch pass (the same token-hash + strided-window
-    # kernels as MinHash) — no per-doc tokenizer calls anywhere.
+    # Shingles are computed ONCE per candidate doc in a fully
+    # vectorized batch pass (the same token-hash + strided-window
+    # kernels as MinHash) — no per-doc tokenizer calls anywhere —
+    # then each doc's shingle row is replicated per bucket membership
+    # (bkey looked up in the broadcast map), landing pre-keyed for the
+    # verify groupby.
     def _cand_shingles(batch: pa.Table) -> pa.Table:
         from sotohp_ray.functions.hashing import (
             _WIN_MULS, _fmix64, token_hash_array,
         )
 
-        ids = ray.get(idref)
-        mask = np.isin(
-            batch["doc_id"].to_numpy(zero_copy_only=False), ids, kind="sort"
-        )
-        out = batch.filter(pa.array(mask))
+        md, mb = ray.get(mapref)
+        bd = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_all = np.searchsorted(md, bd)
+        hi_all = np.searchsorted(md, bd, side="right")
+        out = batch.filter(pa.array(hi_all > lo_all))
         if out.num_rows == 0:
             return pa.table({
-                "doc_id": pa.array([], pa.int64()),
+                "coarse": pa.array([], pa.int64()),
                 "bkey": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
                 "shingles": pa.array([], pa.large_list(pa.uint64())),
                 "ckey": pa.array([], pa.int64()),
                 "n_sh": pa.array([], pa.int64()),
-                "dkey": pa.array([], pa.int64()),
             })
         parents, flat = _TOK.exploded(_text_col(out))
         pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -691,49 +698,32 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
         # clique). Kept as a plain int64 column, NOT a null mask: a
         # nullable int64 becomes float64 in pandas and float64 cannot
         # represent a full-range 64-bit content key exactly.
-        d = out["doc_id"].to_numpy(zero_copy_only=False)
+        # Expand to one row per (doc, bucket) membership, keyed by the
+        # coarse bucket partition the verify groupby shuffles on.
+        d = out["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(md, d)
+        reps = np.searchsorted(md, d, side="right") - lo
+        total = int(reps.sum())
+        run_starts = np.cumsum(reps) - reps
+        idx = np.repeat(lo - run_starts, reps) + np.arange(total)
+        bk = mb[idx]
+        par = np.repeat(np.arange(n, dtype=np.int64), reps)
+        n_sh = (offsets[1:] - offsets[:-1]).astype(np.int64)
         return pa.table({
-            "doc_id": out["doc_id"].cast(pa.int64()),
-            "bkey": pa.array(np.full(n, -1, np.int64)),
-            "shingles": shingles,
-            "ckey": pa.array(ckey, pa.int64()),
-            "n_sh": pa.array(
-                (offsets[1:] - offsets[:-1]).astype(np.int64), pa.int64()
-            ),
-            "dkey": pa.array((d & 0xFF).astype(np.int64), pa.int64()),
+            "coarse": pa.array((bk & 0xFF).astype(np.int64), pa.int64()),
+            "bkey": pa.array(bk, pa.int64()),
+            "doc_id": pa.array(d[par], pa.int64()),
+            "shingles": shingles.take(pa.array(par, pa.int64())),
+            "ckey": pa.array(ckey[par], pa.int64()),
+            "n_sh": pa.array(n_sh[par], pa.int64()),
         })
 
     # materialized: the shingle rows feed BOTH the bucket-verify path
     # and the identical-clique path below — without this the expensive
-    # shingle stage would execute twice (candidate-sized, spillable)
-    texts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    # shingle stage would execute twice (membership-sized, spillable)
+    bucketed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _cand_shingles, batch_format="pyarrow"
     ).materialize()
-
-    def _tag_member(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False)
-        z = pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
-        return pa.table({
-            "doc_id": batch["doc_id"].cast(pa.int64()),
-            "bkey": batch["bkey"].cast(pa.int64()),
-            "shingles": pa.nulls(batch.num_rows, pa.large_list(pa.uint64())),
-            "ckey": z,  # placeholder; attach takes ckey from text rows
-            "n_sh": z,
-            "dkey": pa.array((d & 0xFF).astype(np.int64), pa.int64()),
-        })
-
-    both = mem.map_batches(_tag_member, batch_format="pyarrow").union(texts)
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.loc[
-            g["bkey"] == -1, ["doc_id", "shingles", "ckey"]
-        ].drop_duplicates("doc_id")
-        m = g.loc[g["bkey"] != -1, ["doc_id", "bkey"]]
-        out = m.merge(t, on="doc_id", how="inner")
-        out["coarse"] = (out["bkey"].to_numpy() & 0xFF).astype("int64")
-        return out[["coarse", "bkey", "doc_id", "shingles", "ckey"]]
-
-    bucketed = both.groupby("dkey").map_groups(attach, batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         # One coarse group = many whole buckets. The mega-bucket fix
@@ -850,26 +840,24 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     # identical-content cliques (jaccard exactly 1.0), emitted ONCE
     # globally: equal shingle sets => equal MinHash signature =>
     # identical bucket membership, so every same-ckey pair is a
-    # guaranteed LSH candidate and needs no verification. The dup-ckey
-    # member list is found distributed (count groupby + broadcast
-    # filter); the expansion itself is output-sized.
-    def _ck_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.greater(batch["n_sh"], 0))
-        return pa.table({"doc_id": t["doc_id"], "bkey": t["ckey"]})
-
+    # guaranteed LSH candidate and needs no verification. The doc-level
+    # (doc_id, ckey) list is candidate-set-sized — the same scale as
+    # the member list already on the driver — so the dup-ckey clique
+    # expansion runs locally, without another distributed groupby.
     eq_frames = []
     if threshold <= 1.0:
-        eq_members, _ = _dup_members(
-            texts.map_batches(_ck_rows, batch_format="pyarrow")
+        ck = (
+            bucketed.select_columns(["doc_id", "ckey", "n_sh"])
+            .to_pandas()
+            .drop_duplicates("doc_id")
         )
-        if eq_members is not None:
-            em = eq_members.select_columns(["doc_id", "bkey"]).to_pandas()
-            a, b = _clique_pairs(
-                em["bkey"].to_numpy(), em["doc_id"].to_numpy()
-            )
-            import pandas as _pd
-
-            eq_frames.append(_pd.DataFrame({
+        ck = ck[ck["n_sh"] > 0]
+        a, b = _clique_pairs(
+            ck["ckey"].to_numpy().astype(np.int64),
+            ck["doc_id"].to_numpy().astype(np.int64),
+        )
+        if a.size:
+            eq_frames.append(pd.DataFrame({
                 "doc_a": a, "doc_b": b,
                 "jaccard": np.full(a.size, 1.0),
             }))
