@@ -18,6 +18,7 @@ from sotohp_ray.functions.tokenizer import sql_token_expr
 from sotohp_ray.pipelines import ann, multimodal, relational, textops
 from sotohp_ray.pipelines.fulltext import (
     DELETED_DOC_IDS,
+    FILTER_LANG,
     UPDATED_DOC_IDS,
     bm25_facets,
     bm25_facets_sql,
@@ -26,7 +27,10 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_topk,
     bm25_topk_deleted,
     bm25_topk_distributed,
+    bm25_topk_filtered,
     bm25_topk_updated,
+    term_positions,
+    term_positions_sql,
     phrase_oracle_sql,
     phrase_topk,
     proximity_oracle_sql,
@@ -49,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_distributed": lambda sf: bm25_topk_distributed(sf),
         "bm25_topk_deleted": lambda sf: bm25_topk_deleted(sf),
         "bm25_topk_updated": lambda sf: bm25_topk_updated(sf),
+        "bm25_topk_filtered": lambda sf: bm25_topk_filtered(sf),
+        "term_positions": lambda sf: term_positions(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
@@ -113,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_distributed": bm25_oracle_sql(),
         "bm25_topk_deleted": bm25_oracle_sql(exclude_ids=DELETED_DOC_IDS),
         "bm25_topk_updated": bm25_oracle_sql(update_ids=UPDATED_DOC_IDS),
+        "bm25_topk_filtered": bm25_oracle_sql(filter_lang=FILTER_LANG),
+        "term_positions": term_positions_sql(),
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),

@@ -248,6 +248,117 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+# term-positions readback sample: every doc with doc_id % MOD == 0,
+# three analyzer-stable vocabulary terms (the sampled-membership
+# discipline of sample_random keeps the result output-sized at any sf)
+POSITION_TERMS = ("fast", "small", "merge")
+POSITION_MOD = 7
+
+
+def term_positions(
+    sf_dir: str, terms=POSITION_TERMS, mod: int = POSITION_MOD
+) -> pa.Table:
+    """(term, doc_id, pos): every 0-based token position of each term
+    in the sampled docs, read BACK FROM THE POSITIONAL INDEX
+    (``Searcher.term_positions`` — the term-vector primitive behind
+    highlighting). Verifies the position payload itself against SQL
+    token subscripts, not just phrase/proximity ranking derived from
+    it."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    t_parts, d_parts, p_parts = [], [], []
+    for term in terms:
+        # oracle parity: the SQL matches the LITERAL term against the
+        # analyzed token list — skip terms the analyzer would rewrite
+        if s.tok.tokens_of(term) != [term]:
+            continue
+        docs, tfs, occ = s.term_positions(term)
+        if docs.size == 0:
+            continue
+        orig = eng2orig[docs.astype(np.int64)]
+        keep = orig % mod == 0
+        occ_keep = np.repeat(keep, tfs.astype(np.int64))
+        occ_docs = np.repeat(orig[keep], tfs[keep].astype(np.int64))
+        t_parts.append(np.full(occ_docs.size, term, dtype=object))
+        d_parts.append(occ_docs)
+        p_parts.append(occ[occ_keep].astype(np.int64))
+    if not d_parts:
+        return pa.table({
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        })
+    tcol = np.concatenate(t_parts)
+    dcol = np.concatenate(d_parts)
+    pcol = np.concatenate(p_parts)
+    order = np.lexsort((pcol, dcol, tcol))
+    return pa.table({
+        "term": pa.array(tcol[order], pa.string()),
+        "doc_id": pa.array(dcol[order], pa.int64()),
+        "pos": pa.array(pcol[order], pa.int64()),
+    })
+
+
+def term_positions_sql(terms=POSITION_TERMS, mod: int = POSITION_MOD) -> str:
+    """DuckDB oracle: token subscripts (0-based) of the sampled docs.
+    Parallel unnests of equal-length lists align positionally."""
+    texpr = sql_token_expr("text")
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) - 1 AS pos
+  FROM documents WHERE doc_id % {mod} = 0
+)
+SELECT term, doc_id, pos FROM toks
+WHERE term IN ({in_list})
+ORDER BY term, doc_id, pos
+"""
+
+
+FILTER_LANG = "es"
+
+
+def bm25_topk_filtered(
+    sf_dir: str, queries=DOC_QUERIES, lang: str = FILTER_LANG, k: int = 10
+) -> pa.Table:
+    """(query_id, doc_id, score): BM25 top-k restricted to docs whose
+    ``lang`` metadata matches — Lucene filter-query semantics (idf /
+    avgdl / doc length stay corpus-level; the filter only masks the
+    candidate set). The mask comes from the index's own docmeta, so
+    this is the serving-side metadata-filtered retrieval path (the
+    reference filters ES searches by album/time facets the same way,
+    ElasticOperations.scala:91-97)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "lang"]
+    )
+    mask = np.zeros(s.space, dtype=bool)
+    ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mask[ids] = np.asarray(dm["lang"].to_pandas() == lang)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space, mask=mask)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
     """(doc_id,): docs whose analyzed term set contains ALL keywords,
     answered FROM THE INVERTED INDEX (posting-set intersection bounded
@@ -728,7 +839,7 @@ def bm25_topk_updated(
 
 def bm25_oracle_sql(
     queries=DOC_QUERIES, k: int = 10, exclude_ids=None,
-    update_ids=None, update_suffix=UPDATE_SUFFIX,
+    update_ids=None, update_suffix=UPDATE_SUFFIX, filter_lang=None,
 ) -> str:
     """DuckDB SQL computing the same BM25 top-k on ``documents``.
     Query tokenization happens here in Python (same tokenizer), emitted
@@ -736,7 +847,9 @@ def bm25_oracle_sql(
     the collection first — the oracle for the delete+compact pipeline;
     ``update_ids`` rewrites those docs' text (append ``update_suffix``)
     — the oracle for the per-doc sync pipeline. Every statistic is
-    recomputed over the modified collection."""
+    recomputed over the modified collection. ``filter_lang`` instead
+    masks only the CANDIDATE set after scoring (statistics stay
+    corpus-level) — the filter-query oracle for bm25_topk_filtered."""
     tok = CodeTokenizer()
     vals = []
     for qi, q in enumerate(queries):
@@ -758,6 +871,12 @@ def bm25_oracle_sql(
         )
     else:
         src = "documents"
+    filter_join = ""
+    if filter_lang:
+        filter_join = (
+            f"\nJOIN documents fd ON fd.doc_id = s.doc_id"
+            f" AND fd.lang = '{filter_lang}'"
+        )
     return f"""
 WITH docs_src AS (SELECT * FROM {src}),
 toks AS (
@@ -785,10 +904,10 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY 1, 2
 )
-SELECT query_id, doc_id, round(score, 4) AS score
-FROM scores
+SELECT query_id, s.doc_id AS doc_id, round(score, 4) AS score
+FROM scores s{filter_join}
 QUALIFY row_number() OVER (
-  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, s.doc_id ASC
 ) <= {k}
 ORDER BY query_id, doc_id
 """

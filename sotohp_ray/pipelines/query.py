@@ -498,7 +498,39 @@ class Searcher:
 
     # ---- exact (term-at-a-time) ------------------------------------
 
-    def search_exact(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def term_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Public positional readback for one analyzed term — the
+        term-vector primitive behind highlighting/snippets: (docs, tfs,
+        occ) where ``occ`` holds every occurrence's absolute 0-based
+        token position, posting-ordered (posting i owns
+        ``occ[sum(tfs[:i]):sum(tfs[:i+1])]``). ``term`` must analyze
+        to exactly one token; a vocabulary miss returns empty arrays.
+        Tombstoned docs are excluded (same contract as search)."""
+        toks = self.tok.tokens_of(term)
+        if len(toks) != 1:
+            raise ValueError("term_positions takes a single-token term")
+        t = toks[0]
+        if t not in self._row:
+            z64 = np.zeros(0, dtype=np.uint64)
+            return z64, np.zeros(0, dtype=np.uint32), z64
+        docs, tfs, occ = self._positions_of(t)
+        if self._deleted is not None and docs.size:
+            live = ~self._deleted[docs.astype(np.int64)]
+            if not live.all():
+                keep_occ = np.repeat(live, tfs.astype(np.int64))
+                docs, tfs, occ = docs[live], tfs[live], occ[keep_occ]
+        return docs, tfs, occ
+
+    def search_exact(
+        self, query: str, k: int = 10, mask: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
+        """Exact TAAT BM25 top-k. ``mask`` (bool array over the doc-id
+        space, True = allowed) restricts the CANDIDATE set without
+        changing any statistic — Lucene filter-query semantics: idf,
+        avgdl and doc lengths stay corpus-level, the filter only
+        masks which docs may appear in results."""
         qterms = self._query_terms(query)
         if not qterms:
             return []
@@ -511,6 +543,8 @@ class Searcher:
             )
         if self._deleted is not None:
             scores[self._deleted] = 0.0
+        if mask is not None:
+            scores[~mask] = 0.0
         nz = np.flatnonzero(scores > 0.0)
         if nz.size == 0:
             return []

@@ -356,3 +356,111 @@ def test_fanout_respects_tombstones(small_index, tmp_path_factory):
         got = f.search_exact(q["q"], q["k"])
         assert got == s.search_exact(q["q"], q["k"]), q
         assert all(d != victim for d, _ in got)
+
+
+def test_term_positions_match_token_streams(small_index):
+    """term_positions (the term-vector/highlighting primitive) reads
+    back EXACTLY the 0-based token subscripts of each analyzed doc
+    stream, for hot, mid and df=1 terms alike."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    tok = CodeTokenizer()
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    key2id = {
+        (r, p, c): d
+        for r, p, c, d in zip(
+            dm["repo"].to_pylist(), dm["path"].to_pylist(),
+            dm["commit"].to_pylist(), dm["doc_id"].to_pylist(),
+        )
+    }
+    streams = {}
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            streams[key2id[(r, p, c)]] = tok.tokens_of(content)
+
+    # pick a spread of dfs from the dictionary: the hottest term, a
+    # mid-df term, and a df=1 term (the blobless pos0 tail)
+    import pyarrow.parquet as _pq
+
+    d = _pq.read_table(
+        os.path.join(index_dir, "dictionary"), columns=["term", "df"]
+    ).to_pandas().sort_values("df")
+    probes = [d.iloc[-1]["term"], d.iloc[len(d) // 2]["term"],
+              d[d["df"] == 1].iloc[0]["term"]]
+    for term in probes:
+        docs, tfs, occ = s.term_positions(term)
+        got = {}
+        o = 0
+        for di, tf in zip(docs, tfs):
+            got[int(di)] = occ[o:o + int(tf)].astype(int).tolist()
+            o += int(tf)
+        expect = {
+            di: [i for i, t in enumerate(toks) if t == term]
+            for di, toks in streams.items()
+            if term in toks
+        }
+        assert got == expect, term
+    assert s.term_positions("zzznotfound")[0].size == 0
+    with pytest.raises(ValueError):
+        s.term_positions("two words")
+
+
+def test_term_positions_respect_tombstones(small_index, tmp_path_factory):
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.delete import delete_docs
+
+    _, index_dir, _, _ = small_index
+    d = pq.read_table(
+        os.path.join(index_dir, "dictionary"), columns=["term", "df"]
+    ).to_pandas().sort_values("df")
+    term = d.iloc[-1]["term"]  # hottest term: every doc likely present
+    s0 = Searcher(index_dir)
+    docs0, tfs0, occ0 = s0.term_positions(term)
+    victim = int(docs0[0])
+    idx2 = str(tmp_path_factory.mktemp("idx_pos_del"))
+    shutil.rmtree(idx2)
+    shutil.copytree(index_dir, idx2)
+    delete_docs(idx2, engine_doc_ids=[victim])
+    docs1, tfs1, occ1 = Searcher(idx2).term_positions(term)
+    assert victim not in docs1.astype(int)
+    assert docs1.size == docs0.size - 1
+    # surviving postings keep their exact positions
+    import numpy as np
+
+    keep = docs0.astype(int) != victim
+    assert (docs1 == docs0[keep]).all()
+    assert (tfs1 == tfs0[keep]).all()
+    assert (occ1 == occ0[np.repeat(keep, tfs0.astype(np.int64))]).all()
+
+
+def test_search_exact_mask_filter_semantics(small_index):
+    """mask restricts candidates WITHOUT changing statistics: masked
+    results equal the unmasked full ranking filtered to allowed docs
+    (same scores), i.e. Lucene filter-query semantics."""
+    import numpy as np
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    rng = np.random.default_rng(7)
+    mask = rng.random(s.space) < 0.3
+    for q in reference_queries(small_index[0])[:15]:
+        full = s.search_exact(q["q"], k=s.space)
+        expect = [(d, sc) for d, sc in full if mask[d]][: q["k"]]
+        got = s.search_exact(q["q"], k=q["k"], mask=mask)
+        assert got == expect, q
