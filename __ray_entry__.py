@@ -33,6 +33,8 @@ from sotohp_ray.pipelines.fulltext import (
     term_positions_sql,
     phrase_oracle_sql,
     phrase_topk,
+    prefix_search,
+    prefix_search_sql,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -55,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_updated": lambda sf: bm25_topk_updated(sf),
         "bm25_topk_filtered": lambda sf: bm25_topk_filtered(sf),
         "term_positions": lambda sf: term_positions(sf),
+        "prefix_search": lambda sf: prefix_search(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
@@ -121,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_updated": bm25_oracle_sql(update_ids=UPDATED_DOC_IDS),
         "bm25_topk_filtered": bm25_oracle_sql(filter_lang=FILTER_LANG),
         "term_positions": term_positions_sql(),
+        "prefix_search": prefix_search_sql(),
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),

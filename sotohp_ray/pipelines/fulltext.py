@@ -319,6 +319,61 @@ ORDER BY term, doc_id, pos
 """
 
 
+PREFIX_QUERIES = ("fa", "mer", "wind")
+
+
+def prefix_search(sf_dir: str, prefixes=PREFIX_QUERIES) -> pa.Table:
+    """(prefix, doc_id, n_terms): wildcard ``prefix*`` retrieval from
+    the dictionary — docs containing any matching term, with the
+    distinct-matching-term count (Searcher.search_prefix; Lucene
+    MultiTermQuery shape). Exercises the dictionary as a queryable
+    artifact, not just a term->postings lookup table."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    p_parts, d_parts, n_parts = [], [], []
+    for p in prefixes:
+        docs, counts = s.search_prefix(p)
+        if docs.size == 0:
+            continue
+        orig = eng2orig[docs]
+        order = np.argsort(orig)
+        p_parts.append(np.full(docs.size, p, dtype=object))
+        d_parts.append(orig[order])
+        n_parts.append(counts[order])
+    if not d_parts:
+        return pa.table({
+            "prefix": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+        })
+    return pa.table({
+        "prefix": pa.array(np.concatenate(p_parts), pa.string()),
+        "doc_id": pa.array(np.concatenate(d_parts), pa.int64()),
+        "n_terms": pa.array(np.concatenate(n_parts), pa.int64()),
+    })
+
+
+def prefix_search_sql(prefixes=PREFIX_QUERIES) -> str:
+    texpr = sql_token_expr("text")
+    parts = [
+        f"SELECT '{p}' AS prefix, doc_id, count(*) AS n_terms\n"
+        f"FROM dt WHERE term LIKE '{p}%' GROUP BY doc_id"
+        for p in prefixes
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks)
+{union}
+ORDER BY prefix, doc_id
+"""
+
+
 FILTER_LANG = "es"
 
 

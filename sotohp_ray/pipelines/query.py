@@ -29,6 +29,7 @@ import os
 from collections import Counter
 
 import numpy as np
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from sotohp_ray.config import IndexConfig
@@ -797,6 +798,36 @@ class Searcher:
         if self._deleted is not None and out.size:
             out = out[~self._deleted[out]]
         return out
+
+    def search_prefix(self, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+        """Wildcard (``prefix*``) retrieval: (doc_ids, n_terms) —
+        sorted docs containing ANY dictionary term starting with
+        ``prefix``, with the count of DISTINCT matching terms each doc
+        contains (Lucene MultiTermQuery's constant-score shape; no
+        per-term scoring). The dictionary is scanned once with a
+        vectorized ``starts_with`` — cost is vocabulary-sized, then
+        bounded by the matched terms' total df. With shard-group scope
+        the scan covers only the group's terms (term->shard routing is
+        hash-based, so prefix queries need the full searcher or a
+        fan-out union across every group)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        hits = pc.starts_with(self._tbl["term"], prefix)
+        idx = np.flatnonzero(hits.to_numpy(zero_copy_only=False))
+        if idx.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        parts = []
+        for i in idx:
+            d, _ = self._decode_full(self._tbl["term"][int(i)].as_py())
+            parts.append(d.astype(np.int64))
+        # each term's doc list is unique, so per-doc multiplicity over
+        # the concat == the distinct-matching-term count
+        docs, counts = np.unique(np.concatenate(parts), return_counts=True)
+        if self._deleted is not None and docs.size:
+            live = ~self._deleted[docs]
+            docs, counts = docs[live], counts[live]
+        return docs, counts.astype(np.int64)
 
     def search(self, query: str, k: int = 10, mode: str = "wand"):
         if mode == "exact":

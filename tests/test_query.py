@@ -464,3 +464,42 @@ def test_search_exact_mask_filter_semantics(small_index):
         expect = [(d, sc) for d, sc in full if mask[d]][: q["k"]]
         got = s.search_exact(q["q"], k=q["k"], mask=mask)
         assert got == expect, q
+
+
+def test_search_prefix_matches_scan(small_index, tmp_path_factory):
+    """prefix* retrieval equals a full-dictionary scan + posting
+    union, and tombstoned docs vanish."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.delete import delete_docs
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    d = pq.read_table(
+        os.path.join(index_dir, "dictionary"), columns=["term"]
+    )["term"].to_pylist()
+    for prefix in ("fa", "q", "zzznope"):
+        terms = [t for t in d if t.startswith(prefix)]
+        expect = {}
+        for t in terms:
+            for doc in s._decode_full(t)[0].astype(int):
+                expect[doc] = expect.get(doc, 0) + 1
+        docs, counts = s.search_prefix(prefix)
+        assert dict(zip(docs.astype(int), counts.astype(int))) == expect
+        assert (np.diff(docs) > 0).all() if docs.size > 1 else True
+    with pytest.raises(ValueError):
+        s.search_prefix("")
+    # tombstones respected
+    docs0, _ = s.search_prefix("fa")
+    if docs0.size:
+        victim = int(docs0[0])
+        idx2 = str(tmp_path_factory.mktemp("idx_prefix_del"))
+        shutil.rmtree(idx2)
+        shutil.copytree(index_dir, idx2)
+        delete_docs(idx2, engine_doc_ids=[victim])
+        docs1, _ = Searcher(idx2).search_prefix("fa")
+        assert victim not in docs1.astype(int)
