@@ -31,6 +31,8 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_topk_updated,
     term_positions,
     term_positions_sql,
+    fuzzy_search,
+    fuzzy_search_sql,
     phrase_oracle_sql,
     phrase_topk,
     prefix_search,
@@ -58,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": lambda sf: bm25_topk_filtered(sf),
         "term_positions": lambda sf: term_positions(sf),
         "prefix_search": lambda sf: prefix_search(sf),
+        "fuzzy_search": lambda sf: fuzzy_search(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
@@ -125,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_filtered": bm25_oracle_sql(filter_lang=FILTER_LANG),
         "term_positions": term_positions_sql(),
         "prefix_search": prefix_search_sql(),
+        "fuzzy_search": fuzzy_search_sql(),
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),

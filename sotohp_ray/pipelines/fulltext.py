@@ -319,7 +319,7 @@ ORDER BY term, doc_id, pos
 """
 
 
-PREFIX_QUERIES = ("fa", "mer", "wind")
+PREFIX_QUERIES = ("s", "b", "mer")
 
 
 def prefix_search(sf_dir: str, prefixes=PREFIX_QUERIES) -> pa.Table:
@@ -371,6 +371,62 @@ WITH toks AS (
 dt AS (SELECT DISTINCT doc_id, term FROM toks)
 {union}
 ORDER BY prefix, doc_id
+"""
+
+
+FUZZY_QUERIES = ("sow", "ag", "jain")
+
+
+def fuzzy_search(sf_dir: str, queries=FUZZY_QUERIES) -> pa.Table:
+    """(query, doc_id, n_terms): FuzzyQuery retrieval — docs
+    containing any dictionary term within Levenshtein distance 1 of
+    the query, with distinct-matching-term counts
+    (Searcher.search_fuzzy; the one-edit candidate set comes from a
+    vectorized exact characterization over the length-filtered
+    vocabulary, property-tested against brute-force DP)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    q_parts, d_parts, n_parts = [], [], []
+    for q in queries:
+        docs, counts = s.search_fuzzy(q)
+        if docs.size == 0:
+            continue
+        orig = eng2orig[docs]
+        order = np.argsort(orig)
+        q_parts.append(np.full(docs.size, q, dtype=object))
+        d_parts.append(orig[order])
+        n_parts.append(counts[order])
+    if not d_parts:
+        return pa.table({
+            "query": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+        })
+    return pa.table({
+        "query": pa.array(np.concatenate(q_parts), pa.string()),
+        "doc_id": pa.array(np.concatenate(d_parts), pa.int64()),
+        "n_terms": pa.array(np.concatenate(n_parts), pa.int64()),
+    })
+
+
+def fuzzy_search_sql(queries=FUZZY_QUERIES) -> str:
+    texpr = sql_token_expr("text")
+    parts = [
+        f"SELECT '{q}' AS query, doc_id, count(*) AS n_terms\n"
+        f"FROM dt WHERE levenshtein(term, '{q}') <= 1 GROUP BY doc_id"
+        for q in queries
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks)
+{union}
+ORDER BY query, doc_id
 """
 
 

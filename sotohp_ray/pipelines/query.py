@@ -29,6 +29,7 @@ import os
 from collections import Counter
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -118,6 +119,55 @@ class _TermCursor:
 
     def tf(self) -> float:
         return float(self.tfs[self.pos])
+
+
+def one_edit_mask(cand: list[str], q: str) -> np.ndarray:
+    """Bool mask: which candidate strings are within Levenshtein
+    distance 1 of ``q``. Exact distance-1 characterization —
+    ``|len(a)-len(b)| <= 1 AND common_prefix + common_suffix >=
+    max(len)-1`` (each capped at min(len)) — computed with padded
+    byte-matrix comparisons: no per-candidate Python DP. Candidates
+    whose length differs from ``len(q)`` by more than 1 are False."""
+    if not cand:
+        return np.zeros(0, dtype=bool)
+    n = len(cand)
+    # byte matrices; terms are NUL-free by tokenizer construction
+    joined = "\x00".join(cand)
+    flat = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    seps = np.flatnonzero(flat == 0)
+    starts = np.concatenate(([0], seps + 1))
+    clens = np.diff(np.concatenate((starts, [flat.size + 1]))) - 1
+    qb = np.frombuffer(q.encode("utf-8"), dtype=np.uint8)
+    lq = qb.size
+    W = max(int(clens.max()), lq, 1)
+    mat = np.zeros((n, W), dtype=np.uint8)
+    rows = np.repeat(np.arange(n), clens)
+    cols = (np.arange(flat.size, dtype=np.int64)[flat != 0]
+            - np.repeat(starts, clens))
+    nz = flat[flat != 0]
+    mat[rows, cols] = nz
+    qm = np.zeros(W, dtype=np.uint8)
+    qm[:lq] = qb
+    eq_fwd = mat == qm[None, :]
+    cp = np.where(
+        eq_fwd.all(axis=1), np.maximum(clens, lq), eq_fwd.argmin(axis=1)
+    )
+    # right-aligned for the common suffix
+    mat_r = np.zeros((n, W), dtype=np.uint8)
+    mat_r[rows, W - clens[rows] + cols] = nz
+    qr = np.zeros(W, dtype=np.uint8)
+    if lq:
+        qr[W - lq:] = qb
+    eq_bwd = (mat_r == qr[None, :])[:, ::-1]
+    cs = np.where(
+        eq_bwd.all(axis=1), np.maximum(clens, lq), eq_bwd.argmin(axis=1)
+    )
+    lmax = np.maximum(clens, lq)
+    lmin = np.minimum(clens, lq)
+    return (
+        (np.abs(clens - lq) <= 1)
+        & (np.minimum(cp, lmin) + np.minimum(cs, lmin) >= lmax - 1)
+    )
 
 
 class Searcher:
@@ -823,6 +873,37 @@ class Searcher:
             parts.append(d.astype(np.int64))
         # each term's doc list is unique, so per-doc multiplicity over
         # the concat == the distinct-matching-term count
+        docs, counts = np.unique(np.concatenate(parts), return_counts=True)
+        if self._deleted is not None and docs.size:
+            live = ~self._deleted[docs]
+            docs, counts = docs[live], counts[live]
+        return docs, counts.astype(np.int64)
+
+    def fuzzy_terms(self, q: str) -> list[str]:
+        """Dictionary terms within Levenshtein distance 1 of ``q``
+        (Lucene FuzzyQuery, fixed max-edits=1), via the vectorized
+        one-edit characterization in ``one_edit_mask`` over the
+        length-filtered vocabulary slice. Vocabulary-bounded like
+        every multi-term rewrite (Lucene walks a Levenshtein automaton
+        over the same term dictionary)."""
+        tbl_terms = self._tbl["term"]
+        lens = pc.utf8_length(tbl_terms).to_numpy(zero_copy_only=False)
+        cand_idx = np.flatnonzero(np.abs(lens - len(q)) <= 1)
+        if cand_idx.size == 0:
+            return []
+        cand = tbl_terms.take(pa.array(cand_idx, pa.int64())).to_pylist()
+        hit = one_edit_mask(cand, q)
+        return [t for t, h in zip(cand, hit) if h]
+
+    def search_fuzzy(self, q: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, n_terms): docs containing any term within edit
+        distance 1 of ``q``, with distinct-matching-term counts (the
+        constant-score MultiTermQuery shape, like search_prefix)."""
+        terms = self.fuzzy_terms(q)
+        if not terms:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        parts = [self._decode_full(t)[0].astype(np.int64) for t in terms]
         docs, counts = np.unique(np.concatenate(parts), return_counts=True)
         if self._deleted is not None and docs.size:
             live = ~self._deleted[docs]

@@ -503,3 +503,65 @@ def test_search_prefix_matches_scan(small_index, tmp_path_factory):
         delete_docs(idx2, engine_doc_ids=[victim])
         docs1, _ = Searcher(idx2).search_prefix("fa")
         assert victim not in docs1.astype(int)
+
+
+def test_one_edit_mask_matches_dp():
+    """The vectorized one-edit characterization equals brute-force
+    Levenshtein<=1, exhaustively over short strings."""
+    import itertools
+
+    import numpy as np
+
+    from sotohp_ray.pipelines.query import one_edit_mask
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[len(b)]
+
+    words = ["".join(w) for L in range(0, 4)
+             for w in itertools.product("abc", repeat=L)]
+    for q in words:
+        mask = one_edit_mask(words, q)
+        expect = np.array([lev(w, q) <= 1 for w in words])
+        assert (mask == expect).all(), q
+
+
+def test_search_fuzzy_matches_scan(small_index):
+    """FuzzyQuery retrieval equals a dictionary scan with Python
+    Levenshtein + posting union."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    vocab = pq.read_table(
+        os.path.join(index_dir, "dictionary"), columns=["term"]
+    )["term"].to_pylist()
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[len(b)]
+
+    for q in ("sort", "qury", "jion", "zzzz"):
+        terms = [t for t in vocab if lev(t, q) <= 1]
+        expect = {}
+        for t in terms:
+            for doc in s._decode_full(t)[0].astype(int):
+                expect[doc] = expect.get(doc, 0) + 1
+        docs, counts = s.search_fuzzy(q)
+        assert dict(zip(docs.astype(int), counts.astype(int))) == expect, q
