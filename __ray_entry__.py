@@ -37,6 +37,8 @@ from sotohp_ray.pipelines.fulltext import (
     phrase_topk,
     prefix_search,
     prefix_search_sql,
+    search_snippets,
+    search_snippets_sql,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -61,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_positions": lambda sf: term_positions(sf),
         "prefix_search": lambda sf: prefix_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
+        "search_snippets": lambda sf: search_snippets(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
@@ -129,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "term_positions": term_positions_sql(),
         "prefix_search": prefix_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
+        "search_snippets": search_snippets_sql(),
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),

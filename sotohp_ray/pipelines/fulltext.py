@@ -374,6 +374,106 @@ ORDER BY prefix, doc_id
 """
 
 
+SNIPPET_WINDOW = 5
+
+
+def search_snippets(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    window: int = SNIPPET_WINDOW,
+) -> pa.Table:
+    """(query_id, doc_id, first_pos, win_lo, win_hi): highlighting —
+    for each BM25 top-k result doc, the EARLIEST position of any query
+    term in it (from the positional index) and the surrounding
+    +-window token span, clamped to [0, doc_len). The end-to-end
+    snippet pipeline: ranking from postings, anchor from positions,
+    bounds from docmeta — all three index artifacts in one query."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4), d) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        if not ranked:
+            continue
+        topk_eng = np.array([d for _, _, d in ranked], dtype=np.int64)
+        first = np.full(topk_eng.size, np.iinfo(np.int64).max, np.int64)
+        # dedup analyzed terms: each term's position list is scanned
+        # once per query regardless of query-term multiplicity
+        for term in dict.fromkeys(s.tok.tokens_of(q)):
+            docs, tfs, occ = s.term_positions(term)
+            if docs.size == 0:
+                continue
+            # first occurrence per posting = first element of each
+            # posting's occ span (positions are ascending per doc)
+            starts_ = np.zeros(docs.size, dtype=np.int64)
+            np.cumsum(tfs.astype(np.int64)[:-1], out=starts_[1:])
+            pos0 = occ[starts_].astype(np.int64)
+            idx = np.searchsorted(docs, topk_eng.astype(np.uint64))
+            ok = (idx < docs.size) & (
+                docs[np.minimum(idx, docs.size - 1)]
+                == topk_eng.astype(np.uint64)
+            )
+            first[ok] = np.minimum(
+                first[ok], pos0[np.minimum(idx, docs.size - 1)[ok]]
+            )
+        dl = s.doc_len[topk_eng].astype(np.int64)
+        lo = np.maximum(first - window, 0)
+        hi = np.minimum(first + window, dl - 1)
+        for (orig, _, _), f, a, b in zip(ranked, first, lo, hi):
+            rows.append((qi, orig, int(f), int(a), int(b)))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "first_pos": pa.array([r[2] for r in rows], pa.int64()),
+        "win_lo": pa.array([r[3] for r in rows], pa.int64()),
+        "win_hi": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def search_snippets_sql(
+    queries=DOC_QUERIES, k: int = 10, window: int = SNIPPET_WINDOW,
+) -> str:
+    """DuckDB oracle: the bm25 top-k CTE joined to min token subscript
+    over the query's analyzed terms, windows clamped to doc length."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    base = bm25_oracle_sql(queries=queries, k=k).strip().rstrip()
+    # reuse the whole ranked-top-k query as a subselect
+    qterm_vals = []
+    for qi, q in enumerate(queries):
+        for term in sorted(set(tok.tokens_of(q))):
+            qterm_vals.append(f"({qi}, '{term}')")
+    vals = ", ".join(qterm_vals)
+    return f"""
+WITH topk AS ({base}),
+toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) - 1 AS pos
+  FROM documents
+),
+dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+qt(query_id, term) AS (VALUES {vals}),
+firsts AS (
+  SELECT qt.query_id, t.doc_id, min(t.pos) AS first_pos
+  FROM toks t JOIN qt ON qt.term = t.term
+  GROUP BY 1, 2
+)
+SELECT k.query_id, k.doc_id, f.first_pos,
+       greatest(f.first_pos - {window}, 0) AS win_lo,
+       least(f.first_pos + {window}, d.dl - 1) AS win_hi
+FROM topk k
+JOIN firsts f ON f.query_id = k.query_id AND f.doc_id = k.doc_id
+JOIN dlen d ON d.doc_id = k.doc_id
+ORDER BY k.query_id, k.doc_id
+"""
+
+
 FUZZY_QUERIES = ("sow", "ag", "jain")
 
 

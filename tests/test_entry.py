@@ -48,21 +48,21 @@ def test_oracle_keys_subset(entry_mod):
         assert name in os_
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "bm25_topk", "bm25_topk_distributed",
-        "term_df", "token_counts", "doc_sha256",
-        "quality_stats", "lang_guess", "dedup_exact", "knn_cosine",
-        "q1_pricing_summary", "customers_per_region",
-        "top_customers_by_spend", "events_hourly", "events_prev_gap",
-        "events_type_stats", "events_topk_by_value", "parts_per_brand",
-        "keyword_search", "corpus_stats", "embedding_near_dup",
-        "bigram_counts", "sample_stratified",
-        "events_asof_orders", "events_sessionize", "events_page",
-        "media_inventory", "media_thumbnails", "media_frame_sample",
-    ],
-)
+# parametrize over the LIVE contract: every oracle-gated query is
+# checked, every oracle-less query gets the rows-only check — a new
+# queries()/oracle_sql() entry is covered the moment it is registered
+def _contract_names():
+    import __ray_entry__ as e
+
+    oracle = sorted(e.oracle_sql())
+    rows_only = sorted(set(e.queries()) - set(e.oracle_sql()))
+    return oracle, rows_only
+
+
+_ORACLE_NAMES, _ROWS_ONLY_NAMES = _contract_names()
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
 def test_query_matches_oracle(entry_mod, duck, name):
     from tools.check_oracle import compare, to_pandas
 
@@ -72,14 +72,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
     assert not errs, errs
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "minhash_candidates", "near_dup_pairs", "simhash_fingerprints",
-        "simhash_near_dups", "doc_fingerprint", "ann_lsh_buckets",
-        "ann_lsh_search", "media_features",
-    ],
-)
+@pytest.mark.parametrize("name", _ROWS_ONLY_NAMES)
 def test_rows_only_queries_run(entry_mod, name):
     from tools.check_oracle import to_pandas
 
