@@ -959,9 +959,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
         # pairwise-hammed (in bounded row chunks), passing rep pairs
         # are deduped across buckets and expanded ONCE to the members'
         # cross product. Identical-sig (hamming-0) cliques are emitted
-        # by the dedicated clique path in ``simhash_near_dups``, not
-        # here — a mega-bucket of B identical docs costs one rep, not
-        # a B x B hamming matrix per band.
+        # below by their designated owner group (min band key), so a
+        # mega-bucket of B identical docs costs one rep in the hamming
+        # pass, not a B x B matrix per band.
         uniq_docs = g.drop_duplicates("doc_id")
         dids = uniq_docs["doc_id"].to_numpy()
         sgs = uniq_docs["sig"].to_numpy().astype(np.uint64)
@@ -976,6 +976,29 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
         msort = dids[morder]  # ascending within each sig group
         starts = np.zeros(R + 1, dtype=np.int64)
         np.cumsum(np.bincount(inv, minlength=R), out=starts[1:])
+        # identical-sig cliques (hamming 0), emitted here EXACTLY once
+        # globally with no extra pass: a sig's 4 band keys are a pure
+        # function of the sig, so the group owning the MINIMUM of the
+        # four (by coarse key) is the unique designated emitter, and
+        # it always sees every member (equal sigs share all buckets,
+        # all of which are dup buckets when the sig has >= 2 docs)
+        clique_parts = []
+        counts_r = np.diff(starts)
+        multi = np.flatnonzero(counts_r > 1)
+        if multi.size:
+            ks = np.arange(4, dtype=np.uint64)
+            band16 = (
+                uniq[multi][:, None] >> (ks * np.uint64(16))[None, :]
+            ) & np.uint64(0xFFFF)
+            k4 = _fmix64(
+                band16 ^ ((ks + np.uint64(1)) << np.uint64(48))[None, :]
+            ).astype(np.int64)
+            gcoarse = int(g["coarse"].iloc[0])
+            owner = (k4.min(axis=1) & 0xFF) == gcoarse
+            for r in multi[owner]:
+                m = msort[starts[r]:starts[r + 1]]
+                iu, ju = np.triu_indices(m.size, 1)
+                clique_parts.append((m[iu], m[ju]))
         passing: set[tuple[int, int]] = set()
         CHUNK = 2048  # caps the xor matrix at CHUNK x Rb
         for _, b in g.groupby("bkey", sort=False):
@@ -996,7 +1019,8 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
                 keep = gi < gj  # upper triangle only; skips same-sig
                 for a_r, b_r in zip(gi[keep], gj[keep]):
                     passing.add((int(a_r), int(b_r)))
-        pa_, pb_ = [], []
+        pa_ = [a for a, _ in clique_parts]
+        pb_ = [b for _, b in clique_parts]
         for a_r, b_r in passing:
             ma = msort[starts[a_r]:starts[a_r + 1]]
             mb = msort[starts[b_r]:starts[b_r + 1]]
@@ -1016,38 +1040,10 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
         verify, batch_format="pandas"
     )
 
-    # identical-sig cliques (hamming 0), emitted ONCE globally: equal
-    # sigs => identical band buckets, so every same-sig pair is a
-    # guaranteed candidate. One row per doc is the band==0 slice of
-    # the materialized band rows (each doc's 4 band rows are emitted
-    # consecutively by band_rows).
-    def _sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        first = np.ones(ids.size, dtype=bool)
-        first[1:] = ids[1:] != ids[:-1]
-        t = batch.filter(pa.array(first))
-        return pa.table({"doc_id": t["doc_id"], "bkey": t["sig"]})
-
-    eq_frames = []
-    eq_members, _ = _dup_members(
-        ds.map_batches(_sig_rows, batch_format="pyarrow")
-    )
-    if eq_members is not None:
-        # a doc's 4 band rows can straddle a batch boundary, making
-        # the per-batch first-occurrence mask emit it twice — dedupe
-        # here (clique-member-sized)
-        em = (
-            eq_members.select_columns(["doc_id", "bkey"])
-            .to_pandas()
-            .drop_duplicates(["doc_id", "bkey"])
-        )
-        a, b = _clique_pairs(em["bkey"].to_numpy(), em["doc_id"].to_numpy())
-        eq_frames.append(pd.DataFrame({"doc_a": a, "doc_b": b}))
-
-    # output-sized finalize (see near_dup_pairs)
-    out = pd.concat(
-        [pairs.to_pandas()] + eq_frames, ignore_index=True
-    ).drop_duplicates(["doc_a", "doc_b"])
+    # output-sized finalize (see near_dup_pairs); identical-sig
+    # cliques were already emitted inside verify by their designated
+    # min-band-key owner group
+    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     return pa.Table.from_pandas(
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         preserve_index=False,
