@@ -874,35 +874,42 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     )
 
 
-def simhash_fingerprints(sf_dir: str):
-    """(doc_id, simhash_hex) 64-bit SimHash per doc — vectorized over
-    the batch: vectorized FNV-1a over the UNIQUE-token dictionary
-    (``fnv1a64_array``: one masked array op per byte position, no
-    per-token Python hashing), then per-bit signed occurrence counts
-    via bincount (summing +-1 per occurrence equals the tf-weighted
-    definition in ``simhash64``)."""
+def _simhash_sig_batch(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """(doc_id column, uint64 sig array) for one batch — vectorized:
+    FNV-1a over the UNIQUE-token dictionary (``fnv1a64_array``: one
+    masked array op per byte position, no per-token Python hashing),
+    then per-bit signed occurrence counts via bincount (summing +-1
+    per occurrence equals the tf-weighted definition in
+    ``simhash64``)."""
     from sotohp_ray.functions.hashing import fnv1a64_array
 
-    def f(batch: pa.Table) -> pa.Table:
-        parents, flat = _TOK.exploded(_text_col(batch))
-        n = len(batch)
-        d = pc.dictionary_encode(flat)
-        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
-        uniq_hv = fnv1a64_array(d.dictionary)
-        hv = uniq_hv[d.indices.to_numpy(zero_copy_only=False)]
-        pn = parents.to_numpy(zero_copy_only=False)
-        sig = np.zeros(n, dtype=np.uint64)
-        for b in range(64):
-            contrib = (
-                ((hv >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
-                * 2.0 - 1.0
-            )
-            acc = np.bincount(pn, weights=contrib, minlength=n)
-            sig |= (acc > 0).astype(np.uint64) << np.uint64(b)
-        hexes = [f"{int(s):016x}" for s in sig]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "simhash_hex": pa.array(hexes)}
+    parents, flat = _TOK.exploded(_text_col(batch))
+    n = len(batch)
+    d = pc.dictionary_encode(flat)
+    d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+    uniq_hv = fnv1a64_array(d.dictionary)
+    hv = uniq_hv[d.indices.to_numpy(zero_copy_only=False)]
+    pn = parents.to_numpy(zero_copy_only=False)
+    sig = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        contrib = (
+            ((hv >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+            * 2.0 - 1.0
         )
+        acc = np.bincount(pn, weights=contrib, minlength=n)
+        sig |= (acc > 0).astype(np.uint64) << np.uint64(b)
+    return batch["doc_id"], sig
+
+
+def simhash_fingerprints(sf_dir: str):
+    """(doc_id, simhash_hex) 64-bit SimHash per doc (hex is the
+    public fingerprint format; ``simhash_near_dups`` consumes the raw
+    uint64 sigs from the same kernel without the hex round-trip)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, sig = _simhash_sig_batch(batch)
+        hexes = [f"{int(s):016x}" for s in sig]
+        return pa.table({"doc_id": ids, "simhash_hex": pa.array(hexes)})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
@@ -921,12 +928,10 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
     from sotohp_ray.functions.hashing import _fmix64
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        # simhash stage inlined: (doc_id, sig) -> 4 band rows each
-        sigs = np.array(
-            [int(h, 16) for h in batch["simhash_hex"].to_pylist()],
-            dtype=np.uint64,
-        )
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # simhash kernel inlined (raw uint64 sigs, no hex round-trip):
+        # (doc_id, sig) -> 4 band rows each
+        id_col, sigs = _simhash_sig_batch(batch)
+        ids = id_col.to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
         bands = np.tile(np.arange(4, dtype=np.int64), n)
         rep_sig = np.repeat(sigs, 4)
@@ -941,7 +946,7 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
             "bkey": pa.array(bkey, pa.int64()),
         })
 
-    ds = simhash_fingerprints(sf_dir).map_batches(
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         band_rows, batch_format="pyarrow"
     ).materialize()
     members, _ = _dup_members(ds)
