@@ -239,6 +239,20 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: bm25_topk_deleted(sf_dir))  # copy+tombstone+compact+query
     timed("phrase_topk", lambda: phrase_topk(sf_dir))
     timed("proximity_topk", lambda: proximity_topk(sf_dir))
+    # round-3 operators (warm documents index)
+    from sotohp_ray.pipelines.fulltext import (
+        bm25_topk_filtered,
+        fuzzy_search,
+        prefix_search,
+        search_snippets,
+        term_positions,
+    )
+
+    timed("term_positions", lambda: term_positions(sf_dir))
+    timed("prefix_search", lambda: prefix_search(sf_dir))
+    timed("fuzzy_search", lambda: fuzzy_search(sf_dir))
+    timed("bm25_topk_filtered", lambda: bm25_topk_filtered(sf_dir))
+    timed("search_snippets", lambda: search_snippets(sf_dir))
     return out
 
 
