@@ -925,6 +925,15 @@ class _GroupServer:
     def contribs(self, query: str):
         return self.searcher.search_contribs(query)
 
+    def term_positions(self, term: str):
+        return self.searcher.term_positions(term)
+
+    def prefix_hits(self, prefix: str):
+        return self.searcher.search_prefix(prefix)
+
+    def fuzzy_hits(self, q: str):
+        return self.searcher.search_fuzzy(q)
+
     def load_stats(self) -> dict:
         s = self.searcher
         return {
@@ -1047,6 +1056,63 @@ class FanoutSearcher:
             return []
         top = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in top]
+
+    def _group_of_token(self, tok: str) -> int:
+        from sotohp_ray.functions.hashing import term_shard_of
+
+        s = term_shard_of(tok, self.config.num_term_shards)
+        for gi, (lo, hi) in enumerate(self.bounds):
+            if lo <= s < hi:
+                return gi
+        raise AssertionError("shard outside every group range")
+
+    def term_positions(self, term: str):
+        """Positional readback through the shard groups: the analyzed
+        token hashes to exactly ONE term shard, so exactly one group
+        actor is called (group searchers apply the tombstone mask
+        themselves — same contract as the single Searcher)."""
+        import ray
+
+        toks = self.tok.tokens_of(term)
+        if len(toks) != 1:
+            raise ValueError("term_positions takes a single-token term")
+        g = self._group_of_token(toks[0])
+        return ray.get(self.actors[g].term_positions.remote(term))
+
+    @staticmethod
+    def _union_counts(parts) -> tuple[np.ndarray, np.ndarray]:
+        """Merge per-group (docs, n_terms) multi-term results: term →
+        shard routing is hash-based so every group may own matching
+        terms, but each TERM lives in exactly one group — summing the
+        per-group distinct-term counts per doc is exact."""
+        docs = np.concatenate([p[0] for p in parts])
+        cnts = np.concatenate([p[1] for p in parts])
+        if docs.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        udocs, inv = np.unique(docs, return_inverse=True)
+        sums = np.zeros(udocs.size, dtype=np.int64)
+        np.add.at(sums, inv, cnts)
+        return udocs, sums
+
+    def search_prefix(self, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+        """Prefix retrieval across every shard group (prefix matches
+        can hash anywhere, so this is a full fan-out union — see
+        Searcher.search_prefix's scoping note)."""
+        import ray
+
+        parts = ray.get(
+            [a.prefix_hits.remote(prefix) for a in self.actors]
+        )
+        return self._union_counts(parts)
+
+    def search_fuzzy(self, q: str) -> tuple[np.ndarray, np.ndarray]:
+        """Edit-distance-1 retrieval across every shard group (same
+        full fan-out union shape as search_prefix)."""
+        import ray
+
+        parts = ray.get([a.fuzzy_hits.remote(q) for a in self.actors])
+        return self._union_counts(parts)
 
     def load_stats(self) -> list[dict]:
         import ray

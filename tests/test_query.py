@@ -319,6 +319,40 @@ def test_fanout_equals_single_searcher(small_index):
     assert max(st["dict_bytes"] for st in stats) < s.dict_bytes_loaded
 
 
+def test_fanout_positions_prefix_fuzzy_equal_single(small_index):
+    """The positional/prefix/fuzzy serving surfaces must agree exactly
+    between the 4-group fan-out and the full-dictionary Searcher:
+    term_positions routes to the single group owning the term's hash
+    shard; prefix/fuzzy union per-group hits with summed
+    distinct-term counts."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    vocab = s._tbl["term"].to_pylist()
+    terms = sorted(vocab)[:: max(1, len(vocab) // 12)][:12]
+    for t in terms:
+        sd, st, so = s.term_positions(t)
+        fd, ft, fo = f.term_positions(t)
+        np.testing.assert_array_equal(sd, fd, err_msg=t)
+        np.testing.assert_array_equal(st, ft, err_msg=t)
+        np.testing.assert_array_equal(so, fo, err_msg=t)
+    prefixes = sorted({t[:2] for t in terms if len(t) >= 2})[:6]
+    for p in prefixes + ["zzznot"]:
+        sd, sc = s.search_prefix(p)
+        fd, fc = f.search_prefix(p)
+        np.testing.assert_array_equal(sd, fd, err_msg=p)
+        np.testing.assert_array_equal(sc, fc, err_msg=p)
+    for q in terms[:4] + [terms[0] + "x", "zzznotfound"]:
+        sd, sc = s.search_fuzzy(q)
+        fd, fc = f.search_fuzzy(q)
+        np.testing.assert_array_equal(sd, fd, err_msg=q)
+        np.testing.assert_array_equal(sc, fc, err_msg=q)
+
+
 def test_shard_searcher_rejects_serve_mode_with_groups(small_index):
     """FanoutSearcher implements exact scoring only; serve-mode
     (WAND/phrase routing) with group_actors must be rejected at
