@@ -934,6 +934,29 @@ class _GroupServer:
     def fuzzy_hits(self, q: str):
         return self.searcher.search_fuzzy(q)
 
+    def raw_positions(self, token: str):
+        """Unfiltered positional readback for one ALREADY-ANALYZED
+        token (docs, tfs, occ; empty on vocabulary miss). Tombstones
+        are NOT applied — the fan-out merge filters match docs at the
+        end, exactly where the single Searcher's phrase/proximity
+        paths do."""
+        s = self.searcher
+        if token not in s._row:
+            z64 = np.zeros(0, dtype=np.uint64)
+            return z64, np.zeros(0, dtype=np.uint32), z64
+        return s._positions_of(token)
+
+    def term_docs(self, tokens: list[str]) -> dict:
+        """Raw posting doc arrays for the given ALREADY-ANALYZED
+        tokens this group owns (absent tokens omitted — presence is
+        part of the answer for boolean AND)."""
+        s = self.searcher
+        return {
+            t: s._decode_full(t)[0].astype(np.int64)
+            for t in tokens
+            if t in s._row
+        }
+
     def load_stats(self) -> dict:
         s = self.searcher
         return {
@@ -1030,23 +1053,7 @@ class FanoutSearcher:
         cs = np.concatenate([p[2] for p in parts])
         if docs.size == 0:
             return []
-        order = np.lexsort((qis, docs))
-        d, c = docs[order], cs[order]
-        starts = np.concatenate(
-            ([0], np.flatnonzero(np.diff(d)) + 1)
-        )
-        # strictly SEQUENTIAL left-to-right per-doc sums (layered adds
-        # across segments, one layer per query-term slot): reduceat /
-        # add.reduce use unrolled/pairwise accumulation, which differs
-        # from search_exact's ((c0+c1)+c2) binary-add order in the
-        # last ulp — and bit-identity with the single searcher is the
-        # contract
-        seg_lens = np.diff(np.concatenate((starts, [d.size])))
-        sums = c[starts].copy()
-        for kk in range(1, int(seg_lens.max())):
-            m = seg_lens > kk
-            sums[m] += c[starts[m] + kk]
-        udocs = d[starts]
+        udocs, sums = self._layered_sums(docs, qis, cs)
         if self._deleted is not None:
             live = ~self._deleted[udocs]
             udocs, sums = udocs[live], sums[live]
@@ -1056,6 +1063,26 @@ class FanoutSearcher:
             return []
         top = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in top]
+
+    @staticmethod
+    def _layered_sums(
+        docs: np.ndarray, qis: np.ndarray, cs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc contribution sums in query-term (qi) order, with
+        strictly SEQUENTIAL left-to-right adds (layered adds across
+        segments, one layer per query-term slot): reduceat /
+        add.reduce use unrolled/pairwise accumulation, which differs
+        from the single searcher's ((c0+c1)+c2) binary-add order in
+        the last ulp — and bit-identity is the contract."""
+        order = np.lexsort((qis, docs))
+        d, c = docs[order], cs[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(d)) + 1))
+        seg_lens = np.diff(np.concatenate((starts, [d.size])))
+        sums = c[starts].copy()
+        for kk in range(1, int(seg_lens.max())):
+            m = seg_lens > kk
+            sums[m] += c[starts[m] + kk]
+        return d[starts], sums
 
     def _group_of_token(self, tok: str) -> int:
         from sotohp_ray.functions.hashing import term_shard_of
@@ -1113,6 +1140,160 @@ class FanoutSearcher:
 
         parts = ray.get([a.fuzzy_hits.remote(q) for a in self.actors])
         return self._union_counts(parts)
+
+    def _positions_fanout(self, toks: list[str]) -> dict:
+        """Raw (untombstoned) positions per distinct analyzed token,
+        each fetched from the single group owning its hash shard."""
+        import ray
+
+        uniq = list(dict.fromkeys(toks))
+        refs = [
+            self.actors[self._group_of_token(t)].raw_positions.remote(t)
+            for t in uniq
+        ]
+        return dict(zip(uniq, ray.get(refs)))
+
+    def _score_match_docs(
+        self, query: str, match_docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 over the query terms restricted to ``match_docs``
+        (sorted): per-group contributions masked to the match set,
+        then the same layered qi-ordered sums as search_exact — the
+        float64 accumulation order of the single searcher's
+        phrase/proximity scoring loops. Every match doc contains every
+        query term, so the output docs equal ``match_docs``."""
+        import ray
+
+        gids = self._groups_for(query)
+        parts = ray.get(
+            [self.actors[g].contribs.remote(query) for g in gids]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        qis = np.concatenate([p[1] for p in parts])
+        cs = np.concatenate([p[2] for p in parts])
+        keep = np.isin(docs, match_docs, kind="sort")
+        return self._layered_sums(docs[keep], qis[keep], cs[keep])
+
+    def search_phrase(self, phrase: str, k: int = 10):
+        """Distributed exact phrase search: positions fan out per term
+        to the owning shard group; the alignment kernel and the
+        scoring contract are the single Searcher's (bit-identical
+        results, pytest-enforced)."""
+        toks = self.tok.tokens_of(phrase)
+        if not toks:
+            return []
+        m = len(toks)
+        pos = self._positions_fanout(toks)
+        SH = np.uint64(Searcher._POS_SHIFT)
+        key_parts = []
+        for off, term in enumerate(toks):
+            docs, tfs, occ = pos[term]
+            if docs.size == 0:  # vocabulary miss (or df=0): no match
+                return []
+            occ_docs = np.repeat(docs, tfs.astype(np.int64))
+            key_parts.append(
+                (occ_docs << SH)
+                | (occ.astype(np.uint64) + np.uint64(m - off))
+            )
+        allk = np.concatenate(key_parts)
+        allk.sort()
+        bounds = np.flatnonzero(np.diff(allk)) + 1
+        starts = np.concatenate(([0], bounds))
+        runs = np.diff(np.concatenate((starts, [allk.size])))
+        hit_keys = allk[starts[runs == m]]
+        if hit_keys.size == 0:
+            return []
+        match_docs = np.unique((hit_keys >> SH).astype(np.int64))
+        if self._deleted is not None:
+            match_docs = match_docs[~self._deleted[match_docs]]
+            if match_docs.size == 0:
+                return []
+        udocs, sums = self._score_match_docs(phrase, match_docs)
+        order = np.lexsort((udocs, -sums))[:k]
+        return [(int(udocs[i]), float(sums[i])) for i in order]
+
+    def search_proximity(
+        self, term_a: str, term_b: str, window: int = 3, k: int = 10
+    ):
+        """Distributed proximity search (either order, ≤ ``window``
+        positions apart): per-term position fan-out + the single
+        Searcher's neighbor-probe kernel and scoring contract."""
+        ta = self.tok.tokens_of(term_a)
+        tb = self.tok.tokens_of(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("proximity terms must analyze to one token")
+        pos = self._positions_fanout([ta[0], tb[0]])
+        docs_a, tfs_a, occ_a = pos[ta[0]]
+        docs_b, tfs_b, occ_b = pos[tb[0]]
+        SH = np.uint64(Searcher._POS_SHIFT)
+        ka = (np.repeat(docs_a, tfs_a.astype(np.int64)) << SH) | occ_a
+        kb = (np.repeat(docs_b, tfs_b.astype(np.int64)) << SH) | occ_b
+        if ka.size == 0 or kb.size == 0:
+            return []
+        idx = np.searchsorted(kb, ka)
+        hit = np.zeros(ka.size, dtype=bool)
+        for nb in (idx - 1, idx):
+            valid = (nb >= 0) & (nb < kb.size)
+            kv = kb[np.clip(nb, 0, max(kb.size - 1, 0))]
+            same_doc = (kv >> SH) == (ka >> SH)
+            dist = np.abs(
+                (kv & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                - (ka & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            )
+            hit |= valid & same_doc & (dist <= window)
+        match_docs = np.unique((ka[hit] >> SH).astype(np.int64))
+        if self._deleted is not None and match_docs.size:
+            match_docs = match_docs[~self._deleted[match_docs]]
+        if match_docs.size == 0:
+            return []
+        udocs, sums = self._score_match_docs(
+            f"{term_a} {term_b}", match_docs
+        )
+        order = np.lexsort((udocs, -sums))[:k]
+        return [(int(udocs[i]), float(sums[i])) for i in order]
+
+    def search_boolean(self, query: str, mode: str = "and") -> np.ndarray:
+        """Distributed unranked boolean retrieval: each group resolves
+        the posting doc sets for the analyzed tokens it owns (absence
+        included in the answer — an AND with any vocabulary miss is
+        empty); set algebra and tombstone filtering happen at the
+        merge, mirroring the single Searcher."""
+        import ray
+
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        seen = list(dict.fromkeys(self.tok.tokens_of(query)))
+        if not seen:
+            return np.zeros(0, dtype=np.int64)
+        by_group: dict[int, list[str]] = {}
+        for t in seen:
+            by_group.setdefault(self._group_of_token(t), []).append(t)
+        got: dict[str, np.ndarray] = {}
+        for r in ray.get(
+            [
+                self.actors[g].term_docs.remote(ts)
+                for g, ts in by_group.items()
+            ]
+        ):
+            got.update(r)
+        present = [t for t in seen if t in got]
+        if mode == "and" and len(present) != len(seen):
+            return np.zeros(0, dtype=np.int64)
+        if not present:
+            return np.zeros(0, dtype=np.int64)
+        sets = [got[t] for t in present]
+        if mode == "or":
+            out = np.unique(np.concatenate(sets))
+        else:
+            sets.sort(key=len)  # intersect smallest-first
+            out = sets[0]
+            for d in sets[1:]:
+                out = out[np.isin(out, d, assume_unique=True, kind="sort")]
+                if out.size == 0:
+                    break
+        if self._deleted is not None and out.size:
+            out = out[~self._deleted[out]]
+        return out
 
     def load_stats(self) -> list[dict]:
         import ray

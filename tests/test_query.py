@@ -353,6 +353,66 @@ def test_fanout_positions_prefix_fuzzy_equal_single(small_index):
         np.testing.assert_array_equal(sc, fc, err_msg=q)
 
 
+def test_fanout_phrase_proximity_boolean_equal_single(small_index):
+    """Phrase, proximity and boolean retrieval through the 4-group
+    fan-out must be bit-identical to the single Searcher — positions
+    route per term to the owning group, scoring reuses the exact
+    contribution merge, boolean resolves per-group doc sets."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    for phrase in ("query batch", "return self", "sort join merge",
+                   "zz qq never together", "zebra zebra", ""):
+        assert f.search_phrase(phrase, 50) == s.search_phrase(
+            phrase, 50
+        ), phrase
+    for a, b, w in (("term", "batch", 3), ("join", "filter", 5),
+                    ("zebra", "common", 4), ("zzznot", "batch", 3)):
+        assert f.search_proximity(a, b, window=w, k=50) == (
+            s.search_proximity(a, b, window=w, k=50)
+        ), (a, b, w)
+    for q, mode in (("query batch", "and"), ("query batch", "or"),
+                    ("zzz_absent batch", "and"), ("zzz_absent batch", "or"),
+                    ("", "and")):
+        np.testing.assert_array_equal(
+            f.search_boolean(q, mode=mode),
+            s.search_boolean(q, mode=mode),
+            err_msg=(q, mode),
+        )
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        f.search_boolean("query", mode="xor")
+    with pytest.raises(ValueError, match="one token"):
+        f.search_proximity("two words", "batch")
+
+
+def test_fanout_phrase_respects_tombstones(small_index, tmp_path_factory):
+    """Deleting a phrase-matching doc must drop it from the fan-out
+    phrase results exactly as it does from the single searcher."""
+    import shutil
+
+    from sotohp_ray.pipelines.delete import delete_docs
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    phrase = "query batch"
+    victim = Searcher(index_dir).search_phrase(phrase, 1)[0][0]
+    idx2 = str(tmp_path_factory.mktemp("idx_fanout_phrase_del"))
+    shutil.rmtree(idx2)
+    shutil.copytree(index_dir, idx2)
+    delete_docs(idx2, engine_doc_ids=[victim])
+    s = Searcher(idx2)
+    f = FanoutSearcher(idx2, n_groups=4)
+    got = f.search_phrase(phrase, 50)
+    assert got == s.search_phrase(phrase, 50)
+    assert all(d != victim for d, _ in got)
+
+
 def test_shard_searcher_rejects_serve_mode_with_groups(small_index):
     """FanoutSearcher implements exact scoring only; serve-mode
     (WAND/phrase routing) with group_actors must be rejected at
