@@ -546,13 +546,25 @@ def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     )
 
 
+def _tri_pair_indices(L: int):
+    """(i, j) index pairs with i < j for a clique of size ``L`` in
+    O(pairs) time and memory — flat arithmetic, no L×L triu mask
+    (``np.triu_indices(5000)`` walks a 25M-cell matrix; a crawl
+    mega-clique makes that the driver hot spot)."""
+    counts = np.arange(L - 1, 0, -1, dtype=np.int64)  # pairs per i
+    i = np.repeat(np.arange(L - 1, dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    j = np.arange(i.size, dtype=np.int64) - starts[i] + i + 1
+    return i, j
+
+
 def _clique_pairs(keys: np.ndarray, ids: np.ndarray):
     """All within-group pairs (doc_a < doc_b) for rows grouped by
-    ``keys`` — vectorized per distinct group SIZE (one triu gather per
+    ``keys`` — vectorized per distinct group SIZE (one gather per
     size, not one Python iteration per pair). Used to expand
     identical-content cliques exactly once."""
     order = np.lexsort((ids, keys))
-    k, v = keys[order], ids[order]
+    k, v = keys[order], np.ascontiguousarray(ids[order], dtype=np.int64)
     if k.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
@@ -562,16 +574,15 @@ def _clique_pairs(keys: np.ndarray, ids: np.ndarray):
         if L < 2:
             continue
         S = starts[lens == L]
-        gather = v[S[:, None] + np.arange(L)[None, :]]
-        iu, ju = np.triu_indices(int(L), 1)
-        pa_.append(gather[:, iu].ravel())
-        pb_.append(gather[:, ju].ravel())
+        iu, ju = _tri_pair_indices(int(L))
+        # one flat gather per (group, pair-slot): v[S + iu] is sorted
+        # ascending within a group, so doc_a < doc_b holds by
+        # construction — no minimum/maximum pass needed
+        pa_.append(v[(S[:, None] + iu[None, :]).ravel()])
+        pb_.append(v[(S[:, None] + ju[None, :]).ravel()])
     if not pa_:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return (
-        np.concatenate(pa_).astype(np.int64),
-        np.concatenate(pb_).astype(np.int64),
-    )
+    return np.concatenate(pa_), np.concatenate(pb_)
 
 
 def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
@@ -798,10 +809,9 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
                 if L < 2:
                     continue
                 S = rstarts[rl == L]
-                gather = si[S[:, None] + np.arange(L)[None, :]]
-                iu, ju = np.triu_indices(int(L), 1)
-                A = gather[:, iu].ravel()
-                B = gather[:, ju].ravel()
+                iu, ju = _tri_pair_indices(int(L))
+                A = si[(S[:, None] + iu[None, :]).ravel()]
+                B = si[(S[:, None] + ju[None, :]).ravel()]
                 key_parts.append(np.minimum(A, B) * R + np.maximum(A, B))
             if not key_parts:
                 continue
@@ -844,7 +854,7 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     # (doc_id, ckey) list is candidate-set-sized — the same scale as
     # the member list already on the driver — so the dup-ckey clique
     # expansion runs locally, without another distributed groupby.
-    eq_frames = []
+    a_parts, b_parts, j_parts = [], [], []
     if threshold <= 1.0:
         ck = (
             bucketed.select_columns(["doc_id", "ckey", "n_sh"])
@@ -857,21 +867,36 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
             ck["doc_id"].to_numpy().astype(np.int64),
         )
         if a.size:
-            eq_frames.append(pd.DataFrame({
-                "doc_a": a, "doc_b": b,
-                "jaccard": np.full(a.size, 1.0),
-            }))
+            a_parts.append(a)
+            b_parts.append(b)
+            j_parts.append(np.full(a.size, 1.0))
 
     # cross-group dedup + ordering on the RESULT set (output-sized —
     # the verified pair list is what the caller materializes anyway;
-    # within-group dupes were already dropped distributed)
-    out = pd.concat(
-        [pairs.to_pandas()] + eq_frames, ignore_index=True
-    ).drop_duplicates(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(
-        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
-        preserve_index=False,
-    )
+    # within-group dupes were already dropped distributed). A crawl
+    # mega-clique makes this list huge, so the dedup+sort is a numpy
+    # lexsort + run-boundary mask, not a pandas concat/drop_duplicates
+    # (block-manager concat + hash factorize cost minutes at 12.5M
+    # rows; the lexsort costs seconds).
+    for blk in pairs.iter_batches(batch_format="numpy", batch_size=None):
+        if blk["doc_a"].size:
+            a_parts.append(np.asarray(blk["doc_a"], dtype=np.int64))
+            b_parts.append(np.asarray(blk["doc_b"], dtype=np.int64))
+            j_parts.append(np.asarray(blk["jaccard"], dtype=np.float64))
+    if not a_parts:
+        return empty
+    da = np.concatenate(a_parts)
+    db = np.concatenate(b_parts)
+    jj = np.concatenate(j_parts)
+    order = np.lexsort((db, da))
+    da, db, jj = da[order], db[order], jj[order]
+    keep = np.ones(da.size, dtype=bool)
+    keep[1:] = (np.diff(da) != 0) | (np.diff(db) != 0)
+    return pa.table({
+        "doc_a": pa.array(da[keep], pa.int64()),
+        "doc_b": pa.array(db[keep], pa.int64()),
+        "jaccard": pa.array(jj[keep], pa.float64()),
+    })
 
 
 def _simhash_sig_batch(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
