@@ -1027,7 +1027,7 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
             owner = (k4.min(axis=1) & 0xFF) == gcoarse
             for r in multi[owner]:
                 m = msort[starts[r]:starts[r + 1]]
-                iu, ju = np.triu_indices(m.size, 1)
+                iu, ju = _tri_pair_indices(m.size)
                 clique_parts.append((m[iu], m[ju]))
         passing: set[tuple[int, int]] = set()
         CHUNK = 2048  # caps the xor matrix at CHUNK x Rb
@@ -1070,14 +1070,28 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
         verify, batch_format="pandas"
     )
 
-    # output-sized finalize (see near_dup_pairs); identical-sig
-    # cliques were already emitted inside verify by their designated
-    # min-band-key owner group
-    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(
-        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
-        preserve_index=False,
-    )
+    # output-sized finalize via one numpy lexsort + run-boundary dedup
+    # (see near_dup_pairs — a mega clique makes the pair list huge and
+    # pandas concat/drop_duplicates re-factorizes it several times);
+    # identical-sig cliques were already emitted inside verify by
+    # their designated min-band-key owner group
+    a_parts, b_parts = [], []
+    for blk in pairs.iter_batches(batch_format="numpy", batch_size=None):
+        if blk["doc_a"].size:
+            a_parts.append(np.asarray(blk["doc_a"], dtype=np.int64))
+            b_parts.append(np.asarray(blk["doc_b"], dtype=np.int64))
+    if not a_parts:
+        return empty
+    da = np.concatenate(a_parts)
+    db = np.concatenate(b_parts)
+    order = np.lexsort((db, da))
+    da, db = da[order], db[order]
+    keep = np.ones(da.size, dtype=bool)
+    keep[1:] = (np.diff(da) != 0) | (np.diff(db) != 0)
+    return pa.table({
+        "doc_a": pa.array(da[keep], pa.int64()),
+        "doc_b": pa.array(db[keep], pa.int64()),
+    })
 
 
 def doc_fingerprint(sf_dir: str, window: int = 4, shingle_n: int = 3):
