@@ -92,13 +92,16 @@ def documents_index(sf_dir: str) -> str:
     return index_dir
 
 
-def _eng2orig(index_dir: str, space: int) -> np.ndarray:
+def _eng2orig(index_dir: str, space: int, dm: pa.Table | None = None) -> np.ndarray:
     """Engine doc_id -> original doc_id gather array (docmeta path is
     the zero-padded original id). ONE definition — several pipelines
-    map results back; a drifting copy would silently mis-map ids."""
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
-    )
+    map results back; a drifting copy would silently mis-map ids.
+    Pass ``dm`` (a docmeta read containing doc_id+path) to reuse a
+    read the caller already did for its own columns."""
+    if dm is None:
+        dm = pq.read_table(
+            os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+        )
     out = np.zeros(space, dtype=np.int64)
     out[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
         [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
@@ -322,46 +325,51 @@ ORDER BY term, doc_id, pos
 PREFIX_QUERIES = ("s", "b", "mer")
 
 
-def prefix_search(sf_dir: str, prefixes=PREFIX_QUERIES) -> pa.Table:
-    """(prefix, doc_id, n_terms): wildcard ``prefix*`` retrieval from
-    the dictionary — docs containing any matching term, with the
-    distinct-matching-term count (Searcher.search_prefix; Lucene
-    MultiTermQuery shape). Exercises the dictionary as a queryable
-    artifact, not just a term->postings lookup table."""
+def _multiterm_retrieval(
+    sf_dir: str, queries, method_name: str, key_name: str
+) -> pa.Table:
+    """Shared shape of every constant-score multi-term rewrite
+    (Lucene MultiTermQuery): per query string, a Searcher method
+    returns (matching engine doc ids, distinct-matching-term counts);
+    rows come back keyed by the query under ``key_name``, mapped to
+    original ids and sorted per query."""
     from sotohp_ray.pipelines.query import Searcher
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
     eng2orig = _eng2orig(index_dir, s.space)
-    p_parts, d_parts, n_parts = [], [], []
-    for p in prefixes:
-        docs, counts = s.search_prefix(p)
+    k_parts, d_parts, n_parts = [], [], []
+    for q in queries:
+        docs, counts = getattr(s, method_name)(q)
         if docs.size == 0:
             continue
         orig = eng2orig[docs]
         order = np.argsort(orig)
-        p_parts.append(np.full(docs.size, p, dtype=object))
+        k_parts.append(np.full(docs.size, q, dtype=object))
         d_parts.append(orig[order])
         n_parts.append(counts[order])
     if not d_parts:
         return pa.table({
-            "prefix": pa.array([], pa.string()),
+            key_name: pa.array([], pa.string()),
             "doc_id": pa.array([], pa.int64()),
             "n_terms": pa.array([], pa.int64()),
         })
     return pa.table({
-        "prefix": pa.array(np.concatenate(p_parts), pa.string()),
+        key_name: pa.array(np.concatenate(k_parts), pa.string()),
         "doc_id": pa.array(np.concatenate(d_parts), pa.int64()),
         "n_terms": pa.array(np.concatenate(n_parts), pa.int64()),
     })
 
 
-def prefix_search_sql(prefixes=PREFIX_QUERIES) -> str:
+def _multiterm_sql(queries, key_name: str, predicate_fmt: str) -> str:
+    """DuckDB oracle for a constant-score multi-term rewrite: per
+    query, count the distinct analyzed terms matching
+    ``predicate_fmt`` (a format string over {q}) per doc."""
     texpr = sql_token_expr("text")
     parts = [
-        f"SELECT '{p}' AS prefix, doc_id, count(*) AS n_terms\n"
-        f"FROM dt WHERE term LIKE '{p}%' GROUP BY doc_id"
-        for p in prefixes
+        f"SELECT '{q}' AS {key_name}, doc_id, count(*) AS n_terms\n"
+        f"FROM dt WHERE {predicate_fmt.format(q=q)} GROUP BY doc_id"
+        for q in queries
     ]
     union = "\nUNION ALL\n".join(parts)
     return f"""
@@ -370,8 +378,21 @@ WITH toks AS (
 ),
 dt AS (SELECT DISTINCT doc_id, term FROM toks)
 {union}
-ORDER BY prefix, doc_id
+ORDER BY {key_name}, doc_id
 """
+
+
+def prefix_search(sf_dir: str, prefixes=PREFIX_QUERIES) -> pa.Table:
+    """(prefix, doc_id, n_terms): wildcard ``prefix*`` retrieval from
+    the dictionary — docs containing any matching term, with the
+    distinct-matching-term count (Searcher.search_prefix; Lucene
+    MultiTermQuery shape). Exercises the dictionary as a queryable
+    artifact, not just a term->postings lookup table."""
+    return _multiterm_retrieval(sf_dir, prefixes, "search_prefix", "prefix")
+
+
+def prefix_search_sql(prefixes=PREFIX_QUERIES) -> str:
+    return _multiterm_sql(prefixes, "prefix", "term LIKE '{q}%'")
 
 
 SNIPPET_WINDOW = 5
@@ -484,50 +505,11 @@ def fuzzy_search(sf_dir: str, queries=FUZZY_QUERIES) -> pa.Table:
     (Searcher.search_fuzzy; the one-edit candidate set comes from a
     vectorized exact characterization over the length-filtered
     vocabulary, property-tested against brute-force DP)."""
-    from sotohp_ray.pipelines.query import Searcher
-
-    index_dir = documents_index(sf_dir)
-    s = Searcher(index_dir)
-    eng2orig = _eng2orig(index_dir, s.space)
-    q_parts, d_parts, n_parts = [], [], []
-    for q in queries:
-        docs, counts = s.search_fuzzy(q)
-        if docs.size == 0:
-            continue
-        orig = eng2orig[docs]
-        order = np.argsort(orig)
-        q_parts.append(np.full(docs.size, q, dtype=object))
-        d_parts.append(orig[order])
-        n_parts.append(counts[order])
-    if not d_parts:
-        return pa.table({
-            "query": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "n_terms": pa.array([], pa.int64()),
-        })
-    return pa.table({
-        "query": pa.array(np.concatenate(q_parts), pa.string()),
-        "doc_id": pa.array(np.concatenate(d_parts), pa.int64()),
-        "n_terms": pa.array(np.concatenate(n_parts), pa.int64()),
-    })
+    return _multiterm_retrieval(sf_dir, queries, "search_fuzzy", "query")
 
 
 def fuzzy_search_sql(queries=FUZZY_QUERIES) -> str:
-    texpr = sql_token_expr("text")
-    parts = [
-        f"SELECT '{q}' AS query, doc_id, count(*) AS n_terms\n"
-        f"FROM dt WHERE levenshtein(term, '{q}') <= 1 GROUP BY doc_id"
-        for q in queries
-    ]
-    union = "\nUNION ALL\n".join(parts)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term FROM documents
-),
-dt AS (SELECT DISTINCT doc_id, term FROM toks)
-{union}
-ORDER BY query, doc_id
-"""
+    return _multiterm_sql(queries, "query", "levenshtein(term, '{q}') <= 1")
 
 
 FILTER_LANG = "es"
@@ -547,13 +529,15 @@ def bm25_topk_filtered(
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
+    # one docmeta read serves both the lang mask and the eng->orig map
     dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "lang"]
+        os.path.join(index_dir, "docmeta"),
+        columns=["doc_id", "path", "lang"],
     )
     mask = np.zeros(s.space, dtype=bool)
     ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mask[ids] = np.asarray(dm["lang"].to_pandas() == lang)
-    eng2orig = _eng2orig(index_dir, s.space)
+    eng2orig = _eng2orig(index_dir, s.space, dm=dm)
     rows = []
     for qi, q in enumerate(queries):
         full = s.search_exact(q, k=s.space, mask=mask)

@@ -126,36 +126,42 @@ def one_edit_mask(cand: list[str], q: str) -> np.ndarray:
     distance 1 of ``q``. Exact distance-1 characterization —
     ``|len(a)-len(b)| <= 1 AND common_prefix + common_suffix >=
     max(len)-1`` (each capped at min(len)) — computed with padded
-    byte-matrix comparisons: no per-candidate Python DP. Candidates
-    whose length differs from ``len(q)`` by more than 1 are False."""
+    code-point-matrix comparisons: no per-candidate Python DP.
+    Candidates whose length differs from ``len(q)`` by more than 1 are
+    False. Distances are CHARACTER-level (UTF-32 code points, one cell
+    per char), matching the DuckDB ``levenshtein`` oracle and the
+    ``pc.utf8_length`` prefilter — a byte-level matrix would overcount
+    edits on multi-byte UTF-8 (e.g. 'café' vs 'cafe' is 1 char edit
+    but 2 byte edits) even though the code tokenizer itself only emits
+    ASCII terms."""
     if not cand:
         return np.zeros(0, dtype=bool)
     n = len(cand)
-    # byte matrices; terms are NUL-free by tokenizer construction
+    # code-point matrices; terms are NUL-free by tokenizer construction
     joined = "\x00".join(cand)
-    flat = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    flat = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     seps = np.flatnonzero(flat == 0)
     starts = np.concatenate(([0], seps + 1))
     clens = np.diff(np.concatenate((starts, [flat.size + 1]))) - 1
-    qb = np.frombuffer(q.encode("utf-8"), dtype=np.uint8)
+    qb = np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
     lq = qb.size
     W = max(int(clens.max()), lq, 1)
-    mat = np.zeros((n, W), dtype=np.uint8)
+    mat = np.zeros((n, W), dtype=np.uint32)
     rows = np.repeat(np.arange(n), clens)
     cols = (np.arange(flat.size, dtype=np.int64)[flat != 0]
             - np.repeat(starts, clens))
     nz = flat[flat != 0]
     mat[rows, cols] = nz
-    qm = np.zeros(W, dtype=np.uint8)
+    qm = np.zeros(W, dtype=np.uint32)
     qm[:lq] = qb
     eq_fwd = mat == qm[None, :]
     cp = np.where(
         eq_fwd.all(axis=1), np.maximum(clens, lq), eq_fwd.argmin(axis=1)
     )
     # right-aligned for the common suffix
-    mat_r = np.zeros((n, W), dtype=np.uint8)
+    mat_r = np.zeros((n, W), dtype=np.uint32)
     mat_r[rows, W - clens[rows] + cols] = nz
-    qr = np.zeros(W, dtype=np.uint8)
+    qr = np.zeros(W, dtype=np.uint32)
     if lq:
         qr[W - lq:] = qb
     eq_bwd = (mat_r == qr[None, :])[:, ::-1]
@@ -168,6 +174,89 @@ def one_edit_mask(cand: list[str], q: str) -> np.ndarray:
         (np.abs(clens - lq) <= 1)
         & (np.minimum(cp, lmin) + np.minimum(cs, lmin) >= lmax - 1)
     )
+
+
+_POS_SHIFT = 32  # (doc << 32 | position) packing used by all kernels
+
+
+def _phrase_align(pos_list, m: int) -> np.ndarray:
+    """Phrase-alignment kernel shared by Searcher and FanoutSearcher
+    (bit-identity between the two paths is pytest-enforced — ONE
+    definition so a fix can't land on only one copy). ``pos_list`` is
+    [(docs, tfs, occ)] per token offset; each term's (doc,
+    pos - offset) pairs become one uint64 key and a phrase start is a
+    key appearing in EVERY term's set, found with one sort +
+    run-length over the concatenated keys. Returns sorted unique
+    matching doc ids (pre-tombstone)."""
+    SH = np.uint64(_POS_SHIFT)
+    key_parts = []
+    for off, (docs, tfs, occ) in enumerate(pos_list):
+        if docs.size == 0:  # vocabulary miss (or df=0): no match
+            return np.zeros(0, dtype=np.int64)
+        occ_docs = np.repeat(docs, tfs.astype(np.int64))
+        # shift by (m - off) keeps keys positive at pos 0; duplicate
+        # phrase terms contribute the SAME (doc,pos) set at different
+        # shifts; within one (term, off) keys are unique because
+        # positions are unique per (term, doc)
+        key_parts.append(
+            (occ_docs << SH) | (occ.astype(np.uint64) + np.uint64(m - off))
+        )
+    allk = np.concatenate(key_parts)
+    allk.sort()
+    if allk.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    bounds = np.flatnonzero(np.diff(allk)) + 1
+    starts = np.concatenate(([0], bounds))
+    runs = np.diff(np.concatenate((starts, [allk.size])))
+    hit_keys = allk[starts[runs == m]]
+    if hit_keys.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique((hit_keys >> SH).astype(np.int64))
+
+
+def _proximity_match(pos_a, pos_b, window: int) -> np.ndarray:
+    """Proximity kernel shared by Searcher and FanoutSearcher: docs
+    where the two terms occur within ``window`` positions (either
+    order). Each a-occurrence probes the sorted (doc<<32|pos) key
+    array of b with one searchsorted; its two neighbors are the only
+    possible within-window partners. Returns sorted unique matching
+    doc ids (pre-tombstone)."""
+    docs_a, tfs_a, occ_a = pos_a
+    docs_b, tfs_b, occ_b = pos_b
+    SH = np.uint64(_POS_SHIFT)
+    ka = (np.repeat(docs_a, tfs_a.astype(np.int64)) << SH) | occ_a
+    kb = (np.repeat(docs_b, tfs_b.astype(np.int64)) << SH) | occ_b
+    if ka.size == 0 or kb.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.searchsorted(kb, ka)
+    hit = np.zeros(ka.size, dtype=bool)
+    for nb in (idx - 1, idx):
+        valid = (nb >= 0) & (nb < kb.size)
+        kv = kb[np.clip(nb, 0, max(kb.size - 1, 0))]
+        same_doc = (kv >> SH) == (ka >> SH)
+        dist = np.abs(
+            (kv & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            - (ka & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        )
+        hit |= valid & same_doc & (dist <= window)
+    return np.unique((ka[hit] >> SH).astype(np.int64))
+
+
+def _boolean_combine(sets: list, mode: str) -> np.ndarray:
+    """Boolean set algebra shared by Searcher and FanoutSearcher:
+    ``sets`` holds each present term's sorted doc array. OR is one
+    concat + unique (beats T incremental union re-sorts); AND
+    intersects smallest-first so cost is bounded by the rarest
+    term."""
+    if mode == "or":
+        return np.unique(np.concatenate(sets))
+    sets = sorted(sets, key=len)
+    out = sets[0]
+    for d in sets[1:]:
+        out = out[np.isin(out, d, assume_unique=True, kind="sort")]
+        if out.size == 0:
+            break
+    return out
 
 
 class Searcher:
@@ -435,49 +524,24 @@ class Searcher:
             self._pos_cache.pop(next(iter(self._pos_cache)))
         self._pos_cache[term] = out
 
-    _POS_SHIFT = 32  # phrase-alignment key = doc << 32 | shifted pos
+    _POS_SHIFT = _POS_SHIFT  # phrase-alignment key = doc << 32 | pos
 
     def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
         """Exact phrase search: documents containing the analyzed
         phrase tokens at consecutive positions, ranked by BM25 over the
         phrase terms (same rounding/tie-break contract as exact
-        search). Alignment is fully vectorized: each term's (doc,
-        pos - offset) pairs become one uint64 key; a phrase start is a
-        key appearing in EVERY term's set, found with one sort +
-        run-length over the concatenated keys."""
+        search). Alignment kernel: ``_phrase_align`` (shared with the
+        fan-out path)."""
         toks = self.tok.tokens_of(phrase)
         if not toks or any(t not in self._row for t in toks):
             return []
-        m = len(toks)
-        key_parts = []
-        for off, term in enumerate(toks):
-            docs, tfs, occ = self._positions_of(term)
-            occ_docs = np.repeat(docs, tfs.astype(np.int64))
-            # shift by (m - off) keeps keys positive at pos 0
-            keys = (occ_docs << np.uint64(self._POS_SHIFT)) | (
-                occ.astype(np.uint64) + np.uint64(m - off)
-            )
-            # duplicate phrase terms contribute the SAME (doc,pos) set
-            # at different shifts; within one (term, off) keys are
-            # unique because positions are unique per (term, doc)
-            key_parts.append(keys)
-        allk = np.concatenate(key_parts)
-        allk.sort()
-        if allk.size == 0:
-            return []
-        bounds = np.flatnonzero(np.diff(allk)) + 1
-        starts = np.concatenate(([0], bounds))
-        runs = np.diff(np.concatenate((starts, [allk.size])))
-        hit_keys = allk[starts[runs == m]]
-        if hit_keys.size == 0:
-            return []
-        match_docs = np.unique(
-            (hit_keys >> np.uint64(self._POS_SHIFT)).astype(np.int64)
+        match_docs = _phrase_align(
+            [self._positions_of(t) for t in toks], len(toks)
         )
-        if self._deleted is not None:
+        if self._deleted is not None and match_docs.size:
             match_docs = match_docs[~self._deleted[match_docs]]
-            if match_docs.size == 0:
-                return []
+        if match_docs.size == 0:
+            return []
         # BM25 over the phrase terms, restricted to matching docs
         scores = np.zeros(match_docs.size, dtype=np.float64)
         for term, qw in self._query_terms(phrase):
@@ -496,10 +560,8 @@ class Searcher:
     ) -> list[tuple[int, float]]:
         """Proximity search: docs where ``term_a`` and ``term_b`` occur
         within ``window`` token positions (either order), ranked by
-        BM25 over the two terms. Vectorized nearest-occurrence check:
-        each a-occurrence probes the sorted (doc<<32|pos) key array of
-        b with one searchsorted; its two neighbors are the only
-        possible within-window partners."""
+        BM25 over the two terms. Neighbor-probe kernel:
+        ``_proximity_match`` (shared with the fan-out path)."""
         ta = self.tok.tokens_of(term_a)
         tb = self.tok.tokens_of(term_b)
         if len(ta) != 1 or len(tb) != 1:
@@ -507,25 +569,9 @@ class Searcher:
         a, b = ta[0], tb[0]
         if a not in self._row or b not in self._row:
             return []
-        docs_a, tfs_a, occ_a = self._positions_of(a)
-        docs_b, tfs_b, occ_b = self._positions_of(b)
-        SH = np.uint64(self._POS_SHIFT)
-        ka = (np.repeat(docs_a, tfs_a.astype(np.int64)) << SH) | occ_a
-        kb = (np.repeat(docs_b, tfs_b.astype(np.int64)) << SH) | occ_b
-        if ka.size == 0 or kb.size == 0:
-            return []
-        idx = np.searchsorted(kb, ka)
-        hit = np.zeros(ka.size, dtype=bool)
-        for nb in (idx - 1, idx):
-            valid = (nb >= 0) & (nb < kb.size)
-            kv = kb[np.clip(nb, 0, max(kb.size - 1, 0))]
-            same_doc = (kv >> SH) == (ka >> SH)
-            dist = np.abs(
-                (kv & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                - (ka & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            )
-            hit |= valid & same_doc & (dist <= window)
-        match_docs = np.unique((ka[hit] >> SH).astype(np.int64))
+        match_docs = _proximity_match(
+            self._positions_of(a), self._positions_of(b), window
+        )
         if self._deleted is not None and match_docs.size:
             match_docs = match_docs[~self._deleted[match_docs]]
         if match_docs.size == 0:
@@ -835,16 +881,7 @@ class Searcher:
         for t in present:
             d, _ = self._decode_full(t)
             sets.append(d.astype(np.int64))
-        if mode == "or":
-            # one concat + unique beats T incremental union re-sorts
-            out = np.unique(np.concatenate(sets))
-        else:
-            sets.sort(key=len)  # intersect smallest-first
-            out = sets[0]
-            for d in sets[1:]:
-                out = out[np.isin(out, d, assume_unique=True, kind="sort")]
-                if out.size == 0:
-                    break
+        out = _boolean_combine(sets, mode)
         if self._deleted is not None and out.size:
             out = out[~self._deleted[out]]
         return out
@@ -867,10 +904,12 @@ class Searcher:
         if idx.size == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z
-        parts = []
-        for i in idx:
-            d, _ = self._decode_full(self._tbl["term"][int(i)].as_py())
-            parts.append(d.astype(np.int64))
+        # one vectorized dictionary gather (matched-set-sized), then
+        # per-term postings decode — no per-element Arrow .as_py()
+        matched = self._tbl["term"].take(
+            pa.array(idx, pa.int64())
+        ).to_pylist()
+        parts = [self._decode_full(t)[0].astype(np.int64) for t in matched]
         # each term's doc list is unique, so per-doc multiplicity over
         # the concat == the distinct-matching-term count
         docs, counts = np.unique(np.concatenate(parts), return_counts=True)
@@ -1182,32 +1221,12 @@ class FanoutSearcher:
         toks = self.tok.tokens_of(phrase)
         if not toks:
             return []
-        m = len(toks)
         pos = self._positions_fanout(toks)
-        SH = np.uint64(Searcher._POS_SHIFT)
-        key_parts = []
-        for off, term in enumerate(toks):
-            docs, tfs, occ = pos[term]
-            if docs.size == 0:  # vocabulary miss (or df=0): no match
-                return []
-            occ_docs = np.repeat(docs, tfs.astype(np.int64))
-            key_parts.append(
-                (occ_docs << SH)
-                | (occ.astype(np.uint64) + np.uint64(m - off))
-            )
-        allk = np.concatenate(key_parts)
-        allk.sort()
-        bounds = np.flatnonzero(np.diff(allk)) + 1
-        starts = np.concatenate(([0], bounds))
-        runs = np.diff(np.concatenate((starts, [allk.size])))
-        hit_keys = allk[starts[runs == m]]
-        if hit_keys.size == 0:
-            return []
-        match_docs = np.unique((hit_keys >> SH).astype(np.int64))
-        if self._deleted is not None:
+        match_docs = _phrase_align([pos[t] for t in toks], len(toks))
+        if self._deleted is not None and match_docs.size:
             match_docs = match_docs[~self._deleted[match_docs]]
-            if match_docs.size == 0:
-                return []
+        if match_docs.size == 0:
+            return []
         udocs, sums = self._score_match_docs(phrase, match_docs)
         order = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in order]
@@ -1223,25 +1242,7 @@ class FanoutSearcher:
         if len(ta) != 1 or len(tb) != 1:
             raise ValueError("proximity terms must analyze to one token")
         pos = self._positions_fanout([ta[0], tb[0]])
-        docs_a, tfs_a, occ_a = pos[ta[0]]
-        docs_b, tfs_b, occ_b = pos[tb[0]]
-        SH = np.uint64(Searcher._POS_SHIFT)
-        ka = (np.repeat(docs_a, tfs_a.astype(np.int64)) << SH) | occ_a
-        kb = (np.repeat(docs_b, tfs_b.astype(np.int64)) << SH) | occ_b
-        if ka.size == 0 or kb.size == 0:
-            return []
-        idx = np.searchsorted(kb, ka)
-        hit = np.zeros(ka.size, dtype=bool)
-        for nb in (idx - 1, idx):
-            valid = (nb >= 0) & (nb < kb.size)
-            kv = kb[np.clip(nb, 0, max(kb.size - 1, 0))]
-            same_doc = (kv >> SH) == (ka >> SH)
-            dist = np.abs(
-                (kv & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                - (ka & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            )
-            hit |= valid & same_doc & (dist <= window)
-        match_docs = np.unique((ka[hit] >> SH).astype(np.int64))
+        match_docs = _proximity_match(pos[ta[0]], pos[tb[0]], window)
         if self._deleted is not None and match_docs.size:
             match_docs = match_docs[~self._deleted[match_docs]]
         if match_docs.size == 0:
@@ -1281,16 +1282,7 @@ class FanoutSearcher:
             return np.zeros(0, dtype=np.int64)
         if not present:
             return np.zeros(0, dtype=np.int64)
-        sets = [got[t] for t in present]
-        if mode == "or":
-            out = np.unique(np.concatenate(sets))
-        else:
-            sets.sort(key=len)  # intersect smallest-first
-            out = sets[0]
-            for d in sets[1:]:
-                out = out[np.isin(out, d, assume_unique=True, kind="sort")]
-                if out.size == 0:
-                    break
+        out = _boolean_combine([got[t] for t in present], mode)
         if self._deleted is not None and out.size:
             out = out[~self._deleted[out]]
         return out

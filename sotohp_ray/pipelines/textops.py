@@ -546,6 +546,39 @@ def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     )
 
 
+def _finalize_pairs(pairs_ds, a_parts, b_parts, j_parts=None):
+    """Output-sized finalize shared by the near-dup pipelines: drain
+    the distributed verify output into numpy, then dedup+order the
+    full pair list with ONE lexsort and a run-boundary mask. A crawl
+    mega-clique makes this list huge (B identical docs = B(B-1)/2
+    pairs), so pandas concat/drop_duplicates/sort_values — which
+    re-factorize the columns several times — is replaced by a single
+    sort pass. Returns None when there are no pairs; ``j_parts`` adds
+    an optional float column (jaccard) carried through the dedup."""
+    for blk in pairs_ds.iter_batches(batch_format="numpy", batch_size=None):
+        if blk["doc_a"].size:
+            a_parts.append(np.asarray(blk["doc_a"], dtype=np.int64))
+            b_parts.append(np.asarray(blk["doc_b"], dtype=np.int64))
+            if j_parts is not None:
+                j_parts.append(np.asarray(blk["jaccard"], dtype=np.float64))
+    if not a_parts:
+        return None
+    da = np.concatenate(a_parts)
+    db = np.concatenate(b_parts)
+    order = np.lexsort((db, da))
+    da, db = da[order], db[order]
+    keep = np.ones(da.size, dtype=bool)
+    keep[1:] = (np.diff(da) != 0) | (np.diff(db) != 0)
+    cols = {
+        "doc_a": pa.array(da[keep], pa.int64()),
+        "doc_b": pa.array(db[keep], pa.int64()),
+    }
+    if j_parts is not None:
+        jj = np.concatenate(j_parts)[order]
+        cols["jaccard"] = pa.array(jj[keep], pa.float64())
+    return pa.table(cols)
+
+
 def _tri_pair_indices(L: int):
     """(i, j) index pairs with i < j for a clique of size ``L`` in
     O(pairs) time and memory — flat arithmetic, no L×L triu mask
@@ -873,30 +906,9 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
 
     # cross-group dedup + ordering on the RESULT set (output-sized —
     # the verified pair list is what the caller materializes anyway;
-    # within-group dupes were already dropped distributed). A crawl
-    # mega-clique makes this list huge, so the dedup+sort is a numpy
-    # lexsort + run-boundary mask, not a pandas concat/drop_duplicates
-    # (block-manager concat + hash factorize cost minutes at 12.5M
-    # rows; the lexsort costs seconds).
-    for blk in pairs.iter_batches(batch_format="numpy", batch_size=None):
-        if blk["doc_a"].size:
-            a_parts.append(np.asarray(blk["doc_a"], dtype=np.int64))
-            b_parts.append(np.asarray(blk["doc_b"], dtype=np.int64))
-            j_parts.append(np.asarray(blk["jaccard"], dtype=np.float64))
-    if not a_parts:
-        return empty
-    da = np.concatenate(a_parts)
-    db = np.concatenate(b_parts)
-    jj = np.concatenate(j_parts)
-    order = np.lexsort((db, da))
-    da, db, jj = da[order], db[order], jj[order]
-    keep = np.ones(da.size, dtype=bool)
-    keep[1:] = (np.diff(da) != 0) | (np.diff(db) != 0)
-    return pa.table({
-        "doc_a": pa.array(da[keep], pa.int64()),
-        "doc_b": pa.array(db[keep], pa.int64()),
-        "jaccard": pa.array(jj[keep], pa.float64()),
-    })
+    # within-group dupes were already dropped distributed)
+    out = _finalize_pairs(pairs, a_parts, b_parts, j_parts)
+    return out if out is not None else empty
 
 
 def _simhash_sig_batch(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
@@ -1070,28 +1082,11 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8):
         verify, batch_format="pandas"
     )
 
-    # output-sized finalize via one numpy lexsort + run-boundary dedup
-    # (see near_dup_pairs — a mega clique makes the pair list huge and
-    # pandas concat/drop_duplicates re-factorizes it several times);
+    # output-sized finalize (shared lexsort + run-boundary dedup);
     # identical-sig cliques were already emitted inside verify by
     # their designated min-band-key owner group
-    a_parts, b_parts = [], []
-    for blk in pairs.iter_batches(batch_format="numpy", batch_size=None):
-        if blk["doc_a"].size:
-            a_parts.append(np.asarray(blk["doc_a"], dtype=np.int64))
-            b_parts.append(np.asarray(blk["doc_b"], dtype=np.int64))
-    if not a_parts:
-        return empty
-    da = np.concatenate(a_parts)
-    db = np.concatenate(b_parts)
-    order = np.lexsort((db, da))
-    da, db = da[order], db[order]
-    keep = np.ones(da.size, dtype=bool)
-    keep[1:] = (np.diff(da) != 0) | (np.diff(db) != 0)
-    return pa.table({
-        "doc_a": pa.array(da[keep], pa.int64()),
-        "doc_b": pa.array(db[keep], pa.int64()),
-    })
+    out = _finalize_pairs(pairs, [], [])
+    return out if out is not None else empty
 
 
 def doc_fingerprint(sf_dir: str, window: int = 4, shingle_n: int = 3):

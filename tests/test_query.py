@@ -599,6 +599,20 @@ def test_search_prefix_matches_scan(small_index, tmp_path_factory):
         assert victim not in docs1.astype(int)
 
 
+def _lev(a, b):
+    """Brute-force Levenshtein DP — the single oracle definition both
+    fuzzy tests validate against."""
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1,
+                       prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[len(b)]
+
+
 def test_one_edit_mask_matches_dp():
     """The vectorized one-edit characterization equals brute-force
     Levenshtein<=1, exhaustively over short strings."""
@@ -608,22 +622,11 @@ def test_one_edit_mask_matches_dp():
 
     from sotohp_ray.pipelines.query import one_edit_mask
 
-    def lev(a, b):
-        d = list(range(len(b) + 1))
-        for i in range(1, len(a) + 1):
-            prev, d[0] = d[0], i
-            for j in range(1, len(b) + 1):
-                cur = d[j]
-                d[j] = min(d[j] + 1, d[j - 1] + 1,
-                           prev + (a[i - 1] != b[j - 1]))
-                prev = cur
-        return d[len(b)]
-
     words = ["".join(w) for L in range(0, 4)
              for w in itertools.product("abc", repeat=L)]
     for q in words:
         mask = one_edit_mask(words, q)
-        expect = np.array([lev(w, q) <= 1 for w in words])
+        expect = np.array([_lev(w, q) <= 1 for w in words])
         assert (mask == expect).all(), q
 
 
@@ -640,19 +643,8 @@ def test_search_fuzzy_matches_scan(small_index):
         os.path.join(index_dir, "dictionary"), columns=["term"]
     )["term"].to_pylist()
 
-    def lev(a, b):
-        d = list(range(len(b) + 1))
-        for i in range(1, len(a) + 1):
-            prev, d[0] = d[0], i
-            for j in range(1, len(b) + 1):
-                cur = d[j]
-                d[j] = min(d[j] + 1, d[j - 1] + 1,
-                           prev + (a[i - 1] != b[j - 1]))
-                prev = cur
-        return d[len(b)]
-
     for q in ("sort", "qury", "jion", "zzzz"):
-        terms = [t for t in vocab if lev(t, q) <= 1]
+        terms = [t for t in vocab if _lev(t, q) <= 1]
         expect = {}
         for t in terms:
             for doc in s._decode_full(t)[0].astype(int):
