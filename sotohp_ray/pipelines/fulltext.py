@@ -554,6 +554,64 @@ def bm25_topk_filtered(
     })
 
 
+PAGE_K = 5
+PAGE_COUNT = 3
+
+
+def bm25_topk_paged(
+    sf_dir: str, queries=DOC_QUERIES, k: int = PAGE_K,
+    n_pages: int = PAGE_COUNT,
+) -> pa.Table:
+    """(query_id, page, doc_id, score): cursor-paged BM25 retrieval —
+    ``n_pages`` consecutive pages of ``k`` results per query, each
+    page fetched with ``Searcher.search_after`` chaining the previous
+    page's last (score, doc_id) as the cursor (the Elasticsearch
+    search_after deep-pagination shape; the reference pages its
+    galleries the same first/next cursor way, ApiApp.scala mediaRoutes
+    + the O2 cursor ops). The cursor lives in ORIGINAL doc-id space
+    via the eng->orig tiebreak gather, so the page sequence equals the
+    oracle's row_number() windows over (round(score,4) DESC, doc_id)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        after = None
+        for page in range(n_pages):
+            hits = s.search_after(q, k=k, after=after, tiebreak=eng2orig)
+            if not hits:
+                break
+            for d, sc in hits:
+                rows.append((qi, page, d, sc))
+            after = (hits[-1][1], hits[-1][0])  # (score, doc_id) cursor
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "page": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def bm25_paged_sql(
+    queries=DOC_QUERIES, k: int = PAGE_K, n_pages: int = PAGE_COUNT,
+) -> str:
+    """DuckDB oracle for cursor-paged retrieval: the standard BM25
+    ranking CTE windowed into pages by row_number()."""
+    base = bm25_oracle_sql(queries=queries, k=k * n_pages).strip()
+    return f"""
+WITH topk AS ({base})
+SELECT query_id,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) - 1) // {k} AS page,
+       doc_id, score
+FROM topk
+ORDER BY query_id, page, doc_id
+"""
+
+
 def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
     """(doc_id,): docs whose analyzed term set contains ALL keywords,
     answered FROM THE INVERTED INDEX (posting-set intersection bounded

@@ -620,17 +620,16 @@ class Searcher:
                 docs, tfs, occ = docs[live], tfs[live], occ[keep_occ]
         return docs, tfs, occ
 
-    def search_exact(
-        self, query: str, k: int = 10, mask: np.ndarray | None = None
-    ) -> list[tuple[int, float]]:
-        """Exact TAAT BM25 top-k. ``mask`` (bool array over the doc-id
-        space, True = allowed) restricts the CANDIDATE set without
-        changing any statistic — Lucene filter-query semantics: idf,
-        avgdl and doc lengths stay corpus-level, the filter only
-        masks which docs may appear in results."""
+    def _taat_scores(
+        self, query: str, mask: np.ndarray | None = None
+    ) -> np.ndarray | None:
+        """Full TAAT BM25 score array over the doc-id space (tombstoned
+        and ``mask``-excluded docs zeroed), or None when the query
+        analyzes to nothing. Shared by exact top-k and cursor-paged
+        retrieval."""
         qterms = self._query_terms(query)
         if not qterms:
-            return []
+            return None
         scores = np.zeros(self.space, dtype=np.float64)
         for term, qw in qterms:
             d, f = self._decode_full(term)
@@ -642,12 +641,62 @@ class Searcher:
             scores[self._deleted] = 0.0
         if mask is not None:
             scores[~mask] = 0.0
+        return scores
+
+    def search_exact(
+        self, query: str, k: int = 10, mask: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
+        """Exact TAAT BM25 top-k. ``mask`` (bool array over the doc-id
+        space, True = allowed) restricts the CANDIDATE set without
+        changing any statistic — Lucene filter-query semantics: idf,
+        avgdl and doc lengths stay corpus-level, the filter only
+        masks which docs may appear in results."""
+        scores = self._taat_scores(query, mask)
+        if scores is None:
+            return []
         nz = np.flatnonzero(scores > 0.0)
         if nz.size == 0:
             return []
         order = np.lexsort((nz, -scores[nz]))
         top = nz[order[:k]]
         return [(int(d), float(scores[d])) for d in top]
+
+    def search_after(
+        self, query: str, k: int = 10,
+        after: tuple[float, int] | None = None,
+        tiebreak: np.ndarray | None = None,
+        mask: np.ndarray | None = None,
+    ) -> list[tuple[int, float]]:
+        """Cursor-paged exact retrieval — the Elasticsearch
+        ``search_after`` deep-pagination contract: return the k
+        results ranked strictly AFTER the cursor in
+        (round(score, 4) DESC, id ASC) order, without materializing or
+        shipping the full ranking (deep pages cost the same one TAAT
+        pass + vectorized cursor filter as page one; a from+size
+        offset ranking would sort and ship offset+k rows). Ranking
+        uses ROUNDED scores so page boundaries are stable and match
+        the SQL oracle's ``row_number() OVER (ORDER BY round(score,4)
+        DESC, doc_id)`` exactly, including rounded-tie groups
+        straddling pages. ``tiebreak`` maps engine ids to the caller's
+        public id domain (e.g. original doc ids) so the cursor lives
+        in the ids the caller paginates by; ``after`` is the last
+        returned (score, id). Returns (id, score) in that domain."""
+        scores = self._taat_scores(query, mask)
+        if scores is None:
+            return []
+        nz = np.flatnonzero(scores > 0.0)
+        if nz.size == 0:
+            return []
+        r = np.round(scores[nz], 4)
+        tb = tiebreak[nz] if tiebreak is not None else nz
+        if after is not None:
+            s_a, t_a = after
+            sel = (r < s_a) | ((r == s_a) & (tb > t_a))
+            nz, r, tb = nz[sel], r[sel], tb[sel]
+            if nz.size == 0:
+                return []
+        order = np.lexsort((tb, -r))[:k]
+        return [(int(tb[i]), float(r[i])) for i in order]
 
     def search_contribs(self, query: str):
         """Per-term BM25 contributions for the query terms THIS

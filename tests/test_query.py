@@ -651,3 +651,25 @@ def test_search_fuzzy_matches_scan(small_index):
                 expect[doc] = expect.get(doc, 0) + 1
         docs, counts = s.search_fuzzy(q)
         assert dict(zip(docs.astype(int), counts.astype(int))) == expect, q
+
+
+def test_search_after_pages_reconstruct_full_ranking(small_index):
+    """Chained search_after pages (k=7) concatenate to EXACTLY the
+    full (round(score,4) desc, doc asc) ranking — pages disjoint, no
+    gaps, stable across rounded-tie groups straddling page breaks."""
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    for q in reference_queries(small_index[0])[:15]:
+        full = s.search_exact(q["q"], k=s.space)
+        expect = sorted(
+            ((d, round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )
+        got, after = [], None
+        while True:
+            page = s.search_after(q["q"], k=7, after=after)
+            if not page:
+                break
+            got.extend(page)
+            after = (page[-1][1], page[-1][0])
+        assert got == expect, q
