@@ -242,6 +242,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     # round-3 operators (warm documents index)
     from sotohp_ray.pipelines.fulltext import (
         bm25_topk_filtered,
+        bm25_topk_paged,
         fuzzy_search,
         prefix_search,
         search_snippets,
@@ -253,6 +254,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("fuzzy_search", lambda: fuzzy_search(sf_dir))
     timed("bm25_topk_filtered", lambda: bm25_topk_filtered(sf_dir))
     timed("search_snippets", lambda: search_snippets(sf_dir))
+    timed("bm25_topk_paged", lambda: bm25_topk_paged(sf_dir))
     return out
 
 
