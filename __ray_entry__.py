@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": textops.sample_stratified,
         "sample_random": textops.sample_random,
         "doc_length_histogram": textops.doc_length_histogram,
+        "doc_keywords": textops.doc_keywords,
         # --- dedup family ---
         "dedup_exact": textops.dedup_exact,
         "minhash_candidates": textops.minhash_candidates,   # rows-only
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": textops.sample_stratified_sql(),
         "sample_random": textops.sample_random_sql(),
         "doc_length_histogram": textops.doc_length_histogram_sql(),
+        "doc_keywords": textops.doc_keywords_sql(),
         "embedding_near_dup": ann.embedding_near_dup_sql(),
         "knn_label_consensus": ann.knn_label_consensus_sql(),
         "events_asof_orders": relational.events_asof_orders_sql(),

@@ -220,6 +220,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     # round-2 operators
     timed("near_dup_pairs", lambda: textops.near_dup_pairs(sf_dir))
     timed("simhash_near_dups", lambda: textops.simhash_near_dups(sf_dir))
+    timed("doc_keywords", lambda: textops.doc_keywords(sf_dir))
     timed("doc_length_histogram",
           lambda: textops.doc_length_histogram(sf_dir))
     timed("sample_random", lambda: textops.sample_random(sf_dir))

@@ -143,6 +143,91 @@ def term_df(sf_dir: str):
     return out
 
 
+def doc_keywords(sf_dir: str, top_n: int = 5):
+    """(doc_id, term, tfidf) top-``top_n`` TF-IDF keywords per doc —
+    the keyword-extraction op of a training-data pipeline (reference
+    analog: ``keywordList``'s per-record term bags,
+    MediaServiceLive.scala:1678-1690, here scored corpus-wide).
+
+    Shape: one vectorized map pass emits distinct (doc, term, tf)
+    rows already keyed by a 256-way term-hash coarse bucket; ONE
+    term-keyed shuffle attaches df (all rows of a term land in its
+    bucket, so within-bucket row count per term IS the global df) and
+    scores tf*ln(N/df); ONE doc-keyed shuffle takes the per-doc top-n
+    (rounded-score desc, term asc — the deterministic SQL-parity
+    rank). The coarse widths (256 term / 64 doc buckets) are the
+    cluster-parallelism knob, same convention as the window ops."""
+    import pandas as pd
+
+    from sotohp_ray.functions.hashing import token_hash_array
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(docs.count())  # parquet metadata count, no scan
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        tf = _TOK.term_frequencies(_text_col(batch))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = ids[tf["row_idx"].to_numpy(zero_copy_only=False)]
+        coarse = (token_hash_array(tf["term"]) & np.uint64(0xFF)).astype(
+            np.int64
+        )
+        return pa.table({
+            "coarse": pa.array(coarse, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "term": tf["term"],
+            "tf": tf["tf"],
+        })
+
+    rows = docs.map_batches(tf_rows, batch_format="pyarrow")
+
+    def attach_score(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, term), so per-term row count = df
+        df = g.groupby("term", sort=False)["doc_id"].transform("size")
+        score = g["tf"].to_numpy() * np.log(n_docs / df.to_numpy())
+        out = g[["doc_id", "term"]].copy()
+        out["tfidf"] = np.round(score, 6)
+        out["dcoarse"] = out["doc_id"].to_numpy() & 0x3F
+        return out
+
+    scored = rows.groupby("coarse").map_groups(
+        attach_score, batch_format="pandas"
+    )
+
+    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True]
+        )
+        out = g.groupby("doc_id", sort=False).head(top_n)
+        return out[["doc_id", "term", "tfidf"]]
+
+    return scored.groupby("dcoarse").map_groups(
+        top_per_doc, batch_format="pandas"
+    )
+
+
+def doc_keywords_sql(top_n: int = 5) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+) <= {top_n}
+ORDER BY doc_id, term
+"""
+
+
 def quality_stats(sf_dir: str):
     """(doc_id, n_chars, n_tokens, n_distinct_terms) — integer quality
     metrics (SQL-expressible; float-free so the oracle hash is exact)."""
