@@ -1152,6 +1152,49 @@ class FanoutSearcher:
         top = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in top]
 
+    def search_after(
+        self, query: str, k: int = 10,
+        after: tuple[float, int] | None = None,
+        tiebreak: np.ndarray | None = None,
+    ) -> list[tuple[int, float]]:
+        """Cursor-paged retrieval through the shard fan-out — the same
+        (round(score,4) DESC, id ASC) page contract as the single
+        Searcher's search_after. Per-group contributions fan out once
+        per page; the layered sums reproduce the single searcher's
+        float accumulation order, so rounded scores — and therefore
+        page boundaries — are bit-identical (pytest-enforced)."""
+        import ray
+
+        gids = self._groups_for(query)
+        if not gids:
+            return []
+        parts = ray.get(
+            [self.actors[g].contribs.remote(query) for g in gids]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        qis = np.concatenate([p[1] for p in parts])
+        cs = np.concatenate([p[2] for p in parts])
+        if docs.size == 0:
+            return []
+        udocs, sums = self._layered_sums(docs, qis, cs)
+        if self._deleted is not None:
+            live = ~self._deleted[udocs]
+            udocs, sums = udocs[live], sums[live]
+        pos = sums > 0.0
+        udocs, sums = udocs[pos], sums[pos]
+        if udocs.size == 0:
+            return []
+        r = np.round(sums, 4)
+        tb = tiebreak[udocs] if tiebreak is not None else udocs
+        if after is not None:
+            s_a, t_a = after
+            sel = (r < s_a) | ((r == s_a) & (tb > t_a))
+            r, tb = r[sel], tb[sel]
+            if r.size == 0:
+                return []
+        order = np.lexsort((tb, -r))[:k]
+        return [(int(tb[i]), float(r[i])) for i in order]
+
     @staticmethod
     def _layered_sums(
         docs: np.ndarray, qis: np.ndarray, cs: np.ndarray

@@ -673,3 +673,24 @@ def test_search_after_pages_reconstruct_full_ranking(small_index):
             got.extend(page)
             after = (page[-1][1], page[-1][0])
         assert got == expect, q
+
+
+def test_fanout_search_after_equals_single(small_index):
+    """Cursor-paged retrieval through the 4-group fan-out must produce
+    the SAME page sequence as the single Searcher — rounded scores and
+    page boundaries bit-identical."""
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    for q in reference_queries(small_index[0])[:10]:
+        after_s = after_f = None
+        for _ in range(4):  # 4 chained pages of 5
+            ps = s.search_after(q["q"], k=5, after=after_s)
+            pf = f.search_after(q["q"], k=5, after=after_f)
+            assert pf == ps, (q, after_s)
+            if not ps:
+                break
+            after_s = (ps[-1][1], ps[-1][0])
+            after_f = (pf[-1][1], pf[-1][0])
