@@ -41,6 +41,8 @@ from sotohp_ray.pipelines.fulltext import (
     prefix_search_sql,
     search_snippets,
     search_snippets_sql,
+    similar_docs,
+    similar_docs_sql,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -67,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": lambda sf: prefix_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
+        "similar_docs": lambda sf: similar_docs(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
@@ -138,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_search": prefix_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "search_snippets": search_snippets_sql(),
+        "similar_docs": similar_docs_sql(),
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),

@@ -612,6 +612,122 @@ ORDER BY query_id, page, doc_id
 """
 
 
+SIMILAR_SEEDS = (3, 47, 101)
+SIMILAR_M = 5
+
+
+def similar_docs(
+    sf_dir: str, seeds=SIMILAR_SEEDS, m: int = SIMILAR_M, k: int = 10,
+) -> pa.Table:
+    """(seed_id, doc_id, score): more-like-this retrieval (Lucene
+    MoreLikeThis shape) — each seed doc's top-``m`` TF-IDF keywords
+    (tf * ln(N/df), df from the index dictionary) become a unit-weight
+    BM25 query; results are the top-``k`` docs excluding the seed,
+    under the standard (round(score,4) DESC, doc_id ASC) contract.
+    Composes three index artifacts: dictionary df for keyword
+    selection, postings for scoring, docmeta for the id map."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    n_docs = float(
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    )
+    seed_t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", [int(x) for x in seeds])],
+    )
+    texts = dict(zip(
+        seed_t["doc_id"].to_pylist(), seed_t["text"].to_pylist()
+    ))
+    rows = []
+    for seed in seeds:
+        from collections import Counter
+
+        tf = Counter(s.tok.tokens_of(texts[seed]))
+        scored = []
+        for term, f in tf.items():
+            if term not in s._row:
+                continue
+            df = float(s._dfs[s._row[term]])
+            scored.append(
+                (round(f * float(np.log(n_docs / df)), 6), term)
+            )
+        # (tfidf desc, term asc) — the doc_keywords rank contract
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        keywords = [t for _, t in scored[:m]]
+        scores = s._taat_scores_terms([(t, 1.0) for t in keywords])
+        if scores is None:
+            continue
+        nz = np.flatnonzero(scores > 0.0)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(float(scores[d]), 4)) for d in nz),
+            key=lambda t: (-t[1], t[0]),
+        )
+        out = [(d, sc) for d, sc in ranked if d != seed][:k]
+        for d, sc in out:
+            rows.append((seed, d, sc))
+    return pa.table({
+        "seed_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def similar_docs_sql(
+    seeds=SIMILAR_SEEDS, m: int = SIMILAR_M, k: int = 10,
+) -> str:
+    """DuckDB oracle: the doc_keywords CTE picks each seed's top-m
+    keywords, which feed the standard BM25 scoring CTE as unit-weight
+    query terms; the seed itself is excluded from its result page."""
+    texpr = sql_token_expr("text")
+    seed_list = ", ".join(str(int(x)) for x in seeds)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+kw AS (
+  SELECT tf.doc_id AS seed_id, tf.term
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id IN ({seed_list})
+  QUALIFY row_number() OVER (
+    PARTITION BY tf.doc_id
+    ORDER BY round(tf.tf * ln(s.n / df.df), 6) DESC, tf.term ASC
+  ) <= {m}
+),
+scores AS (
+  SELECT kw.seed_id, tf.doc_id,
+         sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1.0)
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN kw ON kw.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT seed_id, doc_id, round(score, 4) AS score
+FROM scores
+WHERE doc_id != seed_id
+QUALIFY row_number() OVER (
+  PARTITION BY seed_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY seed_id, doc_id
+"""
+
+
 def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
     """(doc_id,): docs whose analyzed term set contains ALL keywords,
     answered FROM THE INVERTED INDEX (posting-set intersection bounded

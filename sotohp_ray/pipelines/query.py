@@ -627,7 +627,17 @@ class Searcher:
         and ``mask``-excluded docs zeroed), or None when the query
         analyzes to nothing. Shared by exact top-k and cursor-paged
         retrieval."""
-        qterms = self._query_terms(query)
+        return self._taat_scores_terms(self._query_terms(query), mask)
+
+    def _taat_scores_terms(
+        self, qterms: list[tuple[str, float]],
+        mask: np.ndarray | None = None,
+    ) -> np.ndarray | None:
+        """TAAT scoring over an explicit [(analyzed term, weight)]
+        list — the entry point for callers whose terms didn't come
+        from a query string (e.g. more-like-this keyword sets, which
+        must not round-trip through the tokenizer)."""
+        qterms = [(t, w) for t, w in qterms if t in self._row]
         if not qterms:
             return None
         scores = np.zeros(self.space, dtype=np.float64)
