@@ -1,0 +1,64 @@
+"""Opaque, order-preserving cursor tokens (reference analog: the
+base64url MediaAccessKey with sign-flipped longs so encoded keys sort
+lexicographically like their numeric order, model/package.scala:50-99).
+
+The engine's public paging surfaces hand cursors to clients as opaque
+URL-safe strings. Two invariants, both property-tested:
+
+1. round-trip: ``decode(encode(x)) == x`` exactly (floats bit-exact);
+2. order-preserving: comparing the raw token BYTES equals comparing
+   the (score DESC, doc_id ASC) rank tuples — so a stateless edge
+   cache or client can order/dedup cursors without decoding them.
+
+Encoding: 8-byte big-endian order-flipped IEEE754 score (sign bit
+flipped for non-negatives, all bits inverted for negatives, then the
+whole word inverted so DESCENDING score order sorts ascending) +
+8-byte big-endian sign-flipped int64 doc id, base64url without
+padding (both transforms are the standard order-preserving key tricks
+the reference's timestamp sign-flip is an instance of)."""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+
+def _float_key(x: float) -> int:
+    """IEEE754 double -> uint64 whose unsigned order equals the float
+    order (nan excluded by contract)."""
+    (bits,) = struct.unpack(">Q", struct.pack(">d", x))
+    if bits & (1 << 63):  # negative: invert all bits
+        return bits ^ 0xFFFFFFFFFFFFFFFF
+    return bits | (1 << 63)  # non-negative: flip sign bit
+
+
+def _float_unkey(key: int) -> float:
+    if key & (1 << 63):
+        bits = key ^ (1 << 63)
+    else:
+        bits = key ^ 0xFFFFFFFFFFFFFFFF
+    (x,) = struct.unpack(">d", struct.pack(">Q", bits))
+    return x
+
+
+def encode_cursor(score: float, doc_id: int) -> str:
+    """(score, doc_id) -> opaque base64url token; token BYTE order ==
+    (score DESC, doc_id ASC) rank order. -0.0 canonicalizes to +0.0
+    (they compare equal in ranking, so their tokens must be equal)."""
+    score = float(score)
+    if score == 0.0:
+        score = 0.0
+    skey = _float_key(score) ^ 0xFFFFFFFFFFFFFFFF  # desc
+    dkey = (int(doc_id) ^ (1 << 63)) & 0xFFFFFFFFFFFFFFFF  # sign-flip
+    raw = struct.pack(">QQ", skey, dkey)
+    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode("ascii")
+
+
+def decode_cursor(token: str) -> tuple[float, int]:
+    raw = base64.urlsafe_b64decode(token + "=" * (-len(token) % 4))
+    skey, dkey = struct.unpack(">QQ", raw)
+    score = _float_unkey(skey ^ 0xFFFFFFFFFFFFFFFF)
+    doc_id = dkey ^ (1 << 63)
+    if doc_id & (1 << 63):
+        doc_id -= 1 << 64
+    return score, doc_id

@@ -570,7 +570,11 @@ def bm25_topk_paged(
     galleries the same first/next cursor way, ApiApp.scala mediaRoutes
     + the O2 cursor ops). The cursor lives in ORIGINAL doc-id space
     via the eng->orig tiebreak gather, so the page sequence equals the
-    oracle's row_number() windows over (round(score,4) DESC, doc_id)."""
+    oracle's row_number() windows over (round(score,4) DESC, doc_id).
+    Between pages the cursor round-trips through the opaque base64url
+    token surface (functions/cursors.py) — the shape a client holds;
+    reference MediaAccessKey analog."""
+    from sotohp_ray.functions.cursors import decode_cursor, encode_cursor
     from sotohp_ray.pipelines.query import Searcher
 
     index_dir = documents_index(sf_dir)
@@ -578,14 +582,15 @@ def bm25_topk_paged(
     eng2orig = _eng2orig(index_dir, s.space)
     rows = []
     for qi, q in enumerate(queries):
-        after = None
+        token = None
         for page in range(n_pages):
+            after = decode_cursor(token) if token else None
             hits = s.search_after(q, k=k, after=after, tiebreak=eng2orig)
             if not hits:
                 break
             for d, sc in hits:
                 rows.append((qi, page, d, sc))
-            after = (hits[-1][1], hits[-1][0])  # (score, doc_id) cursor
+            token = encode_cursor(hits[-1][1], hits[-1][0])
     return pa.table({
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "page": pa.array([r[1] for r in rows], pa.int64()),
