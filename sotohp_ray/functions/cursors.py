@@ -1,25 +1,28 @@
 """Opaque, order-preserving cursor tokens (reference analog: the
-base64url MediaAccessKey with sign-flipped longs so encoded keys sort
+MediaAccessKey with sign-flipped longs so encoded keys sort
 lexicographically like their numeric order, model/package.scala:50-99).
 
 The engine's public paging surfaces hand cursors to clients as opaque
 URL-safe strings. Two invariants, both property-tested:
 
 1. round-trip: ``decode(encode(x)) == x`` exactly (floats bit-exact);
-2. order-preserving: comparing the raw token BYTES equals comparing
-   the (score DESC, doc_id ASC) rank tuples — so a stateless edge
-   cache or client can order/dedup cursors without decoding them.
+2. order-preserving: comparing the token STRINGS equals comparing the
+   (score DESC, doc_id ASC) rank tuples — so a stateless edge cache
+   or client can order/dedup cursors without decoding them.
 
 Encoding: 8-byte big-endian order-flipped IEEE754 score (sign bit
 flipped for non-negatives, all bits inverted for negatives, then the
 whole word inverted so DESCENDING score order sorts ascending) +
-8-byte big-endian sign-flipped int64 doc id, base64url without
-padding (both transforms are the standard order-preserving key tricks
-the reference's timestamp sign-flip is an instance of)."""
+8-byte big-endian sign-flipped int64 doc id — the standard
+order-preserving key tricks the reference's timestamp sign-flip is an
+instance of — rendered as lowercase hex. Hex, NOT base64url: the
+base64url alphabet is not ASCII-ordered ('-' < digits < uppercase <
+'_' < lowercase), so base64url tokens do not sort like their payload
+bytes; hex digits 0-9a-f are ASCII-ordered, so invariant 2 holds on
+the token itself."""
 
 from __future__ import annotations
 
-import base64
 import struct
 
 
@@ -42,7 +45,7 @@ def _float_unkey(key: int) -> float:
 
 
 def encode_cursor(score: float, doc_id: int) -> str:
-    """(score, doc_id) -> opaque base64url token; token BYTE order ==
+    """(score, doc_id) -> opaque hex token; token STRING order ==
     (score DESC, doc_id ASC) rank order. -0.0 canonicalizes to +0.0
     (they compare equal in ranking, so their tokens must be equal)."""
     score = float(score)
@@ -50,12 +53,11 @@ def encode_cursor(score: float, doc_id: int) -> str:
         score = 0.0
     skey = _float_key(score) ^ 0xFFFFFFFFFFFFFFFF  # desc
     dkey = (int(doc_id) ^ (1 << 63)) & 0xFFFFFFFFFFFFFFFF  # sign-flip
-    raw = struct.pack(">QQ", skey, dkey)
-    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode("ascii")
+    return struct.pack(">QQ", skey, dkey).hex()
 
 
 def decode_cursor(token: str) -> tuple[float, int]:
-    raw = base64.urlsafe_b64decode(token + "=" * (-len(token) % 4))
+    raw = bytes.fromhex(token)
     skey, dkey = struct.unpack(">QQ", raw)
     score = _float_unkey(skey ^ 0xFFFFFFFFFFFFFFFF)
     doc_id = dkey ^ (1 << 63)

@@ -571,9 +571,9 @@ def bm25_topk_paged(
     + the O2 cursor ops). The cursor lives in ORIGINAL doc-id space
     via the eng->orig tiebreak gather, so the page sequence equals the
     oracle's row_number() windows over (round(score,4) DESC, doc_id).
-    Between pages the cursor round-trips through the opaque base64url
-    token surface (functions/cursors.py) — the shape a client holds;
-    reference MediaAccessKey analog."""
+    Between pages the cursor round-trips through the opaque
+    order-preserving token surface (functions/cursors.py) — the shape
+    a client holds; reference MediaAccessKey analog."""
     from sotohp_ray.functions.cursors import decode_cursor, encode_cursor
     from sotohp_ray.pipelines.query import Searcher
 
@@ -649,6 +649,8 @@ def similar_docs(
     ))
     rows = []
     for seed in seeds:
+        if seed not in texts:
+            continue  # absent seed -> no rows, like the SQL oracle
         from collections import Counter
 
         tf = Counter(s.tok.tokens_of(texts[seed]))

@@ -1137,12 +1137,21 @@ class FanoutSearcher:
                     break
         return sorted(hit)
 
-    def search_exact(self, query: str, k: int = 10):
+    def _fanout_sums(
+        self, query: str
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Per-doc BM25 sums gathered across the shard groups —
+        layered in query-term order to reproduce the single searcher's
+        float accumulation exactly, tombstone- and positive-filtered.
+        ONE definition shared by exact top-k and cursor-paged
+        retrieval: the bit-identity contract with the single Searcher
+        must not live in two copies. Returns None when nothing
+        matches."""
         import ray
 
         gids = self._groups_for(query)
         if not gids:
-            return []
+            return None
         parts = ray.get(
             [self.actors[g].contribs.remote(query) for g in gids]
         )
@@ -1150,7 +1159,7 @@ class FanoutSearcher:
         qis = np.concatenate([p[1] for p in parts])
         cs = np.concatenate([p[2] for p in parts])
         if docs.size == 0:
-            return []
+            return None
         udocs, sums = self._layered_sums(docs, qis, cs)
         if self._deleted is not None:
             live = ~self._deleted[udocs]
@@ -1158,7 +1167,14 @@ class FanoutSearcher:
         pos = sums > 0.0
         udocs, sums = udocs[pos], sums[pos]
         if udocs.size == 0:
+            return None
+        return udocs, sums
+
+    def search_exact(self, query: str, k: int = 10):
+        got = self._fanout_sums(query)
+        if got is None:
             return []
+        udocs, sums = got
         top = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in top]
 
@@ -1173,27 +1189,10 @@ class FanoutSearcher:
         per page; the layered sums reproduce the single searcher's
         float accumulation order, so rounded scores — and therefore
         page boundaries — are bit-identical (pytest-enforced)."""
-        import ray
-
-        gids = self._groups_for(query)
-        if not gids:
+        got = self._fanout_sums(query)
+        if got is None:
             return []
-        parts = ray.get(
-            [self.actors[g].contribs.remote(query) for g in gids]
-        )
-        docs = np.concatenate([p[0] for p in parts])
-        qis = np.concatenate([p[1] for p in parts])
-        cs = np.concatenate([p[2] for p in parts])
-        if docs.size == 0:
-            return []
-        udocs, sums = self._layered_sums(docs, qis, cs)
-        if self._deleted is not None:
-            live = ~self._deleted[udocs]
-            udocs, sums = udocs[live], sums[live]
-        pos = sums > 0.0
-        udocs, sums = udocs[pos], sums[pos]
-        if udocs.size == 0:
-            return []
+        udocs, sums = got
         r = np.round(sums, 4)
         tb = tiebreak[udocs] if tiebreak is not None else udocs
         if after is not None:
