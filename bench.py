@@ -247,6 +247,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
         fuzzy_search,
         prefix_search,
         search_snippets,
+        similar_docs,
         term_positions,
     )
 
@@ -256,8 +257,6 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("bm25_topk_filtered", lambda: bm25_topk_filtered(sf_dir))
     timed("search_snippets", lambda: search_snippets(sf_dir))
     timed("bm25_topk_paged", lambda: bm25_topk_paged(sf_dir))
-    from sotohp_ray.pipelines.fulltext import similar_docs
-
     timed("similar_docs", lambda: similar_docs(sf_dir))
     return out
 
