@@ -22,6 +22,8 @@ from sotohp_ray.pipelines.fulltext import (
     UPDATED_DOC_IDS,
     bm25_facets,
     bm25_facets_sql,
+    keyword_search_excluding,
+    keyword_search_excluding_sql,
     keyword_search_indexed,
     bm25_oracle_sql,
     bm25_topk,
@@ -74,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
+        "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),
         "term_df": textops.term_df,
         "token_counts": textops.token_counts,
         "token_estimate": textops.token_estimate,
@@ -98,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
         "knn_label_consensus": ann.knn_label_consensus,
+        "knn_range_search": ann.knn_range_search,
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
         "ann_lsh_search": ann.ann_lsh_search,               # rows-only
@@ -146,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
         "keyword_search_indexed": textops.keyword_search_sql(),
+        "keyword_search_excluding": keyword_search_excluding_sql(),
         "term_df": f"""
             SELECT term, count(*) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({toks}))
@@ -203,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": multimodal.media_frame_sample_sql(),
         "events_cursor_nav": relational.events_cursor_nav_sql(),
         "customer_geo_distance": relational.customer_geo_distance_sql(),
+        "knn_range_search": ann.knn_range_search_sql(),
         "knn_cosine": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe

@@ -258,6 +258,11 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("search_snippets", lambda: search_snippets(sf_dir))
     timed("bm25_topk_paged", lambda: bm25_topk_paged(sf_dir))
     timed("similar_docs", lambda: similar_docs(sf_dir))
+    from sotohp_ray.pipelines.fulltext import keyword_search_excluding
+
+    timed("keyword_search_excluding",
+          lambda: keyword_search_excluding(sf_dir))
+    timed("knn_range_search", lambda: ann.knn_range_search(sf_dir))
     return out
 
 

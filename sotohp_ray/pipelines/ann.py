@@ -154,6 +154,78 @@ def knn_cosine(
     return _topk_merge(ds, k)
 
 
+RANGE_THRESHOLD = 0.2
+
+
+class _RangeScorer:
+    """Actor-pool stage for cosine RANGE search: every (query, vec)
+    pair at or above the similarity threshold, streamed out per batch
+    — no top-k state, output bounded by the match set itself (Lucene
+    range-query / radius-search shape, vs knn's fixed k)."""
+
+    def __init__(self, qref, threshold: float):
+        import ray
+
+        self.q_ids, self.Q = ray.get(qref)
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        S = np.round(Xn @ self.Q.T, 5)  # (batch, m)
+        hit = S >= self.threshold
+        # exclude self-matches
+        hit &= ids[:, None] != self.q_ids[None, :]
+        bi, qj = np.nonzero(hit)
+        return pa.table({
+            "query_id": pa.array(self.q_ids[qj], pa.int64()),
+            "vec_id": pa.array(ids[bi], pa.int64()),
+            "score": pa.array(S[bi, qj], pa.float64()),
+        })
+
+
+def knn_range_search(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS,
+    threshold: float = RANGE_THRESHOLD,
+):
+    """(query_id, vec_id, score): ALL vectors within cosine similarity
+    >= ``threshold`` of each query (self excluded) — the radius-search
+    counterpart of knn_cosine. Fully streaming: each batch emits its
+    own matches; there is no per-query top-k state to merge, so the
+    pipeline scales with the match count, not the corpus."""
+    import ray
+
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    qref = ray.put((q_ids, Q))
+    return _emb(sf_dir).map_batches(
+        _RangeScorer,
+        fn_constructor_kwargs={"qref": qref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+
+
+def knn_range_search_sql(
+    query_ids=DEFAULT_QUERY_IDS, threshold: float = RANGE_THRESHOLD,
+) -> str:
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id IN ({ids})
+)
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(
+         e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> q.query_id
+  AND round(list_cosine_similarity(
+        e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) >= {threshold}
+ORDER BY query_id, vec_id
+"""
+
+
 class _LSHStage:
     """Random-hyperplane signatures; planes built once per actor from a
     fixed seed so every actor brackets identically."""

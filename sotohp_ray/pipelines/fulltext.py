@@ -760,6 +760,47 @@ def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
     return pa.table({"doc_id": pa.array(out, pa.int64())})
 
 
+EXCLUDE_KEYWORDS = ("slow",)
+
+
+def keyword_search_excluding(
+    sf_dir: str, keywords=("fast", "small"), exclude=EXCLUDE_KEYWORDS,
+) -> pa.Table:
+    """(doc_id,): docs containing ALL ``keywords`` and NONE of
+    ``exclude`` — boolean MUST + MUST_NOT over the inverted index
+    (posting-set intersection minus the exclude union, cost bounded
+    by the terms' df). Same analyzer round-trip contract as
+    keyword_search_indexed."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    for kw in (*keywords, *exclude):
+        if s.tok.tokens_of(kw) != [kw]:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+    eng2orig = _eng2orig(index_dir, s.space)
+    hits = s.search_boolean(
+        " ".join(keywords), mode="and", exclude=" ".join(exclude)
+    )
+    out = np.sort(eng2orig[hits]) if hits.size else np.zeros(0, np.int64)
+    return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+
+def keyword_search_excluding_sql(
+    keywords=("fast", "small"), exclude=EXCLUDE_KEYWORDS,
+) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    lst = ", ".join(f"'{k}'" for k in keywords)
+    ex = ", ".join(f"'{k}'" for k in exclude)
+    texpr = sql_token_expr("text")
+    return (
+        f"SELECT doc_id FROM documents "
+        f"WHERE list_has_all({texpr}, [{lst}]) "
+        f"AND NOT list_has_any({texpr}, [{ex}])"
+    )
+
+
 def bm25_facets(sf_dir: str, queries=DOC_QUERIES) -> pa.Table:
     """(query_id, lang, n_matches): facet counts over ALL matching
     docs per query — the search-plus-aggregation shape of the

@@ -916,14 +916,16 @@ class Searcher:
         return [(d, s) for s, d in norm[:k]]
 
     def search_boolean(
-        self, query: str, mode: str = "and"
+        self, query: str, mode: str = "and", exclude: str | None = None
     ) -> np.ndarray:
         """Unranked boolean retrieval over the inverted index: sorted
         doc_ids containing ALL (``and``) or ANY (``or``) analyzed
         query terms — the index-backed counterpart of the reference's
         naive forall-contains scan (MediaServiceLive.scala:108-112).
-        Set algebra over decoded posting doc arrays (each sorted), so
-        cost is bounded by the query terms' df, not the corpus."""
+        ``exclude`` subtracts docs containing ANY of its analyzed
+        terms (Lucene MUST_NOT). Set algebra over decoded posting doc
+        arrays (each sorted), so cost is bounded by the query terms'
+        df, not the corpus."""
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         toks = self.tok.tokens_of(query)
@@ -941,6 +943,18 @@ class Searcher:
             d, _ = self._decode_full(t)
             sets.append(d.astype(np.int64))
         out = _boolean_combine(sets, mode)
+        if exclude and out.size:
+            ex = [
+                t for t in dict.fromkeys(self.tok.tokens_of(exclude))
+                if t in self._row
+            ]
+            if ex:
+                ex_docs = np.unique(np.concatenate(
+                    [self._decode_full(t)[0].astype(np.int64) for t in ex]
+                ))
+                out = out[~np.isin(
+                    out, ex_docs, assume_unique=True, kind="sort"
+                )]
         if self._deleted is not None and out.size:
             out = out[~self._deleted[out]]
         return out
@@ -1354,21 +1368,14 @@ class FanoutSearcher:
         order = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in order]
 
-    def search_boolean(self, query: str, mode: str = "and") -> np.ndarray:
-        """Distributed unranked boolean retrieval: each group resolves
-        the posting doc sets for the analyzed tokens it owns (absence
-        included in the answer — an AND with any vocabulary miss is
-        empty); set algebra and tombstone filtering happen at the
-        merge, mirroring the single Searcher."""
+    def _term_docs_fanout(self, toks: list[str]) -> dict:
+        """Posting doc sets per analyzed token, each fetched from the
+        single group owning its hash shard; absent tokens are absent
+        from the result."""
         import ray
 
-        if mode not in ("and", "or"):
-            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
-        seen = list(dict.fromkeys(self.tok.tokens_of(query)))
-        if not seen:
-            return np.zeros(0, dtype=np.int64)
         by_group: dict[int, list[str]] = {}
-        for t in seen:
+        for t in toks:
             by_group.setdefault(self._group_of_token(t), []).append(t)
         got: dict[str, np.ndarray] = {}
         for r in ray.get(
@@ -1378,12 +1385,38 @@ class FanoutSearcher:
             ]
         ):
             got.update(r)
+        return got
+
+    def search_boolean(
+        self, query: str, mode: str = "and", exclude: str | None = None
+    ) -> np.ndarray:
+        """Distributed unranked boolean retrieval: each group resolves
+        the posting doc sets for the analyzed tokens it owns (absence
+        included in the answer — an AND with any vocabulary miss is
+        empty); set algebra, MUST_NOT subtraction and tombstone
+        filtering happen at the merge, mirroring the single
+        Searcher."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        seen = list(dict.fromkeys(self.tok.tokens_of(query)))
+        if not seen:
+            return np.zeros(0, dtype=np.int64)
+        got = self._term_docs_fanout(seen)
         present = [t for t in seen if t in got]
         if mode == "and" and len(present) != len(seen):
             return np.zeros(0, dtype=np.int64)
         if not present:
             return np.zeros(0, dtype=np.int64)
         out = _boolean_combine([got[t] for t in present], mode)
+        if exclude and out.size:
+            ex = list(dict.fromkeys(self.tok.tokens_of(exclude)))
+            got_ex = self._term_docs_fanout(ex) if ex else {}
+            ex_sets = [got_ex[t] for t in ex if t in got_ex]
+            if ex_sets:
+                ex_docs = np.unique(np.concatenate(ex_sets))
+                out = out[~np.isin(
+                    out, ex_docs, assume_unique=True, kind="sort"
+                )]
         if self._deleted is not None and out.size:
             out = out[~self._deleted[out]]
         return out
