@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_random": textops.sample_random,
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_keywords": textops.doc_keywords,
+        "vocabulary_stats": textops.vocabulary_stats,
         # --- dedup family ---
         "dedup_exact": textops.dedup_exact,
         "minhash_candidates": textops.minhash_candidates,   # rows-only
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_random": textops.sample_random_sql(),
         "doc_length_histogram": textops.doc_length_histogram_sql(),
         "doc_keywords": textops.doc_keywords_sql(),
+        "vocabulary_stats": textops.vocabulary_stats_sql(),
         "embedding_near_dup": ann.embedding_near_dup_sql(),
         "knn_label_consensus": ann.knn_label_consensus_sql(),
         "events_asof_orders": relational.events_asof_orders_sql(),

@@ -143,6 +143,57 @@ def term_df(sf_dir: str):
     return out
 
 
+def vocabulary_stats(sf_dir: str):
+    """One-row vocabulary summary — n_terms (distinct), n_postings
+    (distinct doc,term pairs), max_df, singleton_terms (df=1): the
+    index-introspection numbers a capacity plan starts from. Shape:
+    the term_df pipeline (per-batch partial + small term groupby)
+    finished by ONE tiny aggregate over the vocabulary-sized df
+    table."""
+    import pandas as pd
+
+    df = term_df(sf_dir)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_terms": pa.array([len(d)], pa.int64()),
+            "n_postings": pa.array([int(d.sum())], pa.int64()),
+            "max_df": pa.array([int(d.max()) if len(d) else 0], pa.int64()),
+            "singleton_terms": pa.array([int((d == 1).sum())], pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_terms": [int(g["n_terms"].sum())],
+            "n_postings": [int(g["n_postings"].sum())],
+            "max_df": [int(g["max_df"].max())],
+            "singleton_terms": [int(g["singleton_terms"].sum())],
+        })
+
+    partials = df.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(merge(partials), preserve_index=False)
+
+
+def vocabulary_stats_sql() -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+)
+SELECT count(*) AS n_terms,
+       sum(df)::BIGINT AS n_postings,
+       max(df)::BIGINT AS max_df,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS singleton_terms
+FROM df
+"""
+
+
 def doc_keywords(sf_dir: str, top_n: int = 5):
     """(doc_id, term, tfidf) top-``top_n`` TF-IDF keywords per doc —
     the keyword-extraction op of a training-data pipeline (reference
