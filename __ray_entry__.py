@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": textops.dedup_exact,
         "minhash_candidates": textops.minhash_candidates,   # rows-only
         "near_dup_pairs": textops.near_dup_pairs,           # rows-only
+        "near_dup_dedup": textops.near_dup_dedup,           # rows-only
         "simhash_fingerprints": textops.simhash_fingerprints,  # rows-only
         "simhash_near_dups": textops.simhash_near_dups,     # rows-only
         "doc_fingerprint": textops.doc_fingerprint,         # rows-only

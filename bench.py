@@ -263,6 +263,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("keyword_search_excluding",
           lambda: keyword_search_excluding(sf_dir))
     timed("knn_range_search", lambda: ann.knn_range_search(sf_dir))
+    timed("near_dup_dedup", lambda: textops.near_dup_dedup(sf_dir))
     return out
 
 

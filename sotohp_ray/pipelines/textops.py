@@ -1047,6 +1047,50 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
     return out if out is not None else empty
 
 
+def near_dup_dedup(sf_dir: str, threshold: float = 0.6):
+    """(doc_id, canonical_id): connected-component clustering of the
+    verified near-dup pairs — every doc in ANY near-dup cluster maps
+    to its cluster's MINIMUM doc id (the canonical keeper; the same
+    min-keeper rule as dedup_exact). Docs with no near-dup are absent
+    (they keep themselves). This is the op that actually removes
+    near-dups from a training corpus: filter out rows whose doc_id !=
+    canonical_id. Clustering is transitive (A~B, B~C puts A,C in one
+    cluster even if A!~C) — the standard near-dup dedup contract.
+
+    The pair set is output-sized (the near_dup_pairs result the caller
+    materializes anyway), so components run driver-side: vectorized
+    min-label propagation with pointer halving — O(E) numpy work per
+    round, rounds logarithmic in the largest cluster's diameter (a
+    clique converges in one round). No SQL oracle: the candidate set
+    is MinHash-LSH (not SQL-expressible); correctness is pytest-gated
+    against brute-force clustering on planted fixtures."""
+    pairs = near_dup_pairs(sf_dir, threshold)
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    if a.size == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "canonical_id": pa.array([], pa.int64()),
+        })
+    ids = np.unique(np.concatenate((a, b)))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    label = np.arange(ids.size, dtype=np.int64)
+    while True:
+        m = np.minimum(label[ai], label[bi])
+        new = label.copy()
+        np.minimum.at(new, ai, m)
+        np.minimum.at(new, bi, m)
+        new = new[new]  # pointer halving
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "canonical_id": pa.array(ids[label], pa.int64()),
+    })
+
+
 def _simhash_sig_batch(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
     """(doc_id column, uint64 sig array) for one batch — vectorized:
     FNV-1a over the UNIQUE-token dictionary (``fnv1a64_array``: one

@@ -525,3 +525,61 @@ def test_simhash_mega_bucket_collapse(tmp_path):
     cross = (a == 0) & (b >= 10)
     assert cross.sum() == B  # near variant pairs with every member
     assert ((a == 1) | (b == 1)).sum() == 0
+
+
+def test_near_dup_dedup_clusters_transitively(tmp_path):
+    """Connected-component dedup: a chain A~B~C clusters all three to
+    min(A) even when A and C are not directly near-dup; the clustering
+    equals brute-force components over the engine's own pair set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import near_dup_dedup, near_dup_pairs
+
+    # chain: three 40-token windows sliding by 5 over one stream —
+    # adjacent windows share 35 tokens (shingle jaccard ~0.77, above
+    # the 0.65 threshold), windows two apart share 30 (~0.58, below),
+    # so the cluster only forms transitively
+    stream = [f"tok{i}" for i in range(50)]
+    docs = [" ".join(stream[5 * k: 5 * k + 40]) for k in range(3)]
+    far = " ".join(f"zz{i}" for i in range(40))
+    # an exact-dup pair, disjoint from the chain
+    dup = " ".join(f"qq{i}" for i in range(40))
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12, 50, 60, 61], pa.int64()),
+        "text": pa.array(docs + [far, dup, dup]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    pairs = near_dup_pairs(str(d), threshold=0.65).to_pandas()
+    # adjacent chain links present, two-apart absent (transitivity is
+    # what the clustering adds)
+    ps = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (10, 11) in ps and (11, 12) in ps and (10, 12) not in ps
+    got = near_dup_dedup(str(d), threshold=0.65).to_pandas()
+    canon = dict(zip(got["doc_id"], got["canonical_id"]))
+
+    # brute-force components over the same pair set
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs["doc_a"], pairs["doc_b"]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    expect = {}
+    for x in set(pairs["doc_a"]) | set(pairs["doc_b"]):
+        expect[int(x)] = find(int(x))
+    assert canon == expect
+    # the chain is one cluster rooted at 10; the dup pair at 60
+    assert canon[10] == canon[11] == canon[12] == 10
+    assert canon[60] == canon[61] == 60
+    # far doc is in no cluster
+    assert 50 not in canon
