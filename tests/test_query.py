@@ -694,3 +694,51 @@ def test_fanout_search_after_equals_single(small_index):
                 break
             after_s = (ps[-1][1], ps[-1][0])
             after_f = (pf[-1][1], pf[-1][0])
+
+
+def test_boolean_exclude_matches_scan_and_fanout(small_index):
+    """MUST_NOT: search_boolean(exclude=) equals the token-stream scan
+    (ALL query terms AND NONE of the exclude terms), and the fan-out
+    path returns the identical set."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines.query import FanoutSearcher
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    tok = CodeTokenizer()
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    key2id = {
+        (r, p, c): d
+        for r, p, c, d in zip(
+            dm["repo"].to_pylist(), dm["path"].to_pylist(),
+            dm["commit"].to_pylist(), dm["doc_id"].to_pylist(),
+        )
+    }
+    streams = {}
+    for fl in corpus_files(corpus_dir):
+        t = pq.read_table(fl)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            streams[key2id[(r, p, c)]] = set(tok.tokens_of(content))
+
+    for q, ex in (("query batch", "sort"), ("query", "zzz_absent"),
+                  ("query batch", "join filter")):
+        qt, et = tok.tokens_of(q), tok.tokens_of(ex)
+        expect = {d for d, ts in streams.items()
+                  if all(t in ts for t in qt)
+                  and not any(t in ts for t in et)}
+        got = s.search_boolean(q, mode="and", exclude=ex)
+        assert set(got.tolist()) == expect, (q, ex)
+        np.testing.assert_array_equal(
+            f.search_boolean(q, mode="and", exclude=ex), got,
+            err_msg=(q, ex),
+        )
