@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary_stats": textops.vocabulary_stats,
         # --- dedup family ---
         "dedup_exact": textops.dedup_exact,
+        "corpus_dedup_exact": textops.corpus_dedup_exact,
+        "corpus_dedup_near": textops.corpus_dedup_near,     # rows-only
         "minhash_candidates": textops.minhash_candidates,   # rows-only
         "near_dup_pairs": textops.near_dup_pairs,           # rows-only
         "near_dup_dedup": textops.near_dup_dedup,           # rows-only
@@ -187,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.h, 0) AS marker_hits
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
+        "corpus_dedup_exact": textops.corpus_dedup_exact_sql(),
         "dedup_exact": """
             SELECT sha256(text) AS sha, min(doc_id) AS keep_id,
                    count(*) AS n_dups

@@ -264,6 +264,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: keyword_search_excluding(sf_dir))
     timed("knn_range_search", lambda: ann.knn_range_search(sf_dir))
     timed("near_dup_dedup", lambda: textops.near_dup_dedup(sf_dir))
+    timed("corpus_dedup_near",
+          lambda: textops.corpus_dedup_near(sf_dir))
     return out
 
 

@@ -378,6 +378,82 @@ def dedup_exact(sf_dir: str):
     )
 
 
+def corpus_dedup_exact(sf_dir: str):
+    """(doc_id, n_chars): the CLEANED corpus after exact dedup — one
+    row per distinct content (the sha cluster's min doc_id), i.e. the
+    materialization side of dedup_exact: a broadcast keep-set filter
+    over the documents stream, not a join. The keep set is
+    cluster-count-sized (one id per distinct content); at 100 TB the
+    broadcast is ``ray.put`` once + ``np.isin`` per batch — the same
+    discipline as the near-dup member filter."""
+    import ray
+
+    keep = dedup_exact(sf_dir).select_columns(["keep_id"]).to_pandas()
+    keep_ids = np.sort(keep["keep_id"].to_numpy().astype(np.int64))
+    kref = ray.put(keep_ids)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = ray.get(kref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = np.isin(ids, k, assume_unique=True, kind="sort")
+        out = batch.filter(pa.array(m))
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "n_chars": pc.utf8_length(_text_col(out)).cast(pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def corpus_dedup_exact_sql() -> str:
+    return """
+SELECT doc_id, length(text) AS n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY sha256(text) ORDER BY doc_id
+) = 1
+ORDER BY doc_id
+"""
+
+
+def corpus_dedup_near(sf_dir: str, threshold: float = 0.6):
+    """(doc_id, n_chars): the cleaned corpus after NEAR-dup removal —
+    drops every clustered doc except its cluster's canonical
+    (near_dup_dedup), keeping unclustered docs. The drop set is
+    output-sized; broadcast + ``np.isin`` per batch like the exact
+    path. Rows-only (the MinHash candidate set is not
+    SQL-expressible); the keep/drop arithmetic is pytest-gated."""
+    import pyarrow.compute as pc
+    import ray
+
+    cl = near_dup_dedup(sf_dir, threshold)
+    d = cl["doc_id"].to_numpy()
+    c = cl["canonical_id"].to_numpy()
+    drop = np.sort(d[d != c])
+    dref = ray.put(drop)
+
+    def f(batch: pa.Table) -> pa.Table:
+        dr = ray.get(dref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = ~np.isin(ids, dr, assume_unique=True, kind="sort")
+        out = batch.filter(pa.array(m))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "n_chars": pc.utf8_length(_text_col(out)).cast(pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 class MinHashStage:
     """LSH band emission. Runs as a TASK-pool ``map_batches`` stage
     with per-worker cached state (``for_worker``): the permutation
