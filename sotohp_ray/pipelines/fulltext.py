@@ -735,6 +735,9 @@ ORDER BY seed_id, doc_id
 """
 
 
+EXCLUDE_KEYWORDS = ("slow",)
+
+
 def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
     """(doc_id,): docs whose analyzed term set contains ALL keywords,
     answered FROM THE INVERTED INDEX (posting-set intersection bounded
@@ -742,25 +745,7 @@ def keyword_search_indexed(sf_dir: str, keywords=("fast", "small")) -> pa.Table:
     textops.keyword_search — same answer, same SQL oracle, the
     index-backed retrieval path the reference's naive scan was a
     placeholder for (MediaServiceLive.scala:108-112 'temporary')."""
-    from sotohp_ray.pipelines.query import Searcher
-
-    index_dir = documents_index(sf_dir)
-    s = Searcher(index_dir)
-    # ORACLE PARITY: the SQL checks the LITERAL keyword against the
-    # analyzed token list, so a keyword the analyzer would drop
-    # ("42"), case-fold ("Fast") or split ("fooBar") can never match
-    # there — mirror that by requiring each keyword to round-trip the
-    # analyzer unchanged, else the result is empty
-    for kw in keywords:
-        if s.tok.tokens_of(kw) != [kw]:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-    eng2orig = _eng2orig(index_dir, s.space)
-    hits = s.search_boolean(" ".join(keywords), mode="and")
-    out = np.sort(eng2orig[hits]) if hits.size else np.zeros(0, np.int64)
-    return pa.table({"doc_id": pa.array(out, pa.int64())})
-
-
-EXCLUDE_KEYWORDS = ("slow",)
+    return keyword_search_excluding(sf_dir, keywords, exclude=())
 
 
 def keyword_search_excluding(
@@ -769,18 +754,27 @@ def keyword_search_excluding(
     """(doc_id,): docs containing ALL ``keywords`` and NONE of
     ``exclude`` — boolean MUST + MUST_NOT over the inverted index
     (posting-set intersection minus the exclude union, cost bounded
-    by the terms' df). Same analyzer round-trip contract as
-    keyword_search_indexed."""
+    by the terms' df)."""
     from sotohp_ray.pipelines.query import Searcher
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
-    for kw in (*keywords, *exclude):
+    # ORACLE PARITY: the SQL checks LITERAL keywords against the
+    # analyzed token list, so a literal the analyzer would drop
+    # ("42"), case-fold ("Fast") or split ("fooBar") can never match
+    # there. The two clauses point OPPOSITE ways: an unmatchable MUST
+    # keyword makes list_has_all false for every doc (empty result);
+    # an unmatchable MUST_NOT keyword makes list_has_any false for
+    # every doc (it excludes NOTHING) — so drop it, never zero the
+    # result over it.
+    for kw in keywords:
         if s.tok.tokens_of(kw) != [kw]:
             return pa.table({"doc_id": pa.array([], pa.int64())})
+    exclude = tuple(kw for kw in exclude if s.tok.tokens_of(kw) == [kw])
     eng2orig = _eng2orig(index_dir, s.space)
     hits = s.search_boolean(
-        " ".join(keywords), mode="and", exclude=" ".join(exclude)
+        " ".join(keywords), mode="and",
+        exclude=" ".join(exclude) if exclude else None,
     )
     out = np.sort(eng2orig[hits]) if hits.size else np.zeros(0, np.int64)
     return pa.table({"doc_id": pa.array(out, pa.int64())})

@@ -164,11 +164,15 @@ def vocabulary_stats(sf_dir: str):
         })
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # empty vocabulary (no docs / zero-token docs) -> one zero row,
+        # matching the coalesce(...) contract of the SQL oracle
         return pd.DataFrame({
-            "n_terms": [int(g["n_terms"].sum())],
-            "n_postings": [int(g["n_postings"].sum())],
-            "max_df": [int(g["max_df"].max())],
-            "singleton_terms": [int(g["singleton_terms"].sum())],
+            "n_terms": [int(g["n_terms"].sum()) if len(g) else 0],
+            "n_postings": [int(g["n_postings"].sum()) if len(g) else 0],
+            "max_df": [int(g["max_df"].max()) if len(g) else 0],
+            "singleton_terms": [
+                int(g["singleton_terms"].sum()) if len(g) else 0
+            ],
         })
 
     partials = df.map_batches(finalize, batch_format="pyarrow").to_pandas()
@@ -187,9 +191,10 @@ df AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
 )
 SELECT count(*) AS n_terms,
-       sum(df)::BIGINT AS n_postings,
-       max(df)::BIGINT AS max_df,
-       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS singleton_terms
+       coalesce(sum(df), 0)::BIGINT AS n_postings,
+       coalesce(max(df), 0)::BIGINT AS max_df,
+       coalesce(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS singleton_terms
 FROM df
 """
 
@@ -357,17 +362,24 @@ def lang_guess(sf_dir: str):
 # ----------------------------------------------------------------- dedup
 
 
+def _sha_hex_np(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row sha256 hex digests as a numpy '<U64' array — ONE
+    definition feeding both the dedup groupby key and the
+    cleaned-corpus drop filter (drifting hash rules would silently
+    split clusters)."""
+    return np.array(
+        [hashlib.sha256(v.as_buffer()).hexdigest() for v in text],
+        dtype="<U64",
+    )
+
+
 def dedup_exact(sf_dir: str):
     """(sha, keep_id, n_dups): exact dedup by content hash —
     hash-partitioned groupby keeping the lowest doc_id (D1/D2)."""
     from ray.data.aggregate import Count, Min
 
     def add_sha(batch: pa.Table) -> pa.Table:
-        text = _text_col(batch)
-        sha = pa.array(
-            [hashlib.sha256(v.as_buffer()).hexdigest() for v in text],
-            type=pa.string(),
-        )
+        sha = pa.array(_sha_hex_np(_text_col(batch)), type=pa.string())
         return pa.table({"doc_id": batch["doc_id"], "sha": sha})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -378,29 +390,15 @@ def dedup_exact(sf_dir: str):
     )
 
 
-def corpus_dedup_exact(sf_dir: str):
-    """(doc_id, n_chars): the CLEANED corpus after exact dedup — one
-    row per distinct content (the sha cluster's min doc_id), i.e. the
-    materialization side of dedup_exact: a broadcast keep-set filter
-    over the documents stream, not a join. The keep set is
-    cluster-count-sized (one id per distinct content); at 100 TB the
-    broadcast is ``ray.put`` once + ``np.isin`` per batch — the same
-    discipline as the near-dup member filter."""
-    import ray
-
-    keep = dedup_exact(sf_dir).select_columns(["keep_id"]).to_pandas()
-    keep_ids = np.sort(keep["keep_id"].to_numpy().astype(np.int64))
-    kref = ray.put(keep_ids)
-
+def _kept_doc_lengths(sf_dir: str, mask_of):
+    """(doc_id, n_chars) for rows passing ``mask_of(ids, batch)`` —
+    the shared projection of both cleaned-corpus ops (one definition,
+    so empty-batch/schema fixes can't drift between them)."""
     def f(batch: pa.Table) -> pa.Table:
-        k = ray.get(kref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        m = np.isin(ids, k, assume_unique=True, kind="sort")
-        out = batch.filter(pa.array(m))
-        import pyarrow.compute as pc
-
+        out = batch.filter(pa.array(mask_of(ids, batch)))
         return pa.table({
             "doc_id": out["doc_id"],
             "n_chars": pc.utf8_length(_text_col(out)).cast(pa.int64()),
@@ -409,6 +407,42 @@ def corpus_dedup_exact(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def corpus_dedup_exact(sf_dir: str):
+    """(doc_id, n_chars): the CLEANED corpus after exact dedup — one
+    row per distinct content (the sha cluster's min doc_id). The
+    broadcast is DUPLICATE-CLUSTER-sized, not corpus-sized: only
+    (sha, keep_id) rows of clusters with n_dups > 1 ship (a
+    mostly-unique corpus broadcasts almost nothing); each batch
+    recomputes its rows' shas (one streaming hash pass) and drops the
+    rows of a dup cluster that aren't its keeper."""
+    import ray
+
+    dd = dedup_exact(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater(b["n_dups"], 1)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(dd) and "sha" in dd.columns:
+        sha_arr = dd["sha"].to_numpy().astype("<U64")
+        keep_arr = dd["keep_id"].to_numpy().astype(np.int64)
+    else:  # no dup clusters (an all-empty filter drops the schema too)
+        sha_arr = np.zeros(0, dtype="<U64")
+        keep_arr = np.zeros(0, dtype=np.int64)
+    order = np.argsort(sha_arr)
+    ref = ray.put((sha_arr[order], keep_arr[order]))
+
+    def mask_of(ids: np.ndarray, batch: pa.Table) -> np.ndarray:
+        sha_s, keep_s = ray.get(ref)
+        if sha_s.size == 0:
+            return np.ones(ids.size, dtype=bool)
+        shas = _sha_hex_np(_text_col(batch))
+        pos = np.searchsorted(sha_s, shas)
+        pc_ = np.minimum(pos, sha_s.size - 1)
+        in_dup = (pos < sha_s.size) & (sha_s[pc_] == shas)
+        return ~(in_dup & (ids != keep_s[pc_]))
+
+    return _kept_doc_lengths(sf_dir, mask_of)
 
 
 def corpus_dedup_exact_sql() -> str:
@@ -425,33 +459,21 @@ def corpus_dedup_near(sf_dir: str, threshold: float = 0.6):
     """(doc_id, n_chars): the cleaned corpus after NEAR-dup removal —
     drops every clustered doc except its cluster's canonical
     (near_dup_dedup), keeping unclustered docs. The drop set is
-    output-sized; broadcast + ``np.isin`` per batch like the exact
-    path. Rows-only (the MinHash candidate set is not
-    SQL-expressible); the keep/drop arithmetic is pytest-gated."""
-    import pyarrow.compute as pc
+    output-sized; broadcast + ``np.isin`` per batch. Rows-only (the
+    MinHash candidate set is not SQL-expressible); the keep/drop
+    arithmetic is pytest-gated."""
     import ray
 
     cl = near_dup_dedup(sf_dir, threshold)
     d = cl["doc_id"].to_numpy()
     c = cl["canonical_id"].to_numpy()
-    drop = np.sort(d[d != c])
-    dref = ray.put(drop)
+    dref = ray.put(np.sort(d[d != c]))
 
-    def f(batch: pa.Table) -> pa.Table:
+    def mask_of(ids: np.ndarray, batch: pa.Table) -> np.ndarray:
         dr = ray.get(dref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        m = ~np.isin(ids, dr, assume_unique=True, kind="sort")
-        out = batch.filter(pa.array(m))
-        return pa.table({
-            "doc_id": out["doc_id"],
-            "n_chars": pc.utf8_length(_text_col(out)).cast(pa.int64()),
-        })
+        return ~np.isin(ids, dr, assume_unique=True, kind="sort")
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow"
-    )
+    return _kept_doc_lengths(sf_dir, mask_of)
 
 
 class MinHashStage:

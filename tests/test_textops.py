@@ -583,3 +583,59 @@ def test_near_dup_dedup_clusters_transitively(tmp_path):
     assert canon[60] == canon[61] == 60
     # far doc is in no cluster
     assert 50 not in canon
+
+
+def test_keyword_exclude_unmatchable_literal_excludes_nothing():
+    """A MUST_NOT keyword the analyzer would transform ('Slow'
+    case-folds) can never match an analyzed token list, so it must
+    exclude NOTHING — not zero the result (the MUST guard points the
+    other way). Engine vs DuckDB on the same predicate."""
+    import duckdb
+
+    from sotohp_ray.pipelines.fulltext import (
+        keyword_search_excluding, keyword_search_excluding_sql,
+    )
+
+    got = keyword_search_excluding(
+        SF, keywords=("fast",), exclude=("Slow",)
+    ).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    oracle = con.execute(keyword_search_excluding_sql(
+        keywords=("fast",), exclude=("Slow",)
+    )).fetchdf()
+    assert sorted(got["doc_id"]) == sorted(oracle["doc_id"])
+    assert len(got) > 0  # the unmatchable exclude didn't zero it
+
+
+def test_corpus_dedup_exact_planted(tmp_path):
+    """The dup-cluster drop filter keeps exactly one doc (the min id)
+    per identical-content cluster and every unique doc."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import (
+        corpus_dedup_exact, corpus_dedup_exact_sql,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 2, 9, 7], pa.int64()),
+        "text": pa.array(
+            ["same text", "same text", "other", "same text", "third"]
+        ),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = corpus_dedup_exact(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    oracle = con.execute(corpus_dedup_exact_sql()).fetchdf()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(oracle["doc_id"]) == [1, 2, 7]
+    assert list(got["n_chars"]) == list(oracle["n_chars"])
