@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": textops.doc_sha256,
         # --- text analysis / quality ---
         "quality_stats": textops.quality_stats,
+        "corpus_quality_filter": textops.corpus_quality_filter,
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_estimate": textops.token_estimate_sql(),
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "corpus_quality_filter": textops.corpus_quality_filter_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),
             agg AS (

@@ -266,6 +266,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("near_dup_dedup", lambda: textops.near_dup_dedup(sf_dir))
     timed("corpus_dedup_near",
           lambda: textops.corpus_dedup_near(sf_dir))
+    timed("corpus_quality_filter",
+          lambda: textops.corpus_quality_filter(sf_dir))
     return out
 
 

@@ -320,6 +320,62 @@ def quality_stats(sf_dir: str):
     )
 
 
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 100_000
+QF_MIN_DISTINCT_PCT = 10  # distinct terms >= 10% of tokens
+
+
+def corpus_quality_filter(
+    sf_dir: str, min_tokens: int = QF_MIN_TOKENS,
+    max_tokens: int = QF_MAX_TOKENS,
+    min_distinct_pct: int = QF_MIN_DISTINCT_PCT,
+):
+    """(doc_id, n_tokens, n_distinct_terms): docs PASSING the quality
+    gate — token count in [min, max] and distinct-term ratio at least
+    ``min_distinct_pct``% (the repetitive-boilerplate cut) — the
+    heuristic quality filter of a training-data pipeline, fused into
+    the same single vectorized pass as quality_stats (one filter
+    expression per batch; nothing materializes driver-side). The
+    ratio test is integer-exact (distinct*100 >= pct*tokens), so the
+    oracle hash is float-free."""
+    stats = quality_stats(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        nd = batch["n_distinct_terms"].to_numpy(zero_copy_only=False)
+        m = (
+            (nt >= min_tokens) & (nt <= max_tokens)
+            & (nd * 100 >= min_distinct_pct * nt)
+        )
+        out = batch.filter(pa.array(m))
+        return out.select(["doc_id", "n_tokens", "n_distinct_terms"])
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
+def corpus_quality_filter_sql(
+    min_tokens: int = QF_MIN_TOKENS, max_tokens: int = QF_MAX_TOKENS,
+    min_distinct_pct: int = QF_MIN_DISTINCT_PCT,
+) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(DISTINCT term) AS n_distinct_terms
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct_terms FROM agg
+WHERE n_tokens BETWEEN {min_tokens} AND {max_tokens}
+  AND n_distinct_terms * 100 >= {min_distinct_pct} * n_tokens
+ORDER BY doc_id
+"""
+
+
 def lang_guess(sf_dir: str):
     """(doc_id, lang_guess, marker_hits) — n-gram-free marker-word
     language heuristic (count of distinct EN marker terms present)."""
