@@ -32,6 +32,8 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_topk_filtered,
     bm25_topk_paged,
     bm25_paged_sql,
+    bm25_topk_filtered_paged,
+    bm25_filtered_paged_sql,
     bm25_topk_updated,
     term_positions,
     term_positions_sql,
@@ -67,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_updated": lambda sf: bm25_topk_updated(sf),
         "bm25_topk_filtered": lambda sf: bm25_topk_filtered(sf),
         "bm25_topk_paged": lambda sf: bm25_topk_paged(sf),
+        "bm25_topk_filtered_paged": lambda sf: bm25_topk_filtered_paged(sf),
         "term_positions": lambda sf: term_positions(sf),
         "prefix_search": lambda sf: prefix_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
@@ -146,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_updated": bm25_oracle_sql(update_ids=UPDATED_DOC_IDS),
         "bm25_topk_filtered": bm25_oracle_sql(filter_lang=FILTER_LANG),
         "bm25_topk_paged": bm25_paged_sql(),
+        "bm25_topk_filtered_paged": bm25_filtered_paged_sql(),
         "term_positions": term_positions_sql(),
         "prefix_search": prefix_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),

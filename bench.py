@@ -257,6 +257,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("bm25_topk_filtered", lambda: bm25_topk_filtered(sf_dir))
     timed("search_snippets", lambda: search_snippets(sf_dir))
     timed("bm25_topk_paged", lambda: bm25_topk_paged(sf_dir))
+    from sotohp_ray.pipelines.fulltext import bm25_topk_filtered_paged
+
+    timed("bm25_topk_filtered_paged",
+          lambda: bm25_topk_filtered_paged(sf_dir))
     timed("similar_docs", lambda: similar_docs(sf_dir))
     from sotohp_ray.pipelines.fulltext import keyword_search_excluding
 

@@ -599,6 +599,69 @@ def bm25_topk_paged(
     })
 
 
+def bm25_topk_filtered_paged(
+    sf_dir: str, queries=DOC_QUERIES, lang: str = FILTER_LANG,
+    k: int = PAGE_K, n_pages: int = PAGE_COUNT,
+) -> pa.Table:
+    """(query_id, page, doc_id, score): filtered DEEP pagination — the
+    metadata mask of bm25_topk_filtered composed with the
+    search_after cursor contract of bm25_topk_paged (the combination
+    a serving API actually exposes: 'next page of results in language
+    X'). Statistics stay corpus-level; the mask only restricts
+    candidates; the cursor round-trips through the opaque token."""
+    from sotohp_ray.functions.cursors import decode_cursor, encode_cursor
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"),
+        columns=["doc_id", "path", "lang"],
+    )
+    mask = np.zeros(s.space, dtype=bool)
+    ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mask[ids] = np.asarray(dm["lang"].to_pandas() == lang)
+    eng2orig = _eng2orig(index_dir, s.space, dm=dm)
+    rows = []
+    for qi, q in enumerate(queries):
+        token = None
+        for page in range(n_pages):
+            after = decode_cursor(token) if token else None
+            hits = s.search_after(
+                q, k=k, after=after, tiebreak=eng2orig, mask=mask
+            )
+            if not hits:
+                break
+            for d, sc in hits:
+                rows.append((qi, page, d, sc))
+            token = encode_cursor(hits[-1][1], hits[-1][0])
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "page": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def bm25_filtered_paged_sql(
+    queries=DOC_QUERIES, lang: str = FILTER_LANG,
+    k: int = PAGE_K, n_pages: int = PAGE_COUNT,
+) -> str:
+    base = bm25_oracle_sql(
+        queries=queries, k=k * n_pages, filter_lang=lang
+    ).strip()
+    return f"""
+WITH topk AS ({base})
+SELECT query_id,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) - 1) // {k} AS page,
+       doc_id, score
+FROM topk
+ORDER BY query_id, page, doc_id
+"""
+
+
 def bm25_paged_sql(
     queries=DOC_QUERIES, k: int = PAGE_K, n_pages: int = PAGE_COUNT,
 ) -> str:
