@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
         "bigram_counts": textops.bigram_counts,
+        "bigram_pmi": textops.bigram_pmi,
         "sample_stratified": textops.sample_stratified,
         "sample_random": textops.sample_random,
         "doc_length_histogram": textops.doc_length_histogram,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": textops.keyword_search_sql(),
         "corpus_stats": textops.corpus_stats_sql(),
         "bigram_counts": textops.bigram_counts_sql(),
+        "bigram_pmi": textops.bigram_pmi_sql(),
         "sample_stratified": textops.sample_stratified_sql(),
         "sample_random": textops.sample_random_sql(),
         "doc_length_histogram": textops.doc_length_histogram_sql(),

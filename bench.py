@@ -272,6 +272,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: textops.corpus_dedup_near(sf_dir))
     timed("corpus_quality_filter",
           lambda: textops.corpus_quality_filter(sf_dir))
+    timed("bigram_pmi", lambda: textops.bigram_pmi(sf_dir))
     return out
 
 

@@ -1613,6 +1613,110 @@ def bigram_counts(sf_dir: str, min_count: int = 5):
     return agg.map_batches(threshold, batch_format="pyarrow")
 
 
+def bigram_pmi(sf_dir: str, min_count: int = 5):
+    """(t1, t2, n, pmi): pointwise mutual information of the surviving
+    bigrams — ln( (n/M) / ((c1/N)*(c2/N)) ) with N = total tokens,
+    M = total adjacent pairs, c = unigram occurrence counts — the
+    collocation-mining op (Church & Hanks 1990). Unigram counts are
+    fetched for ONLY the terms appearing in the (already min_count-
+    thresholded, output-sized) bigram survivor set: the term set is
+    broadcast and each batch counts just those terms, so the corpus
+    streams once with no vocabulary-sized state anywhere."""
+    import ray
+
+    bi = bigram_counts(sf_dir, min_count).to_pandas()
+    if not len(bi):
+        return pa.table({
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        })
+    need = np.unique(np.concatenate(
+        [bi["t1"].to_numpy().astype("O"), bi["t2"].to_numpy().astype("O")]
+    ))
+    nref = ray.put(set(need.tolist()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        needed = ray.get(nref)
+        parents, flat = _TOK.exploded(_text_col(batch))
+        pn = parents.to_numpy(zero_copy_only=False)
+        nt = len(flat)
+        # totals: N tokens; M adjacent same-doc pairs
+        m = int((pn[:-1] == pn[1:]).sum()) if nt >= 2 else 0
+        keep = pa.array([v in needed for v in flat.to_pylist()])
+        t = pa.table({"term": flat.filter(keep)})
+        g = t.group_by("term").aggregate([([], "count_all")])
+        out = agg_select(g, {"term": "term", "count_all": "c_partial"})
+        tot = pa.table({
+            "term": pa.array(
+                ["\x00N", "\x00M"], type=out.schema.field("term").type
+            ),
+            "c_partial": pa.array(
+                [nt, m], out.schema.field("c_partial").type
+            ),
+        })
+        return pa.concat_tables([out, tot])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_partial", alias_name="c"))
+        .to_pandas()
+    )
+    cmap = dict(zip(counts["term"], counts["c"].astype(np.int64)))
+    N = float(cmap.pop("\x00N", 0))
+    M = float(cmap.pop("\x00M", 0))
+    c1 = np.array([cmap[t] for t in bi["t1"]], dtype=np.float64)
+    c2 = np.array([cmap[t] for t in bi["t2"]], dtype=np.float64)
+    nn = bi["n"].to_numpy().astype(np.float64)
+    pmi = np.round(np.log((nn / M) / ((c1 / N) * (c2 / N))), 6)
+    order = np.lexsort((bi["t2"].to_numpy().astype("O"),
+                        bi["t1"].to_numpy().astype("O")))
+    return pa.table({
+        "t1": pa.array(bi["t1"].to_numpy()[order], pa.string()),
+        "t2": pa.array(bi["t2"].to_numpy()[order], pa.string()),
+        "n": pa.array(bi["n"].to_numpy().astype(np.int64)[order]),
+        "pmi": pa.array(pmi[order], pa.float64()),
+    })
+
+
+def bigram_pmi_sql(min_count: int = 5) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+bi AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS n
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+uni AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM toks)::DOUBLE AS n_tok,
+         (SELECT count(*) FROM toks a JOIN toks b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)::DOUBLE AS m
+)
+SELECT bi.t1, bi.t2, bi.n,
+       round(ln((bi.n / t.m) / ((u1.c / t.n_tok) * (u2.c / t.n_tok))), 6)
+         AS pmi
+FROM bi
+JOIN uni u1 ON u1.term = bi.t1
+JOIN uni u2 ON u2.term = bi.t2
+CROSS JOIN tot t
+ORDER BY t1, t2
+"""
+
+
 def bigram_counts_sql(min_count: int = 5) -> str:
     from sotohp_ray.functions.tokenizer import sql_token_expr
 
