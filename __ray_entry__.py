@@ -52,6 +52,25 @@ from sotohp_ray.pipelines.fulltext import (
 )
 
 
+_KNN_COSINE_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(
+               e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score FROM s
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+    ) <= 10
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline: build the inverted index over the sf0.001
     documents table through the full engine (SPIMI map_batches actor
@@ -115,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": ann.embedding_near_dup,
         "ann_lsh_search": ann.ann_lsh_search,               # rows-only
         "ann_ivf_search": ann.ann_ivf_search,               # rows-only
+        # full probe (n_probe == n_centroids) IS exact brute force, so
+        # the IVF path earns an oracle-gated row, not just recall tests
+        "ann_ivf_fullprobe": lambda sf: ann.ann_ivf_search(
+            sf, n_centroids=32, n_probe=32
+        ),
         "ann_ivf_buckets": ann.ann_ivf_buckets,             # rows-only
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
@@ -223,23 +247,9 @@ def oracle_sql() -> dict[str, str]:
         "events_cursor_nav": relational.events_cursor_nav_sql(),
         "customer_geo_distance": relational.customer_geo_distance_sql(),
         "knn_range_search": ann.knn_range_search_sql(),
-        "knn_cosine": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding AS qe
-              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
-            ),
-            s AS (
-              SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(
-                       e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
-              FROM embeddings e CROSS JOIN q
-              WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, vec_id, score FROM s
-            QUALIFY row_number() OVER (
-              PARTITION BY query_id ORDER BY score DESC, vec_id ASC
-            ) <= 10
-        """,
+        "knn_cosine": _KNN_COSINE_SQL,
+        # full-probe IVF == brute-force kNN, same oracle
+        "ann_ivf_fullprobe": _KNN_COSINE_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100.0) AS BIGINT)

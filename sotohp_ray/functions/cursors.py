@@ -23,6 +23,7 @@ the token itself."""
 
 from __future__ import annotations
 
+import math
 import struct
 
 
@@ -49,6 +50,9 @@ def encode_cursor(score: float, doc_id: int) -> str:
     (score DESC, doc_id ASC) rank order. -0.0 canonicalizes to +0.0
     (they compare equal in ranking, so their tokens must be equal)."""
     score = float(score)
+    if math.isnan(score):
+        raise ValueError("NaN score has no rank order; refusing to "
+                         "mint a cursor that would corrupt paging")
     if score == 0.0:
         score = 0.0
     skey = _float_key(score) ^ 0xFFFFFFFFFFFFFFFF  # desc

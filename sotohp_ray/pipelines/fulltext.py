@@ -361,14 +361,25 @@ def _multiterm_retrieval(
     })
 
 
+def _sql_lit(s: str) -> str:
+    """Escape a string for interpolation into a SQL single-quoted
+    literal (the update_suffix handling at bm25_oracle_sql)."""
+    return str(s).replace("'", "''")
+
+
 def _multiterm_sql(queries, key_name: str, predicate_fmt: str) -> str:
     """DuckDB oracle for a constant-score multi-term rewrite: per
     query, count the distinct analyzed terms matching
     ``predicate_fmt`` (a format string over {q}) per doc."""
+    if not queries:
+        raise ValueError("queries must be non-empty (an empty tuple "
+                         "would yield an empty UNION body)")
     texpr = sql_token_expr("text")
     parts = [
-        f"SELECT '{q}' AS {key_name}, doc_id, count(*) AS n_terms\n"
-        f"FROM dt WHERE {predicate_fmt.format(q=q)} GROUP BY doc_id"
+        f"SELECT '{_sql_lit(q)}' AS {key_name}, doc_id, "
+        f"count(*) AS n_terms\n"
+        f"FROM dt WHERE {predicate_fmt.format(q=_sql_lit(q))} "
+        f"GROUP BY doc_id"
         for q in queries
     ]
     union = "\nUNION ALL\n".join(parts)
@@ -848,8 +859,8 @@ def keyword_search_excluding_sql(
 ) -> str:
     from sotohp_ray.functions.tokenizer import sql_token_expr
 
-    lst = ", ".join(f"'{k}'" for k in keywords)
-    ex = ", ".join(f"'{k}'" for k in exclude)
+    lst = ", ".join(f"'{_sql_lit(k)}'" for k in keywords)
+    ex = ", ".join(f"'{_sql_lit(k)}'" for k in exclude)
     texpr = sql_token_expr("text")
     return (
         f"SELECT doc_id FROM documents "

@@ -337,7 +337,15 @@ def corpus_quality_filter(
     the same single vectorized pass as quality_stats (one filter
     expression per batch; nothing materializes driver-side). The
     ratio test is integer-exact (distinct*100 >= pct*tokens), so the
-    oracle hash is float-free."""
+    oracle hash is float-free.
+
+    ``min_tokens`` must be >= 1: quality_stats emits a row for
+    zero-token docs, but the SQL oracle's agg CTE groups over unnested
+    tokens so such docs never appear there — at min_tokens=0 the two
+    sides would legitimately disagree."""
+    if min_tokens < 1:
+        raise ValueError("min_tokens must be >= 1 (zero-token docs "
+                         "have no oracle row; see docstring)")
     stats = quality_stats(sf_dir)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -1016,16 +1024,30 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
         # Docs with equal ckey have IDENTICAL shingle sets, so the
         # verify stage collapses them to one representative (the
         # mega-bucket fix: a crawl cluster of B identical boilerplate
-        # docs costs 1 rep, not B^2/2 pair checks). Python loop is over
-        # CANDIDATE docs only (already LSH-filtered).
-        import hashlib as _hl
-
-        ckey = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            seg = sh_val[offsets[i]:offsets[i + 1]]
-            ckey[i] = np.int64(np.uint64(int.from_bytes(
-                _hl.blake2b(seg.tobytes(), digest_size=8).digest(), "little"
-            )))
+        # docs costs 1 rep, not B^2/2 pair checks). Vectorized: each
+        # element is avalanche-mixed with its LOCAL position in the
+        # (sorted, canonical) segment, segments reduce by a csum-diff
+        # sum, and the sum is mixed with the segment length — the same
+        # kernels as the short-row path, no per-doc Python digest.
+        # Equal sets => equal sorted arrays => equal keys; unequal sets
+        # collide with 64-bit-hash probability (same as the truncated
+        # blake2b this replaces — only set-equality discrimination is
+        # required of ckey).
+        lengths64 = lengths.astype(np.uint64)
+        local_pos = (
+            np.arange(sh_val.size, dtype=np.uint64)
+            - np.repeat(offsets[:-1].astype(np.uint64), lengths)
+        )
+        mixed = _fmix64(
+            sh_val ^ _fmix64((local_pos + np.uint64(1)) * _WIN_MULS[0])
+        )
+        mcs = np.concatenate(
+            ([np.uint64(0)], np.cumsum(mixed, dtype=np.uint64))
+        )
+        seg_sum = mcs[offsets[1:]] - mcs[offsets[:-1]]
+        ckey = _fmix64(
+            seg_sum ^ _fmix64(lengths64 * _WIN_MULS[0] + np.uint64(1))
+        ).astype(np.int64)
         # n_sh lets the clique path exclude empty shingle sets (their
         # jaccard is 0 against everything — the union-0 contract — so
         # a shared empty-set ckey must never form an "identical"
@@ -1635,7 +1657,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5):
     need = np.unique(np.concatenate(
         [bi["t1"].to_numpy().astype("O"), bi["t2"].to_numpy().astype("O")]
     ))
-    nref = ray.put(set(need.tolist()))
+    nref = ray.put(pa.array(need.tolist(), pa.string()))
 
     def partial(batch: pa.Table) -> pa.Table:
         needed = ray.get(nref)
@@ -1644,8 +1666,8 @@ def bigram_pmi(sf_dir: str, min_count: int = 5):
         nt = len(flat)
         # totals: N tokens; M adjacent same-doc pairs
         m = int((pn[:-1] == pn[1:]).sum()) if nt >= 2 else 0
-        keep = pa.array([v in needed for v in flat.to_pylist()])
-        t = pa.table({"term": flat.filter(keep)})
+        keep = pc.is_in(flat, value_set=needed.cast(flat.type))
+        t = pa.table({"term": pc.filter(flat, keep)})
         g = t.group_by("term").aggregate([([], "count_all")])
         out = agg_select(g, {"term": "term", "count_all": "c_partial"})
         tot = pa.table({
@@ -1813,16 +1835,36 @@ def sample_stratified(sf_dir: str, per_group: int = 20):
     """(doc_id, lang): deterministic stratified sample — the first
     ``per_group`` doc_ids of each lang (O5 random-select made
     reproducible: rank within stratum, not RNG, so the SQL oracle
-    agrees exactly)."""
+    agrees exactly).
+
+    Per-batch COMBINER (the ``events_topk_by_value`` discipline): each
+    block keeps at most ``per_group`` rows per lang, so the final merge
+    is (n_langs x per_group x n_blocks)-sized — never a
+    ``groupby(lang)`` shuffle of the raw corpus on a ~6-value skewed
+    key, which at 100 TB would route most of the table into one
+    map_groups task just to keep 20 rows of it."""
     import pandas as pd
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(per_group, "doc_id")[["doc_id", "lang"]]
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "lang"]).to_pandas()
+        idx = (
+            df.sort_values(["lang", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(per_group)
+            .index.to_numpy()
+        )
+        return batch.select(["doc_id", "lang"]).take(pa.array(np.sort(idx)))
 
-    return (
+    cand = (
         _docs(sf_dir, ["doc_id", "lang"])
-        .groupby("lang")
-        .map_groups(head, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # ≤ n_langs * per_group rows per block: output-sized
+    )
+    return (
+        cand.sort_values(["lang", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(per_group)
+        .reset_index(drop=True)
     )
 
 
