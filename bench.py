@@ -168,6 +168,32 @@ def run_headline(ncpu: int) -> dict:
     ).materialize()
     t_serve = time.perf_counter() - t0
     n_served = len(qset) * 4
+
+    # fan-out serving: the same query set through dictionary-shard
+    # GROUP SERVERS with distributed block-max WAND (threshold
+    # exchange) — the sharded production path; latency is measured
+    # per query through a driver-held FanoutSearcher, throughput
+    # through the same actor-pool stage in serve mode
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    f = FanoutSearcher(serve_index, n_groups=4)
+    lats_fan = []
+    for q in qset:
+        t0 = time.perf_counter()
+        f.search_wand(q, 10)
+        lats_fan.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    qds.map_batches(
+        _ShardSearcher,
+        fn_constructor_kwargs={
+            "index_dir": serve_index, "k": 10, "mode": "serve",
+            "group_actors": f.actors,
+        },
+        batch_format="pyarrow",
+        concurrency=pool,
+        batch_size=8,
+    ).materialize()
+    t_fanout_serve = time.perf_counter() - t0
     return {
         "index_build_sec": round(t_build, 3),
         "index_build_docs_per_sec": round(n_docs / t_build, 1),
@@ -179,6 +205,13 @@ def run_headline(ncpu: int) -> dict:
         "query_exact_p50_ms": round(1000 * float(np.percentile(lats_exact, 50)), 3),
         "query_exact_p99_ms": round(1000 * float(np.percentile(lats_exact, 99)), 3),
         "serve_qps": round(n_served / t_serve, 1),
+        "fanout_wand_p50_ms": round(
+            1000 * float(np.percentile(lats_fan, 50)), 3
+        ),
+        "fanout_wand_p99_ms": round(
+            1000 * float(np.percentile(lats_fan, 99)), 3
+        ),
+        "serve_fanout_qps": round(n_served / t_fanout_serve, 1),
         "serve_pool": pool,
         "n_docs": n_docs,
         "n_docs_serve": s.n_docs,

@@ -17,6 +17,7 @@ import numpy as np
 
 from sotohp_ray.utils import actor_pool_size as _pool
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from sotohp_ray.config import IndexConfig
@@ -103,9 +104,9 @@ def _eng2orig(index_dir: str, space: int, dm: pa.Table | None = None) -> np.ndar
             os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
         )
     out = np.zeros(space, dtype=np.int64)
-    out[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [int(p) for p in dm["path"].to_pylist()], dtype=np.int64
-    )
+    out[dm["doc_id"].to_numpy(zero_copy_only=False)] = pc.cast(
+        dm["path"], pa.int64()
+    ).to_numpy(zero_copy_only=False)
     return out
 
 
@@ -874,35 +875,91 @@ def bm25_facets(sf_dir: str, queries=DOC_QUERIES) -> pa.Table:
     docs per query — the search-plus-aggregation shape of the
     reference's gallery facets (ApiApp.scala search endpoints return
     hit counts per facet alongside the page). Matching = any query
-    term present (score > 0); facet values come from docmeta, joined
-    by one vectorized gather."""
+    term present (score > 0).
+
+    The facet join is DISTRIBUTED: matched-id arrays (posting-sized,
+    sorted) broadcast once via ``ray.put``; each docmeta batch counts
+    its members per (query, lang) with a searchsorted membership test
+    + an Arrow group_by, and the driver sums the output-sized
+    partials. The earlier shape — a corpus-sized docmeta read plus a
+    doc-id-SPACE-sized codes gather on the driver — is exactly what
+    does not survive 10^9 docs."""
+    import ray
+    import ray.data
+
     from sotohp_ray.pipelines.query import Searcher
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
-    dm = pq.read_table(
-        os.path.join(index_dir, "docmeta"), columns=["doc_id", "lang"]
-    )
-    lang_vals = sorted(set(dm["lang"].to_pylist()))
-    lang_code = {v: i for i, v in enumerate(lang_vals)}
-    codes = np.zeros(s.space, dtype=np.int64)
-    codes[dm["doc_id"].to_numpy(zero_copy_only=False)] = np.array(
-        [lang_code[v] for v in dm["lang"].to_pylist()], dtype=np.int64
-    )
-    rows = []
+    match = {}
     for qi, q in enumerate(queries):
         # match set = boolean OR over the index (same score>0 docs as
         # exact scoring, without scoring/sorting/objectifying them)
         ids = s.search_boolean(q, mode="or")
-        if ids.size == 0:
-            continue
-        cnt = np.bincount(codes[ids], minlength=len(lang_vals))
-        for ci in np.flatnonzero(cnt):
-            rows.append((qi, lang_vals[ci], int(cnt[ci])))
+        if ids.size:
+            match[qi] = np.sort(ids.astype(np.int64))
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "n_matches": pa.array([], pa.int64()),
+    })
+    if not match:
+        return empty
+    mref = ray.put(match)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        parts = []
+        for qi, arr in m.items():
+            p = np.searchsorted(arr, ids)
+            inb = p < arr.size
+            mask = np.zeros(ids.size, dtype=bool)
+            mask[inb] = arr[p[inb]] == ids[inb]
+            if not mask.any():
+                continue
+            hit = pa.table({
+                "lang": pc.filter(batch["lang"], pa.array(mask)),
+            })
+            g = hit.group_by("lang").aggregate([([], "count_all")])
+            parts.append(pa.table({
+                "query_id": pa.array(
+                    np.full(g.num_rows, qi, dtype=np.int64)
+                ),
+                "lang": g["lang"],
+                "n_partial": g["count_all"],
+            }))
+        if not parts:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(parts)
+
+    cand = (
+        ray.data.read_parquet(
+            os.path.join(index_dir, "docmeta"),
+            columns=["doc_id", "lang"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # (queries x langs) rows per block: output-sized
+    )
+    if not len(cand):
+        return empty
+    agg = (
+        cand.groupby(["query_id", "lang"], as_index=False)["n_partial"]
+        .sum()
+        .sort_values(["query_id", "lang"])
+    )
     return pa.table({
-        "query_id": pa.array([r[0] for r in rows], pa.int64()),
-        "lang": pa.array([r[1] for r in rows], pa.string()),
-        "n_matches": pa.array([r[2] for r in rows], pa.int64()),
+        "query_id": pa.array(agg["query_id"].to_numpy(), pa.int64()),
+        "lang": pa.array(agg["lang"].astype(str).to_numpy(), pa.string()),
+        "n_matches": pa.array(
+            agg["n_partial"].to_numpy().astype(np.int64), pa.int64()
+        ),
     })
 
 
@@ -1108,20 +1165,13 @@ class _ShardSearcher:
         from sotohp_ray.pipelines.query import FanoutSearcher, Searcher
 
         if group_actors is not None:
-            # FanoutSearcher implements exact scoring only — WAND's
-            # pruning needs a global threshold, so serve-mode routing
-            # (search_wand/search_phrase/search_proximity) has no
-            # fan-out analog yet; rejecting here beats an
-            # AttributeError that kills the serving actor mid-query
-            if mode == "serve":
-                raise ValueError(
-                    "group_actors requires mode='oracle' (exact): "
-                    "WAND/phrase/proximity serving is single-replica"
-                )
             # sharded serving: this pool actor holds NO dictionary at
             # all — exact scoring fans out to the shard-group servers
             # and merges per-term contributions (bit-identical to a
-            # full-dictionary search_exact; see FanoutSearcher)
+            # full-dictionary search_exact; see FanoutSearcher), and
+            # serve-mode top-k runs the distributed block-max WAND
+            # threshold-exchange (FanoutSearcher.search_wand); phrase
+            # and proximity route per-term to the owning groups
             self.searcher = FanoutSearcher(
                 index_dir, n_groups=len(group_actors),
                 actors=group_actors,

@@ -380,16 +380,74 @@ class Searcher:
         self._pos_cache: dict[str, tuple] = {}
         self._dec_cache_postings = 0
         self.dec_cache_budget = 8_000_000
-        dm = pq.read_table(
-            os.path.join(index_dir, "docmeta"), columns=["doc_id", "doc_len"]
+        if shard_range is None:
+            dm = pq.read_table(
+                os.path.join(index_dir, "docmeta"),
+                columns=["doc_id", "doc_len"],
+            )
+            dl = np.zeros(self.space, dtype=np.float64)
+            dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
+                "doc_len"
+            ].to_numpy(zero_copy_only=False)
+            self.doc_len = dl
+        else:
+            # shard-group servers must not hold doc-id-SPACE-sized
+            # heap arrays (8 B/doc = ~8 GB per actor at 10^9 docs,
+            # regardless of group width): doc_len comes from a derived
+            # raw-f64 sidecar, memory-MAPPED read-only — the resident
+            # set is the pages its postings actually touch, and the OS
+            # page cache shares one copy across every actor on a node
+            self.doc_len = self._doclen_view()
+        self.doclen_bytes_inheap = (
+            0 if isinstance(self.doc_len, np.memmap)
+            else self.doc_len.nbytes
         )
-        dl = np.zeros(self.space, dtype=np.float64)
-        dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
-            "doc_len"
-        ].to_numpy(zero_copy_only=False)
-        self.doc_len = dl
         self.n_terms_loaded = len(self._row)
         self.load_sec = _time.perf_counter() - _t0
+
+    def _doclen_view(self) -> np.ndarray:
+        """Memory-mapped doc_len array over the doc-id space, backed
+        by a derived ``doclen-<fp>.f64`` sidecar next to docmeta. The
+        fingerprint covers the docmeta files (name/size/mtime) and the
+        space, so compaction or an update sync — which rewrite docmeta
+        — atomically invalidates by NAME; derivation is idempotent
+        (tmp + rename) and race-safe across actors. Falls back to an
+        in-heap array if the index dir is not writable."""
+        import hashlib
+
+        dm_dir = os.path.join(self.index_dir, "docmeta")
+        h = hashlib.sha1(str(self.space).encode())
+        for n in sorted(os.listdir(dm_dir)):
+            st = os.stat(os.path.join(dm_dir, n))
+            h.update(f"{n}:{st.st_size}:{st.st_mtime_ns}".encode())
+        fp = h.hexdigest()[:16]
+        path = os.path.join(self.index_dir, f"doclen-{fp}.f64")
+        if not os.path.exists(path):
+            dm = pq.read_table(dm_dir, columns=["doc_id", "doc_len"])
+            dl = np.zeros(self.space, dtype=np.float64)
+            dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
+                "doc_len"
+            ].to_numpy(zero_copy_only=False)
+            try:
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(dl.tobytes())
+                os.replace(tmp, path)
+                for n in os.listdir(self.index_dir):
+                    if (
+                        n.startswith("doclen-")
+                        and n.endswith(".f64")
+                        and n != os.path.basename(path)
+                    ):
+                        try:
+                            os.unlink(os.path.join(self.index_dir, n))
+                        except OSError:
+                            pass
+            except OSError:
+                return dl  # read-only index dir: serve from heap
+        return np.memmap(
+            path, dtype=np.float64, mode="r", shape=(self.space,)
+        )
 
     # ---- shared helpers --------------------------------------------
 
@@ -661,6 +719,28 @@ class Searcher:
         changing any statistic — Lucene filter-query semantics: idf,
         avgdl and doc lengths stay corpus-level, the filter only
         masks which docs may appear in results."""
+        if self.shard_range is not None:
+            # shard-scoped SPARSE path: a group server must never
+            # allocate a doc-id-SPACE-sized dense score array
+            # (8 B/doc = ~8 GB per actor at 10^9 docs); the layered
+            # qi-ordered sums are the fan-out merge kernel, so scores
+            # stay bit-identical, memory sized by matching postings
+            docs, qis, cs = self.search_contribs(query)
+            if docs.size == 0:
+                return []
+            udocs, sums = _layered_sums(docs, qis, cs)
+            if self._deleted is not None:
+                live = ~self._deleted[udocs]
+                udocs, sums = udocs[live], sums[live]
+            if mask is not None:
+                keep = mask[udocs]
+                udocs, sums = udocs[keep], sums[keep]
+            pos = sums > 0.0
+            udocs, sums = udocs[pos], sums[pos]
+            if udocs.size == 0:
+                return []
+            top = np.lexsort((udocs, -sums))[:k]
+            return [(int(udocs[i]), float(sums[i])) for i in top]
         scores = self._taat_scores(query, mask)
         if scores is None:
             return []
@@ -745,6 +825,146 @@ class Searcher:
             np.concatenate(c_parts),
         )
 
+    # ---- distributed (fan-out) WAND support ------------------------
+
+    def query_ub(self, query: str) -> float:
+        """Sum of qw * max_score over the query terms THIS searcher's
+        dictionary owns — the global per-term score upper bounds the
+        fan-out WAND coordinator turns into per-group remainders."""
+        return float(sum(
+            qw * float(self._record(t)["max_score"])
+            for t, qw in self._query_terms(query)
+        ))
+
+    def _owned_query_terms(self, query: str) -> list[tuple[int, str, float]]:
+        """[(qi, term, qw)] restricted to terms this dictionary owns,
+        with ``qi`` = the term's first-appearance index over the WHOLE
+        analyzed query — computed identically by every shard group, so
+        merged contributions sorted by (doc, qi) reproduce the single
+        searcher's accumulation order (the fan-out bit-identity key)."""
+        toks = self.tok.tokens_of(query)
+        qtf = Counter(toks)
+        seen: list[str] = []
+        for t in toks:
+            if t not in seen:
+                seen.append(t)
+        return [
+            (qi, t, float(qtf[t]))
+            for qi, t in enumerate(seen)
+            if t in self._row
+        ]
+
+    def _decode_blocks(
+        self, r: dict, bidx: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, tfs) concatenated over the given block indices of one
+        term record — the selective-decode primitive: cost scales with
+        the blocks touched, not the term's df."""
+        if r.get("docs") is not None:
+            return r["docs"], r["tfs"]
+        nblocks = r["block_last"].size
+        counts = np.full(nblocks, r["block_size"], dtype=np.int64)
+        counts[-1] = r["df"] - r["block_size"] * (nblocks - 1)
+        d_parts, f_parts = [], []
+        for kb in bidx:
+            d, f = pcodec.decode_one_block(
+                r["blob"], int(kb), counts, r["block_gap_offs"],
+                r["block_tf_offs"], r["tf_base"], r["block_last"],
+                codec=self.config.codec,
+            )
+            d_parts.append(d)
+            f_parts.append(f)
+        if not d_parts:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z
+        return np.concatenate(d_parts), np.concatenate(f_parts)
+
+    def contribs_for_docs(self, query: str, docs: np.ndarray):
+        """``search_contribs`` restricted to a SORTED candidate doc-id
+        array, decoding only the posting blocks that can contain a
+        candidate (block-aligned selective decode) — the fan-out WAND
+        rescore step, whose cost scales with the candidate set, not
+        with the query terms' df."""
+        cand = np.asarray(docs, dtype=np.int64)
+        d_parts, q_parts, c_parts = [], [], []
+        if cand.size:
+            for qi, term, qw in self._owned_query_terms(query):
+                r = self._record(term)
+                full = self._dec_cache.get(term)
+                if full is not None:
+                    d, f = full
+                else:
+                    bidx = np.unique(np.searchsorted(
+                        r["block_last"], cand, side="left"
+                    ))
+                    bidx = bidx[bidx < r["block_last"].size]
+                    d, f = self._decode_blocks(r, bidx)
+                di = d.astype(np.int64)
+                m = np.zeros(di.size, dtype=bool)
+                if di.size:
+                    p = np.searchsorted(cand, di)
+                    inb = p < cand.size
+                    m[inb] = cand[p[inb]] == di[inb]
+                if not m.any():
+                    continue
+                di, fi = di[m], f[m]
+                contrib = self._contrib(
+                    qw, int(r["df"]), fi.astype(np.float64),
+                    self.doc_len[di],
+                )
+                d_parts.append(di)
+                q_parts.append(np.full(di.size, qi, dtype=np.int64))
+                c_parts.append(contrib)
+        if not d_parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.float64)
+        return (
+            np.concatenate(d_parts),
+            np.concatenate(q_parts),
+            np.concatenate(c_parts),
+        )
+
+    def survivor_contribs(self, query: str, theta_g: float):
+        """Exact contributions restricted to docs that could still
+        reach the fan-out coordinator's threshold. ``theta_g`` is the
+        group-effective threshold theta - R_g, where R_g upper-bounds
+        every OTHER group's terms. Any doc with true score >= theta has
+        local score s_g >= theta_g, hence at least ONE owned term
+        contributing >= theta_g / n_owned; a block whose qw*block_max
+        falls below that cut cannot contain the witness posting and is
+        skipped (Ding & Suel block-max pruning, applied shard-side).
+        The enumerated set is a SUPERSET of every global survivor with
+        postings here; the coordinator restores exactness by summing
+        per-group exact contributions over the union."""
+        owned = self._owned_query_terms(query)
+        if not owned:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.float64)
+        if theta_g <= 0.0:
+            # other groups' mass alone can reach theta: no local
+            # pruning is sound — return the full contributions
+            return self.search_contribs(query)
+        # witness cut, deflated so boundary-equal survivors stay in
+        cut = (theta_g / len(owned)) * (1.0 - 1e-9)
+        cand_parts = []
+        for qi, term, qw in owned:
+            r = self._record(term)
+            if r.get("docs") is not None:
+                if qw * float(r["max_score"]) >= cut:
+                    cand_parts.append(r["docs"].astype(np.int64))
+                continue
+            bidx = np.flatnonzero(
+                qw * r["block_max"].astype(np.float64) >= cut
+            )
+            if bidx.size:
+                d, _ = self._decode_blocks(r, bidx)
+                cand_parts.append(d.astype(np.int64))
+        if not cand_parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.float64)
+        cand = np.unique(np.concatenate(cand_parts))
+        return self.contribs_for_docs(query, cand)
+
     # ---- block-max WAND --------------------------------------------
 
     def search_wand(
@@ -824,6 +1044,11 @@ class Searcher:
                 break
             iters += 1
             if iters > max_iters:
+                if self.shard_range is not None:
+                    # the dense [pivot, space) fallback array is
+                    # space-sized; group servers take the sparse
+                    # exact path instead (identical results)
+                    return self.search_exact(query, k)
                 return self._wand_fallback(qterms, k, heap, pivot_doc)
             # block-max refinement (Ding & Suel BMW): align each prefix
             # cursor to the block that would contain pivot_doc; sum
@@ -1028,6 +1253,27 @@ class Searcher:
         return self.search_wand(query, k)
 
 
+def _layered_sums(
+    docs: np.ndarray, qis: np.ndarray, cs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc contribution sums in query-term (qi) order, with
+    strictly SEQUENTIAL left-to-right adds (layered adds across
+    segments, one layer per query-term slot): reduceat /
+    add.reduce use unrolled/pairwise accumulation, which differs
+    from the single searcher's ((c0+c1)+c2) binary-add order in
+    the last ulp — and bit-identity is the contract. Shared by the
+    fan-out merge and the shard-scoped sparse exact path."""
+    order = np.lexsort((qis, docs))
+    d, c = docs[order], cs[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(d)) + 1))
+    seg_lens = np.diff(np.concatenate((starts, [d.size])))
+    sums = c[starts].copy()
+    for kk in range(1, int(seg_lens.max())):
+        m = seg_lens > kk
+        sums[m] += c[starts[m] + kk]
+    return d[starts], sums
+
+
 class _GroupServer:
     """Ray actor body: one dictionary shard group, loaded once."""
 
@@ -1036,6 +1282,22 @@ class _GroupServer:
 
     def contribs(self, query: str):
         return self.searcher.search_contribs(query)
+
+    def wand_bootstrap(self, query: str, k: int):
+        """(ub_sum, local_topk_docs): the group's share of the global
+        score upper bound plus a k-bounded candidate seed from
+        group-local block-max WAND. Only DOC IDS travel — the local
+        scores cover just this group's terms; the coordinator rescopes
+        the seed exactly before trusting any threshold."""
+        ub = self.searcher.query_ub(query)
+        hits = self.searcher.search_wand(query, k)
+        return ub, np.array([d for d, _ in hits], dtype=np.int64)
+
+    def contribs_for_docs(self, query: str, docs):
+        return self.searcher.contribs_for_docs(query, docs)
+
+    def survivor_contribs(self, query: str, theta_g: float):
+        return self.searcher.survivor_contribs(query, theta_g)
 
     def term_positions(self, term: str):
         return self.searcher.term_positions(term)
@@ -1074,6 +1336,9 @@ class _GroupServer:
         return {
             "n_terms": s.n_terms_loaded,
             "dict_bytes": s.dict_bytes_loaded,
+            # 0 when doc_len is served from the memory-mapped sidecar:
+            # the actor's heap holds NO doc-id-space-sized array
+            "doclen_bytes_inheap": s.doclen_bytes_inheap,
             "load_sec": s.load_sec,
         }
 
@@ -1100,10 +1365,10 @@ class FanoutSearcher:
     ``Searcher.search_exact``: contributions are sorted by (doc_id,
     query-term index) and summed left-to-right per doc — the same
     float64 accumulation order as the single searcher's term-at-a-time
-    loop. WAND stays a single-replica optimization: its pruning needs
-    a global threshold over all of a query's terms, so the distributed
-    path serves exact scoring (cost bounded by the query terms' df,
-    as TAAT always is)."""
+    loop. Top-k serving can also prune: ``search_wand`` runs the
+    threshold-exchange protocol (bootstrap seed -> exact theta ->
+    per-group block-max survivor scan), so hot-query cost no longer
+    grows with df the way exact TAAT does."""
 
     def __init__(self, index_dir: str, n_groups: int = 4, actors=None):
         import ray
@@ -1120,12 +1385,14 @@ class FanoutSearcher:
         self.bounds = group_bounds(S, n_groups)
         from sotohp_ray.pipelines.delete import load_tombstones
 
+        # tombstones as a SORTED id array, not a space-sized bool mask:
+        # every serving-pool actor holds one coordinator, so a dense
+        # mask would cost 1 B/doc PER ACTOR at 10^9 docs; the set is
+        # deletion-sized and membership is a searchsorted
         tomb = load_tombstones(index_dir)
-        self._deleted = None
-        if tomb.size:
-            mask = np.zeros(self.space, dtype=bool)
-            mask[tomb.astype(np.int64)] = True
-            self._deleted = mask
+        self._tomb = (
+            np.unique(tomb.astype(np.int64)) if tomb.size else None
+        )
         if actors is None:
             # num_cpus=0: group servers are IO/lookup-bound between
             # short decode bursts; reserving whole CPUs for them can
@@ -1169,20 +1436,106 @@ class FanoutSearcher:
         parts = ray.get(
             [self.actors[g].contribs.remote(query) for g in gids]
         )
+        return self._merge_contrib_parts(parts)
+
+    def _merge_contrib_parts(
+        self, parts
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Layered qi-ordered sums over per-group contribution triples,
+        tombstone- and positive-filtered — the single merge kernel
+        behind exact, paged and distributed-WAND retrieval."""
         docs = np.concatenate([p[0] for p in parts])
         qis = np.concatenate([p[1] for p in parts])
         cs = np.concatenate([p[2] for p in parts])
         if docs.size == 0:
             return None
         udocs, sums = self._layered_sums(docs, qis, cs)
-        if self._deleted is not None:
-            live = ~self._deleted[udocs]
-            udocs, sums = udocs[live], sums[live]
+        live = self._live_of(udocs)
+        udocs, sums = udocs[live], sums[live]
         pos = sums > 0.0
         udocs, sums = udocs[pos], sums[pos]
         if udocs.size == 0:
             return None
         return udocs, sums
+
+    def _live_of(self, ids: np.ndarray) -> np.ndarray:
+        """Bool mask: which of ``ids`` are NOT tombstoned — membership
+        against the deletion-sized sorted id array (never a dense
+        space-sized mask; see __init__)."""
+        if self._tomb is None or ids.size == 0:
+            return np.ones(ids.size, dtype=bool)
+        p = np.searchsorted(self._tomb, ids)
+        dead = np.zeros(ids.size, dtype=bool)
+        inb = p < self._tomb.size
+        dead[inb] = self._tomb[p[inb]] == ids[inb]
+        return ~dead
+
+    def search_wand(self, query: str, k: int = 10):
+        """Distributed block-max WAND over the TERM-partitioned fan-out
+        (the threshold-exchange shape of Lucene's distributed BMW;
+        reference analog: ES sharded top-k with score thresholds,
+        ElasticOperations.scala:91-97):
+
+        1. bootstrap — every owning group returns its local block-max
+           WAND top-k doc ids plus its share of the global upper bound;
+        2. the coordinator rescopes the seed docs EXACTLY (selective
+           block decode per group) and sets theta = the k-th exact
+           seed score — a sound lower bound on the final k-th score;
+        3. theta broadcasts back as per-group effective thresholds
+           theta - R_g (R_g = the other groups' upper-bound mass);
+           each group enumerates exact contributions only for docs
+           that could still beat theta, block-max-skipping the rest;
+        4. the union merges through the same layered qi-ordered sums
+           as search_exact — scores stay bit-identical to the single
+           searcher (pytest-enforced).
+
+        Soundness: for any doc with true score >= theta,
+        s_g + R_g >= score >= theta holds in EVERY group, so each
+        group's survivor scan covers all of that doc's local postings;
+        docs the scan drops are provably below theta, and at least k
+        exactly-scored docs sit at or above it."""
+        import ray
+
+        gids = self._groups_for(query)
+        if not gids:
+            return []
+        boots = ray.get([
+            self.actors[g].wand_bootstrap.remote(query, k) for g in gids
+        ])
+        ubs = np.array([b[0] for b in boots], dtype=np.float64)
+        total_ub = float(ubs.sum())
+        if total_ub <= 0.0:
+            return []  # no query term exists anywhere in the index
+        seed = np.unique(np.concatenate(
+            [b[1] for b in boots] + [np.zeros(0, dtype=np.int64)]
+        ))
+        theta = 0.0
+        if seed.size:
+            parts = ray.get([
+                self.actors[g].contribs_for_docs.remote(query, seed)
+                for g in gids
+            ])
+            got = self._merge_contrib_parts(parts)
+            if got is not None and got[0].size >= k:
+                theta = float(np.sort(got[1])[::-1][k - 1])
+        if theta <= 0.0:
+            # fewer than k positive seeds: there is no lower bound for
+            # pruning to work against — serve the exact fan-out
+            return self.search_exact(query, k)
+        # float-safety margin: only ever LOOSEN a group's threshold
+        eps = 1e-9 * total_ub + 1e-12
+        parts = ray.get([
+            self.actors[g].survivor_contribs.remote(
+                query, theta - (total_ub - float(ubs[i])) - eps
+            )
+            for i, g in enumerate(gids)
+        ])
+        got = self._merge_contrib_parts(parts)
+        if got is None:
+            return []
+        udocs, sums = got
+        top = np.lexsort((udocs, -sums))[:k]
+        return [(int(udocs[i]), float(sums[i])) for i in top]
 
     def search_exact(self, query: str, k: int = 10):
         got = self._fanout_sums(query)
@@ -1218,25 +1571,7 @@ class FanoutSearcher:
         order = np.lexsort((tb, -r))[:k]
         return [(int(tb[i]), float(r[i])) for i in order]
 
-    @staticmethod
-    def _layered_sums(
-        docs: np.ndarray, qis: np.ndarray, cs: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Per-doc contribution sums in query-term (qi) order, with
-        strictly SEQUENTIAL left-to-right adds (layered adds across
-        segments, one layer per query-term slot): reduceat /
-        add.reduce use unrolled/pairwise accumulation, which differs
-        from the single searcher's ((c0+c1)+c2) binary-add order in
-        the last ulp — and bit-identity is the contract."""
-        order = np.lexsort((qis, docs))
-        d, c = docs[order], cs[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(d)) + 1))
-        seg_lens = np.diff(np.concatenate((starts, [d.size])))
-        sums = c[starts].copy()
-        for kk in range(1, int(seg_lens.max())):
-            m = seg_lens > kk
-            sums[m] += c[starts[m] + kk]
-        return d[starts], sums
+    _layered_sums = staticmethod(_layered_sums)
 
     def _group_of_token(self, tok: str) -> int:
         from sotohp_ray.functions.hashing import term_shard_of
@@ -1338,8 +1673,8 @@ class FanoutSearcher:
             return []
         pos = self._positions_fanout(toks)
         match_docs = _phrase_align([pos[t] for t in toks], len(toks))
-        if self._deleted is not None and match_docs.size:
-            match_docs = match_docs[~self._deleted[match_docs]]
+        if match_docs.size:
+            match_docs = match_docs[self._live_of(match_docs)]
         if match_docs.size == 0:
             return []
         udocs, sums = self._score_match_docs(phrase, match_docs)
@@ -1358,8 +1693,8 @@ class FanoutSearcher:
             raise ValueError("proximity terms must analyze to one token")
         pos = self._positions_fanout([ta[0], tb[0]])
         match_docs = _proximity_match(pos[ta[0]], pos[tb[0]], window)
-        if self._deleted is not None and match_docs.size:
-            match_docs = match_docs[~self._deleted[match_docs]]
+        if match_docs.size:
+            match_docs = match_docs[self._live_of(match_docs)]
         if match_docs.size == 0:
             return []
         udocs, sums = self._score_match_docs(
@@ -1417,8 +1752,8 @@ class FanoutSearcher:
                 out = out[~np.isin(
                     out, ex_docs, assume_unique=True, kind="sort"
                 )]
-        if self._deleted is not None and out.size:
-            out = out[~self._deleted[out]]
+        if out.size:
+            out = out[self._live_of(out)]
         return out
 
     def load_stats(self) -> list[dict]:

@@ -741,6 +741,11 @@ def _evict_stale_band_caches(
         shutil.rmtree(os.path.join(root, base), ignore_errors=True)
         shutil.rmtree(os.path.join(root, base + "-members"),
                       ignore_errors=True)
+        for p in glob.glob(os.path.join(root, base + "-pairs-*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         try:
             os.remove(src)
         except OSError:
@@ -917,6 +922,44 @@ def _clique_pairs(keys: np.ndarray, ids: np.ndarray):
 
 
 def near_dup_pairs(sf_dir: str, threshold: float = 0.6, shingle_n: int = 3):
+    """Verified near-dup pairs, served from the durable pair cache:
+    the expensive shingle + verify pass runs ONCE per (corpus,
+    threshold, shingle_n) and every downstream consumer —
+    near_dup_dedup, corpus_dedup_near, repeated pair queries — streams
+    the cached table (same /tmp cache family as the band index, same
+    stale-eviction discipline). The table is pair-set-sized (output),
+    so caching it costs what the caller materializes anyway."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    cache = _band_cache_dir(sf_dir, 64, 16) + (
+        f"-pairs-{threshold}-{shingle_n}.parquet"
+    )
+    if os.path.exists(cache):
+        return pq.read_table(cache)
+    out = _near_dup_pairs_compute(sf_dir, threshold, shingle_n)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(cache),
+        prefix=os.path.basename(cache) + ".tmp-",
+    )
+    os.close(fd)
+    try:
+        pq.write_table(out, tmp)
+        os.replace(tmp, cache)  # atomic; concurrent builders converge
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return out
+
+
+def _near_dup_pairs_compute(
+    sf_dir: str, threshold: float = 0.6, shingle_n: int = 3
+):
     """Verified near-dup pairs: LSH candidates -> exact n-gram Jaccard
     check, with the VERIFICATION distributed too (the round-1 version
     read the whole corpus into a driver dict).

@@ -413,20 +413,79 @@ def test_fanout_phrase_respects_tombstones(small_index, tmp_path_factory):
     assert all(d != victim for d, _ in got)
 
 
-def test_shard_searcher_rejects_serve_mode_with_groups(small_index):
-    """FanoutSearcher implements exact scoring only; serve-mode
-    (WAND/phrase routing) with group_actors must be rejected at
-    construction instead of AttributeError-ing mid-query and killing
-    the serving actor."""
-    import pytest
-
-    from sotohp_ray.pipelines.fulltext import _ShardSearcher
+def test_fanout_wand_equals_single(small_index):
+    """Distributed block-max WAND (bootstrap seed -> exact theta ->
+    per-group survivor scan) must return exactly the single searcher's
+    WAND — itself bit-identical to exact TAAT — on every reference
+    query, including empty/absent-term edges."""
+    from sotohp_ray.pipelines.query import FanoutSearcher
 
     _, index_dir, _, _ = small_index
-    with pytest.raises(ValueError, match="single-replica"):
-        _ShardSearcher(
-            index_dir, k=10, mode="serve", group_actors=[object()]
-        )
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    for q in reference_queries(small_index[0]):
+        fw = f.search_wand(q["q"], q["k"])
+        assert fw == s.search_wand(q["q"], q["k"]), q
+        assert fw == s.search_exact(q["q"], q["k"]), q
+    assert f.search_wand("", 10) == []
+    assert f.search_wand("zzznotfound", 10) == []
+
+
+def test_fanout_wand_respects_tombstones(small_index, tmp_path_factory):
+    """A deleted doc must vanish from distributed-WAND results exactly
+    as from the single searcher, even when it seeded theta."""
+    import shutil
+
+    from sotohp_ray.pipelines.delete import delete_docs
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    queries = reference_queries(small_index[0])[:6]
+    victim = Searcher(index_dir).search_wand(queries[0]["q"], 1)[0][0]
+    idx2 = str(tmp_path_factory.mktemp("idx_fanout_wand_del"))
+    shutil.rmtree(idx2)
+    shutil.copytree(index_dir, idx2)
+    delete_docs(idx2, engine_doc_ids=[victim])
+    s = Searcher(idx2)
+    f = FanoutSearcher(idx2, n_groups=4)
+    for q in queries:
+        got = f.search_wand(q["q"], q["k"])
+        assert got == s.search_wand(q["q"], q["k"]), q
+        assert all(d != victim for d, _ in got)
+
+
+def test_group_server_resident_set_scales_with_group(small_index):
+    """A shard-scoped Searcher must hold NO doc-id-space-sized heap
+    arrays: doc_len serves from the memory-mapped sidecar (0 in-heap
+    bytes) and exact scoring takes the sparse layered-sums path —
+    bit-identical to the full searcher's dense TAAT, with and without
+    a candidate mask."""
+    import numpy as np
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    assert s.doclen_bytes_inheap == s.space * 8
+    S = s.config.num_term_shards
+    g = Searcher(index_dir, shard_range=(0, S))  # all terms, sparse
+    assert g.doclen_bytes_inheap == 0
+    assert isinstance(g.doc_len, np.memmap)
+    np.testing.assert_array_equal(np.asarray(g.doc_len), s.doc_len)
+    mask = np.zeros(s.space, dtype=bool)
+    mask[::2] = True
+    for q in reference_queries(small_index[0])[::7]:
+        assert g.search_exact(q["q"], q["k"]) == s.search_exact(
+            q["q"], q["k"]
+        ), q
+        assert g.search_exact(q["q"], q["k"], mask=mask) == (
+            s.search_exact(q["q"], q["k"], mask=mask)
+        ), q
+    # the fan-out group servers report the memmap residency
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    f = FanoutSearcher(index_dir, n_groups=4)
+    assert all(
+        st["doclen_bytes_inheap"] == 0 for st in f.load_stats()
+    )
 
 
 def test_fanout_respects_tombstones(small_index, tmp_path_factory):

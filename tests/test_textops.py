@@ -96,6 +96,38 @@ def test_near_dup_pairs_planted(tmp_path):
     assert all((a, b) != (0, 2) and (a, b) != (1, 2) for a, b in zip(out["doc_a"], out["doc_b"]))
 
 
+def test_near_dup_pair_cache_reused(tmp_path, monkeypatch):
+    """A second consumer of the verified pair table (near_dup_dedup,
+    corpus_dedup_near, repeated pair queries) must serve from the
+    durable pair cache — ZERO shingle/verify work — and see the exact
+    same pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines import textops
+
+    base = " ".join(f"tok{i} filler{i % 7}" for i in range(60))
+    near = base.replace("tok3", "tokx")
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([base, near]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    first = textops.near_dup_pairs(str(d), threshold=0.5)
+
+    def boom(*a, **k):
+        raise AssertionError("pair table recomputed despite cache")
+
+    monkeypatch.setattr(textops, "_near_dup_pairs_compute", boom)
+    again = textops.near_dup_pairs(str(d), threshold=0.5)
+    assert again.equals(first)
+    # dedup + cleaned corpus run entirely off the cache too
+    textops.near_dup_dedup(str(d), threshold=0.5)
+    textops.corpus_dedup_near(str(d), threshold=0.5).to_pandas()
+
+
 def test_fnv1a64_array_matches_scalar():
     """Vectorized FNV-1a (one masked pass per byte position) must be
     byte-for-byte identical to the scalar reference definition,
