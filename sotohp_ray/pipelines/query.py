@@ -1573,6 +1573,12 @@ class FanoutSearcher:
 
     _layered_sums = staticmethod(_layered_sums)
 
+    def search(self, query: str, k: int = 10, mode: str = "wand"):
+        """Same dispatch surface as the single ``Searcher.search``."""
+        if mode == "exact":
+            return self.search_exact(query, k)
+        return self.search_wand(query, k)
+
     def _group_of_token(self, tok: str) -> int:
         from sotohp_ray.functions.hashing import term_shard_of
 

@@ -454,6 +454,55 @@ def test_fanout_wand_respects_tombstones(small_index, tmp_path_factory):
         assert all(d != victim for d, _ in got)
 
 
+def test_contribs_for_docs_matches_full_decode(small_index):
+    """The selective block decode (contribs_for_docs) must return
+    exactly the full-decode contributions masked to the candidate set,
+    for every reference query — including candidates absent from the
+    postings and empty candidate sets — and survivor_contribs at a
+    positive threshold must fully cover every doc whose local score
+    clears it."""
+    import numpy as np
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    rng = np.random.RandomState(11)
+    for q in reference_queries(small_index[0])[::5]:
+        docs, qis, cs = s.search_contribs(q["q"])
+        if docs.size == 0:
+            assert s.contribs_for_docs(
+                q["q"], np.array([0, 5], dtype=np.int64)
+            )[0].size == 0
+            continue
+        uniq = np.unique(docs)
+        cand = np.unique(np.concatenate([
+            rng.choice(uniq, size=min(20, uniq.size), replace=False),
+            np.array([s.space + 7], dtype=np.int64),  # absent id
+        ]))
+        d2, q2, c2 = s.contribs_for_docs(q["q"], cand)
+        m = np.isin(docs, cand)
+        want = np.lexsort((qis[m], docs[m]))
+        got = np.lexsort((q2, d2))
+        np.testing.assert_array_equal(d2[got], docs[m][want], err_msg=q)
+        np.testing.assert_array_equal(q2[got], qis[m][want], err_msg=q)
+        np.testing.assert_array_equal(c2[got], cs[m][want], err_msg=q)
+        # survivor superset: pick theta_g at the median local score
+        from sotohp_ray.pipelines.query import _layered_sums
+
+        ud, sm = _layered_sums(docs, qis, cs)
+        theta_g = float(np.median(sm))
+        d3, q3, c3 = s.survivor_contribs(q["q"], theta_g)
+        ud3, sm3 = (
+            _layered_sums(d3, q3, c3) if d3.size else
+            (np.zeros(0, np.int64), np.zeros(0))
+        )
+        need = ud[sm >= theta_g]
+        present = np.isin(need, ud3)
+        assert present.all(), q
+        # and their reconstructed sums are bit-identical
+        sel = np.searchsorted(ud3, need)
+        np.testing.assert_array_equal(sm3[sel], sm[sm >= theta_g])
+
+
 def test_group_server_resident_set_scales_with_group(small_index):
     """A shard-scoped Searcher must hold NO doc-id-space-sized heap
     arrays: doc_len serves from the memory-mapped sidecar (0 in-heap
