@@ -177,6 +177,13 @@ def run_headline(ncpu: int) -> dict:
     from sotohp_ray.pipelines.query import FanoutSearcher
 
     f = FanoutSearcher(serve_index, n_groups=4)
+    # block until every group server has loaded its shard group (and
+    # derived the doclen sidecar): the latency loop must time QUERIES,
+    # not actor cold start — the single-searcher path likewise reports
+    # load separately (searcher_load_sec)
+    t0 = time.perf_counter()
+    f.load_stats()
+    t_fan_load = time.perf_counter() - t0
     lats_fan = []
     for q in qset:
         t0 = time.perf_counter()
@@ -205,6 +212,7 @@ def run_headline(ncpu: int) -> dict:
         "query_exact_p50_ms": round(1000 * float(np.percentile(lats_exact, 50)), 3),
         "query_exact_p99_ms": round(1000 * float(np.percentile(lats_exact, 99)), 3),
         "serve_qps": round(n_served / t_serve, 1),
+        "fanout_load_sec": round(t_fan_load, 3),
         "fanout_wand_p50_ms": round(
             1000 * float(np.percentile(lats_fan, 50)), 3
         ),
@@ -306,6 +314,13 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("corpus_quality_filter",
           lambda: textops.corpus_quality_filter(sf_dir))
     timed("bigram_pmi", lambda: textops.bigram_pmi(sf_dir))
+    # round-4 operators / rewrites (warm documents index)
+    from sotohp_ray.pipelines.fulltext import bm25_facets
+
+    timed("bm25_facets", lambda: bm25_facets(sf_dir))
+    timed("sample_stratified", lambda: textops.sample_stratified(sf_dir))
+    timed("ann_ivf_fullprobe",
+          lambda: ann.ann_ivf_search(sf_dir, n_centroids=32, n_probe=32))
     return out
 
 

@@ -310,11 +310,13 @@ class Searcher:
         from sotohp_ray.pipelines.delete import load_tombstones
 
         tomb = load_tombstones(index_dir)
-        self._deleted = None
-        if tomb.size:
-            mask = np.zeros(self.space, dtype=bool)
-            mask[tomb.astype(np.int64)] = True
-            self._deleted = mask
+        # stored as a SORTED id array, not a doc-id-space-sized bool
+        # mask: the mask costs 1 B/doc per searcher (1 GB per actor at
+        # 10^9 docs) while the set is deletion-sized; membership is a
+        # searchsorted (_live_mask/_is_live_doc)
+        self._tomb = (
+            np.unique(tomb.astype(np.int64)) if tomb.size else None
+        )
 
         # columnar dictionary: term -> row index; blobs/block metadata
         # are materialized lazily per queried term (and cached).
@@ -381,15 +383,7 @@ class Searcher:
         self._dec_cache_postings = 0
         self.dec_cache_budget = 8_000_000
         if shard_range is None:
-            dm = pq.read_table(
-                os.path.join(index_dir, "docmeta"),
-                columns=["doc_id", "doc_len"],
-            )
-            dl = np.zeros(self.space, dtype=np.float64)
-            dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
-                "doc_len"
-            ].to_numpy(zero_copy_only=False)
-            self.doc_len = dl
+            self.doc_len = self._build_doclen()
         else:
             # shard-group servers must not hold doc-id-SPACE-sized
             # heap arrays (8 B/doc = ~8 GB per actor at 10^9 docs,
@@ -405,6 +399,20 @@ class Searcher:
         self.n_terms_loaded = len(self._row)
         self.load_sec = _time.perf_counter() - _t0
 
+    def _build_doclen(self) -> np.ndarray:
+        """Dense doc_len array scatter-built from docmeta — the ONE
+        definition shared by the full searcher's in-heap load and the
+        sidecar derivation."""
+        dm = pq.read_table(
+            os.path.join(self.index_dir, "docmeta"),
+            columns=["doc_id", "doc_len"],
+        )
+        dl = np.zeros(self.space, dtype=np.float64)
+        dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
+            "doc_len"
+        ].to_numpy(zero_copy_only=False)
+        return dl
+
     def _doclen_view(self) -> np.ndarray:
         """Memory-mapped doc_len array over the doc-id space, backed
         by a derived ``doclen-<fp>.f64`` sidecar next to docmeta. The
@@ -412,7 +420,11 @@ class Searcher:
         space, so compaction or an update sync — which rewrite docmeta
         — atomically invalidates by NAME; derivation is idempotent
         (tmp + rename) and race-safe across actors. Falls back to an
-        in-heap array if the index dir is not writable."""
+        in-heap array if the index dir is not writable, or if a
+        concurrent searcher with a NEWER docmeta fingerprint evicted
+        this one's sidecar between the existence check and the mmap
+        open (docmeta changed mid-construction: the array we derived
+        is still self-consistent for this searcher's view)."""
         import hashlib
 
         dm_dir = os.path.join(self.index_dir, "docmeta")
@@ -422,12 +434,9 @@ class Searcher:
             h.update(f"{n}:{st.st_size}:{st.st_mtime_ns}".encode())
         fp = h.hexdigest()[:16]
         path = os.path.join(self.index_dir, f"doclen-{fp}.f64")
+        dl = None
         if not os.path.exists(path):
-            dm = pq.read_table(dm_dir, columns=["doc_id", "doc_len"])
-            dl = np.zeros(self.space, dtype=np.float64)
-            dl[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
-                "doc_len"
-            ].to_numpy(zero_copy_only=False)
+            dl = self._build_doclen()
             try:
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
@@ -445,14 +454,40 @@ class Searcher:
                             pass
             except OSError:
                 return dl  # read-only index dir: serve from heap
-        return np.memmap(
-            path, dtype=np.float64, mode="r", shape=(self.space,)
-        )
+        try:
+            return np.memmap(
+                path, dtype=np.float64, mode="r", shape=(self.space,)
+            )
+        except (FileNotFoundError, ValueError):
+            # evicted (or truncated) by a concurrent newer-fingerprint
+            # derivation: fall back to heap rather than dying
+            return dl if dl is not None else self._build_doclen()
 
     # ---- shared helpers --------------------------------------------
 
     def _idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _live_mask(self, ids: np.ndarray) -> np.ndarray:
+        """Bool mask: which of ``ids`` are NOT tombstoned —
+        searchsorted membership against the deletion-sized sorted id
+        array (never a dense space-sized mask)."""
+        t = self._tomb
+        if t is None or ids.size == 0:
+            return np.ones(ids.size, dtype=bool)
+        ids = ids.astype(np.int64, copy=False)
+        pos = np.searchsorted(t, ids)
+        dead = np.zeros(ids.size, dtype=bool)
+        inb = pos < t.size
+        dead[inb] = t[pos[inb]] == ids[inb]
+        return ~dead
+
+    def _is_live_doc(self, d: int) -> bool:
+        t = self._tomb
+        if t is None:
+            return True
+        i = int(np.searchsorted(t, d))
+        return i >= t.size or int(t[i]) != d
 
     def _record(self, term: str) -> dict:
         """Lazy per-term record (cached): inline posting for the
@@ -596,8 +631,8 @@ class Searcher:
         match_docs = _phrase_align(
             [self._positions_of(t) for t in toks], len(toks)
         )
-        if self._deleted is not None and match_docs.size:
-            match_docs = match_docs[~self._deleted[match_docs]]
+        if match_docs.size:
+            match_docs = match_docs[self._live_mask(match_docs)]
         if match_docs.size == 0:
             return []
         # BM25 over the phrase terms, restricted to matching docs
@@ -630,8 +665,8 @@ class Searcher:
         match_docs = _proximity_match(
             self._positions_of(a), self._positions_of(b), window
         )
-        if self._deleted is not None and match_docs.size:
-            match_docs = match_docs[~self._deleted[match_docs]]
+        if match_docs.size:
+            match_docs = match_docs[self._live_mask(match_docs)]
         if match_docs.size == 0:
             return []
         scores = np.zeros(match_docs.size, dtype=np.float64)
@@ -671,8 +706,8 @@ class Searcher:
             z64 = np.zeros(0, dtype=np.uint64)
             return z64, np.zeros(0, dtype=np.uint32), z64
         docs, tfs, occ = self._positions_of(t)
-        if self._deleted is not None and docs.size:
-            live = ~self._deleted[docs.astype(np.int64)]
+        if self._tomb is not None and docs.size:
+            live = self._live_mask(docs)
             if not live.all():
                 keep_occ = np.repeat(live, tfs.astype(np.int64))
                 docs, tfs, occ = docs[live], tfs[live], occ[keep_occ]
@@ -705,8 +740,8 @@ class Searcher:
             scores[d] += self._contrib(
                 qw, int(self._dfs[self._row[term]]), f.astype(np.float64), dli
             )
-        if self._deleted is not None:
-            scores[self._deleted] = 0.0
+        if self._tomb is not None:
+            scores[self._tomb] = 0.0
         if mask is not None:
             scores[~mask] = 0.0
         return scores
@@ -729,9 +764,8 @@ class Searcher:
             if docs.size == 0:
                 return []
             udocs, sums = _layered_sums(docs, qis, cs)
-            if self._deleted is not None:
-                live = ~self._deleted[udocs]
-                udocs, sums = udocs[live], sums[live]
+            live = self._live_mask(udocs)
+            udocs, sums = udocs[live], sums[live]
             if mask is not None:
                 keep = mask[udocs]
                 udocs, sums = udocs[keep], sums[keep]
@@ -797,20 +831,12 @@ class Searcher:
         and summed left-to-right reproduce ``search_exact``'s float64
         accumulation order bit-for-bit). Tombstone filtering happens at
         the merge — the fan-out layer holds the (small) tombstone set."""
-        toks = self.tok.tokens_of(query)
-        qtf = Counter(toks)
-        seen: list[str] = []
-        for t in toks:
-            if t not in seen:
-                seen.append(t)
         d_parts, q_parts, c_parts = [], [], []
-        for qi, term in enumerate(seen):
-            if term not in self._row:
-                continue
+        for qi, term, qw in self._owned_query_terms(query):
             d, f = self._decode_full(term)
             di = d.astype(np.int64)
             contrib = self._contrib(
-                float(qtf[term]), int(self._dfs[self._row[term]]),
+                qw, int(self._dfs[self._row[term]]),
                 f.astype(np.float64), self.doc_len[di],
             )
             d_parts.append(di)
@@ -957,7 +983,18 @@ class Searcher:
                 qw * r["block_max"].astype(np.float64) >= cut
             )
             if bidx.size:
-                d, _ = self._decode_blocks(r, bidx)
+                cached = self._dec_cache.get(term)
+                if cached is not None:
+                    # postings already decoded (hot term): slice the
+                    # qualifying blocks out of the cached array —
+                    # blocks are fixed-width runs of the full decode
+                    d_all = cached[0]
+                    bs = int(r["block_size"])
+                    d = np.concatenate([
+                        d_all[b * bs: (b + 1) * bs] for b in bidx
+                    ])
+                else:
+                    d, _ = self._decode_blocks(r, bidx)
                 cand_parts.append(d.astype(np.int64))
         if not cand_parts:
             z = np.zeros(0, dtype=np.int64)
@@ -1084,7 +1121,7 @@ class Searcher:
                 scorers.sort(key=lambda x: x["qi"])
                 dl = self.doc_len[pivot_doc]
                 s = 0.0
-                if self._deleted is None or not self._deleted[pivot_doc]:
+                if self._is_live_doc(pivot_doc):
                     for x in scorers:
                         s += self._contrib(x["qw"], x["df"], x["c"].tf(), dl)
                 if s > 0.0:
@@ -1129,8 +1166,9 @@ class Searcher:
             scores[d] += self._contrib(
                 qw, int(self._dfs[self._row[term]]), fl, self.doc_len[d + base]
             )
-        if self._deleted is not None:
-            scores[self._deleted[base:]] = 0.0
+        if self._tomb is not None:
+            sel = self._tomb[self._tomb >= base] - base
+            scores[sel] = 0.0
         nz = np.flatnonzero(scores > 0.0)
         cand = [(float(scores[i]), int(i + base)) for i in
                 nz[np.lexsort((nz, -scores[nz]))[:k]]]
@@ -1180,8 +1218,8 @@ class Searcher:
                 out = out[~np.isin(
                     out, ex_docs, assume_unique=True, kind="sort"
                 )]
-        if self._deleted is not None and out.size:
-            out = out[~self._deleted[out]]
+        if out.size:
+            out = out[self._live_mask(out)]
         return out
 
     def search_prefix(self, prefix: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1211,8 +1249,8 @@ class Searcher:
         # each term's doc list is unique, so per-doc multiplicity over
         # the concat == the distinct-matching-term count
         docs, counts = np.unique(np.concatenate(parts), return_counts=True)
-        if self._deleted is not None and docs.size:
-            live = ~self._deleted[docs]
+        if self._tomb is not None and docs.size:
+            live = self._live_mask(docs)
             docs, counts = docs[live], counts[live]
         return docs, counts.astype(np.int64)
 
@@ -1242,8 +1280,8 @@ class Searcher:
             return z, z
         parts = [self._decode_full(t)[0].astype(np.int64) for t in terms]
         docs, counts = np.unique(np.concatenate(parts), return_counts=True)
-        if self._deleted is not None and docs.size:
-            live = ~self._deleted[docs]
+        if self._tomb is not None and docs.size:
+            live = self._live_mask(docs)
             docs, counts = docs[live], counts[live]
         return docs, counts.astype(np.int64)
 

@@ -49,11 +49,27 @@ def probe_host() -> dict:
 def ensure_worktree(ref: str) -> str:
     safe = ref.replace("/", "_")
     path = f"/tmp/ab_wt_{safe}"
+    want = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", f"{ref}^{{commit}}"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
     if not os.path.isdir(path):
         subprocess.run(
-            ["git", "-C", REPO, "worktree", "add", "--detach", path, ref],
+            ["git", "-C", REPO, "worktree", "add", "--detach", path, want],
             check=True, capture_output=True,
         )
+    else:
+        # a stale checkout (e.g. 'HEAD' or a branch that moved since
+        # the last sweep) would silently benchmark old code
+        have = subprocess.run(
+            ["git", "-C", path, "rev-parse", "HEAD"],
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+        if have != want:
+            subprocess.run(
+                ["git", "-C", path, "checkout", "--detach", want],
+                check=True, capture_output=True,
+            )
     return path
 
 
