@@ -1322,14 +1322,20 @@ class _GroupServer:
         return self.searcher.search_contribs(query)
 
     def wand_bootstrap(self, query: str, k: int):
-        """(ub_sum, local_topk_docs): the group's share of the global
-        score upper bound plus a k-bounded candidate seed from
-        group-local block-max WAND. Only DOC IDS travel — the local
-        scores cover just this group's terms; the coordinator rescopes
-        the seed exactly before trusting any threshold."""
+        """(ub_sum, local_topk_docs, local_scores): the group's share
+        of the global score upper bound plus a k-bounded candidate
+        seed from group-local block-max WAND. The local scores are
+        exact sums over THIS group's terms only, i.e. LOWER bounds on
+        the docs' true scores (contributions are non-negative) — the
+        coordinator may sum them across groups into a sound pruning
+        threshold without a rescore round."""
         ub = self.searcher.query_ub(query)
         hits = self.searcher.search_wand(query, k)
-        return ub, np.array([d for d, _ in hits], dtype=np.int64)
+        return (
+            ub,
+            np.array([d for d, _ in hits], dtype=np.int64),
+            np.array([s for _, s in hits], dtype=np.float64),
+        )
 
     def contribs_for_docs(self, query: str, docs):
         return self.searcher.contribs_for_docs(query, docs)
@@ -1515,10 +1521,13 @@ class FanoutSearcher:
         ElasticOperations.scala:91-97):
 
         1. bootstrap — every owning group returns its local block-max
-           WAND top-k doc ids plus its share of the global upper bound;
-        2. the coordinator rescopes the seed docs EXACTLY (selective
-           block decode per group) and sets theta = the k-th exact
-           seed score — a sound lower bound on the final k-th score;
+           WAND top-k (doc ids + exact LOCAL scores) plus its share of
+           the global upper bound;
+        2. the coordinator sums each seed doc's local scores across
+           the groups that returned it — a LOWER bound on its true
+           score, since contributions are non-negative — and sets
+           theta = the k-th largest bound (sound: those k docs each
+           truly score >= theta, so the final k-th score does too);
         3. theta broadcasts back as per-group effective thresholds
            theta - R_g (R_g = the other groups' upper-bound mass);
            each group enumerates exact contributions only for docs
@@ -1526,6 +1535,10 @@ class FanoutSearcher:
         4. the union merges through the same layered qi-ordered sums
            as search_exact — scores stay bit-identical to the single
            searcher (pytest-enforced).
+
+        Two RPC rounds per query; an earlier variant spent a third
+        round rescoring the seeds for a tighter theta — the looser
+        bound only grows the survivor superset, never the answer.
 
         Soundness: for any doc with true score >= theta,
         s_g + R_g >= score >= theta holds in EVERY group, so each
@@ -1544,18 +1557,27 @@ class FanoutSearcher:
         total_ub = float(ubs.sum())
         if total_ub <= 0.0:
             return []  # no query term exists anywhere in the index
-        seed = np.unique(np.concatenate(
+        # theta without a rescore round: a seed doc's local scores sum
+        # (across the groups that seeded it) is a LOWER bound on its
+        # true score, so the k-th largest summed bound lower-bounds the
+        # final k-th score — one fewer RPC round per query than the
+        # rescore-the-seeds protocol, at slightly looser (still sound)
+        # pruning
+        alldocs = np.concatenate(
             [b[1] for b in boots] + [np.zeros(0, dtype=np.int64)]
-        ))
+        )
+        allsc = np.concatenate(
+            [b[2] for b in boots] + [np.zeros(0, dtype=np.float64)]
+        )
         theta = 0.0
-        if seed.size:
-            parts = ray.get([
-                self.actors[g].contribs_for_docs.remote(query, seed)
-                for g in gids
-            ])
-            got = self._merge_contrib_parts(parts)
-            if got is not None and got[0].size >= k:
-                theta = float(np.sort(got[1])[::-1][k - 1])
+        if alldocs.size:
+            ud, inv = np.unique(alldocs, return_inverse=True)
+            lower = np.zeros(ud.size, dtype=np.float64)
+            np.add.at(lower, inv, allsc)
+            live = self._live_of(ud)
+            lower = lower[live]
+            if lower.size >= k:
+                theta = float(np.sort(lower)[::-1][k - 1])
         if theta <= 0.0:
             # fewer than k positive seeds: there is no lower bound for
             # pruning to work against — serve the exact fan-out
