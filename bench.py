@@ -333,6 +333,23 @@ def _quiet_ray_noise() -> None:
     ).setLevel(logging.ERROR)
 
 
+def host_probe() -> dict:
+    """Window evidence embedded in every bench record: this box has
+    multi-hour degraded windows where FRESH page allocation runs
+    50-500x slow while warm compute is nominal (BASELINE.md round-4
+    diary), so each result carries the allocation-probe timing the
+    reader needs to judge it. 25M elements bounds the probe's own
+    cost in a bad window (healthy ~0.05 s)."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.arange(25_000_000, dtype=np.float64).sum()
+    return {
+        "host_alloc_probe_25m_sec": round(time.perf_counter() - t0, 3),
+        "host_affinity_cores": len(os.sched_getaffinity(0)),
+    }
+
+
 def main():
     _quiet_ray_noise()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -373,12 +390,19 @@ def main():
             return json.loads(out.strip().splitlines()[-1])["queries"]
 
         rounds = []
+        probes = []
         rounds_docs = None
         for _ in range(3):
             r2 = run_level(2)
             r8 = run_level(8)
             rounds_docs = r2["n_docs"]
             rounds.append((r2["index_build_sec"], r8["index_build_sec"]))
+            probes.append([
+                r2.get("host_probe_pre", {}).get(
+                    "host_alloc_probe_25m_sec"),
+                r8.get("host_probe_pre", {}).get(
+                    "host_alloc_probe_25m_sec"),
+            ])
         ratios = sorted(
             round((t2 / t8) / 4.0, 3) for t2, t8 in rounds
         )
@@ -419,6 +443,7 @@ def main():
                         "4->16": eff416,
                         "8->32": eff832,
                     },
+                    "host_alloc_probe_25m_sec_per_round": probes,
                     "build_sec": {
                         "2": best2, "8": best8,
                         **{str(n): singles[n]["index_build_sec"]
@@ -452,11 +477,14 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    probe = host_probe()
     t_total0 = time.perf_counter()
     queries = run_headline(ncpu)
     if os.environ.get("SOTOHP_BENCH_MODE") not in ("headline", "buildonly"):
         queries.update(run_sf_pipelines(sf_dir))
     total = time.perf_counter() - t_total0
+    queries["host_probe_pre"] = probe
+    queries["host_probe_post"] = host_probe()  # did the window move?
     print(
         json.dumps(
             {
