@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": textops.doc_sha256,
         # --- text analysis / quality ---
         "quality_stats": textops.quality_stats,
+        "doc_repetition": textops.doc_repetition,
         "corpus_quality_filter": textops.corpus_quality_filter,
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "token_estimate": textops.token_estimate_sql(),
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "corpus_quality_filter": textops.corpus_quality_filter_sql(),
+        "doc_repetition": textops.doc_repetition_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),
             agg AS (

@@ -321,6 +321,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("sample_stratified", lambda: textops.sample_stratified(sf_dir))
     timed("ann_ivf_fullprobe",
           lambda: ann.ann_ivf_search(sf_dir, n_centroids=32, n_probe=32))
+    timed("doc_repetition", lambda: textops.doc_repetition(sf_dir))
     return out
 
 

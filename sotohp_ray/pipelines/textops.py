@@ -384,6 +384,85 @@ ORDER BY doc_id
 """
 
 
+def doc_repetition(sf_dir: str):
+    """(doc_id, n_bigrams, n_distinct_bigrams, dup_bigrams): the
+    duplicated-adjacent-bigram count per document — the Gopher-family
+    repetition quality signal (Rae et al. 2021 'Scaling Language
+    Models' repetition filters; RefinedWeb applies the same n-gram
+    family) used to cut boilerplate/looping text from training
+    corpora. Integer counts only, so the oracle hash is exact.
+
+    ONE map pass, NO shuffle at any scale: a document never spans
+    batches, so every per-doc count completes inside its batch."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        parents, flat = _TOK.exploded(_text_col(batch))
+        n = batch.num_rows
+        pn = parents.to_numpy(zero_copy_only=False)
+        nb = np.zeros(n, dtype=np.int64)
+        nd = np.zeros(n, dtype=np.int64)
+        nt = len(flat)
+        if nt >= 2:
+            same = pn[:-1] == pn[1:]
+            d = pn[:-1][same]
+            if d.size:
+                nb = np.bincount(d, minlength=n).astype(np.int64)
+                t = pa.table({
+                    "d": pa.array(d),
+                    "t1": flat.slice(0, nt - 1).filter(pa.array(same)),
+                    "t2": flat.slice(1, nt - 1).filter(pa.array(same)),
+                })
+                g = t.group_by(["d", "t1", "t2"]).aggregate([])
+                cnt = (
+                    pa.table({"d": g["d"]})
+                    .group_by("d")
+                    .aggregate([([], "count_all")])
+                )
+                nd[cnt["d"].to_numpy(zero_copy_only=False)] = cnt[
+                    "count_all"
+                ].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "n_distinct_bigrams": pa.array(nd, pa.int64()),
+            "dup_bigrams": pa.array(nb - nd, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def doc_repetition_sql() -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+bi AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         count(DISTINCT t1 || chr(1) || t2) AS n_distinct_bigrams
+  FROM bi GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       coalesce(a.n_bigrams, 0) - coalesce(a.n_distinct_bigrams, 0)
+         AS dup_bigrams
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def lang_guess(sf_dir: str):
     """(doc_id, lang_guess, marker_hits) — n-gram-free marker-word
     language heuristic (count of distinct EN marker terms present)."""
