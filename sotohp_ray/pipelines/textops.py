@@ -402,6 +402,7 @@ def doc_repetition(sf_dir: str):
         nb = np.zeros(n, dtype=np.int64)
         nd = np.zeros(n, dtype=np.int64)
         nt = len(flat)
+        top = np.zeros(n, dtype=np.int64)
         if nt >= 2:
             same = pn[:-1] == pn[1:]
             d = pn[:-1][same]
@@ -412,25 +413,99 @@ def doc_repetition(sf_dir: str):
                     "t1": flat.slice(0, nt - 1).filter(pa.array(same)),
                     "t2": flat.slice(1, nt - 1).filter(pa.array(same)),
                 })
-                g = t.group_by(["d", "t1", "t2"]).aggregate([])
-                cnt = (
-                    pa.table({"d": g["d"]})
-                    .group_by("d")
-                    .aggregate([([], "count_all")])
+                g = t.group_by(["d", "t1", "t2"]).aggregate(
+                    [([], "count_all")]
                 )
-                nd[cnt["d"].to_numpy(zero_copy_only=False)] = cnt[
-                    "count_all"
-                ].to_numpy(zero_copy_only=False)
+                gd = g["d"].to_numpy(zero_copy_only=False)
+                gc = g["count_all"].to_numpy(zero_copy_only=False)
+                nd = np.bincount(gd, minlength=n).astype(np.int64)
+                # most-frequent-bigram occurrence count per doc (the
+                # top-n-gram-coverage Gopher signal)
+                np.maximum.at(top, gd, gc)
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_bigrams": pa.array(nb, pa.int64()),
             "n_distinct_bigrams": pa.array(nd, pa.int64()),
             "dup_bigrams": pa.array(nb - nd, pa.int64()),
+            "top_bigram_n": pa.array(top, pa.int64()),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def doc_quality_signals(sf_dir: str):
+    """(doc_id, n_chars, n_tokens, n_stopword_tokens, n_punct_chars):
+    the length/punctuation/stopword quality-ratio inputs (the other
+    half of the Gopher-family heuristics next to doc_repetition).
+    Integer counts only; the punctuation class is evaluated by RE2 on
+    BOTH sides (pyarrow and DuckDB embed the same regex engine), so
+    the oracle hash is exact. One map pass, zero shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        lists = _TOK.token_lists(text)
+        n_tok = pc.list_value_length(lists).cast(pa.int64())
+        parents = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        n = batch.num_rows
+        sw = np.zeros(n, dtype=np.int64)
+        if len(flat) > 0:
+            hit = pc.is_in(
+                flat, value_set=pa.array(EN_MARKERS).cast(flat.type)
+            )
+            par = pc.filter(parents, hit).to_numpy(zero_copy_only=False)
+            if par.size:
+                sw = np.bincount(
+                    par.astype(np.int64), minlength=n
+                ).astype(np.int64)
+        punct = pc.count_substring_regex(
+            text, QS_PUNCT_RE
+        ).cast(pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            "n_tokens": n_tok,
+            "n_stopword_tokens": pa.array(sw, pa.int64()),
+            "n_punct_chars": punct,
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+QS_PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def doc_quality_signals_sql() -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+tc AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+),
+sw AS (
+  SELECT doc_id, count(*) AS n_sw FROM toks
+  WHERE term IN ({markers}) GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text) AS n_chars,
+       coalesce(tc.n_tok, 0) AS n_tokens,
+       coalesce(s.n_sw, 0) AS n_stopword_tokens,
+       length(d.text) - length(
+         regexp_replace(d.text, '{QS_PUNCT_RE}', '', 'g')
+       ) AS n_punct_chars
+FROM documents d
+LEFT JOIN tc USING (doc_id)
+LEFT JOIN sw s USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 def doc_repetition_sql() -> str:
@@ -448,16 +523,21 @@ bi AS (
   FROM toks a JOIN toks b
     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 ),
+pair_counts AS (
+  SELECT doc_id, t1, t2, count(*) AS c FROM bi GROUP BY 1, 2, 3
+),
 agg AS (
-  SELECT doc_id, count(*) AS n_bigrams,
-         count(DISTINCT t1 || chr(1) || t2) AS n_distinct_bigrams
-  FROM bi GROUP BY doc_id
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         count(*) AS n_distinct_bigrams,
+         max(c) AS top_bigram_n
+  FROM pair_counts GROUP BY doc_id
 )
 SELECT d.doc_id,
        coalesce(a.n_bigrams, 0) AS n_bigrams,
        coalesce(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
        coalesce(a.n_bigrams, 0) - coalesce(a.n_distinct_bigrams, 0)
-         AS dup_bigrams
+         AS dup_bigrams,
+       coalesce(a.top_bigram_n, 0) AS top_bigram_n
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id
 """
