@@ -640,6 +640,14 @@ def corpus_dedup_exact(sf_dir: str):
     mostly-unique corpus broadcasts almost nothing); each batch
     recomputes its rows' shas (one streaming hash pass) and drops the
     rows of a dup cluster that aren't its keeper."""
+    return _kept_doc_lengths(sf_dir, exact_keep_mask(sf_dir))
+
+
+def exact_keep_mask(sf_dir: str):
+    """-> ``mask_of(ids, batch) -> bool[]`` dropping every exact-dup
+    row that is not its sha cluster's keeper. Broadcast state is
+    DUPLICATE-CLUSTER-sized; shared by the cleaned-corpus query and
+    the export sink so the keep rule cannot drift between them."""
     import ray
 
     dd = dedup_exact(sf_dir).map_batches(
@@ -665,7 +673,7 @@ def corpus_dedup_exact(sf_dir: str):
         in_dup = (pos < sha_s.size) & (sha_s[pc_] == shas)
         return ~(in_dup & (ids != keep_s[pc_]))
 
-    return _kept_doc_lengths(sf_dir, mask_of)
+    return mask_of
 
 
 def corpus_dedup_exact_sql() -> str:
@@ -685,6 +693,14 @@ def corpus_dedup_near(sf_dir: str, threshold: float = 0.6):
     output-sized; broadcast + ``np.isin`` per batch. Rows-only (the
     MinHash candidate set is not SQL-expressible); the keep/drop
     arithmetic is pytest-gated."""
+    return _kept_doc_lengths(sf_dir, near_keep_mask(sf_dir, threshold))
+
+
+def near_keep_mask(sf_dir: str, threshold: float = 0.6):
+    """-> ``mask_of(ids, batch) -> bool[]`` dropping every near-dup
+    cluster member except its canonical. Broadcast DROP set is
+    cluster-member-sized; shared by the cleaned-corpus query and the
+    export sink."""
     import ray
 
     cl = near_dup_dedup(sf_dir, threshold)
@@ -696,7 +712,7 @@ def corpus_dedup_near(sf_dir: str, threshold: float = 0.6):
         dr = ray.get(dref)
         return ~np.isin(ids, dr, assume_unique=True, kind="sort")
 
-    return _kept_doc_lengths(sf_dir, mask_of)
+    return mask_of
 
 
 class MinHashStage:
