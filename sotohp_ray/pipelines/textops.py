@@ -1057,6 +1057,86 @@ def _finalize_pairs(pairs_ds, a_parts, b_parts, j_parts=None):
     return pa.table(cols)
 
 
+def _shingle_sets(texts: pa.Array, shingle_n: int):
+    """Per-row DISTINCT shingle sets over analyzed tokens — the ONE
+    set definition shared by the whole near-dup family (the
+    LSH-candidate ``near_dup_pairs`` path and the exact-recall
+    ``set_similarity_join``): n-token window hashes for rows with at
+    least ``shingle_n`` tokens, one order-insensitive whole-row hash
+    for shorter non-empty rows (the ``batch_minhash_signatures``
+    segment-sum rule, so short identical docs still pair up).
+
+    Returns ``(offsets, sh_val, ckey)``: ``offsets`` int64 row
+    boundaries (n+1), ``sh_val`` the distinct uint64 shingle values
+    sorted ascending WITHIN each row (verify stages rely on the
+    within-row order), ``ckey`` an int64 content key per row — equal
+    sets => equal key; unequal sets collide with 64-bit-hash
+    probability (only set-equality discrimination is required)."""
+    from sotohp_ray.functions.hashing import (
+        _WIN_MULS, _fmix64, token_hash_array,
+    )
+
+    n = len(texts)
+    parents, flat = _TOK.exploded(texts)
+    pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = token_hash_array(flat)
+    nt = th.size
+    sh_par = np.zeros(0, dtype=np.int64)
+    sh_val = np.zeros(0, dtype=np.uint64)
+    if nt >= shingle_n:
+        w = np.lib.stride_tricks.sliding_window_view(th, shingle_n)
+        valid = pn[: nt - shingle_n + 1] == pn[shingle_n - 1:]
+        sh_val = _fmix64(
+            (w * _WIN_MULS[:shingle_n]).sum(axis=1, dtype=np.uint64)
+        )[valid]
+        sh_par = pn[: nt - shingle_n + 1][valid]
+    # short rows (0 < len < shingle_n): one whole-row shingle
+    row_len = np.bincount(pn, minlength=n) if nt else np.zeros(
+        n, dtype=np.int64
+    )
+    short = np.flatnonzero((row_len > 0) & (row_len < shingle_n))
+    if short.size:
+        offsets0 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_len, out=offsets0[1:])
+        pre = _fmix64(th * _WIN_MULS[0])
+        csum = np.concatenate(
+            ([np.uint64(0)], np.cumsum(pre, dtype=np.uint64))
+        )
+        sums = csum[offsets0[short + 1]] - csum[offsets0[short]]
+        sh_par = np.concatenate((sh_par, short))
+        sh_val = np.concatenate((sh_val, _fmix64(sums)))
+    # distinct shingles per row, grouped by row (ascending within row)
+    order = np.lexsort((sh_val, sh_par))
+    sh_par, sh_val = sh_par[order], sh_val[order]
+    keep = np.ones(sh_par.size, dtype=bool)
+    keep[1:] = (np.diff(sh_par) != 0) | (np.diff(sh_val) != 0)
+    sh_par, sh_val = sh_par[keep], sh_val[keep]
+    lengths = np.bincount(sh_par, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    # content key: 64-bit digest of the sorted-unique shingle set —
+    # each element avalanche-mixed with its LOCAL position, segments
+    # reduced by a csum-diff sum, the sum mixed with the length (the
+    # same vectorized kernels as the short-row path; no per-row
+    # Python digest anywhere)
+    lengths64 = lengths.astype(np.uint64)
+    local_pos = (
+        np.arange(sh_val.size, dtype=np.uint64)
+        - np.repeat(offsets[:-1].astype(np.uint64), lengths)
+    )
+    mixed = _fmix64(
+        sh_val ^ _fmix64((local_pos + np.uint64(1)) * _WIN_MULS[0])
+    )
+    mcs = np.concatenate(
+        ([np.uint64(0)], np.cumsum(mixed, dtype=np.uint64))
+    )
+    seg_sum = mcs[offsets[1:]] - mcs[offsets[:-1]]
+    ckey = _fmix64(
+        seg_sum ^ _fmix64(lengths64 * _WIN_MULS[0] + np.uint64(1))
+    ).astype(np.int64)
+    return offsets, sh_val, ckey
+
+
 def _tri_pair_indices(L: int):
     """(i, j) index pairs with i < j for a clique of size ``L`` in
     O(pairs) time and memory — flat arithmetic, no L×L triu mask
@@ -1176,10 +1256,6 @@ def _near_dup_pairs_compute(
     # (bkey looked up in the broadcast map), landing pre-keyed for the
     # verify groupby.
     def _cand_shingles(batch: pa.Table) -> pa.Table:
-        from sotohp_ray.functions.hashing import (
-            _WIN_MULS, _fmix64, token_hash_array,
-        )
-
         md, mb = ray.get(mapref)
         bd = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lo_all = np.searchsorted(md, bd)
@@ -1194,78 +1270,18 @@ def _near_dup_pairs_compute(
                 "ckey": pa.array([], pa.int64()),
                 "n_sh": pa.array([], pa.int64()),
             })
-        parents, flat = _TOK.exploded(_text_col(out))
-        pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
-        th = token_hash_array(flat)
+        # distinct shingle sets + content keys: the family-shared
+        # kernel (``_shingle_sets``) — docs with equal ckey have
+        # IDENTICAL shingle sets, so the verify stage collapses them
+        # to one representative (the mega-bucket fix: a crawl cluster
+        # of B identical boilerplate docs costs 1 rep, not B^2/2 pair
+        # checks per band bucket).
         n = out.num_rows
-        nt = th.size
-        sh_par = np.zeros(0, dtype=np.int64)
-        sh_val = np.zeros(0, dtype=np.uint64)
-        if nt >= shingle_n:
-            w = np.lib.stride_tricks.sliding_window_view(th, shingle_n)
-            valid = pn[: nt - shingle_n + 1] == pn[shingle_n - 1:]
-            sh_val = _fmix64(
-                (w * _WIN_MULS[:shingle_n]).sum(axis=1, dtype=np.uint64)
-            )[valid]
-            sh_par = pn[: nt - shingle_n + 1][valid]
-        # short rows (0 < len < shingle_n): one whole-row shingle, the
-        # same segment-sum rule as batch_minhash_signatures, so short
-        # identical docs still verify as near-dups
-        row_len = np.bincount(pn, minlength=n) if nt else np.zeros(
-            n, dtype=np.int64
-        )
-        short = np.flatnonzero((row_len > 0) & (row_len < shingle_n))
-        if short.size:
-            offsets0 = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(row_len, out=offsets0[1:])
-            pre = _fmix64(th * _WIN_MULS[0])
-            csum = np.concatenate(
-                ([np.uint64(0)], np.cumsum(pre, dtype=np.uint64))
-            )
-            sums = csum[offsets0[short + 1]] - csum[offsets0[short]]
-            sh_par = np.concatenate((sh_par, short))
-            sh_val = np.concatenate((sh_val, _fmix64(sums)))
-        # distinct shingles per row, grouped by row
-        order = np.lexsort((sh_val, sh_par))
-        sh_par, sh_val = sh_par[order], sh_val[order]
-        keep = np.ones(sh_par.size, dtype=bool)
-        keep[1:] = (np.diff(sh_par) != 0) | (np.diff(sh_val) != 0)
-        sh_par, sh_val = sh_par[keep], sh_val[keep]
-        lengths = np.bincount(sh_par, minlength=n)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
+        offsets, sh_val, ckey = _shingle_sets(_text_col(out), shingle_n)
         shingles = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()),
             pa.array(sh_val, pa.uint64()),
         )
-        # content key: 64-bit digest of the sorted-unique shingle set.
-        # Docs with equal ckey have IDENTICAL shingle sets, so the
-        # verify stage collapses them to one representative (the
-        # mega-bucket fix: a crawl cluster of B identical boilerplate
-        # docs costs 1 rep, not B^2/2 pair checks). Vectorized: each
-        # element is avalanche-mixed with its LOCAL position in the
-        # (sorted, canonical) segment, segments reduce by a csum-diff
-        # sum, and the sum is mixed with the segment length — the same
-        # kernels as the short-row path, no per-doc Python digest.
-        # Equal sets => equal sorted arrays => equal keys; unequal sets
-        # collide with 64-bit-hash probability (same as the truncated
-        # blake2b this replaces — only set-equality discrimination is
-        # required of ckey).
-        lengths64 = lengths.astype(np.uint64)
-        local_pos = (
-            np.arange(sh_val.size, dtype=np.uint64)
-            - np.repeat(offsets[:-1].astype(np.uint64), lengths)
-        )
-        mixed = _fmix64(
-            sh_val ^ _fmix64((local_pos + np.uint64(1)) * _WIN_MULS[0])
-        )
-        mcs = np.concatenate(
-            ([np.uint64(0)], np.cumsum(mixed, dtype=np.uint64))
-        )
-        seg_sum = mcs[offsets[1:]] - mcs[offsets[:-1]]
-        ckey = _fmix64(
-            seg_sum ^ _fmix64(lengths64 * _WIN_MULS[0] + np.uint64(1))
-        ).astype(np.int64)
         # n_sh lets the clique path exclude empty shingle sets (their
         # jaccard is 0 against everything — the union-0 contract — so
         # a shared empty-set ckey must never form an "identical"
@@ -1439,6 +1455,325 @@ def _near_dup_pairs_compute(
     # within-group dupes were already dropped distributed)
     out = _finalize_pairs(pairs, a_parts, b_parts, j_parts)
     return out if out is not None else empty
+
+
+def set_similarity_join(
+    sf_dir: str,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    top_freq: int = 2048,
+):
+    """EXACT set-similarity self-join with prefix filtering (Vernica,
+    Carey & Li, "Efficient Parallel Set-Similarity Joins Using
+    MapReduce", SIGMOD 2010): every doc pair whose shingle-set Jaccard
+    is >= ``threshold``, with GUARANTEED recall — no LSH miss — which
+    is what makes this pipeline SQL-expressible and oracle-gated,
+    unlike the candidate-driven ``near_dup_pairs``. Set semantics are
+    the family's (``_shingle_sets``): distinct token n-gram hashes,
+    order-insensitive whole-row hash for short docs. At equal
+    (threshold, shingle_n) the LSH path's output is a SUBSET of this
+    one (tested), so this is also the recall oracle for the LSH knobs.
+
+    Shape at 100 TB — two streaming corpus passes + ONE shuffle:
+    (1) shingle document frequencies (per-batch combiner -> small
+        groupby -> per-batch top-K -> tiny driver merge). Only the
+        TOP-K most frequent shingles are broadcast (O(top_freq), never
+        vocabulary-sized): they define the global prefix order with
+        rare-first semantics (rare shingles produce the fewest
+        candidates); shingles outside the top-K order among themselves
+        by hash and before every frequent one — still ONE consistent
+        total order, which is all prefix correctness requires.
+    (2) prefix emission: each doc ships its sorted shingle set once
+        per PREFIX shingle — prefix length L - ceil(t*L) + 1, the
+        Jaccard prefix bound (a pair with J >= t must share a shingle
+        lying in BOTH prefixes) — pre-keyed by a coarse bucket of the
+        prefix hash. Replication factor ~ (1-t)*L + 1 per doc (the
+        Vernica kernel trade: ship sets with prefixes, zero extra
+        joins).
+    (3) groupby(coarse).map_groups verify: docs collapse to one
+        representative per content key; identical-set cliques are
+        emitted exactly once globally by the doc's FIRST-prefix owner
+        group (same set => same prefix order => same owner group —
+        the designated-owner discipline); rep pairs are
+        length-filtered (J >= t forces min >= t*max) and ALL pair
+        intersections are counted in one vectorized lexsort pass —
+        no per-pair Python, no per-pair intersect1d.
+
+    Reference analog: grouped duplicate detection
+    (GoogleTakeoutTooling.scala:49-95), upgraded from exact-key
+    equality to threshold similarity."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+
+    # ---- pass 1: top-K most-frequent shingles (bounded broadcast) --
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _off, sh_val, _ck = _shingle_sets(_text_col(batch), shingle_n)
+        u, c = np.unique(sh_val, return_counts=True)
+        return pa.table({
+            "h": pa.array(u.view(np.int64), pa.int64()),
+            "df_partial": pa.array(c, pa.int64()),
+        })
+
+    def topk_combine(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if h.size > top_freq:
+            sel = np.argpartition(d, -top_freq)[-top_freq:]
+            h, d = h[sel], d[sel]
+        return pa.table({
+            "h": pa.array(h, pa.int64()),
+            "df": pa.array(d, pa.int64()),
+        })
+
+    cand = (
+        _docs(sf_dir, ["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("df_partial", alias_name="df"))
+        .map_batches(topk_combine, batch_format="pyarrow")
+        .to_pandas()  # <= top_freq rows per block, tiny
+    )
+    if len(cand) > top_freq:
+        cand = cand.nlargest(top_freq, "df")
+    hk = cand["h"].to_numpy().astype(np.int64).view(np.uint64)
+    dk = cand["df"].to_numpy().astype(np.int64)
+    o = np.lexsort((hk, dk))  # ascending df = rarer top-K first
+    rank = np.empty(o.size, dtype=np.int64)
+    rank[o] = np.arange(o.size)
+    srt = np.argsort(hk)
+    look_h, look_rank = hk[srt], rank[srt]
+    mapref = ray.put((look_h, look_rank))
+
+    # ---- pass 2: prefix emission ----
+    def emit(batch: pa.Table) -> pa.Table:
+        lk_h, lk_r = ray.get(mapref)
+        n = batch.num_rows
+        offsets, sh_val, ck = _shingle_sets(_text_col(batch), shingle_n)
+        lens = np.diff(offsets)
+        par = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.searchsorted(lk_h, sh_val)
+        freq = np.zeros(sh_val.size, dtype=bool)
+        inb = pos < lk_h.size
+        freq[inb] = lk_h[pos[inb]] == sh_val[inb]
+        tieb = sh_val.copy()
+        tieb[freq] = lk_r[pos[freq]].astype(np.uint64)
+        # prefix order per doc: (in-top-K flag asc, rank-or-hash asc);
+        # par is the primary lexsort key, so segments stay contiguous
+        # and par[order] == par elementwise
+        order = np.lexsort((tieb, freq, par))
+        pos_in = np.arange(sh_val.size, dtype=np.int64) - np.repeat(
+            offsets[:-1], lens
+        )
+        # alpha = ceil(t*L): the 1e-9 slack only ever LENGTHENS the
+        # prefix — float ceil must never round 0.6*5 =
+        # 3.0000000000000004 up to 4 and silently cut recall
+        alpha = np.ceil(threshold * lens - 1e-9).astype(np.int64)
+        p = np.maximum(lens - alpha + 1, 1)
+        keep = pos_in < p[par]
+        pref_par = par[keep]
+        pref_h = sh_val[order][keep]
+        first = pos_in[keep] == 0
+        sets_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(sh_val, pa.uint64())
+        )
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pk = pref_h.view(np.int64)
+        return pa.table({
+            "coarse": pa.array(pk & 0xFF, pa.int64()),
+            "pkey": pa.array(pk, pa.int64()),
+            "doc_id": pa.array(dids[pref_par], pa.int64()),
+            "sset": sets_arr.take(pa.array(pref_par, pa.int64())),
+            "n_sh": pa.array(lens[pref_par], pa.int64()),
+            "ckey": pa.array(ck[pref_par], pa.int64()),
+            "is_first": pa.array(first),
+        })
+
+    # ---- pass 3: verify (the only shuffle) ----
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty_df = pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        })
+        if not len(g):
+            return empty_df
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
+        parts_j: list[np.ndarray] = []
+
+        # identical-set cliques, once globally via first-prefix owner
+        fr = g[g["is_first"]]
+        if len(fr):
+            ca, cb = _clique_pairs(
+                fr["ckey"].to_numpy().astype(np.int64),
+                fr["doc_id"].to_numpy().astype(np.int64),
+            )
+            if ca.size:
+                parts_a.append(ca)
+                parts_b.append(cb)
+                parts_j.append(np.ones(ca.size, dtype=np.float64))
+
+        uniq = g.drop_duplicates("doc_id")
+        dids = uniq["doc_id"].to_numpy().astype(np.int64)
+        shs = uniq["sset"].to_numpy()
+        cks = uniq["ckey"].to_numpy().astype(np.int64)
+        lens = uniq["n_sh"].to_numpy().astype(np.int64)
+        so = np.argsort(dids, kind="stable")
+        dids, shs, cks, lens = dids[so], shs[so], cks[so], lens[so]
+        uniq_ck, inv = np.unique(cks, return_inverse=True)
+        R = uniq_ck.size
+        if R >= 2:
+            morder = np.lexsort((dids, inv))
+            msort = dids[morder]
+            starts = np.zeros(R + 1, dtype=np.int64)
+            np.cumsum(np.bincount(inv, minlength=R), out=starts[1:])
+            rep_rows = morder[starts[:-1]]
+            rlens = lens[rep_rows]
+            # candidate rep pairs: reps sharing a prefix shingle
+            rowdoc = g["doc_id"].to_numpy().astype(np.int64)
+            rowpk = g["pkey"].to_numpy().astype(np.int64)
+            rrep = inv[np.searchsorted(dids, rowdoc)]
+            o2 = np.lexsort((rrep, rowpk))
+            pk_s, rp_s = rowpk[o2], rrep[o2]
+            dup = np.ones(pk_s.size, dtype=bool)
+            dup[1:] = (np.diff(pk_s) != 0) | (np.diff(rp_s) != 0)
+            pk_s, rp_s = pk_s[dup], rp_s[dup]
+            bnd = np.flatnonzero(np.diff(pk_s)) + 1
+            rstarts = np.concatenate(([0], bnd))
+            rl = np.diff(np.concatenate((rstarts, [pk_s.size])))
+            key_parts = []
+            for L in np.unique(rl):
+                if L < 2:
+                    continue
+                S = rstarts[rl == L]
+                iu, ju = _tri_pair_indices(int(L))
+                A = rp_s[(S[:, None] + iu[None, :]).ravel()]
+                B = rp_s[(S[:, None] + ju[None, :]).ravel()]
+                key_parts.append(
+                    np.minimum(A, B) * R + np.maximum(A, B)
+                )
+            if key_parts:
+                uk = np.unique(np.concatenate(key_parts))
+                lo, hi = uk // R, uk % R
+                ne = lo != hi  # same-ckey pairs belong to the clique path
+                lo, hi = lo[ne], hi[ne]
+                la, lb = rlens[lo], rlens[hi]
+                okl = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
+                lo, hi, la, lb = lo[okl], hi[okl], la[okl], lb[okl]
+                P = lo.size
+                if P:
+                    # ALL pair intersections in one lexsort pass: each
+                    # pair's two (distinct, per-side) sets concatenate
+                    # under one pair id; a value adjacent-equal within
+                    # a pair appears on both sides = one shared shingle
+                    flat = np.concatenate(
+                        [np.asarray(shs[r], dtype=np.uint64)
+                         for r in rep_rows]
+                    )
+                    roff = np.zeros(R + 1, dtype=np.int64)
+                    np.cumsum(rlens, out=roff[1:])
+                    seg_rep = np.empty(2 * P, dtype=np.int64)
+                    seg_rep[0::2] = lo
+                    seg_rep[1::2] = hi
+                    seg_len = rlens[seg_rep]
+                    seg_start = np.cumsum(seg_len) - seg_len
+                    total = int(seg_len.sum())
+                    pos2 = np.arange(total, dtype=np.int64) - np.repeat(
+                        seg_start, seg_len
+                    )
+                    src = pos2 + np.repeat(roff[seg_rep], seg_len)
+                    vals = flat[src]
+                    pid = np.repeat(
+                        np.arange(2 * P, dtype=np.int64) // 2, seg_len
+                    )
+                    o3 = np.lexsort((vals, pid))
+                    v_s, p_s = vals[o3], pid[o3]
+                    eqm = np.zeros(v_s.size, dtype=bool)
+                    if v_s.size > 1:
+                        eqm[1:] = (np.diff(p_s) == 0) & (
+                            v_s[1:] == v_s[:-1]
+                        )
+                    inter = np.bincount(p_s[eqm], minlength=P)
+                    jac = inter / (la + lb - inter)
+                    okj = jac >= threshold
+                    # member expansion, once per passing rep pair
+                    for a_r, b_r, j in zip(lo[okj], hi[okj], jac[okj]):
+                        ma = msort[starts[a_r]:starts[a_r + 1]]
+                        mb = msort[starts[b_r]:starts[b_r + 1]]
+                        A = np.repeat(ma, mb.size)
+                        B = np.tile(mb, ma.size)
+                        parts_a.append(np.minimum(A, B))
+                        parts_b.append(np.maximum(A, B))
+                        parts_j.append(np.full(A.size, float(j)))
+        if not parts_a:
+            return empty_df
+        out = pd.DataFrame({
+            "doc_a": np.concatenate(parts_a).astype("int64"),
+            "doc_b": np.concatenate(parts_b).astype("int64"),
+            "jaccard": np.concatenate(parts_j),
+        })
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    emitted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        emit, batch_format="pyarrow"
+    )
+    pairs = emitted.groupby("coarse").map_groups(
+        verify, batch_format="pandas"
+    )
+    out = _finalize_pairs(pairs, [], [], [])
+    return out if out is not None else empty
+
+
+def set_similarity_join_sql(
+    threshold: float = 0.6, shingle_n: int = 3
+) -> str:
+    """Brute-force oracle for ``set_similarity_join``: the same
+    distinct-shingle sets built in SQL (token n-grams via list_slice
+    over the parity tokenizer expression; sorted whole-row string for
+    short docs — order-insensitive, multiset-faithful, matching the
+    engine's segment-sum rule), then all-pairs Jaccard through a
+    shingle-equality self-join. Feasible precisely because the engine
+    path is exact-recall."""
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    n = shingle_n
+    return f"""
+WITH toks AS (SELECT doc_id, {texpr} AS t FROM documents),
+tri AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i.i, i.i + {n} - 1), chr(1)) AS s
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i) i
+  WHERE len(t) >= {n}
+),
+whole AS (
+  SELECT doc_id, array_to_string(list_sort(t), chr(1)) AS s
+  FROM toks WHERE len(t) BETWEEN 1 AND {n} - 1
+),
+d AS (SELECT DISTINCT doc_id, s
+      FROM (SELECT * FROM tri UNION ALL SELECT * FROM whole)),
+card AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+FROM inter
+JOIN card na ON na.doc_id = doc_a
+JOIN card nb ON nb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {threshold}
+"""
 
 
 def near_dup_dedup(sf_dir: str, threshold: float = 0.6):

@@ -671,3 +671,102 @@ def test_corpus_dedup_exact_planted(tmp_path):
     got = got.sort_values("doc_id").reset_index(drop=True)
     assert list(got["doc_id"]) == list(oracle["doc_id"]) == [1, 2, 7]
     assert list(got["n_chars"]) == list(oracle["n_chars"])
+
+
+def _brute_pairs(texts, thr, shingle_n=3):
+    """All-pairs reference for the EXACT join: the family shingle sets
+    with the engine's ORDER-INSENSITIVE short-row rule (multiset, not
+    sequence — canonicalized as a sorted tuple here)."""
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+
+    sets = _brute_shingle_sets(texts, shingle_n)
+    tok = CodeTokenizer()
+    for i, t in enumerate(texts):
+        toks = tok.tokens_of(t)
+        if 0 < len(toks) < shingle_n:
+            sets[i] = {tuple(sorted(toks))}
+    out = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            u = len(sets[i] | sets[j])
+            if not u:
+                continue
+            jac = len(sets[i] & sets[j]) / u
+            if jac >= thr:
+                out[(i, j)] = jac
+    return out
+
+
+def _simjoin_fixture(tmp_path, seed=11):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for _ in range(5):
+        base = " ".join(rng.choice(vocab, size=int(rng.integers(7, 30))))
+        texts.append(base)
+        toks = base.split()
+        for _ in range(int(rng.integers(1, 3))):
+            m = list(toks)
+            for posn in rng.integers(0, len(m), size=2):
+                m[int(posn)] = f"mut{int(rng.integers(0, 9))}"
+            texts.append(" ".join(m))
+        texts.append(base)  # exact copy -> identical-set clique member
+    # 7-token docs have exactly 5 shingles — the 0.6*5 float-ceil edge
+    # (3.0000000000000004 must not round the prefix bound up to 4);
+    # short docs exercise the order-insensitive whole-row rule
+    texts += ["aa bb", "aa bb", "bb aa", "solo_token", ""]
+    n = len(texts)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(texts),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return d, texts
+
+
+def test_set_similarity_join_equals_bruteforce(tmp_path):
+    """EXACT recall: the prefix-filtered join's pairs EQUAL the
+    brute-force all-pairs result — not merely a subset — including
+    identical-set cliques, short docs and prefix-boundary lengths."""
+    from sotohp_ray.pipelines.textops import set_similarity_join
+
+    d, texts = _simjoin_fixture(tmp_path)
+    thr = 0.6
+    out = set_similarity_join(str(d), threshold=thr).to_pandas()
+    got = {(int(a), int(b)): float(j) for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    want = _brute_pairs(texts, thr)
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12, (k, got[k], j)
+    assert any(j == 1.0 for j in want.values())  # cliques exercised
+
+
+def test_lsh_pairs_subset_of_exact_join(tmp_path):
+    """The LSH-candidate path (near_dup_pairs) can only MISS pairs,
+    never invent them: its output must be a subset of the exact join
+    at equal (threshold, shingle_n), with jaccard agreeing up to the
+    LSH path's 6-decimal rounding. The exact join is thus the recall
+    oracle for the LSH band settings."""
+    from sotohp_ray.pipelines.textops import (
+        near_dup_pairs, set_similarity_join,
+    )
+
+    d, _texts = _simjoin_fixture(tmp_path, seed=23)
+    thr = 0.6
+    exact = set_similarity_join(str(d), threshold=thr).to_pandas()
+    lsh = near_dup_pairs(str(d), threshold=thr).to_pandas()
+    exact_map = {(int(a), int(b)): float(j) for a, b, j in
+                 zip(exact["doc_a"], exact["doc_b"], exact["jaccard"])}
+    assert len(lsh), "LSH path found nothing on a planted fixture"
+    for a, b, j in zip(lsh["doc_a"], lsh["doc_b"], lsh["jaccard"]):
+        key = (int(a), int(b))
+        assert key in exact_map, f"LSH emitted a non-pair {key}"
+        assert abs(float(j) - exact_map[key]) < 1e-6, (key, j)
