@@ -47,6 +47,8 @@ from sotohp_ray.pipelines.fulltext import (
     search_snippets_sql,
     similar_docs,
     similar_docs_sql,
+    suggest_terms,
+    suggest_terms_sql,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered_paged": lambda sf: bm25_topk_filtered_paged(sf),
         "term_positions": lambda sf: term_positions(sf),
         "prefix_search": lambda sf: prefix_search(sf),
+        "suggest_terms": lambda sf: suggest_terms(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
@@ -180,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_filtered_paged": bm25_filtered_paged_sql(),
         "term_positions": term_positions_sql(),
         "prefix_search": prefix_search_sql(),
+        "suggest_terms": suggest_terms_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),

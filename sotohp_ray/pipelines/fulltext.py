@@ -407,6 +407,66 @@ def prefix_search_sql(prefixes=PREFIX_QUERIES) -> str:
     return _multiterm_sql(prefixes, "prefix", "term LIKE '{q}%'")
 
 
+SUGGEST_PREFIXES = ("s", "b", "w", "f")
+# k below the widest prefix's match count ("s" matches 6 terms on the
+# testdata vocabulary), so the df-desc ranking is actually exercised
+# by the truncation, not just the ordering
+SUGGEST_K = 4
+
+
+def suggest_terms(
+    sf_dir: str, prefixes=SUGGEST_PREFIXES, k: int = SUGGEST_K
+) -> pa.Table:
+    """(prefix, term, df): completion suggestions — for each query
+    prefix, the top-k dictionary terms ranked by document frequency
+    (df desc, term asc). The ES completion/term-suggester analog
+    (reference: the search UI's keyword suggestions over the ES
+    dictionary, ElasticOperations.scala), served entirely from the
+    index dictionary — no postings decode, no corpus scan."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    ps: list[str] = []
+    ts: list[str] = []
+    ds: list[int] = []
+    for p in prefixes:
+        terms, dfs = s.suggest(p, k=k)
+        ps += [p] * len(terms)
+        ts += terms
+        ds += [int(d) for d in dfs]
+    return pa.table({
+        "prefix": pa.array(ps, pa.string()),
+        "term": pa.array(ts, pa.string()),
+        "df": pa.array(ds, pa.int64()),
+    })
+
+
+def suggest_terms_sql(
+    prefixes=SUGGEST_PREFIXES, k: int = SUGGEST_K
+) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    if not prefixes:
+        raise ValueError("empty prefixes")
+    parts = []
+    for p in prefixes:
+        q = p.replace("'", "''")
+        parts.append(
+            f"(SELECT '{q}' AS prefix, term, df FROM df\n"
+            f"   WHERE term LIKE '{q}%'\n"
+            f"   ORDER BY df DESC, term ASC LIMIT {k})"
+        )
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({texpr}) AS term FROM documents),
+d AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*) AS df FROM d GROUP BY term)
+{body}
+"""
+
+
 SNIPPET_WINDOW = 5
 
 

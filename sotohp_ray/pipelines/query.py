@@ -1254,6 +1254,30 @@ class Searcher:
             docs, counts = docs[live], counts[live]
         return docs, counts.astype(np.int64)
 
+    def suggest(self, prefix: str, k: int = 10):
+        """Completion suggester: the top-k dictionary terms starting
+        with ``prefix``, ranked by document frequency (df desc, term
+        asc) — the ES term/completion-suggester analog
+        (ElasticOperations.scala keyword dictionary), answered
+        straight from the dictionary with ZERO postings decode (df is
+        a dictionary column). Vocabulary-sized vectorized scan,
+        matched-set-sized lexsort. df is index-time df: per-doc
+        deletes narrow retrieval via tombstone masks, but suggestion
+        counts refresh at compaction (the same staleness contract ES
+        document-frequency stats have between merges)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        hits = pc.starts_with(self._tbl["term"], prefix)
+        idx = np.flatnonzero(hits.to_numpy(zero_copy_only=False))
+        if idx.size == 0:
+            return [], np.zeros(0, dtype=np.int64)
+        dfs = self._dfs[idx].astype(np.int64)
+        terms = np.array(
+            self._tbl["term"].take(pa.array(idx, pa.int64())).to_pylist()
+        )
+        order = np.lexsort((terms, -dfs))[:k]
+        return terms[order].tolist(), dfs[order]
+
     def fuzzy_terms(self, q: str) -> list[str]:
         """Dictionary terms within Levenshtein distance 1 of ``q``
         (Lucene FuzzyQuery, fixed max-edits=1), via the vectorized

@@ -850,3 +850,31 @@ def test_boolean_exclude_matches_scan_and_fanout(small_index):
             f.search_boolean(q, mode="and", exclude=ex), got,
             err_msg=(q, ex),
         )
+
+
+def test_suggest_ranks_by_df_then_term(small_index):
+    """Completion suggester: df-desc/term-asc ranking, k truncation,
+    agreement with the dictionary's own (term, df) rows, and the
+    empty-prefix guard."""
+    import numpy as np
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    terms = s._tbl["term"].to_pylist()
+    dfs = s._dfs.astype(np.int64)
+    by_term = dict(zip(terms, (int(d) for d in dfs)))
+    # pick the densest first letter in this corpus's vocabulary
+    letter = max({t[0] for t in terms},
+                 key=lambda c: sum(t.startswith(c) for t in terms))
+    want = sorted(
+        ((t, by_term[t]) for t in terms if t.startswith(letter)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    got_t, got_d = s.suggest(letter, k=3)
+    assert list(zip(got_t, (int(d) for d in got_d))) == want[:3]
+    assert len(got_t) <= 3
+    # no match -> empty, not an error
+    t0, d0 = s.suggest("zzznotfound")
+    assert t0 == [] and d0.size == 0
+    with pytest.raises(ValueError):
+        s.suggest("")
