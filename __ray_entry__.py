@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": textops.sample_stratified,
         "sample_random": textops.sample_random,
         "doc_length_histogram": textops.doc_length_histogram,
+        "doc_length_quantiles": textops.doc_length_quantiles,
         "doc_keywords": textops.doc_keywords,
         "vocabulary_stats": textops.vocabulary_stats,
         # --- dedup family ---
@@ -160,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_gap": relational.events_prev_gap,
         "events_type_stats": relational.events_type_stats,
         "events_topk_by_value": relational.events_topk_by_value,
+        "events_topn_per_user": relational.events_topn_per_user,
+        "customers_without_big_orders":
+            relational.customers_without_big_orders,
         "events_asof_orders": relational.events_asof_orders,
         "events_sessionize": relational.events_sessionize,
         "events_page": relational.events_page,
@@ -243,6 +247,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": textops.sample_stratified_sql(),
         "sample_random": textops.sample_random_sql(),
         "doc_length_histogram": textops.doc_length_histogram_sql(),
+        "doc_length_quantiles": textops.doc_length_quantiles_sql(),
+        "events_topn_per_user": relational.events_topn_per_user_sql(),
+        "customers_without_big_orders":
+            relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),
         "vocabulary_stats": textops.vocabulary_stats_sql(),
         "embedding_near_dup": ann.embedding_near_dup_sql(),

@@ -307,6 +307,148 @@ def events_topk_by_value(sf_dir: str, k: int = 20):
     )
 
 
+def events_topn_per_user(sf_dir: str, n: int = 3):
+    """(user_id, event_id, value): grouped top-N — each user's N
+    highest-value events (value desc, event_id asc tie-break), the
+    keyed generalization of ``events_topk_by_value`` (O6) and the
+    per-group bounded page of O3 (ApiApp.scala:749-753 caps ordered
+    reads per request). Two-level top-N: a per-batch vectorized
+    combiner keeps at most N rows PER USER PER BLOCK, so the single
+    groupby shuffles a candidate set bounded by N x users x blocks —
+    independent of how many events a hot user has — and the per-group
+    finalize reruns the same lexsort kernel. The naive shape (global
+    groupby(user).map_groups(head)) ships EVERY row of a 100 TB table
+    through the exchange; this ships at most N per user per block."""
+    import pandas as pd
+
+    def _topn(u, e, v):
+        order = np.lexsort((e, -v, u))
+        us, es, vs = u[order], e[order], v[order]
+        starts = np.zeros(us.size, dtype=bool)
+        if us.size:
+            starts[0] = True
+            starts[1:] = us[1:] != us[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        pos = np.arange(us.size, dtype=np.int64) - run_start[run_id]
+        keep = pos < n
+        return us[keep], es[keep], vs[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        us, es, vs = _topn(u, e, v)
+        return pa.table({
+            "ukey": _ukey(us),
+            "user_id": pa.array(us, pa.int64()),
+            "event_id": pa.array(es, pa.int64()),
+            "value": pa.array(vs, pa.float64()),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        us, es, vs = _topn(
+            g["user_id"].to_numpy(),
+            g["event_id"].to_numpy(),
+            g["value"].to_numpy(),
+        )
+        return pd.DataFrame({
+            "user_id": us.astype("int64"),
+            "event_id": es.astype("int64"),
+            "value": vs,
+        })
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def events_topn_per_user_sql(n: int = 3) -> str:
+    return f"""
+        SELECT user_id, event_id, value FROM events
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id ORDER BY value DESC, event_id ASC
+        ) <= {n}
+    """
+
+
+ANTI_ORDER_MIN = 300_000.0
+
+
+def customers_without_big_orders(
+    sf_dir: str, min_total: float = ANTI_ORDER_MIN
+):
+    """(c_custkey, c_acctbal): customers with NO order above
+    ``min_total`` — a co-partitioned hash ANTI-join (the negative form
+    of J6's semi-join filter). Both sides stream through per-batch
+    projections (the probe side filters to qualifying orders and
+    collapses to DISTINCT custkeys per batch before the exchange),
+    union into ONE groupby on the shared coarse key hash, and each
+    group emits its customer rows whose key never appears on the probe
+    side (one vectorized isin per group). No broadcast and no
+    small-side assumption: this is the big-big join shape — the
+    FK-hydration joins broadcast because dims are genuinely small; an
+    anti-join against a 100 TB fact table cannot."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag_c(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "ukey": _ukey(k),
+            "c_acctbal": batch["c_acctbal"].cast(pa.float64()),
+            "is_probe": pa.array(np.zeros(len(batch), bool)),
+        })
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        k = np.unique(ck[tp > min_total]).astype(np.int64)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "ukey": _ukey(k),
+            "c_acctbal": pa.array(np.zeros(k.size), pa.float64()),
+            "is_probe": pa.array(np.ones(k.size, bool)),
+        })
+
+    both = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g["is_probe"].to_numpy()
+        keys = g["key"].to_numpy()
+        seen = np.unique(keys[probe])
+        keep = ~probe & ~np.isin(keys, seen)
+        return pd.DataFrame({
+            "c_custkey": keys[keep].astype("int64"),
+            "c_acctbal": g["c_acctbal"].to_numpy()[keep],
+        })
+
+    return both.groupby("ukey").map_groups(anti, batch_format="pandas")
+
+
+def customers_without_big_orders_sql(
+    min_total: float = ANTI_ORDER_MIN,
+) -> str:
+    return f"""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > {min_total}
+        )
+    """
+
+
 def events_asof_orders(sf_dir: str):
     """(event_id, n_prior_orders, last_order_gap_us): as-of join — for
     each event, the user's most recent order at-or-before the event

@@ -2348,6 +2348,75 @@ def doc_length_histogram_sql(bucket: int = 100) -> str:
     """
 
 
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def doc_length_quantiles(sf_dir: str, qs=QUANTILE_QS):
+    """(quantile, n_chars): EXACT discrete corpus quantiles
+    (percentile_disc: the value at 1-based rank ceil(q*N) of the
+    sorted stream) WITHOUT a distributed sort. Lengths are
+    bounded-cardinality values, so a per-batch value-histogram
+    combiner + one tiny groupby + a driver-side cumsum answer every
+    quantile exactly; the exchange carries (distinct lengths x
+    blocks) partial rows instead of the full table an order-by
+    quantile would shuffle. Rank arithmetic is the same IEEE double
+    ceil(q*N) on both the engine and the SQL oracle, so boundary
+    quantiles (0.9*500) agree bit-for-bit. Reference analog: the
+    statistics rollups of A2 (Statistics.scala:84-93), upgraded from
+    mean/max to full percentiles."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"n_chars": batch["n_chars"]})
+            .group_by("n_chars")
+            .aggregate([([], "count_all")])
+        )
+        return agg_select(
+            g, {"n_chars": "n_chars", "count_all": "n_partial"}
+        )
+
+    hist = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()  # distinct-length-sized, never corpus-sized
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    vals = hist["n_chars"].to_numpy().astype(np.int64)
+    cum = hist["n"].to_numpy().astype(np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out_q: list[float] = []
+    out_v: list[int] = []
+    for q in qs:
+        if not total:
+            continue
+        rank = max(int(np.ceil(np.float64(q) * total)), 1)
+        out_q.append(float(q))
+        out_v.append(int(vals[int(np.searchsorted(cum, rank))]))
+    return pa.table({
+        "quantile": pa.array(out_q, pa.float64()),
+        "n_chars": pa.array(out_v, pa.int64()),
+    })
+
+
+def doc_length_quantiles_sql(qs=QUANTILE_QS) -> str:
+    values = ", ".join(f"({q}::DOUBLE)" for q in qs)
+    return f"""
+WITH o AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT q.q AS quantile, min(o.n_chars) AS n_chars
+FROM (VALUES {values}) q(q)
+JOIN o ON o.rn >= ceil(q.q * o.n)
+GROUP BY 1
+"""
+
+
 SAMPLE_RATE_PPM = 100_000  # 10%
 _SAMPLE_MUL = 2654435761  # Knuth multiplicative hash (public constant)
 
