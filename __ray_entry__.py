@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": relational.events_type_stats,
         "events_topk_by_value": relational.events_topk_by_value,
         "events_topn_per_user": relational.events_topn_per_user,
+        "events_hopping_window": relational.events_hopping_window,
+        "events_rolling_max": relational.events_rolling_max,
         "customers_without_big_orders":
             relational.customers_without_big_orders,
         "events_asof_orders": relational.events_asof_orders,
@@ -249,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": textops.doc_length_histogram_sql(),
         "doc_length_quantiles": textops.doc_length_quantiles_sql(),
         "events_topn_per_user": relational.events_topn_per_user_sql(),
+        "events_hopping_window": relational.events_hopping_window_sql(),
+        "events_rolling_max": relational.events_rolling_max_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

@@ -194,6 +194,165 @@ def events_hourly(sf_dir: str):
 
 
 
+HOP_WINDOW_US = 7_200_000_000  # 2 h window ...
+HOP_US = 3_600_000_000  # ... hopping every 1 h (replication factor 2)
+
+
+def events_hopping_window(
+    sf_dir: str, window_us: int = HOP_WINDOW_US, hop_us: int = HOP_US
+):
+    """(window_start, n_events, sum_value): HOPPING (sliding) window
+    aggregate — overlapping windows of ``window_us`` advancing every
+    ``hop_us`` (window/hop must divide evenly). The streaming-window
+    generalization of ``events_hourly``'s tumbling case: each event is
+    fanned out map-side to the r = window/hop windows covering it,
+    pre-aggregated per (window) INSIDE the batch, and only (window,
+    partial) rows reach the exchange — the shuffle carries r x
+    #distinct-windows-per-block rows, never r x the raw table. The
+    replication factor r is the documented cost knob: a 24h window
+    hopping hourly is r=24 at the partial stage but still
+    window-count-sized on the wire."""
+    from ray.data.aggregate import Sum
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    r = window_us // hop_us
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        base = t // hop_us * hop_us
+        # all r covering window starts per event (start <= ts < end)
+        ws = np.repeat(base, r) - np.tile(
+            np.arange(r, dtype=np.int64) * hop_us, t.size
+        )
+        vv = np.repeat(v, r)
+        uws, inv = np.unique(ws, return_inverse=True)
+        return pa.table({
+            "ws": pa.array(uws, pa.int64()),
+            "n_partial": pa.array(
+                np.bincount(inv).astype(np.int64), pa.int64()
+            ),
+            "sum_partial": pa.array(
+                np.bincount(inv, weights=vv), pa.float64()
+            ),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ws")
+        .aggregate(
+            Sum("n_partial", alias_name="n_events"),
+            Sum("sum_partial", alias_name="sum_value"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # integer-cents total (the q1 discipline): windows aggregate
+        # hundreds of values, so a 2-decimal float round still flips
+        # on summation-order noise; a cents cast does not
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["sum_value"], 100.0), 0),
+            pa.int64(),
+        )
+        return pa.table({
+            "window_start": batch["ws"].cast(pa.timestamp("us")),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "sum_value_cents": cents,
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_hopping_window_sql(
+    window_us: int = HOP_WINDOW_US, hop_us: int = HOP_US
+) -> str:
+    r = window_us // hop_us
+    return f"""
+        WITH g AS (SELECT unnest(range(0, {r})) AS i),
+        e AS (SELECT epoch_us(ts) AS t, value FROM events),
+        w AS (
+          SELECT (t // {hop_us} - g.i) * {hop_us} AS ws, value
+          FROM e, g
+        )
+        SELECT make_timestamp(ws) AS window_start,
+               count(*) AS n_events,
+               CAST(round(sum(value) * 100.0) AS BIGINT)
+                 AS sum_value_cents
+        FROM w GROUP BY 1
+    """
+
+
+ROLL_W = 3
+
+
+def events_rolling_max(sf_dir: str, w: int = ROLL_W):
+    """(event_id, roll_max): per-user rolling maximum over the last
+    ``w`` events ordered by (ts, event_id) — the sliding-window
+    function shape (O7) beside the lag-shaped ``events_prev_gap``.
+    max is chosen as the rolling aggregate because it is
+    ASSOCIATIVITY-EXACT on floats (a rolling float SUM would hash-
+    mismatch any oracle whose window implementation adds in a
+    different order). Same co-partitioning discipline as every window
+    op here: per-batch tag on the shared coarse user hash, ONE
+    groupby, vectorized shifted-maximum kernel per group — no
+    per-user pandas groups, no driver loop."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(u),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"].cast(pa.timestamp("us")),
+            "value": batch["value"].cast(pa.float64()),
+        })
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        t = g["ts"].astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        out = v.copy()
+        for k in range(1, w):
+            # shifted-by-k value, masked to the same user's run
+            ok = np.zeros(v.size, dtype=bool)
+            ok[k:] = u[k:] == u[:-k]
+            idx = np.flatnonzero(ok)
+            out[idx] = np.maximum(out[idx], v[idx - k])
+        return pd.DataFrame({
+            "event_id": e.astype("int64"),
+            "roll_max": out,
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def events_rolling_max_sql(w: int = ROLL_W) -> str:
+    return f"""
+        SELECT event_id,
+               max(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+               ) AS roll_max
+        FROM events
+    """
+
+
 _COARSE_MASK = 0x3F  # 64 coarse user-hash groups for the window ops
 
 
