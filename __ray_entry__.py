@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topn_per_user": relational.events_topn_per_user,
         "events_hopping_window": relational.events_hopping_window,
         "events_rolling_max": relational.events_rolling_max,
+        "events_distinct_users": relational.events_distinct_users,
+        "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "customers_without_big_orders":
             relational.customers_without_big_orders,
         "events_asof_orders": relational.events_asof_orders,
@@ -253,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topn_per_user": relational.events_topn_per_user_sql(),
         "events_hopping_window": relational.events_hopping_window_sql(),
         "events_rolling_max": relational.events_rolling_max_sql(),
+        "events_distinct_users": relational.events_distinct_users_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

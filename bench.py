@@ -322,6 +322,25 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("ann_ivf_fullprobe",
           lambda: ann.ann_ivf_search(sf_dir, n_centroids=32, n_probe=32))
     timed("doc_repetition", lambda: textops.doc_repetition(sf_dir))
+    timed("set_similarity_join",
+          lambda: textops.set_similarity_join(sf_dir))
+    from sotohp_ray.pipelines.fulltext import suggest_terms
+
+    timed("suggest_terms", lambda: suggest_terms(sf_dir))
+    timed("events_topn_per_user",
+          lambda: relational.events_topn_per_user(sf_dir))
+    timed("customers_without_big_orders",
+          lambda: relational.customers_without_big_orders(sf_dir))
+    timed("doc_length_quantiles",
+          lambda: textops.doc_length_quantiles(sf_dir))
+    timed("events_hopping_window",
+          lambda: relational.events_hopping_window(sf_dir))
+    timed("events_rolling_max",
+          lambda: relational.events_rolling_max(sf_dir))
+    timed("events_distinct_users",
+          lambda: relational.events_distinct_users(sf_dir))
+    timed("events_user_hll",
+          lambda: relational.events_user_hll(sf_dir))
     return out
 
 

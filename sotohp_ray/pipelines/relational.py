@@ -288,6 +288,128 @@ def events_hopping_window_sql(
     """
 
 
+def events_distinct_users(sf_dir: str):
+    """(event_type, n_users): distributed exact COUNT DISTINCT — the
+    two-level distinct discipline: each batch collapses to its
+    DISTINCT (event_type, user_id) pairs before the exchange, the
+    groupby dedups pairs globally, and a second (tiny) aggregation
+    counts pairs per type. The exchange carries distinct-pairs-per-
+    block, never raw events; the exact twin of the HLL sketch
+    (``events_user_hll``), which replaces the pair exchange with
+    fixed 2^p-byte mergeable registers when even distinct pairs are
+    too many."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count())  # global pair dedup; the count is unused
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": batch["event_type"]})
+            .group_by("event_type")
+            .aggregate([([], "count_all")])
+        )
+        from sotohp_ray.utils import agg_select
+
+        return agg_select(
+            g, {"event_type": "event_type", "count_all": "n_partial"}
+        )
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+    )
+
+
+def events_distinct_users_sql() -> str:
+    return """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """
+
+
+HLL_P = 12  # 4096 registers: sigma = 1.04/sqrt(m) = 1.6%
+
+
+def events_user_hll(sf_dir: str, p: int = HLL_P):
+    """(event_type, approx_users): HyperLogLog approximate COUNT
+    DISTINCT (Flajolet et al. 2007) — the mergeable-sketch aggregation
+    pattern: each batch folds its user hashes into a fixed 2^p-byte
+    register array per event type, the groupby merges sketches with an
+    elementwise max, and the estimator runs once per type on the
+    driver-visible result. The exchange cost is (types x blocks) rows
+    of 2^p bytes — INDEPENDENT of user cardinality, which is the whole
+    point: the exact twin ``events_distinct_users`` ships every
+    distinct pair, this ships 4 KB per type per block. Not
+    SQL-expressible (rows-only entry); accuracy is pytest-gated
+    against the exact twin at 3-sigma (sigma = 1.04/sqrt(2^p))."""
+    import pandas as pd
+
+    from sotohp_ray.functions.hashing import _fmix64
+
+    m = 1 << p
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        h = _fmix64(u)
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        w = (h >> np.uint64(p)).astype(np.uint64)
+        # rank = leading-zero count of the (64-p)-bit suffix + 1;
+        # ints < 2^53 are exact in float64, so log2 is safe at p >= 12
+        rank = np.full(w.size, 64 - p + 1, dtype=np.uint8)
+        nz = w > 0
+        rank[nz] = (
+            (64 - p) - np.floor(np.log2(w[nz].astype(np.float64)))
+        ).astype(np.uint8)
+        types, inv = np.unique(et, return_inverse=True)
+        regs = np.zeros((types.size, m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rank)
+        return pa.table({
+            "event_type": pa.array(types),
+            "regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(regs.ravel(), pa.uint8()), m
+            ),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        regs = np.maximum.reduce(
+            np.stack([np.asarray(r, dtype=np.uint8)
+                      for r in g["regs"].to_numpy()])
+        )
+        # bias-corrected raw estimate + small-range linear counting
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(
+            np.exp2(-regs.astype(np.float64))
+        )
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pd.DataFrame({
+            "event_type": [et],
+            "approx_users": [int(round(est))],
+        })
+
+    return (
+        ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 ROLL_W = 3
 
 

@@ -770,3 +770,26 @@ def test_lsh_pairs_subset_of_exact_join(tmp_path):
         key = (int(a), int(b))
         assert key in exact_map, f"LSH emitted a non-pair {key}"
         assert abs(float(j) - exact_map[key]) < 1e-6, (key, j)
+
+
+def test_hll_within_error_bound_and_mergeable():
+    """HyperLogLog sketch accuracy: per-type approximate distinct
+    users within 3 sigma (1.04/sqrt(2^p)) of the exact distributed
+    count-distinct twin, on the real events table. Merging across
+    batches is exercised by construction (multiple blocks per type)."""
+    from sotohp_ray.pipelines.relational import (
+        HLL_P, events_distinct_users, events_user_hll,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = events_distinct_users(sf).to_pandas().set_index(
+        "event_type"
+    )["n_users"]
+    approx = events_user_hll(sf).to_pandas().set_index(
+        "event_type"
+    )["approx_users"]
+    assert set(exact.index) == set(approx.index)
+    bound = 3 * 1.04 / np.sqrt(1 << HLL_P)
+    for t in exact.index:
+        rel = abs(approx[t] - exact[t]) / exact[t]
+        assert rel <= bound, (t, approx[t], exact[t], rel)
