@@ -341,6 +341,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_distinct_users(sf_dir))
     timed("events_user_hll",
           lambda: relational.events_user_hll(sf_dir))
+    timed("orders_with_segment",
+          lambda: relational.orders_with_segment(sf_dir))
     return out
 
 

@@ -288,6 +288,71 @@ def events_hopping_window_sql(
     """
 
 
+def orders_with_segment(sf_dir: str):
+    """(o_orderkey, c_mktsegment): big-big INNER equi-join via
+    co-partitioning — completing the join family (broadcast
+    FK-hydration J1, as-of J4, semi J6, anti above): both sides
+    shuffle ONCE on the shared coarse key hash and each group runs a
+    vectorized sorted-build/probe (searchsorted), no broadcast and no
+    small-side assumption. At 10^9 rows per side the exchange carries
+    each row exactly once and the per-group probe is O((b+p) log b)
+    vectorized — the FK broadcast joins remain the right tool only
+    when one side is genuinely dim-sized."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tag_c(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "ukey": _ukey(k),
+            "okey": pa.array(np.full(len(batch), -1, np.int64)),
+            "seg": batch["c_mktsegment"].cast(pa.string()),
+            "is_build": pa.array(np.ones(len(batch), bool)),
+        })
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["o_custkey"].cast(pa.int64()),
+            "ukey": _ukey(k),
+            "okey": batch["o_orderkey"].cast(pa.int64()),
+            "seg": pa.array([""] * len(batch), pa.string()),
+            "is_build": pa.array(np.zeros(len(batch), bool)),
+        })
+
+    both = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        keys = g["key"].to_numpy()
+        bk = keys[build]
+        bseg = g["seg"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk, bseg = bk[o], bseg[o]
+        pk = keys[~build]
+        pok = g["okey"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (pos < bk.size) & (bk[np.minimum(pos, bk.size - 1)] == pk)
+        return pd.DataFrame({
+            "o_orderkey": pok[ok].astype("int64"),
+            "c_mktsegment": bseg[pos[ok]],
+        })
+
+    return both.groupby("ukey").map_groups(join, batch_format="pandas")
+
+
+def orders_with_segment_sql() -> str:
+    return """
+        SELECT o_orderkey, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+
 def events_distinct_users(sf_dir: str):
     """(event_type, n_users): distributed exact COUNT DISTINCT — the
     two-level distinct discipline: each batch collapses to its
