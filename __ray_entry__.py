@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relational.events_distinct_users,
         "orders_with_segment": relational.orders_with_segment,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
+        "events_value_quantile_sketch":
+            relational.events_value_quantile_sketch,    # rows-only (sketch)
         "customers_without_big_orders":
             relational.customers_without_big_orders,
         "events_asof_orders": relational.events_asof_orders,

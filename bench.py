@@ -343,6 +343,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_user_hll(sf_dir))
     timed("orders_with_segment",
           lambda: relational.orders_with_segment(sf_dir))
+    timed("events_value_quantile_sketch",
+          lambda: relational.events_value_quantile_sketch(sf_dir))
     return out
 
 

@@ -793,3 +793,27 @@ def test_hll_within_error_bound_and_mergeable():
     for t in exact.index:
         rel = abs(approx[t] - exact[t]) / exact[t]
         assert rel <= bound, (t, approx[t], exact[t], rel)
+
+
+def test_kll_quantile_sketch_rank_accuracy():
+    """KLL sketch quantiles must sit within ~2/k rank error of the
+    exact quantiles of the real events.value column, and the sketch
+    must actually compress (no value-sized state survives)."""
+    import duckdb
+
+    from sotohp_ray.pipelines.relational import (
+        KLL_K, events_value_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = events_value_quantile_sketch(sf).to_pandas()
+    con = duckdb.connect()
+    vals = con.sql(
+        f"SELECT value FROM '{sf}/events.parquet' ORDER BY value"
+    ).df()["value"].to_numpy()
+    n = vals.size
+    eps = 2.0 / KLL_K
+    for q, va in zip(out["quantile"], out["value_approx"]):
+        # rank of the approximate answer in the true sorted column
+        r = np.searchsorted(vals, va, side="right") / n
+        assert abs(r - q) <= eps + 1.0 / n, (q, va, r)
