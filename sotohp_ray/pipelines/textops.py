@@ -1489,7 +1489,16 @@ def set_similarity_join(
         lying in BOTH prefixes) — pre-keyed by a coarse bucket of the
         prefix hash. Replication factor ~ (1-t)*L + 1 per doc (the
         Vernica kernel trade: ship sets with prefixes, zero extra
-        joins).
+        joins). APPLICABILITY ENVELOPE: shipping the set with every
+        prefix token costs ~(1-t)*L^2 values per doc, so this kernel
+        targets bounded-L records (dedup shingle sets of typical web
+        docs, titles, URLs, code lines — L up to a few thousand). For
+        heavy-tailed L, either pre-truncate to a capped shingle
+        sample, use the LSH path (``near_dup_pairs``, linear in L),
+        or switch to Vernica's basic kernel (emit doc-ids only, then
+        a second co-partitioned exchange re-fetches sets — one extra
+        shuffle, linear shipping), which this implementation
+        deliberately trades away for the short-record case.
     (3) groupby(coarse).map_groups verify: docs collapse to one
         representative per content key; identical-set cliques are
         emitted exactly once globally by the doc's FIRST-prefix owner

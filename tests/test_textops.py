@@ -817,3 +817,44 @@ def test_kll_quantile_sketch_rank_accuracy():
         # rank of the approximate answer in the true sorted column
         r = np.searchsorted(vals, va, side="right") / n
         assert abs(r - q) <= eps + 1.0 / n, (q, va, r)
+
+
+def test_set_similarity_join_property_random_corpora(tmp_path):
+    """Property check: on randomized corpora (varying vocab overlap,
+    doc lengths crossing the short-row boundary, duplicate rates) the
+    exact join equals brute force. Seeds are fixed for reproducibility
+    but span structurally different corpora."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import set_similarity_join
+
+    for seed in (3, 101, 777):
+        rng = np.random.default_rng(seed)
+        vocab = [f"v{i}" for i in range(int(rng.integers(8, 60)))]
+        texts = []
+        for _ in range(int(rng.integers(10, 40))):
+            ln = int(rng.integers(0, 15))
+            texts.append(" ".join(rng.choice(vocab, size=ln)))
+        # planted duplicates and near-duplicates
+        for i in list(range(0, len(texts), 5)):
+            if texts[i]:
+                texts.append(texts[i])
+        n = len(texts)
+        d = tmp_path / f"sf{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(texts),
+            }),
+            str(d / "documents.parquet"),
+        )
+        thr = float(rng.choice([0.4, 0.5, 0.6, 0.8]))
+        out = set_similarity_join(str(d), threshold=thr).to_pandas()
+        got = {(int(a), int(b)): float(j) for a, b, j in
+               zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+        want = _brute_pairs(texts, thr)
+        assert set(got) == set(want), (seed, thr)
+        for kk, j in want.items():
+            assert abs(got[kk] - j) < 1e-12, (seed, thr, kk)
