@@ -49,6 +49,8 @@ from sotohp_ray.pipelines.fulltext import (
     similar_docs_sql,
     suggest_terms,
     suggest_terms_sql,
+    contains_search,
+    contains_search_sql,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -94,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_positions": lambda sf: term_positions(sf),
         "prefix_search": lambda sf: prefix_search(sf),
         "suggest_terms": lambda sf: suggest_terms(sf),
+        "contains_search": lambda sf: contains_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
@@ -195,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "term_positions": term_positions_sql(),
         "prefix_search": prefix_search_sql(),
         "suggest_terms": suggest_terms_sql(),
+        "contains_search": contains_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),

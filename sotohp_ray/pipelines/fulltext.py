@@ -407,6 +407,23 @@ def prefix_search_sql(prefixes=PREFIX_QUERIES) -> str:
     return _multiterm_sql(prefixes, "prefix", "term LIKE '{q}%'")
 
 
+CONTAINS_QUERIES = ("ar", "in", "or")
+
+
+def contains_search(sf_dir: str, queries=CONTAINS_QUERIES) -> pa.Table:
+    """(substr, doc_id, n_terms): infix ``*substr*`` retrieval from
+    the dictionary (Searcher.search_contains; Lucene WildcardQuery
+    shape) — the third member of the multi-term rewrite family beside
+    prefix and fuzzy."""
+    return _multiterm_retrieval(
+        sf_dir, queries, "search_contains", "substr"
+    )
+
+
+def contains_search_sql(queries=CONTAINS_QUERIES) -> str:
+    return _multiterm_sql(queries, "substr", "contains(term, '{q}')")
+
+
 SUGGEST_PREFIXES = ("s", "b", "w", "f")
 # k below the widest prefix's match count ("s" matches 6 terms on the
 # testdata vocabulary), so the df-desc ranking is actually exercised

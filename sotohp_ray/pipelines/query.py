@@ -1254,6 +1254,31 @@ class Searcher:
             docs, counts = docs[live], counts[live]
         return docs, counts.astype(np.int64)
 
+    def search_contains(self, substr: str) -> tuple[np.ndarray, np.ndarray]:
+        """Infix wildcard (``*substr*``) retrieval: (doc_ids, n_terms)
+        — docs containing ANY dictionary term with ``substr`` as a
+        substring, with distinct-matching-term counts (the Lucene
+        WildcardQuery shape beside ``search_prefix``; same vectorized
+        dictionary scan, same constant-score rewrite, same shard-group
+        caveat: infix queries need the full searcher or a fan-out
+        union, term->shard routing being hash-based)."""
+        if not substr:
+            raise ValueError("empty substring")
+        hits = pc.match_substring(self._tbl["term"], substr)
+        idx = np.flatnonzero(hits.to_numpy(zero_copy_only=False))
+        if idx.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        matched = self._tbl["term"].take(
+            pa.array(idx, pa.int64())
+        ).to_pylist()
+        parts = [self._decode_full(t)[0].astype(np.int64) for t in matched]
+        docs, counts = np.unique(np.concatenate(parts), return_counts=True)
+        if self._tomb is not None and docs.size:
+            live = self._live_mask(docs)
+            docs, counts = docs[live], counts[live]
+        return docs, counts.astype(np.int64)
+
     def suggest(self, prefix: str, k: int = 10):
         """Completion suggester: the top-k dictionary terms starting
         with ``prefix``, ranked by document frequency (df desc, term
