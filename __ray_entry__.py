@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.doc_fingerprint,         # rows-only
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
+        "knn_cosine_filtered": ann.knn_cosine_filtered,
         "knn_label_consensus": ann.knn_label_consensus,
         "knn_range_search": ann.knn_range_search,
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_geo_distance": relational.customer_geo_distance_sql(),
         "knn_range_search": ann.knn_range_search_sql(),
         "knn_cosine": _KNN_COSINE_SQL,
+        "knn_cosine_filtered": ann.knn_cosine_filtered_sql(),
         # full-probe IVF == brute-force kNN, same oracle
         "ann_ivf_fullprobe": _KNN_COSINE_SQL,
         "q1_pricing_summary": """

@@ -345,6 +345,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.orders_with_segment(sf_dir))
     timed("events_value_quantile_sketch",
           lambda: relational.events_value_quantile_sketch(sf_dir))
+    timed("knn_cosine_filtered", lambda: ann.knn_cosine_filtered(sf_dir))
+    from sotohp_ray.pipelines.fulltext import contains_search
+
+    timed("contains_search", lambda: contains_search(sf_dir))
     return out
 
 

@@ -154,6 +154,68 @@ def knn_cosine(
     return _topk_merge(ds, k)
 
 
+FILTER_LABEL = 3
+
+
+def knn_cosine_filtered(
+    sf_dir: str,
+    query_ids=DEFAULT_QUERY_IDS,
+    k: int = 10,
+    label: int = FILTER_LABEL,
+):
+    """(query_id, vec_id, score): FILTERED vector search — top-k
+    cosine neighbors restricted to vectors whose metadata ``label``
+    matches. The filter is applied as a PRE-filter: parquet predicate
+    pushdown at the read plus nothing else — the actor pool scores
+    only qualifying vectors, so k always fills from the filtered set.
+    (Post-filtering a plain top-k is the classic filtered-ANN
+    pitfall: a selective predicate under-fills k unless the search is
+    re-run with a larger k.) Reference analog: kNN face matching
+    constrained by prior labels, FaceInference.scala:98-116."""
+    import ray
+    import ray.data
+    from pyarrow import dataset as pads
+
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    qref = ray.put((q_ids, Q))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label") == label,
+    )
+    scored = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs={"qref": qref, "k": k},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(scored, k)
+
+
+def knn_cosine_filtered_sql(
+    query_ids=DEFAULT_QUERY_IDS, k: int = 10, label: int = FILTER_LABEL
+) -> str:
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(
+               e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label = {label}
+    )
+    SELECT query_id, vec_id, score FROM s
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+    ) <= {k}
+"""
+
+
 RANGE_THRESHOLD = 0.2
 
 
