@@ -1401,6 +1401,16 @@ class _GroupServer:
     def fuzzy_hits(self, q: str):
         return self.searcher.search_fuzzy(q)
 
+    def contains_hits(self, substr: str):
+        return self.searcher.search_contains(substr)
+
+    def suggest_local(self, prefix: str, k: int):
+        """Group-local completion candidates: (terms, dfs). Each term
+        is hash-routed to exactly one shard group, so group results
+        are DISJOINT and the coordinator's global top-k over the
+        union is exact."""
+        return self.searcher.suggest(prefix, k=k)
+
     def raw_positions(self, token: str):
         """Unfiltered positional readback for one ALREADY-ANALYZED
         token (docs, tfs, occ; empty on vocabulary miss). Tombstones
@@ -1736,6 +1746,39 @@ class FanoutSearcher:
             [a.prefix_hits.remote(prefix) for a in self.actors]
         )
         return self._union_counts(parts)
+
+    def search_contains(self, substr: str) -> tuple[np.ndarray, np.ndarray]:
+        """Infix retrieval across every shard group (substring matches
+        can hash anywhere — same full fan-out union as prefix)."""
+        import ray
+
+        parts = ray.get(
+            [a.contains_hits.remote(substr) for a in self.actors]
+        )
+        return self._union_counts(parts)
+
+    def suggest(self, prefix: str, k: int = 10):
+        """Completion suggestions across every shard group: each group
+        returns its local df-desc top-k (terms are hash-disjoint
+        across groups, so k per group suffices) and the coordinator
+        takes the global top-k over the tiny union — k * n_groups
+        candidate rows on the wire, never a dictionary scan's
+        worth."""
+        import ray
+
+        parts = ray.get(
+            [a.suggest_local.remote(prefix, k) for a in self.actors]
+        )
+        terms = np.array(
+            [t for ts, _ in parts for t in ts], dtype=object
+        )
+        dfs = np.concatenate(
+            [np.asarray(d, dtype=np.int64) for _, d in parts]
+        ) if parts else np.zeros(0, np.int64)
+        if terms.size == 0:
+            return [], np.zeros(0, dtype=np.int64)
+        order = np.lexsort((terms.astype(str), -dfs))[:k]
+        return terms[order].tolist(), dfs[order]
 
     def search_fuzzy(self, q: str) -> tuple[np.ndarray, np.ndarray]:
         """Edit-distance-1 retrieval across every shard group (same

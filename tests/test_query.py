@@ -878,3 +878,30 @@ def test_suggest_ranks_by_df_then_term(small_index):
     assert t0 == [] and d0.size == 0
     with pytest.raises(ValueError):
         s.suggest("")
+
+
+def test_fanout_contains_suggest_equal_single(small_index):
+    """The infix-wildcard and suggester surfaces must agree exactly
+    between the 4-group fan-out and the full-dictionary Searcher:
+    contains unions per-group hits with summed counts; suggest takes
+    a global top-k over the groups' disjoint local top-ks."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    vocab = s._tbl["term"].to_pylist()
+    subs = sorted({t[1:3] for t in vocab if len(t) >= 3})[:6]
+    for q in subs + ["zzznot"]:
+        sd, sc = s.search_contains(q)
+        fd, fc = f.search_contains(q)
+        np.testing.assert_array_equal(sd, fd, err_msg=q)
+        np.testing.assert_array_equal(sc, fc, err_msg=q)
+    prefixes = sorted({t[0] for t in vocab})[:8]
+    for p in prefixes + ["zzznot"]:
+        st, sdf = s.suggest(p, k=5)
+        ft, fdf = f.suggest(p, k=5)
+        assert st == ft, p
+        np.testing.assert_array_equal(sdf, fdf, err_msg=p)
