@@ -230,7 +230,9 @@ def run_headline(ncpu: int) -> dict:
 def run_sf_pipelines(sf_dir: str) -> dict:
     """Per-pipeline wall times over the testdata tables."""
     from sotohp_ray.pipelines import ann, multimodal, relational, textops
-    from sotohp_ray.pipelines.fulltext import bm25_topk, _cache_dir
+    from sotohp_ray.pipelines.fulltext import (
+        _cache_dir, bm25_topk, contains_search, suggest_terms,
+    )
 
     out = {}
 
@@ -324,8 +326,6 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("doc_repetition", lambda: textops.doc_repetition(sf_dir))
     timed("set_similarity_join",
           lambda: textops.set_similarity_join(sf_dir))
-    from sotohp_ray.pipelines.fulltext import suggest_terms
-
     timed("suggest_terms", lambda: suggest_terms(sf_dir))
     timed("events_topn_per_user",
           lambda: relational.events_topn_per_user(sf_dir))
@@ -346,8 +346,6 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("events_value_quantile_sketch",
           lambda: relational.events_value_quantile_sketch(sf_dir))
     timed("knn_cosine_filtered", lambda: ann.knn_cosine_filtered(sf_dir))
-    from sotohp_ray.pipelines.fulltext import contains_search
-
     timed("contains_search", lambda: contains_search(sf_dir))
     return out
 

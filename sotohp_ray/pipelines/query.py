@@ -1235,19 +1235,27 @@ class Searcher:
         fan-out union across every group)."""
         if not prefix:
             raise ValueError("empty prefix")
-        hits = pc.starts_with(self._tbl["term"], prefix)
+        return self._constant_score_scan(
+            pc.starts_with(self._tbl["term"], prefix)
+        )
+
+    def _constant_score_scan(
+        self, hits
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Shared tail of every dictionary-scan multi-term rewrite
+        (prefix, infix): one vectorized dictionary gather
+        (matched-set-sized), per-term postings decode — no per-element
+        Arrow .as_py() — then a doc-multiplicity union (each term's
+        doc list is unique, so multiplicity == the
+        distinct-matching-term count) and the tombstone mask."""
         idx = np.flatnonzero(hits.to_numpy(zero_copy_only=False))
         if idx.size == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z
-        # one vectorized dictionary gather (matched-set-sized), then
-        # per-term postings decode — no per-element Arrow .as_py()
         matched = self._tbl["term"].take(
             pa.array(idx, pa.int64())
         ).to_pylist()
         parts = [self._decode_full(t)[0].astype(np.int64) for t in matched]
-        # each term's doc list is unique, so per-doc multiplicity over
-        # the concat == the distinct-matching-term count
         docs, counts = np.unique(np.concatenate(parts), return_counts=True)
         if self._tomb is not None and docs.size:
             live = self._live_mask(docs)
@@ -1264,20 +1272,9 @@ class Searcher:
         union, term->shard routing being hash-based)."""
         if not substr:
             raise ValueError("empty substring")
-        hits = pc.match_substring(self._tbl["term"], substr)
-        idx = np.flatnonzero(hits.to_numpy(zero_copy_only=False))
-        if idx.size == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z
-        matched = self._tbl["term"].take(
-            pa.array(idx, pa.int64())
-        ).to_pylist()
-        parts = [self._decode_full(t)[0].astype(np.int64) for t in matched]
-        docs, counts = np.unique(np.concatenate(parts), return_counts=True)
-        if self._tomb is not None and docs.size:
-            live = self._live_mask(docs)
-            docs, counts = docs[live], counts[live]
-        return docs, counts.astype(np.int64)
+        return self._constant_score_scan(
+            pc.match_substring(self._tbl["term"], substr)
+        )
 
     def suggest(self, prefix: str, k: int = 10):
         """Completion suggester: the top-k dictionary terms starting

@@ -319,7 +319,9 @@ def orders_with_segment(sf_dir: str):
             "key": batch["o_custkey"].cast(pa.int64()),
             "ukey": _ukey(k),
             "okey": batch["o_orderkey"].cast(pa.int64()),
-            "seg": pa.array([""] * len(batch), pa.string()),
+            # probe rows never read seg: nulls, not a batch-sized
+            # Python list of empty strings, on the 10^9-row side
+            "seg": pa.nulls(len(batch), pa.string()),
             "is_build": pa.array(np.zeros(len(batch), bool)),
         })
 
@@ -331,6 +333,14 @@ def orders_with_segment(sf_dir: str):
         build = g["is_build"].to_numpy()
         keys = g["key"].to_numpy()
         bk = keys[build]
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "c_mktsegment": pd.Series(dtype="object"),
+        })
+        if bk.size == 0:
+            # a coarse group can hold probe rows with no build rows
+            # (sparse/dangling keys) — inner join drops them all
+            return empty
         bseg = g["seg"].to_numpy()[build]
         o = np.argsort(bk, kind="stable")
         bk, bseg = bk[o], bseg[o]
@@ -421,6 +431,11 @@ def events_user_hll(sf_dir: str, p: int = HLL_P):
 
     from sotohp_ray.functions.hashing import _fmix64
 
+    if p < 11:
+        # the float64-log2 rank path needs the (64-p)-bit suffix to
+        # stay below 2^53 (exact integers in a double); p < 11 would
+        # silently bias ranks near powers of two
+        raise ValueError("p must be >= 11")
     m = 1 << p
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 

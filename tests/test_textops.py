@@ -401,7 +401,9 @@ def test_ivf_training_unbiased_on_cluster_sorted_table(tmp_path):
 
 def _brute_shingle_sets(texts, shingle_n=3):
     """Reference shingle sets mirroring the pipeline contract: token
-    3-gram tuples; 0 < len < n -> one whole-row shingle; empty -> {}."""
+    3-gram tuples; 0 < len < n -> one whole-row shingle (ORDER-
+    INSENSITIVE, matching the engine's segment-sum rule — sorted
+    tuple canonicalization); empty -> {}."""
     from sotohp_ray.functions.tokenizer import CodeTokenizer
 
     tok = CodeTokenizer()
@@ -414,7 +416,7 @@ def _brute_shingle_sets(texts, shingle_n=3):
                 for i in range(len(toks) - shingle_n + 1)
             })
         elif toks:
-            out.append({tuple(toks)})
+            out.append({tuple(sorted(toks))})
         else:
             out.append(set())
     return out
@@ -674,17 +676,9 @@ def test_corpus_dedup_exact_planted(tmp_path):
 
 
 def _brute_pairs(texts, thr, shingle_n=3):
-    """All-pairs reference for the EXACT join: the family shingle sets
-    with the engine's ORDER-INSENSITIVE short-row rule (multiset, not
-    sequence — canonicalized as a sorted tuple here)."""
-    from sotohp_ray.functions.tokenizer import CodeTokenizer
-
+    """All-pairs reference for the EXACT join over the family shingle
+    sets (short-row order-insensitivity lives in _brute_shingle_sets)."""
     sets = _brute_shingle_sets(texts, shingle_n)
-    tok = CodeTokenizer()
-    for i, t in enumerate(texts):
-        toks = tok.tokens_of(t)
-        if 0 < len(toks) < shingle_n:
-            sets[i] = {tuple(sorted(toks))}
     out = {}
     for i in range(len(sets)):
         for j in range(i + 1, len(sets)):
@@ -781,7 +775,7 @@ def test_hll_within_error_bound_and_mergeable():
         HLL_P, events_distinct_users, events_user_hll,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     exact = events_distinct_users(sf).to_pandas().set_index(
         "event_type"
     )["n_users"]
@@ -805,7 +799,7 @@ def test_kll_quantile_sketch_rank_accuracy():
         KLL_K, events_value_quantile_sketch,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     out = events_value_quantile_sketch(sf).to_pandas()
     con = duckdb.connect()
     vals = con.sql(
@@ -858,3 +852,45 @@ def test_set_similarity_join_property_random_corpora(tmp_path):
         assert set(got) == set(want), (seed, thr)
         for kk, j in want.items():
             assert abs(got[kk] - j) < 1e-12, (seed, thr, kk)
+
+
+def test_inner_join_group_with_no_build_rows(tmp_path):
+    """A coarse group holding orders but zero customers (sparse or
+    dangling keys) must yield an empty inner-join contribution, not an
+    IndexError — the generic big-big contract does not assume FK
+    integrity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.relational import orders_with_segment
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # customers only on residue 1; orders on residues 1 and 2 (the
+    # residue-2 group has probe rows and no build rows)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 65], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 0], pa.int32()),
+        "c_acctbal": pa.array([1.0, 2.0]),
+        "c_mktsegment": pa.array(["S1", "S2"]),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 65], pa.int64()),
+    }), str(d / "orders.parquet"))
+    out = orders_with_segment(str(d)).to_pandas().sort_values(
+        "o_orderkey"
+    )
+    # order 11 (custkey 2, no customer anywhere) is dropped
+    assert list(out["o_orderkey"]) == [10, 12]
+    assert list(out["c_mktsegment"]) == ["S1", "S2"]
+
+
+def test_hll_rejects_unsafe_precision():
+    import pytest as _pytest
+
+    from sotohp_ray.pipelines.relational import events_user_hll
+
+    with _pytest.raises(ValueError):
+        events_user_hll(SF, p=8)
