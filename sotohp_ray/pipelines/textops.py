@@ -1549,6 +1549,10 @@ def set_similarity_join(
         .map_batches(topk_combine, batch_format="pyarrow")
         .to_pandas()  # <= top_freq rows per block, tiny
     )
+    if "h" not in cand.columns:
+        # zero shingles corpus-wide (all docs empty): the aggregate
+        # yields a column-less frame
+        cand = cand.reindex(columns=["h", "df"])
     if len(cand) > top_freq:
         cand = cand.nlargest(top_freq, "df")
     hk = cand["h"].to_numpy().astype(np.int64).view(np.uint64)

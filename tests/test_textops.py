@@ -894,3 +894,23 @@ def test_hll_rejects_unsafe_precision():
 
     with _pytest.raises(ValueError):
         events_user_hll(SF, p=8)
+
+
+def test_set_similarity_join_all_empty_corpus(tmp_path):
+    """A corpus with zero shingles anywhere (all texts empty) must
+    return an empty pair table with a stable schema — the frequency
+    aggregate yields a column-less frame on this path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import set_similarity_join
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["", ""]),
+    }), str(d / "documents.parquet"))
+    out = set_similarity_join(str(d))
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_a", "doc_b", "jaccard"]
