@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": textops.near_dup_pairs,           # rows-only
         "near_dup_dedup": textops.near_dup_dedup,           # rows-only
         "set_similarity_join": textops.set_similarity_join,
+        "similarity_components": textops.similarity_components,
         "simhash_fingerprints": textops.simhash_fingerprints,  # rows-only
         "simhash_near_dups": textops.simhash_near_dups,     # rows-only
         "doc_fingerprint": textops.doc_fingerprint,         # rows-only
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_dedup_exact": textops.corpus_dedup_exact_sql(),
         "set_similarity_join": textops.set_similarity_join_sql(),
+        "similarity_components": textops.similarity_components_sql(),
         "dedup_exact": """
             SELECT sha256(text) AS sha, min(doc_id) AS keep_id,
                    count(*) AS n_dups

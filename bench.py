@@ -326,6 +326,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("doc_repetition", lambda: textops.doc_repetition(sf_dir))
     timed("set_similarity_join",
           lambda: textops.set_similarity_join(sf_dir))
+    timed("similarity_components",
+          lambda: textops.similarity_components(sf_dir))
     timed("suggest_terms", lambda: suggest_terms(sf_dir))
     timed("events_topn_per_user",
           lambda: relational.events_topn_per_user(sf_dir))

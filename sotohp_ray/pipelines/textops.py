@@ -1806,7 +1806,15 @@ def near_dup_dedup(sf_dir: str, threshold: float = 0.6):
     clique converges in one round). No SQL oracle: the candidate set
     is MinHash-LSH (not SQL-expressible); correctness is pytest-gated
     against brute-force clustering on planted fixtures."""
-    pairs = near_dup_pairs(sf_dir, threshold)
+    return _components(near_dup_pairs(sf_dir, threshold))
+
+
+def _components(pairs: pa.Table) -> pa.Table:
+    """(doc_id, canonical_id) connected components over an edge table
+    (doc_a, doc_b): vectorized min-label propagation with pointer
+    halving — O(E) numpy work per round, rounds logarithmic in the
+    largest cluster's diameter (a clique converges in one round).
+    Driver-side because the edge set is output-sized."""
     a = pairs["doc_a"].to_numpy()
     b = pairs["doc_b"].to_numpy()
     if a.size == 0:
@@ -1831,6 +1839,37 @@ def near_dup_dedup(sf_dir: str, threshold: float = 0.6):
         "doc_id": pa.array(ids, pa.int64()),
         "canonical_id": pa.array(ids[label], pa.int64()),
     })
+
+
+def similarity_components(sf_dir: str, threshold: float = 0.6):
+    """(doc_id, canonical_id): connected-component clustering over the
+    EXACT set-similarity join's pairs — the guaranteed-recall twin of
+    ``near_dup_dedup``, and the one that earns the component operator
+    an ORACLE: because the edge set is SQL-expressible, the transitive
+    closure itself is verified end-to-end by a recursive-CTE min-label
+    closure in DuckDB (``similarity_components_sql``) — the clustering
+    semantics, not just the edges, are driver-gated."""
+    return _components(set_similarity_join(sf_dir, threshold))
+
+
+def similarity_components_sql(
+    threshold: float = 0.6, shingle_n: int = 3
+) -> str:
+    pair_sql = set_similarity_join_sql(threshold, shingle_n)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+)
+SELECT doc_id, min(lbl) AS canonical_id FROM reach GROUP BY doc_id
+"""
 
 
 def _simhash_sig_batch(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
