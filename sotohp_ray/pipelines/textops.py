@@ -1114,12 +1114,19 @@ def _shingle_sets(texts: pa.Array, shingle_n: int):
     lengths = np.bincount(sh_par, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    # content key: 64-bit digest of the sorted-unique shingle set —
-    # each element avalanche-mixed with its LOCAL position, segments
-    # reduced by a csum-diff sum, the sum mixed with the length (the
-    # same vectorized kernels as the short-row path; no per-row
-    # Python digest anywhere)
-    lengths64 = lengths.astype(np.uint64)
+    return offsets, sh_val, _ckey_of(offsets, sh_val)
+
+
+def _ckey_of(offsets: np.ndarray, sh_val: np.ndarray) -> np.ndarray:
+    """64-bit content key per row over (row-sorted, distinct) shingle
+    segments — each element avalanche-mixed with its LOCAL position,
+    segments reduced by a csum-diff sum, the sum mixed with the
+    length. Equal sets => equal keys; unequal sets collide with
+    64-bit-hash probability (only set-equality discrimination is
+    required). No per-row Python digest anywhere."""
+    from sotohp_ray.functions.hashing import _WIN_MULS, _fmix64
+
+    lengths = np.diff(offsets)
     local_pos = (
         np.arange(sh_val.size, dtype=np.uint64)
         - np.repeat(offsets[:-1].astype(np.uint64), lengths)
@@ -1131,10 +1138,30 @@ def _shingle_sets(texts: pa.Array, shingle_n: int):
         ([np.uint64(0)], np.cumsum(mixed, dtype=np.uint64))
     )
     seg_sum = mcs[offsets[1:]] - mcs[offsets[:-1]]
-    ckey = _fmix64(
-        seg_sum ^ _fmix64(lengths64 * _WIN_MULS[0] + np.uint64(1))
+    return _fmix64(
+        seg_sum
+        ^ _fmix64(lengths.astype(np.uint64) * _WIN_MULS[0] + np.uint64(1))
     ).astype(np.int64)
-    return offsets, sh_val, ckey
+
+
+def _capped_sets(texts: pa.Array, shingle_n: int, cap: int | None):
+    """Family shingle sets, optionally bottom-k sampled: with ``cap``,
+    each row keeps its ``cap`` SMALLEST-hash shingles (rows are
+    hash-sorted already, so the bottom-k is a positional slice) and
+    content keys are recomputed over the capped sets so the clique
+    collapse still groups equal SAMPLES."""
+    offsets, sh_val, ck = _shingle_sets(texts, shingle_n)
+    if cap is None:
+        return offsets, sh_val, ck
+    lens = np.diff(offsets)
+    pos = np.arange(sh_val.size, dtype=np.int64) - np.repeat(
+        offsets[:-1], lens
+    )
+    keep = pos < cap
+    new_off = np.zeros(offsets.size, dtype=np.int64)
+    np.cumsum(np.minimum(lens, cap), out=new_off[1:])
+    sv = sh_val[keep]
+    return new_off, sv, _ckey_of(new_off, sv)
 
 
 def _tri_pair_indices(L: int):
@@ -1462,6 +1489,7 @@ def set_similarity_join(
     threshold: float = 0.6,
     shingle_n: int = 3,
     top_freq: int = 2048,
+    max_shingles: int | None = None,
 ):
     """EXACT set-similarity self-join with prefix filtering (Vernica,
     Carey & Li, "Efficient Parallel Set-Similarity Joins Using
@@ -1499,6 +1527,14 @@ def set_similarity_join(
         a second co-partitioned exchange re-fetches sets — one extra
         shuffle, linear shipping), which this implementation
         deliberately trades away for the short-record case.
+        ``max_shingles`` implements the capped-sample escape: each
+        doc keeps only its ``max_shingles`` SMALLEST-hash shingles (a
+        bottom-k sketch — hash order is a uniform random order, and
+        Jaccard over bottom-k sets is the classic unbiased estimate
+        of true Jaccard), bounding shipping at (1-t)*k^2 per doc
+        regardless of length. The capped variant is APPROXIMATE, so
+        it has no SQL oracle; the default (None) is the exact,
+        oracle-gated path.
     (3) groupby(coarse).map_groups verify: docs collapse to one
         representative per content key; identical-set cliques are
         emitted exactly once globally by the doc's FIRST-prefix owner
@@ -1523,7 +1559,9 @@ def set_similarity_join(
 
     # ---- pass 1: top-K most-frequent shingles (bounded broadcast) --
     def df_partial(batch: pa.Table) -> pa.Table:
-        _off, sh_val, _ck = _shingle_sets(_text_col(batch), shingle_n)
+        _off, sh_val, _ck = _capped_sets(
+            _text_col(batch), shingle_n, max_shingles
+        )
         u, c = np.unique(sh_val, return_counts=True)
         return pa.table({
             "h": pa.array(u.view(np.int64), pa.int64()),
@@ -1568,7 +1606,9 @@ def set_similarity_join(
     def emit(batch: pa.Table) -> pa.Table:
         lk_h, lk_r = ray.get(mapref)
         n = batch.num_rows
-        offsets, sh_val, ck = _shingle_sets(_text_col(batch), shingle_n)
+        offsets, sh_val, ck = _capped_sets(
+            _text_col(batch), shingle_n, max_shingles
+        )
         lens = np.diff(offsets)
         par = np.repeat(np.arange(n, dtype=np.int64), lens)
         pos = np.searchsorted(lk_h, sh_val)

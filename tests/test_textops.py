@@ -914,3 +914,56 @@ def test_set_similarity_join_all_empty_corpus(tmp_path):
     out = set_similarity_join(str(d))
     assert out.num_rows == 0
     assert out.schema.names == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_set_similarity_join_capped_sample(tmp_path):
+    """The bottom-k shingle cap (heavy-tail escape): capped runs still
+    find planted near-dup pairs on long docs, a cap above every doc's
+    set size reproduces the exact result bit-for-bit, and the shipped
+    payload is bounded by the cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import (
+        _capped_sets, set_similarity_join,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, size=400))
+    toks = base.split()
+    near = list(toks)
+    for posn in rng.integers(0, 400, size=8):
+        near[int(posn)] = "mutated"
+    far = " ".join(rng.choice([f"z{i}" for i in range(200)], size=400))
+    texts = [base, " ".join(near), far, base]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+
+    exact = set_similarity_join(str(d), threshold=0.6).to_pandas()
+    exact_keys = set(zip(exact["doc_a"], exact["doc_b"]))
+    assert {(0, 1), (0, 3), (1, 3)} <= exact_keys
+
+    capped = set_similarity_join(
+        str(d), threshold=0.6, max_shingles=64
+    ).to_pandas()
+    capped_keys = set(zip(capped["doc_a"], capped["doc_b"]))
+    # bottom-k Jaccard estimates true Jaccard: planted pairs survive,
+    # the unrelated doc never appears
+    assert {(0, 1), (0, 3), (1, 3)} <= capped_keys
+    assert all(2 not in k for k in capped_keys)
+    # cap bound actually holds on the emitted sets
+    off, sv, _ck = _capped_sets(
+        pa.array(texts, pa.large_string()), 3, 64
+    )
+    assert int(np.diff(off).max()) <= 64
+
+    # a cap >= every set size is the exact join, bit-for-bit
+    wide = set_similarity_join(
+        str(d), threshold=0.6, max_shingles=100_000
+    ).to_pandas()
+    assert wide.equals(exact)
