@@ -43,6 +43,8 @@ from sotohp_ray.pipelines.fulltext import (
     phrase_topk,
     prefix_search,
     prefix_search_sql,
+    regex_search,
+    regex_search_sql,
     search_snippets,
     search_snippets_sql,
     similar_docs,
@@ -97,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": lambda sf: prefix_search(sf),
         "suggest_terms": lambda sf: suggest_terms(sf),
         "contains_search": lambda sf: contains_search(sf),
+        "regex_search": lambda sf: regex_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
@@ -201,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_search": prefix_search_sql(),
         "suggest_terms": suggest_terms_sql(),
         "contains_search": contains_search_sql(),
+        "regex_search": regex_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),

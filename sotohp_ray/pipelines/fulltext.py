@@ -424,6 +424,29 @@ def contains_search_sql(queries=CONTAINS_QUERIES) -> str:
     return _multiterm_sql(queries, "substr", "contains(term, '{q}')")
 
 
+# Both engines run RE2 with partial-match semantics (pyarrow
+# match_substring_regex / DuckDB regexp_matches), so parity is by
+# construction: anchors, classes and alternation evaluate identically.
+REGEX_QUERIES = ("^mer", "er$", "^.a", "^[sw]")
+
+
+def regex_search(sf_dir: str, patterns=REGEX_QUERIES) -> pa.Table:
+    """(pattern, doc_id, n_terms): regex retrieval from the dictionary
+    (Searcher.search_regex; Lucene RegexpQuery shape) — the fourth
+    multi-term rewrite beside prefix, infix and fuzzy. Reference
+    analog: ES regexp query over the keyword dictionary
+    (ElasticOperations.scala search surface)."""
+    return _multiterm_retrieval(
+        sf_dir, patterns, "search_regex", "pattern"
+    )
+
+
+def regex_search_sql(patterns=REGEX_QUERIES) -> str:
+    return _multiterm_sql(
+        patterns, "pattern", "regexp_matches(term, '{q}')"
+    )
+
+
 SUGGEST_PREFIXES = ("s", "b", "w", "f")
 # k below the widest prefix's match count ("s" matches 6 terms on the
 # testdata vocabulary), so the df-desc ranking is actually exercised

@@ -1276,6 +1276,24 @@ class Searcher:
             pc.match_substring(self._tbl["term"], substr)
         )
 
+    def search_regex(self, pattern: str) -> tuple[np.ndarray, np.ndarray]:
+        """Regex retrieval (Lucene RegexpQuery shape): (doc_ids,
+        n_terms) — docs containing ANY dictionary term matching
+        ``pattern`` (RE2 partial-match, i.e. unanchored unless the
+        pattern anchors itself), with distinct-matching-term counts.
+        Fourth member of the multi-term rewrite family beside prefix,
+        infix and fuzzy — same vectorized dictionary scan
+        (``pc.match_substring_regex`` compiles RE2 once per call),
+        same constant-score rewrite, same shard-group caveat (regex
+        matches can hash anywhere: full searcher or fan-out union).
+        Oracle parity is exact because DuckDB's ``regexp_matches`` is
+        the same RE2 engine with the same partial-match contract."""
+        if not pattern:
+            raise ValueError("empty pattern")
+        return self._constant_score_scan(
+            pc.match_substring_regex(self._tbl["term"], pattern)
+        )
+
     def suggest(self, prefix: str, k: int = 10):
         """Completion suggester: the top-k dictionary terms starting
         with ``prefix``, ranked by document frequency (df desc, term
@@ -1400,6 +1418,9 @@ class _GroupServer:
 
     def contains_hits(self, substr: str):
         return self.searcher.search_contains(substr)
+
+    def regex_hits(self, pattern: str):
+        return self.searcher.search_regex(pattern)
 
     def suggest_local(self, prefix: str, k: int):
         """Group-local completion candidates: (terms, dfs). Each term
@@ -1751,6 +1772,16 @@ class FanoutSearcher:
 
         parts = ray.get(
             [a.contains_hits.remote(substr) for a in self.actors]
+        )
+        return self._union_counts(parts)
+
+    def search_regex(self, pattern: str) -> tuple[np.ndarray, np.ndarray]:
+        """Regex retrieval across every shard group (regex matches can
+        hash anywhere — same full fan-out union as prefix/infix)."""
+        import ray
+
+        parts = ray.get(
+            [a.regex_hits.remote(pattern) for a in self.actors]
         )
         return self._union_counts(parts)
 

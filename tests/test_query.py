@@ -905,3 +905,63 @@ def test_fanout_contains_suggest_equal_single(small_index):
         ft, fdf = f.suggest(p, k=5)
         assert st == ft, p
         np.testing.assert_array_equal(sdf, fdf, err_msg=p)
+
+
+def test_regex_search_matches_token_scan_and_fanout(small_index):
+    """Regex retrieval (fourth multi-term rewrite beside prefix, infix
+    and fuzzy): the dictionary-scan result must equal a brute-force
+    Python-re scan over every doc's token set (distinct-matching-term
+    counts included), and the 4-group fan-out union must be exact.
+    Python re and RE2 agree on these anchor/dot/class constructs."""
+    import os
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines.query import FanoutSearcher
+    from sotohp_ray.sources.corpus import corpus_files
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    tok = CodeTokenizer()
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    key2id = {
+        (r, p, c): d
+        for r, p, c, d in zip(
+            dm["repo"].to_pylist(), dm["path"].to_pylist(),
+            dm["commit"].to_pylist(), dm["doc_id"].to_pylist(),
+        )
+    }
+    streams = {}
+    for fl in corpus_files(corpus_dir):
+        t = pq.read_table(fl)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            streams[key2id[(r, p, c)]] = set(tok.tokens_of(content))
+
+    vocab = s._tbl["term"].to_pylist()
+    letters = sorted({t[0] for t in vocab})[:3]
+    patterns = (
+        [f"^{c}." for c in letters]
+        + ["er$", "^[a-f]", "zzznotfound"]
+    )
+    for pat in patterns:
+        rx = re.compile(pat)
+        expect = {
+            d: len(hits)
+            for d, ts in streams.items()
+            if (hits := {t for t in ts if rx.search(t)})
+        }
+        docs, counts = s.search_regex(pat)
+        got = dict(zip(docs.tolist(), counts.tolist()))
+        assert got == expect, pat
+        fd, fc = f.search_regex(pat)
+        np.testing.assert_array_equal(fd, docs, err_msg=pat)
+        np.testing.assert_array_equal(fc, counts, err_msg=pat)
+    with pytest.raises(ValueError):
+        s.search_regex("")
