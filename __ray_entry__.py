@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / quality ---
         "quality_stats": textops.quality_stats,
         "doc_repetition": textops.doc_repetition,
+        "doc_dup_grams": textops.doc_dup_grams,
         "doc_quality_signals": textops.doc_quality_signals,
         "corpus_quality_filter": textops.corpus_quality_filter,
         "lang_guess": textops.lang_guess,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "corpus_quality_filter": textops.corpus_quality_filter_sql(),
         "doc_repetition": textops.doc_repetition_sql(),
+        "doc_dup_grams": textops.doc_dup_grams_sql(),
         "doc_quality_signals": textops.doc_quality_signals_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),

@@ -543,6 +543,211 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------ exact substring dedup
+
+DUP_GRAM_L = 16
+_DG_B1 = np.uint64(1000003)         # two independent polynomial bases:
+_DG_B2 = np.uint64(0x100000001B3)   # collision needs BOTH to collide
+_DG_COARSE = 256                    # gram-hash shuffle width
+_DG_DCOARSE = 64                    # doc-keyed shuffle width
+
+
+def _codepoints_flat(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat codepoints as uint64, per-doc char lengths) for a batch:
+    zero-copy from the Arrow UTF-8 data buffer when the batch is pure
+    ASCII (code corpora overwhelmingly are — one vectorized
+    bytes==chars test), one utf-32 decode otherwise. Gram boundaries
+    are CHARACTER positions either way, matching SQL substr()."""
+    lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    n_bytes = pc.binary_length(text).to_numpy(zero_copy_only=False)
+    if int(n_bytes.sum()) == int(lens.sum()):
+        # string i occupies data[off[i]:off[i+1]) by the Arrow layout,
+        # so data[off[0]:off[-1]] IS the concatenation (large_string
+        # offsets are int64; _text_col casts every batch to it)
+        off = np.frombuffer(text.buffers()[1], np.int64)[
+            text.offset : text.offset + len(text) + 1
+        ]
+        data = np.frombuffer(text.buffers()[2], np.uint8)
+        return data[off[0] : off[-1]].astype(np.uint64), lens
+    joined = "".join(text.to_pylist())  # cold path: non-ASCII batch
+    flat = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+    return flat.astype(np.uint64), lens
+
+
+def _gram_hashes(
+    flat: np.ndarray, lens: np.ndarray, L: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two windowed 64-bit polynomial hashes (natural uint64
+    wraparound) over the flat codepoint stream — L vectorized
+    multiply-adds for the whole batch, no per-doc loop — masked to
+    windows that do not cross doc boundaries. Returns (h1, h2,
+    doc_index) per valid gram instance."""
+    n_pos = flat.size - L + 1
+    if n_pos <= 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, np.int64)
+    h1 = np.zeros(n_pos, np.uint64)
+    h2 = np.zeros(n_pos, np.uint64)
+    for i in range(L):
+        w = flat[i : i + n_pos]
+        h1 = h1 * _DG_B1 + w
+        h2 = h2 * _DG_B2 + w
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    p = np.arange(n_pos)
+    did = np.searchsorted(starts, p, side="right") - 1
+    valid = (p - starts[did]) <= (lens[did] - L)
+    return h1[valid], h2[valid], did[valid]
+
+
+def doc_dup_grams(sf_dir: str, L: int = DUP_GRAM_L):
+    """(doc_id, n_grams, n_dup_grams): per doc, how many of its
+    character-L-gram instances occur >= 2 times in the WHOLE corpus
+    (within-doc repeats included) — the exact-substring duplication
+    signal of Lee et al. 2021 ('Deduplicating Training Data Makes
+    Language Models Better'), whose suffix-array detection this
+    realizes distributed as rolling-hash L-grams: a duplicated span of
+    length >= L duplicates every one of its L-grams, so per-doc
+    duplicated-gram mass is the span-coverage signal the paper cuts
+    on. Reference analog: duplicate detection by content digest (D2,
+    Statistics.scala:77-81) generalized from whole docs to substrings.
+    Integer counts only, so the oracle hash is exact (hash collisions
+    need BOTH independent 64-bit hashes to collide: ~2^-128/pair).
+
+    Shape: one map pass hashes each batch's flat codepoint stream (L
+    vectorized adds) and pre-aggregates (gram, doc) instance counts;
+    ONE gram-hash coarse shuffle totals each gram globally (all rows
+    of a gram land in its bucket) and emits per-doc dup partials; the
+    doc-keyed union with the documents spine sums partials and keeps
+    zero/short docs. The 256/64 coarse widths are the parallelism
+    knob (doc_keywords convention)."""
+    import pandas as pd
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        flat, lens = _codepoints_flat(text)
+        h1, h2, did = _gram_hashes(flat, lens, L)
+        if h1.size == 0:
+            return pa.table({
+                "coarse": pa.array([], pa.int64()),
+                "h1": pa.array([], pa.uint64()),
+                "h2": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((did, h2, h1))
+        h1s, h2s, ds_ = h1[order], h2[order], did[order]
+        new = np.empty(h1s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (
+            (h1s[1:] != h1s[:-1])
+            | (h2s[1:] != h2s[:-1])
+            | (ds_[1:] != ds_[:-1])
+        )
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, h1s.size)).astype(np.int64)
+        return pa.table({
+            "coarse": pa.array(
+                (h1s[idx] & np.uint64(_DG_COARSE - 1)).astype(np.int64)
+            ),
+            "h1": pa.array(h1s[idx], pa.uint64()),
+            "h2": pa.array(h2s[idx], pa.uint64()),
+            "doc_id": pa.array(ids[ds_[idx]], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def dup_partials(g: pa.Table) -> pa.Table:
+        # arrow in/out: the output unions with the arrow-block spine
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if h1.size == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table({
+                "dcoarse": pa.array(z), "doc_id": pa.array(z),
+                "n_grams": pa.array(z), "n_dup_grams": pa.array(z),
+            })
+        order = np.lexsort((h2, h1))
+        h1s, h2s, cs, ds_ = h1[order], h2[order], cnt[order], doc[order]
+        new = np.empty(h1s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        seg = np.cumsum(new) - 1
+        totals = np.bincount(seg, weights=cs)
+        dup = totals[seg] >= 2
+        dd, inv = np.unique(ds_[dup], return_inverse=True)
+        sums = (
+            np.bincount(inv, weights=cs[dup]).astype(np.int64)
+            if dd.size else np.zeros(0, np.int64)
+        )
+        return pa.table({
+            "dcoarse": pa.array(dd & (_DG_DCOARSE - 1), pa.int64()),
+            "doc_id": pa.array(dd, pa.int64()),
+            "n_grams": pa.array(np.zeros(dd.size, np.int64)),
+            "n_dup_grams": pa.array(sums, pa.int64()),
+        })
+
+    def spine(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lens = pc.utf8_length(_text_col(batch)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ng = np.maximum(lens - L + 1, 0)
+        return pa.table({
+            "dcoarse": pa.array(ids & (_DG_DCOARSE - 1), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_dup_grams": pa.array(np.zeros(ids.size, np.int64)),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("doc_id", sort=True)[["n_grams", "n_dup_grams"]]
+            .sum()
+            .reset_index()
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    rows = docs.map_batches(gram_rows, batch_format="pyarrow")
+    partials = rows.groupby("coarse").map_groups(
+        dup_partials, batch_format="pyarrow"
+    )
+    sp = docs.map_batches(spine, batch_format="pyarrow")
+    return sp.union(partials).groupby("dcoarse").map_groups(
+        finalize, batch_format="pandas"
+    )
+
+
+def doc_dup_grams_sql(L: int = DUP_GRAM_L) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         substr(text, unnest(generate_series(1, length(text) - {L - 1})),
+                {L}) AS g
+  FROM documents
+),
+tot AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+perdoc AS (
+  SELECT gr.doc_id, count(*) AS n_dup
+  FROM grams gr JOIN tot USING (g)
+  WHERE tot.c >= 2
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       greatest(length(d.text) - {L - 1}, 0)::BIGINT AS n_grams,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup_grams
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def lang_guess(sf_dir: str):
     """(doc_id, lang_guess, marker_hits) — n-gram-free marker-word
     language heuristic (count of distinct EN marker terms present)."""

@@ -967,3 +967,66 @@ def test_set_similarity_join_capped_sample(tmp_path):
         str(d), threshold=0.6, max_shingles=100_000
     ).to_pandas()
     assert wide.equals(exact)
+
+
+def test_doc_dup_grams_planted_and_brute_force(tmp_path):
+    """Exact substring-dup signal (Lee et al. 2021 shape): engine
+    counts must equal a brute-force Python Counter over every
+    character L-gram — exercised with a planted shared span, a
+    within-doc repeat, a short (< L) doc, and a NON-ASCII doc (the
+    utf-32 cold path: gram boundaries are codepoints, not bytes)."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import doc_dup_grams
+
+    L = 16
+    shared = "0123456789abcdefghij"       # 20 chars, planted in 2 docs
+    texts = [
+        "unique prefix A " + shared + " tail one",
+        "different lead " + shared + " other tail",
+        "short doc",                       # < L chars -> 0 grams
+        "xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy",  # within-doc repeats
+        "héllo wörld çafé niño " * 4,      # non-ASCII, utf-32 path
+        "completely unrelated content here with no twins",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    counts = collections.Counter(
+        s[i : i + L]
+        for s in texts
+        for i in range(len(s) - L + 1)
+    )
+    expect = {
+        did: (
+            max(len(s) - L + 1, 0),
+            sum(
+                1
+                for i in range(len(s) - L + 1)
+                if counts[s[i : i + L]] >= 2
+            ),
+        )
+        for did, s in enumerate(texts)
+    }
+
+    df = doc_dup_grams(str(d), L=L).to_pandas().sort_values("doc_id")
+    got = {
+        int(r.doc_id): (int(r.n_grams), int(r.n_dup_grams))
+        for r in df.itertuples()
+    }
+    assert got == expect
+    # the planted span really registered: both carriers saw >= 5
+    # duplicated grams (20-char shared span -> 5 shared 16-grams)
+    assert got[0][1] >= 5 and got[1][1] >= 5
+    # the within-doc repeater is self-duplicated
+    assert got[3][1] > 0
+    # the short doc has zero grams but still a row
+    assert got[2] == (0, 0)
