@@ -22,6 +22,8 @@ from sotohp_ray.pipelines.fulltext import (
     UPDATED_DOC_IDS,
     bm25_facets,
     bm25_facets_sql,
+    significant_terms,
+    significant_terms_sql,
     keyword_search_excluding,
     keyword_search_excluding_sql,
     keyword_search_indexed,
@@ -106,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": lambda sf: phrase_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
+        "significant_terms": lambda sf: significant_terms(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),
         "term_df": textops.term_df,
@@ -212,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": phrase_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
+        "significant_terms": significant_terms_sql(),
         "keyword_search_indexed": textops.keyword_search_sql(),
         "keyword_search_excluding": keyword_search_excluding_sql(),
         "term_df": f"""

@@ -1080,6 +1080,186 @@ def bm25_facets_sql(queries=DOC_QUERIES) -> str:
     return " UNION ALL ".join(parts) + " ORDER BY query_id, lang"
 
 
+SIGTERM_QUERIES = ("sort merge", "query batch")
+SIGTERM_K = 10
+
+
+def significant_terms(
+    sf_dir: str, queries=SIGTERM_QUERIES, k: int = SIGTERM_K
+) -> pa.Table:
+    """(query_id, term, df_fg, df_bg, score): the ES
+    significant_terms aggregation — for each query, the top-k terms
+    most overrepresented in the query's match set (foreground =
+    index-backed boolean AND match) versus the whole corpus
+    (background), JLH-scored: (fg_rate - bg_rate) * (fg_rate /
+    bg_rate) over document-frequency rates (the ES default heuristic;
+    reference analog: ES aggregations beside the search endpoints,
+    ElasticOperations.scala).
+
+    Shape: match sets come from the index (search_boolean, engine ids
+    mapped to original ids) and broadcast once via ``ray.put``
+    (match-set-sized); ONE corpus token pass emits per-batch per-term
+    partials (df_bg plus one fg column per query, membership by
+    searchsorted); a vocabulary-keyed groupby sums them; per-batch
+    top-k combiners + a tiny driver merge pick winners — the
+    events_topk_by_value discipline, never a full-vocabulary sort."""
+    import ray
+    import ray.data
+
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    match = {}
+    for qi, q in enumerate(queries):
+        ids = s.search_boolean(q, mode="and")
+        if ids.size:
+            match[qi] = np.sort(eng2orig[ids].astype(np.int64))
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "term": pa.array([], pa.string()),
+        "df_fg": pa.array([], pa.int64()),
+        "df_bg": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    })
+    if not match:
+        return empty
+    n_fg = {qi: float(arr.size) for qi, arr in match.items()}
+    mref = ray.put(match)
+    tok = CodeTokenizer()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    n_docs = float(docs.count())  # parquet metadata, no scan
+    fg_cols = sorted(match)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        tf = tok.term_frequencies(
+            batch["text"].combine_chunks().cast(pa.large_string())
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        doc = ids[tf["row_idx"].to_numpy(zero_copy_only=False)]
+        cols = {
+            "term": tf["term"],
+            "df_bg": pa.array(np.ones(len(tf), np.int64)),
+        }
+        for qi in fg_cols:
+            arr = m[qi]
+            p = np.searchsorted(arr, doc)
+            inb = p < arr.size
+            hit = np.zeros(doc.size, dtype=np.int64)
+            hit[inb] = (arr[p[inb]] == doc[inb]).astype(np.int64)
+            cols[f"fg_{qi}"] = pa.array(hit)
+        t = pa.table(cols)
+        return t.group_by("term").aggregate(
+            [("df_bg", "sum")] + [(f"fg_{qi}", "sum") for qi in fg_cols]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "term"
+    ).aggregate(
+        Sum("df_bg_sum", alias_name="df_bg"),
+        *[Sum(f"fg_{qi}_sum", alias_name=f"fg_{qi}") for qi in fg_cols],
+    )
+
+    def topk_partial(tbl: pa.Table) -> pa.Table:
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        bg = tbl["df_bg"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        parts = []
+        for qi in fg_cols:
+            fg = tbl[f"fg_{qi}"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            mask = fg > 0
+            if not mask.any():
+                continue
+            fr = fg[mask] / n_fg[qi]
+            br = bg[mask] / n_docs
+            score = np.round((fr - br) * (fr / br), 6)
+            tm = terms[mask].astype(str)
+            order = np.lexsort((tm, -score))[:k]
+            parts.append(pa.table({
+                "query_id": pa.array(
+                    np.full(order.size, qi, dtype=np.int64)
+                ),
+                "term": pa.array(tm[order], pa.string()),
+                "df_fg": pa.array(fg[mask][order].astype(np.int64)),
+                "df_bg": pa.array(bg[mask][order].astype(np.int64)),
+                "score": pa.array(score[order], pa.float64()),
+            }))
+        if not parts:
+            return empty
+        return pa.concat_tables(parts)
+
+    cand = agg.map_batches(
+        topk_partial, batch_format="pyarrow"
+    ).to_pandas()  # <= (blocks x queries x k) rows: output-sized
+    if not len(cand):
+        return empty
+    cand = cand.sort_values(
+        ["query_id", "score", "term"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(k)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def significant_terms_sql(
+    queries=SIGTERM_QUERIES, k: int = SIGTERM_K
+) -> str:
+    """DuckDB oracle: same JLH expression shape ((fr - br) * (fr /
+    br), each rate one IEEE division) so doubles agree bit-for-bit
+    before the shared round(, 6)."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    blocks, selects = [], []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(tok.tokens_of(q)))
+        lst = ", ".join(f"'{_sql_lit(t)}'" for t in terms)
+        blocks.append(f"""
+fg{qi} AS (
+  SELECT doc_id FROM documents WHERE list_has_all({texpr}, [{lst}])
+),
+fgc{qi} AS (
+  SELECT dt.term, count(*)::BIGINT AS df_fg
+  FROM dt JOIN fg{qi} USING (doc_id) GROUP BY dt.term
+),
+nf{qi} AS (SELECT count(*)::DOUBLE AS nf FROM fg{qi}),
+sc{qi} AS (
+  SELECT {qi} AS query_id, f.term, f.df_fg, b.df_bg,
+         round((f.df_fg / nf.nf - b.df_bg / n.n_docs)
+               * ((f.df_fg / nf.nf) / (b.df_bg / n.n_docs)), 6)
+           AS score
+  FROM fgc{qi} f JOIN bg b USING (term), nf{qi} nf, n
+),
+top{qi} AS (
+  SELECT * FROM sc{qi}
+  QUALIFY row_number() OVER (ORDER BY score DESC, term ASC) <= {k}
+)""")
+        selects.append(f"SELECT * FROM top{qi}")
+    body = ",".join(blocks)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+bg AS (SELECT term, count(*)::BIGINT AS df_bg FROM dt GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+{body}
+{union}
+ORDER BY query_id, score DESC, term
+"""
+
+
 PROXIMITY_QUERIES = (
     ("slow", "batch"),
     ("customer", "join"),

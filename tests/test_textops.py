@@ -1030,3 +1030,65 @@ def test_doc_dup_grams_planted_and_brute_force(tmp_path):
     assert got[3][1] > 0
     # the short doc has zero grams but still a row
     assert got[2] == (0, 0)
+
+
+def test_significant_terms_planted_vs_brute_force(tmp_path):
+    """ES significant_terms shape: a term exclusive to the foreground
+    (query-matching) docs must outscore corpus-wide terms, and the
+    whole (term, df_fg, df_bg, score) table must equal a brute-force
+    JLH computation over the tokenized corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines.fulltext import significant_terms
+
+    fg_texts = [
+        f"alpha beta gamma shared filler{i}" for i in range(5)
+    ]
+    bg_texts = [
+        f"shared other words filler{i} delta" for i in range(5)
+    ]
+    texts = fg_texts + bg_texts
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    query, k = "alpha beta", 6
+    tok = CodeTokenizer()
+    docs_tokens = [set(tok.tokens_of(s)) for s in texts]
+    q_toks = set(tok.tokens_of(query))
+    fg = [i for i, ts in enumerate(docs_tokens) if q_toks <= ts]
+    n_docs, n_fg = float(len(texts)), float(len(fg))
+    df_bg, df_fg = {}, {}
+    for i, ts in enumerate(docs_tokens):
+        for term in ts:
+            df_bg[term] = df_bg.get(term, 0) + 1
+            if i in fg:
+                df_fg[term] = df_fg.get(term, 0) + 1
+    scored = []
+    for term, f in df_fg.items():
+        fr, br = f / n_fg, df_bg[term] / n_docs
+        scored.append(
+            (term, f, df_bg[term], float(np.round((fr - br) * (fr / br), 6)))
+        )
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    expect = scored[:k]
+
+    out = significant_terms(str(d), queries=(query,), k=k).to_pandas()
+    got = [
+        (r.term, int(r.df_fg), int(r.df_bg), float(r.score))
+        for r in out.itertuples()
+    ]
+    assert got == expect
+    # the fg-exclusive markers score maximal (fr=1, br=0.5 -> 1.0),
+    # corpus-wide terms score 0 and fall out of the top
+    top_terms = {g[0] for g in got if g[3] == 1.0}
+    assert {"alpha", "beta", "gamma"} <= top_terms
+    assert all(g[0] != "shared" or g[3] == 0.0 for g in got)
