@@ -24,6 +24,8 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_facets_sql,
     significant_terms,
     significant_terms_sql,
+    hybrid_search_rrf,
+    hybrid_search_rrf_sql,
     keyword_search_excluding,
     keyword_search_excluding_sql,
     keyword_search_indexed,
@@ -109,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "significant_terms": lambda sf: significant_terms(sf),
+        "hybrid_search_rrf": lambda sf: hybrid_search_rrf(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),
         "term_df": textops.term_df,
@@ -216,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
         "significant_terms": significant_terms_sql(),
+        "hybrid_search_rrf": hybrid_search_rrf_sql(),
         "keyword_search_indexed": textops.keyword_search_sql(),
         "keyword_search_excluding": keyword_search_excluding_sql(),
         "term_df": f"""

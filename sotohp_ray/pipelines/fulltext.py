@@ -1080,6 +1080,138 @@ def bm25_facets_sql(queries=DOC_QUERIES) -> str:
     return " UNION ALL ".join(parts) + " ORDER BY query_id, lang"
 
 
+RRF_C = 60       # the standard reciprocal-rank-fusion constant
+RRF_DEPTH = 20   # per-retriever candidate depth
+RRF_K = 10
+
+
+def hybrid_search_rrf(
+    sf_dir: str, k: int = RRF_K, depth: int = RRF_DEPTH,
+    rrf_c: int = RRF_C,
+) -> pa.Table:
+    """(query_id, doc_id, rrf): HYBRID retrieval — the lexical BM25
+    top-``depth`` list and the vector cosine top-``depth`` list
+    (query i pairs text query DOC_QUERIES[i] with query vector
+    embeddings[vec_id == i]; vec_id aligns with doc_id in the
+    testdata) fused by reciprocal-rank fusion: rrf = sum over lists
+    of 1/(c + rank), absent docs contribute 0 (Cormack et al.
+    SIGIR'09; the ES 8.x `rrf` retriever shape — reference analog:
+    ES search surface, ElasticOperations.scala). Final top-k by
+    (rrf desc, doc_id asc).
+
+    Both retrievers run their existing distributed pipelines
+    (bm25_topk through the index, knn_cosine's actor pool); the fuse
+    itself touches only 2 x queries x depth rows — output-sized by
+    construction, no new scan."""
+    import pandas as pd
+
+    from sotohp_ray.pipelines.ann import DEFAULT_QUERY_IDS, knn_cosine
+
+    queries = DOC_QUERIES[: len(DEFAULT_QUERY_IDS)]
+    lex = bm25_topk(sf_dir, queries=queries, k=depth).to_pandas()
+    vec = knn_cosine(sf_dir, k=depth).to_pandas()
+    vec = vec.rename(columns={"vec_id": "doc_id"})
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        # rank by each list's own ordering contract: (rounded score
+        # desc, doc_id asc) within query — same as its SQL row_number
+        df = df.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True],
+        )
+        df["r"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", "doc_id", "r"]]
+
+    lr, vr = ranks(lex), ranks(vec)
+    fused = lr.merge(
+        vr, on=["query_id", "doc_id"], how="outer",
+        suffixes=("_lex", "_vec"),
+    )
+    contrib_l = np.where(
+        fused["r_lex"].notna(),
+        1.0 / (float(rrf_c) + fused["r_lex"].to_numpy(dtype=np.float64)),
+        0.0,
+    )
+    contrib_v = np.where(
+        fused["r_vec"].notna(),
+        1.0 / (float(rrf_c) + fused["r_vec"].to_numpy(dtype=np.float64)),
+        0.0,
+    )
+    fused["rrf"] = np.round(contrib_l + contrib_v, 6)
+    fused = fused.sort_values(
+        ["query_id", "rrf", "doc_id"], ascending=[True, False, True]
+    )
+    top = fused.groupby("query_id", sort=True).head(k)
+    top = top.sort_values(["query_id", "doc_id"])
+    return pa.table({
+        "query_id": pa.array(
+            top["query_id"].to_numpy(dtype=np.int64), pa.int64()
+        ),
+        "doc_id": pa.array(
+            top["doc_id"].to_numpy(dtype=np.int64), pa.int64()
+        ),
+        "rrf": pa.array(
+            top["rrf"].to_numpy(dtype=np.float64), pa.float64()
+        ),
+    })
+
+
+def hybrid_search_rrf_sql(
+    k: int = RRF_K, depth: int = RRF_DEPTH, rrf_c: int = RRF_C
+) -> str:
+    """DuckDB oracle: the BM25 oracle CTE (depth-truncated) and the
+    cosine top-depth, each row_number-ranked by its own ordering
+    contract, FULL OUTER JOINed and fused with the identical IEEE
+    expression (1.0/(c+r) + 1.0/(c+r), coalesced to 0)."""
+    from sotohp_ray.pipelines.ann import DEFAULT_QUERY_IDS
+
+    queries = DOC_QUERIES[: len(DEFAULT_QUERY_IDS)]
+    ids = ", ".join(str(int(i)) for i in DEFAULT_QUERY_IDS)
+    bm25 = bm25_oracle_sql(queries=queries, k=depth)
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS r
+  FROM ({bm25})
+),
+vecq AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+vecs AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(
+           e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
+  FROM embeddings e CROSS JOIN vecq q
+  WHERE e.vec_id <> q.query_id
+),
+vec AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS r
+  FROM vecs
+  QUALIFY r <= {depth}
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({rrf_c} + l.r), 0)
+               + coalesce(1.0 / ({rrf_c} + v.r), 0), 6) AS rrf
+  FROM lex l
+  FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rrf FROM fused
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
 SIGTERM_QUERIES = ("sort merge", "query batch")
 SIGTERM_K = 10
 

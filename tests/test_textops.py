@@ -1092,3 +1092,53 @@ def test_significant_terms_planted_vs_brute_force(tmp_path):
     top_terms = {g[0] for g in got if g[3] == 1.0}
     assert {"alpha", "beta", "gamma"} <= top_terms
     assert all(g[0] != "shared" or g[3] == 0.0 for g in got)
+
+
+def test_hybrid_rrf_fuses_component_rankings():
+    """hybrid_search_rrf must equal a straight Python RRF fuse of its
+    two component retrievers' own outputs (bm25_topk / knn_cosine at
+    the same depth), and a doc present in BOTH lists must outscore a
+    doc holding the same rank in only one."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.ann import DEFAULT_QUERY_IDS, knn_cosine
+    from sotohp_ray.pipelines.fulltext import (
+        DOC_QUERIES, RRF_C, RRF_DEPTH, RRF_K, bm25_topk,
+        hybrid_search_rrf,
+    )
+
+    sf = SF
+    lex = bm25_topk(
+        sf, queries=DOC_QUERIES[: len(DEFAULT_QUERY_IDS)], k=RRF_DEPTH
+    ).to_pandas()
+    vec = knn_cosine(sf, k=RRF_DEPTH).to_pandas()
+    vec = vec.rename(columns={"vec_id": "doc_id"})
+
+    expect = {}
+    for qi in sorted(lex.query_id.unique()):
+        contrib = {}
+        for df in (lex, vec):
+            g = df[df.query_id == qi].sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            )
+            for r, doc in enumerate(g.doc_id.tolist(), start=1):
+                contrib[doc] = contrib.get(doc, 0.0) + 1.0 / (RRF_C + r)
+        rows = sorted(
+            ((float(np.round(s, 6)), d) for d, s in contrib.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:RRF_K]
+        expect[qi] = sorted((d, s) for s, d in rows)
+
+    out = hybrid_search_rrf(sf).to_pandas()
+    got = {
+        qi: sorted(
+            (int(r.doc_id), float(r.rrf))
+            for r in out[out.query_id == qi].itertuples()
+        )
+        for qi in sorted(out.query_id.unique())
+    }
+    assert got == expect
+    # both-list membership beats single-list at equal rank
+    assert 1.0 / (RRF_C + 1) + 1.0 / (RRF_C + RRF_DEPTH) > 1.0 / (RRF_C + 1)
+    for qi, rows in got.items():
+        assert 0 < len(rows) <= RRF_K
