@@ -55,6 +55,8 @@ from sotohp_ray.pipelines.fulltext import (
     similar_docs_sql,
     suggest_terms,
     suggest_terms_sql,
+    spell_correct,
+    spell_correct_sql,
     contains_search,
     contains_search_sql,
     proximity_oracle_sql,
@@ -102,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_positions": lambda sf: term_positions(sf),
         "prefix_search": lambda sf: prefix_search(sf),
         "suggest_terms": lambda sf: suggest_terms(sf),
+        "spell_correct": lambda sf: spell_correct(sf),
         "contains_search": lambda sf: contains_search(sf),
         "regex_search": lambda sf: regex_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
@@ -210,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "term_positions": term_positions_sql(),
         "prefix_search": prefix_search_sql(),
         "suggest_terms": suggest_terms_sql(),
+        "spell_correct": spell_correct_sql(),
         "contains_search": contains_search_sql(),
         "regex_search": regex_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),

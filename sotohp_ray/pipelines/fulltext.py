@@ -507,6 +507,62 @@ df AS (SELECT term, count(*) AS df FROM d GROUP BY term)
 """
 
 
+# "ag" has TWO edit-1 vocabulary matches (a, agg) on the testdata, so
+# k=1 makes the df-desc ranking and the truncation both load-bearing
+# in the oracle compare (the suggest_terms convention)
+SPELL_QUERIES = ("qury", "mrge", "batc", "ag")
+SPELL_K = 1
+
+
+def spell_correct(
+    sf_dir: str, queries=SPELL_QUERIES, k: int = SPELL_K
+) -> pa.Table:
+    """(probe, term, df): spell correction ('did you mean') — for
+    each probe token, the top-k dictionary terms within Levenshtein
+    distance 1 ranked by document frequency (df desc, term asc). The
+    ES term-suggester analog (suggest_mode=always, max_edits pinned
+    to 1), answered from the dictionary alone: the fuzzy candidate
+    scan + the suggest ranking, zero postings decode."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    ps: list[str] = []
+    ts: list[str] = []
+    ds: list[int] = []
+    for q in queries:
+        terms, dfs = s.suggest_corrections(q, k=k)
+        ps += [q] * len(terms)
+        ts += terms
+        ds += [int(d) for d in dfs]
+    return pa.table({
+        "probe": pa.array(ps, pa.string()),
+        "term": pa.array(ts, pa.string()),
+        "df": pa.array(ds, pa.int64()),
+    })
+
+
+def spell_correct_sql(queries=SPELL_QUERIES, k: int = SPELL_K) -> str:
+    if not queries:
+        raise ValueError("empty queries")
+    texpr = sql_token_expr("text")
+    parts = []
+    for q in queries:
+        lit = _sql_lit(q)
+        parts.append(
+            f"(SELECT '{lit}' AS probe, term, df FROM df\n"
+            f"   WHERE levenshtein(term, '{lit}') <= 1\n"
+            f"   ORDER BY df DESC, term ASC LIMIT {k})"
+        )
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({texpr}) AS term FROM documents),
+d AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*) AS df FROM d GROUP BY term)
+{body}
+"""
+
+
 SNIPPET_WINDOW = 5
 
 

@@ -1318,6 +1318,22 @@ class Searcher:
         order = np.lexsort((terms, -dfs))[:k]
         return terms[order].tolist(), dfs[order]
 
+    def _fuzzy_term_rows(self, q: str) -> tuple[list[str], np.ndarray]:
+        """(terms, dictionary row indices) within Levenshtein distance
+        1 of ``q`` — the shared candidate scan behind fuzzy retrieval
+        and spell correction."""
+        tbl_terms = self._tbl["term"]
+        lens = pc.utf8_length(tbl_terms).to_numpy(zero_copy_only=False)
+        cand_idx = np.flatnonzero(np.abs(lens - len(q)) <= 1)
+        if cand_idx.size == 0:
+            return [], np.zeros(0, dtype=np.int64)
+        cand = tbl_terms.take(pa.array(cand_idx, pa.int64())).to_pylist()
+        hit = np.asarray(one_edit_mask(cand, q), dtype=bool)
+        return (
+            [t for t, h in zip(cand, hit) if h],
+            cand_idx[hit].astype(np.int64),
+        )
+
     def fuzzy_terms(self, q: str) -> list[str]:
         """Dictionary terms within Levenshtein distance 1 of ``q``
         (Lucene FuzzyQuery, fixed max-edits=1), via the vectorized
@@ -1325,14 +1341,24 @@ class Searcher:
         length-filtered vocabulary slice. Vocabulary-bounded like
         every multi-term rewrite (Lucene walks a Levenshtein automaton
         over the same term dictionary)."""
-        tbl_terms = self._tbl["term"]
-        lens = pc.utf8_length(tbl_terms).to_numpy(zero_copy_only=False)
-        cand_idx = np.flatnonzero(np.abs(lens - len(q)) <= 1)
-        if cand_idx.size == 0:
-            return []
-        cand = tbl_terms.take(pa.array(cand_idx, pa.int64())).to_pylist()
-        hit = one_edit_mask(cand, q)
-        return [t for t, h in zip(cand, hit) if h]
+        return self._fuzzy_term_rows(q)[0]
+
+    def suggest_corrections(self, q: str, k: int = 3):
+        """Spell correction ('did you mean'): the top-k dictionary
+        terms within edit distance 1 of ``q`` (exact match included —
+        ES term-suggester suggest_mode=always with max_edits pinned),
+        ranked by document frequency (df desc, term asc) straight from
+        the dictionary — zero postings decode, like ``suggest``. df is
+        index-time df (same compaction-refresh staleness contract)."""
+        if not q:
+            raise ValueError("empty query")
+        terms, idx = self._fuzzy_term_rows(q)
+        if not terms:
+            return [], np.zeros(0, dtype=np.int64)
+        dfs = self._dfs[idx].astype(np.int64)
+        order = np.lexsort((np.array(terms, dtype=object).astype(str),
+                            -dfs))[:k]
+        return [terms[i] for i in order], dfs[order]
 
     def search_fuzzy(self, q: str) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, n_terms): docs containing any term within edit
@@ -1428,6 +1454,11 @@ class _GroupServer:
         are DISJOINT and the coordinator's global top-k over the
         union is exact."""
         return self.searcher.suggest(prefix, k=k)
+
+    def corrections_local(self, q: str, k: int):
+        """Group-local spell-correction candidates (same disjointness
+        argument as suggest_local)."""
+        return self.searcher.suggest_corrections(q, k=k)
 
     def raw_positions(self, token: str):
         """Unfiltered positional readback for one ALREADY-ANALYZED
@@ -1815,6 +1846,26 @@ class FanoutSearcher:
 
         parts = ray.get([a.fuzzy_hits.remote(q) for a in self.actors])
         return self._union_counts(parts)
+
+    def suggest_corrections(self, q: str, k: int = 3):
+        """Spell correction across every shard group: disjoint local
+        top-ks, global (df desc, term asc) top-k over the tiny union
+        (the suggest merge shape)."""
+        import ray
+
+        parts = ray.get(
+            [a.corrections_local.remote(q, k) for a in self.actors]
+        )
+        terms = np.array(
+            [t for ts, _ in parts for t in ts], dtype=object
+        )
+        dfs = np.concatenate(
+            [np.asarray(d, dtype=np.int64) for _, d in parts]
+        ) if parts else np.zeros(0, np.int64)
+        if terms.size == 0:
+            return [], np.zeros(0, dtype=np.int64)
+        order = np.lexsort((terms.astype(str), -dfs))[:k]
+        return terms[order].tolist(), dfs[order]
 
     def _positions_fanout(self, toks: list[str]) -> dict:
         """Raw (untombstoned) positions per distinct analyzed token,

@@ -965,3 +965,46 @@ def test_regex_search_matches_token_scan_and_fanout(small_index):
         np.testing.assert_array_equal(fc, counts, err_msg=pat)
     with pytest.raises(ValueError):
         s.search_regex("")
+
+
+def test_spell_corrections_rank_by_df_and_fanout(small_index):
+    """Spell correction: candidates = dictionary terms within edit
+    distance 1 (brute-force DP cross-check), ranked (df desc, term
+    asc) with k truncation; 4-group fan-out must equal the single
+    searcher. Empty probe raises."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    terms = s._tbl["term"].to_pylist()
+    dfs = s._dfs.astype(np.int64)
+    by_term = dict(zip(terms, (int(d) for d in dfs)))
+
+    def lev(a: str, b: str) -> int:
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    # probes: one-char deletions of real vocabulary terms + an exact
+    # term (distance 0 included) + a no-match probe
+    probes = sorted({t[1:] for t in terms if len(t) >= 3})[:5]
+    probes += [terms[0], "zzznotfound"]
+    for q in probes:
+        want = sorted(
+            ((t, by_term[t]) for t in terms if lev(t, q) <= 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        got_t, got_d = s.suggest_corrections(q, k=3)
+        assert list(zip(got_t, (int(d) for d in got_d))) == want, q
+        ft, fd = f.suggest_corrections(q, k=3)
+        assert ft == got_t, q
+        np.testing.assert_array_equal(fd, got_d, err_msg=q)
+    with pytest.raises(ValueError):
+        s.suggest_corrections("")
