@@ -1136,6 +1136,138 @@ def bm25_facets_sql(queries=DOC_QUERIES) -> str:
     return " UNION ALL ".join(parts) + " ORDER BY query_id, lang"
 
 
+COLLAPSE_N = 2
+
+
+def bm25_top_per_lang(
+    sf_dir: str, queries=DOC_QUERIES, n: int = COLLAPSE_N
+) -> pa.Table:
+    """(query_id, lang, doc_id, score): field collapsing — per query,
+    the top-n BM25 docs WITHIN EACH lang group, ranked by the standard
+    (round(score,4) desc, doc_id asc) contract. The ES
+    collapse / top_hits-per-bucket shape (reference analog: the
+    gallery's grouped search views over ES, ApiApp.scala).
+
+    Distributed combiner: per-query (sorted matched ids, rounded
+    scores) broadcast once via ``ray.put`` (matched-set-sized, the
+    bm25_facets pattern); each documents batch emits its LOCAL top-n
+    per (query, lang) — vectorized lexsort + run-boundary arithmetic,
+    no per-group loop over rows — and the driver merges the
+    (blocks x queries x langs x n)-sized partials. No corpus-sized
+    driver state at any point."""
+    import ray
+    import ray.data
+
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    match = {}
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        if not full:
+            continue
+        ids = np.array([int(eng2orig[d]) for d, _ in full], np.int64)
+        scs = np.array([round(sc, 4) for _, sc in full], np.float64)
+        o = np.argsort(ids)
+        match[qi] = (ids[o], scs[o])
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    })
+    if not match:
+        return empty
+    mref = ray.put(match)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        parts = []
+        for qi, (mi, ms) in m.items():
+            p = np.searchsorted(mi, ids)
+            inb = p < mi.size
+            mask = np.zeros(ids.size, dtype=bool)
+            mask[inb] = mi[p[inb]] == ids[inb]
+            if not mask.any():
+                continue
+            sid = ids[mask]
+            ssc = ms[p[mask]]
+            slang, lcode = np.unique(
+                langs[mask].astype(str), return_inverse=True
+            )
+            order = np.lexsort((sid, -ssc, lcode))
+            lc = lcode[order]
+            run_start = np.concatenate(
+                ([0], np.flatnonzero(np.diff(lc)) + 1)
+            )
+            pos_in_run = np.arange(lc.size) - np.repeat(
+                run_start, np.diff(np.concatenate((run_start, [lc.size])))
+            )
+            keep = order[pos_in_run < n]
+            parts.append(pa.table({
+                "query_id": pa.array(
+                    np.full(keep.size, qi, dtype=np.int64)
+                ),
+                "lang": pa.array(
+                    slang[lcode[keep]].tolist(), pa.string()
+                ),
+                "doc_id": pa.array(sid[keep], pa.int64()),
+                "score": pa.array(ssc[keep], pa.float64()),
+            }))
+        return pa.concat_tables(parts) if parts else empty
+
+    cand = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # blocks x queries x langs x n rows: output-sized
+    )
+    if not len(cand):
+        return empty
+    cand = cand.sort_values(
+        ["query_id", "lang", "score", "doc_id"],
+        ascending=[True, True, False, True],
+    )
+    top = cand.groupby(["query_id", "lang"], sort=True).head(n)
+    top = top.sort_values(["query_id", "lang", "doc_id"])
+    return pa.table({
+        "query_id": pa.array(
+            top["query_id"].to_numpy(np.int64), pa.int64()
+        ),
+        "lang": pa.array(top["lang"].astype(str).tolist(), pa.string()),
+        "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(
+            top["score"].to_numpy(np.float64), pa.float64()
+        ),
+    })
+
+
+def bm25_top_per_lang_sql(queries=DOC_QUERIES, n: int = COLLAPSE_N) -> str:
+    """DuckDB oracle: the full BM25 ranking CTE re-windowed per
+    (query, lang)."""
+    bm25 = bm25_oracle_sql(queries=queries, k=1_000_000_000)
+    return f"""
+WITH fullrank AS (SELECT * FROM ({bm25})),
+j AS (
+  SELECT f.query_id, d.lang, f.doc_id, f.score
+  FROM fullrank f JOIN documents d USING (doc_id)
+)
+SELECT query_id, lang, doc_id, score FROM j
+QUALIFY row_number() OVER (
+  PARTITION BY query_id, lang ORDER BY score DESC, doc_id ASC
+) <= {n}
+ORDER BY query_id, lang, doc_id
+"""
+
+
 RRF_C = 60       # the standard reciprocal-rank-fusion constant
 RRF_DEPTH = 20   # per-retriever candidate depth
 RRF_K = 10

@@ -1142,3 +1142,42 @@ def test_hybrid_rrf_fuses_component_rankings():
     assert 1.0 / (RRF_C + 1) + 1.0 / (RRF_C + RRF_DEPTH) > 1.0 / (RRF_C + 1)
     for qi, rows in got.items():
         assert 0 < len(rows) <= RRF_K
+
+
+def test_bm25_top_per_lang_equals_per_group_rerank():
+    """Field collapsing: the distributed per-batch combiner result
+    must equal a driver-side per-(query, lang) re-rank of the full
+    BM25 ranking (same round4/doc_id tie-break contract)."""
+    import duckdb
+    import numpy as np
+
+    from sotohp_ray.pipelines.fulltext import (
+        COLLAPSE_N, DOC_QUERIES, bm25_top_per_lang, bm25_topk,
+    )
+
+    sf = SF
+    full = bm25_topk(sf, queries=DOC_QUERIES, k=10**9).to_pandas()
+    con = duckdb.connect()
+    lang = dict(
+        con.sql(
+            f"SELECT doc_id, lang FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    )
+    full["lang"] = full.doc_id.map(lang)
+    full = full.sort_values(
+        ["query_id", "lang", "score", "doc_id"],
+        ascending=[True, True, False, True],
+    )
+    expect = (
+        full.groupby(["query_id", "lang"], sort=True)
+        .head(COLLAPSE_N)
+        .sort_values(["query_id", "lang", "doc_id"])
+        .reset_index(drop=True)[
+            ["query_id", "lang", "doc_id", "score"]
+        ]
+    )
+    got = bm25_top_per_lang(sf).to_pandas().reset_index(drop=True)
+    assert got.equals(expect.astype(got.dtypes.to_dict()))
+    # every (query, lang) bucket is filled to n (dense testdata)
+    sizes = got.groupby(["query_id", "lang"]).size()
+    assert (sizes == COLLAPSE_N).all()
