@@ -168,6 +168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, n_centroids=32, n_probe=32
         ),
         "ann_ivf_buckets": ann.ann_ivf_buckets,             # rows-only
+        "knn_cosine_quantized": ann.knn_cosine_quantized,   # rows-only
+        # full re-rank (depth >= corpus) == exact brute force, so the
+        # quantized path gets an oracle-gated row too
+        "knn_cosine_quantized_fullrerank": lambda sf:
+            ann.knn_cosine_quantized(sf, depth=10**9),
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_thumbnails": multimodal.media_thumbnails,
@@ -309,6 +314,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_filtered": ann.knn_cosine_filtered_sql(),
         # full-probe IVF == brute-force kNN, same oracle
         "ann_ivf_fullprobe": _KNN_COSINE_SQL,
+        # full-re-rank quantized search == brute-force kNN, same oracle
+        "knn_cosine_quantized_fullrerank": _KNN_COSINE_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100.0) AS BIGINT)

@@ -154,6 +154,81 @@ def knn_cosine(
     return _topk_merge(ds, k)
 
 
+QUANT_DEPTH = 32
+
+
+class _QuantScorer:
+    """Actor-pool stage: int8 scalar-quantized candidate scan + exact
+    float re-rank of the per-batch top-``depth`` (the Lucene/ES
+    int8-quantized-vector + rescore shape, FAISS SQ8). Quantization:
+    unit vectors -> round(x * 127) clamped to [-127, 127]; the int32
+    dot approximates cosine * 127^2 well enough to pick candidates,
+    and ONLY the depth-sized candidate set pays a float dot."""
+
+    def __init__(self, qref, k: int, depth: int):
+        import ray
+
+        self.q_ids, self.Q = ray.get(qref)  # (m,), (m, dim) normalized
+        self.Qq = np.clip(
+            np.round(self.Q * 127.0), -127, 127
+        ).astype(np.int8)
+        self.k = k
+        self.depth = depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        Xq = np.clip(np.round(Xn * 127.0), -127, 127).astype(np.int8)
+        # int32 accumulate: int8 @ int8 would overflow at dim > 2
+        A = Xq.astype(np.int32) @ self.Qq.T.astype(np.int32)
+        out_q, out_v, out_s = [], [], []
+        for j in range(self.q_ids.size):
+            mask = ids != self.q_ids[j]  # exclude self (knn contract)
+            cand_ids = ids[mask]
+            if cand_ids.size == 0:
+                continue
+            approx = A[mask, j]
+            d = min(self.depth, cand_ids.size)
+            order = np.lexsort((cand_ids, -approx))[:d]
+            exact = np.round(Xn[mask][order] @ self.Q[j], 5)
+            take = min(self.k, d)
+            fin = np.lexsort((cand_ids[order], -exact))[:take]
+            out_q.extend([int(self.q_ids[j])] * take)
+            out_v.extend(cand_ids[order][fin].tolist())
+            out_s.extend(exact[fin].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_cosine_quantized(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    depth: int = QUANT_DEPTH,
+):
+    """(query_id, vec_id, score): quantized vector search — int8
+    scalar-quantized approximate scan picks per-batch top-``depth``
+    candidates, exact float cosine re-ranks them, global merge takes
+    top-k by exact score. At ``depth`` >= batch size the candidate set
+    is every row and the result EQUALS brute-force knn_cosine (the
+    oracle-gated fullrerank twin); at small depth it trades recall for
+    a 4x-smaller scan and a depth-bounded float cost — the 100 TB
+    scale path (memory-bound scans read int8, not float32)."""
+    import ray
+
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    qref = ray.put((q_ids, Q))
+    ds = _emb(sf_dir).map_batches(
+        _QuantScorer,
+        fn_constructor_kwargs={"qref": qref, "k": k, "depth": depth},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(ds, k)
+
+
 FILTER_LABEL = 3
 
 

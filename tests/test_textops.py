@@ -1181,3 +1181,29 @@ def test_bm25_top_per_lang_equals_per_group_rerank():
     # every (query, lang) bucket is filled to n (dense testdata)
     sizes = got.groupby(["query_id", "lang"]).size()
     assert (sizes == COLLAPSE_N).all()
+
+
+def test_quantized_knn_recall_and_fullrerank_identity():
+    """int8 scalar-quantized search: at full re-rank depth the result
+    must be BIT-IDENTICAL to brute-force knn_cosine (quantization only
+    picks candidates, exact scores decide); at the default depth
+    recall@10 must stay high on the testdata embeddings."""
+    from sotohp_ray.pipelines.ann import (
+        QUANT_DEPTH, knn_cosine, knn_cosine_quantized,
+    )
+
+    exact = knn_cosine(SF).to_pandas().sort_values(
+        ["query_id", "vec_id"]
+    ).reset_index(drop=True)
+    fullr = knn_cosine_quantized(SF, depth=10**9).to_pandas().sort_values(
+        ["query_id", "vec_id"]
+    ).reset_index(drop=True)
+    assert fullr.equals(exact)
+
+    q = knn_cosine_quantized(SF, depth=QUANT_DEPTH).to_pandas()
+    recalls = []
+    for qi in exact.query_id.unique():
+        e = set(exact[exact.query_id == qi].vec_id)
+        g = set(q[q.query_id == qi].vec_id)
+        recalls.append(len(e & g) / len(e))
+    assert min(recalls) >= 0.8, recalls
