@@ -28,6 +28,8 @@ from sotohp_ray.pipelines.fulltext import (
     hybrid_search_rrf_sql,
     bm25_top_per_lang,
     bm25_top_per_lang_sql,
+    bm25_length_facets,
+    bm25_length_facets_sql,
     keyword_search_excluding,
     keyword_search_excluding_sql,
     keyword_search_indexed,
@@ -118,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": lambda sf: significant_terms(sf),
         "hybrid_search_rrf": lambda sf: hybrid_search_rrf(sf),
         "bm25_top_per_lang": lambda sf: bm25_top_per_lang(sf),
+        "bm25_length_facets": lambda sf: bm25_length_facets(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),
         "term_df": textops.term_df,
@@ -233,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": significant_terms_sql(),
         "hybrid_search_rrf": hybrid_search_rrf_sql(),
         "bm25_top_per_lang": bm25_top_per_lang_sql(),
+        "bm25_length_facets": bm25_length_facets_sql(),
         "keyword_search_indexed": textops.keyword_search_sql(),
         "keyword_search_excluding": keyword_search_excluding_sql(),
         "term_df": f"""

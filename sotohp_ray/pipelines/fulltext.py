@@ -1136,6 +1136,119 @@ def bm25_facets_sql(queries=DOC_QUERIES) -> str:
     return " UNION ALL ".join(parts) + " ORDER BY query_id, lang"
 
 
+FACET_BUCKET = 100
+
+
+def bm25_length_facets(
+    sf_dir: str, queries=DOC_QUERIES, bucket: int = FACET_BUCKET
+) -> pa.Table:
+    """(query_id, bucket_lo, n_matches): numeric histogram facet over
+    each query's match set — matched docs bucketed by n_chars (the ES
+    histogram/range aggregation on a query's hits, the numeric sibling
+    of bm25_facets' term facet). Same distributed shape: matched-id
+    arrays (mapped to original ids) broadcast once; each documents
+    batch buckets its members vectorized and the driver sums
+    output-sized (queries x buckets) partials."""
+    import ray
+    import ray.data
+
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    match = {}
+    for qi, q in enumerate(queries):
+        ids = s.search_boolean(q, mode="or")
+        if ids.size:
+            match[qi] = np.sort(eng2orig[ids].astype(np.int64))
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "bucket_lo": pa.array([], pa.int64()),
+        "n_matches": pa.array([], pa.int64()),
+    })
+    if not match:
+        return empty
+    mref = ray.put(match)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        qs, bs, ns = [], [], []
+        for qi, arr in m.items():
+            p = np.searchsorted(arr, ids)
+            inb = p < arr.size
+            mask = np.zeros(ids.size, dtype=bool)
+            mask[inb] = arr[p[inb]] == ids[inb]
+            if not mask.any():
+                continue
+            lo = (nch[mask] // bucket) * bucket
+            ub, cnt = np.unique(lo, return_counts=True)
+            qs.append(np.full(ub.size, qi, dtype=np.int64))
+            bs.append(ub)
+            ns.append(cnt.astype(np.int64))
+        if not qs:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), pa.int64()),
+            "bucket_lo": pa.array(np.concatenate(bs), pa.int64()),
+            "n_matches": pa.array(np.concatenate(ns), pa.int64()),
+        })
+
+    cand = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # (queries x buckets) rows per block: output-sized
+    )
+    if not len(cand):
+        return empty
+    agg = (
+        cand.groupby(["query_id", "bucket_lo"], as_index=False)[
+            "n_matches"
+        ]
+        .sum()
+        .sort_values(["query_id", "bucket_lo"])
+    )
+    return pa.table({
+        "query_id": pa.array(agg["query_id"].to_numpy(), pa.int64()),
+        "bucket_lo": pa.array(agg["bucket_lo"].to_numpy(), pa.int64()),
+        "n_matches": pa.array(
+            agg["n_matches"].to_numpy().astype(np.int64), pa.int64()
+        ),
+    })
+
+
+def bm25_length_facets_sql(
+    queries=DOC_QUERIES, bucket: int = FACET_BUCKET
+) -> str:
+    """Matching docs = docs containing ANY analyzed query term (the
+    bm25_facets contract), bucketed by n_chars."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    parts = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(tok.tokens_of(q)))
+        lst = ", ".join(f"'{_sql_lit(t)}'" for t in terms)
+        parts.append(
+            f"SELECT {qi} AS query_id,"
+            f" (d.n_chars // {bucket}) * {bucket} AS bucket_lo,"
+            f" count(*) AS n_matches FROM documents d WHERE EXISTS ("
+            f"SELECT 1 FROM unnest({texpr.replace('text', 'd.text')}) "
+            f"AS u(t) WHERE t IN ({lst})) GROUP BY 2"
+        )
+    return (
+        " UNION ALL ".join(parts) + " ORDER BY query_id, bucket_lo"
+    )
+
+
 COLLAPSE_N = 2
 
 
