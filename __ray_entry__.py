@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": textops.quality_stats,
         "doc_repetition": textops.doc_repetition,
         "doc_dup_grams": textops.doc_dup_grams,
+        "decontaminate": textops.decontaminate,
         "doc_quality_signals": textops.doc_quality_signals,
         "corpus_quality_filter": textops.corpus_quality_filter,
         "lang_guess": textops.lang_guess,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_filter": textops.corpus_quality_filter_sql(),
         "doc_repetition": textops.doc_repetition_sql(),
         "doc_dup_grams": textops.doc_dup_grams_sql(),
+        "decontaminate": textops.decontaminate_sql(),
         "doc_quality_signals": textops.doc_quality_signals_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),

@@ -725,6 +725,108 @@ def doc_dup_grams(sf_dir: str, L: int = DUP_GRAM_L):
     )
 
 
+DECON_BENCH_DOCS = 3  # doc_id < 3 plays the held-out benchmark set
+
+
+def _pair_struct(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(h1, h2) rows as a sortable structured array — exact 128-bit
+    membership tests via searchsorted, no lossy key packing."""
+    out = np.empty(h1.size, dtype=[("a", np.uint64), ("b", np.uint64)])
+    out["a"], out["b"] = h1, h2
+    return out
+
+
+def decontaminate(
+    sf_dir: str, n_bench: int = DECON_BENCH_DOCS, L: int = DUP_GRAM_L
+):
+    """(doc_id, n_contaminated): per corpus doc (benchmark docs
+    excluded), how many of its character-L-gram instances also occur
+    in the benchmark set (here: doc_id < ``n_bench`` plays the
+    held-out eval set) — training-data DECONTAMINATION, the n-gram
+    overlap filter of GPT-3 appendix C / PaLM: any doc sharing a
+    >= L-char span with an eval document gets flagged. Only
+    contaminated docs are emitted.
+
+    Shape: the benchmark is small by definition, so its distinct gram
+    hashes broadcast once via ``ray.put`` (the small-side-broadcast
+    rule); ONE map pass over the corpus computes the same two rolling
+    64-bit hashes as doc_dup_grams and counts membership by
+    searchsorted over the 128-bit pair set — ZERO shuffle at any
+    scale."""
+    import ray
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=pads.field("doc_id") < n_bench,
+    )
+    btext = bench["text"].combine_chunks().cast(pa.large_string())
+    bflat, blens = _codepoints_flat(btext)
+    bh1, bh2, _ = _gram_hashes(bflat, blens, L)
+    bset = np.unique(_pair_struct(bh1, bh2))
+    bref = ray.put(bset)
+
+    def f(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        text = _text_col(batch)
+        flat, lens = _codepoints_flat(text)
+        h1, h2, did = _gram_hashes(flat, lens, L)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_contaminated": pa.array([], pa.int64()),
+        })
+        if h1.size == 0 or bs.size == 0:
+            return empty
+        keep = ids[did] >= n_bench  # benchmark rows don't flag selves
+        h = _pair_struct(h1[keep], h2[keep])
+        did = did[keep]
+        p = np.searchsorted(bs, h)
+        inb = p < bs.size
+        hit = np.zeros(h.size, dtype=bool)
+        hit[inb] = bs[p[inb]] == h[inb]
+        if not hit.any():
+            return empty
+        n = np.bincount(did[hit], minlength=ids.size)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_contaminated": pa.array(n[nz].astype(np.int64)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def decontaminate_sql(
+    n_bench: int = DECON_BENCH_DOCS, L: int = DUP_GRAM_L
+) -> str:
+    return f"""
+WITH bg AS (
+  SELECT DISTINCT
+         substr(text, unnest(generate_series(1, length(text) - {L - 1})),
+                {L}) AS g
+  FROM documents WHERE doc_id < {n_bench}
+),
+grams AS (
+  SELECT doc_id,
+         substr(text, unnest(generate_series(1, length(text) - {L - 1})),
+                {L}) AS g
+  FROM documents WHERE doc_id >= {n_bench}
+)
+SELECT doc_id, count(*)::BIGINT AS n_contaminated
+FROM grams JOIN bg USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def doc_dup_grams_sql(L: int = DUP_GRAM_L) -> str:
     return f"""
 WITH grams AS (

@@ -1207,3 +1207,53 @@ def test_quantized_knn_recall_and_fullrerank_identity():
         g = set(q[q.query_id == qi].vec_id)
         recalls.append(len(e & g) / len(e))
     assert min(recalls) >= 0.8, recalls
+
+
+def test_decontaminate_planted_overlap(tmp_path):
+    """Decontamination: docs sharing an L-gram with the benchmark set
+    (doc_id < n_bench) are flagged with exact instance counts;
+    benchmark docs never flag themselves; clean docs are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import decontaminate
+
+    L = 16
+    bench_span = "BENCHMARK-EVAL-SPAN-0123456789"   # 30 chars
+    texts = [
+        "eval doc one " + bench_span,                # benchmark (id 0)
+        "eval doc two entirely different content!!",  # benchmark (id 1)
+        "train doc leaking " + bench_span + " tail",  # contaminated
+        "train doc leaking twice " + bench_span + " and " + bench_span,
+        "perfectly clean training document with original words only",
+        "short",                                      # < L chars
+    ]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = decontaminate(str(d), n_bench=2, L=L).to_pandas()
+    got = dict(zip(out.doc_id, out.n_contaminated))
+    # brute-force expectation (shared CONTEXT chars around the planted
+    # span also form matching windows — e.g. the space preceding it)
+    bench_grams = {
+        s[i : i + L]
+        for s in texts[:2]
+        for i in range(len(s) - L + 1)
+    }
+    expect = {}
+    for did, s in enumerate(texts[2:], start=2):
+        n = sum(
+            1
+            for i in range(len(s) - L + 1)
+            if s[i : i + L] in bench_grams
+        )
+        if n:
+            expect[did] = n
+    assert got == expect
+    assert set(got) == {2, 3}          # the clean + short docs absent
+    assert got[3] > got[2]             # double leak counts more
