@@ -15,7 +15,13 @@ from collections.abc import Callable
 from typing import Any
 
 from sotohp_ray.functions.tokenizer import sql_token_expr
-from sotohp_ray.pipelines import ann, multimodal, relational, textops
+from sotohp_ray.pipelines import (
+    ann,
+    multimodal,
+    relational,
+    textops,
+    training,
+)
 from sotohp_ray.pipelines.fulltext import (
     DELETED_DOC_IDS,
     FILTER_LANG,
@@ -134,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": textops.decontaminate,
         "doc_quality_signals": textops.doc_quality_signals,
         "corpus_quality_filter": textops.corpus_quality_filter,
+        # --- training-data preparation ---
+        "token_budget_mixture": training.token_budget_mixture,
+        "docs_pii_redacted": training.docs_pii_redacted,
+        "doc_chunks": training.doc_chunks,
+        "doc_oov_rate": training.doc_oov_rate,
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
@@ -255,6 +266,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_grams": textops.doc_dup_grams_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "doc_quality_signals": textops.doc_quality_signals_sql(),
+        "token_budget_mixture": training.token_budget_mixture_sql(),
+        "docs_pii_redacted": training.docs_pii_redacted_sql(),
+        "doc_chunks": training.doc_chunks_sql(),
+        "doc_oov_rate": training.doc_oov_rate_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),
             agg AS (

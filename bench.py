@@ -349,6 +349,15 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_value_quantile_sketch(sf_dir))
     timed("knn_cosine_filtered", lambda: ann.knn_cosine_filtered(sf_dir))
     timed("contains_search", lambda: contains_search(sf_dir))
+    # round-4 session-4: training-data preparation operators
+    from sotohp_ray.pipelines import training
+
+    timed("token_budget_mixture",
+          lambda: training.token_budget_mixture(sf_dir))
+    timed("docs_pii_redacted",
+          lambda: training.docs_pii_redacted(sf_dir))
+    timed("doc_chunks", lambda: training.doc_chunks(sf_dir))
+    timed("doc_oov_rate", lambda: training.doc_oov_rate(sf_dir))
     return out
 
 

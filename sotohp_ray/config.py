@@ -97,6 +97,21 @@ class IndexConfig:
         one encode call each) and die after the merge, so they default
         to varint (cheapest per-call encode); the final index is
         size/decode-bound and defaults to pfor.
+    merge_num_cpus: logical CPUs RESERVED per merge reduce task (an
+        execution knob, deliberately NOT part of the config fingerprint
+        or the on-disk config — changing it never invalidates an
+        index). Merge tasks are memory-bandwidth-heavy (bulk varint
+        decode, lexsort, byte gathers over the whole shard's
+        postings); on hosts where concurrent page-fault bandwidth
+        collapses under full-width faulting (see
+        tools/host_probe.py — the bench VM drops 45x above ~10 GB of
+        concurrent fresh faults), raising this to 2.0 halves the
+        reduce width per node. Default 1.0: a 4-round adjacent
+        interleaved A/B on the bench host read cap-2/cap-1 build
+        ratios of 2.56/0.87/1.44/0.58 (median ~1.2) — the host's
+        minute-scale drift swamps any real effect, so the knob stays
+        neutral by default and is available for genuinely
+        bandwidth-constrained deployments.
     path_include / path_ignore: S1 include/ignore masks — RE2 regexes
         applied to each row's ``path`` during indexing (reference
         analog: FileSystemSearch.scala:56-77 includeMask/ignoreMask
@@ -109,6 +124,7 @@ class IndexConfig:
     num_term_shards: int = 64
     block_size: int = 128
     salt_rows: int = 65536
+    merge_num_cpus: float = 1.0
     codec: str = "pfor"
     partials_codec: str = "varint"
     path_include: str | None = None

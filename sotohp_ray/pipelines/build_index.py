@@ -439,7 +439,9 @@ def merge_phase(
         [{"lo": lo, "hi": hi} for lo, hi in ranges]
     )
     merge_metrics = shard_ds.map_batches(
-        _merge_range, batch_size=1, batch_format="numpy", num_cpus=1
+        _merge_range, batch_size=1, batch_format="numpy",
+        # bandwidth-aware reduce width: see IndexConfig.merge_num_cpus
+        num_cpus=config.merge_num_cpus,
     ).to_pandas()  # 1 row/shard — tiny; forces execution
     # per-stage metrics alongside the per-partition lineage: term count
     # per dictionary shard (skew observability for the salting knobs)

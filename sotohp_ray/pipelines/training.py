@@ -1,0 +1,455 @@
+"""Training-data preparation operators over the ``documents`` table:
+mixture sampling to a token budget, PII redaction, fixed-window
+chunking, and out-of-vocabulary scoring.
+
+These are the corpus-shaping steps a 100 TB LLM-training pipeline runs
+AFTER dedup/quality filtering (textops.py) and BEFORE tokenized-shard
+export: decide how much of each language/domain to keep
+(token_budget_mixture), scrub identifier-like spans (docs_pii_redacted),
+split documents into model-context-sized windows (doc_chunks), and
+measure vocabulary coverage (doc_oov_rate).
+
+Reference analogs: the mixture sampler generalizes the reference's
+random selection O5 (``mediaSelectRandom``, ApiApp.scala:804-814) from
+"one uniform row" to "a deterministic weighted prefix per stratum";
+redaction reuses the analyzer's RE2 discipline (M7); chunking is the
+windowed cousin of the O7 sliding-window operators.
+
+Every operator here is a streaming Ray Data pipeline with per-batch
+vectorized kernels; the only driver-side state is output-sized or
+bucket-sized (documented per operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sotohp_ray.functions.tokenizer import sql_token_expr
+from sotohp_ray.pipelines.textops import _TOK, _docs, _text_col
+
+_MIX_MUL = 2654435761  # Knuth multiplicative hash (public constant)
+_MIX_BUCKETS = 4096  # priority-hash buckets for the budget threshold
+
+# per-lang token budget. Test-scale default sized BELOW every lang's
+# sf0.001 total (4-11k tokens) so the cutoff logic engages in every
+# stratum; production callers pass their real budget.
+MIX_BUDGET_TOKENS = 2_000
+
+
+# ------------------------------------------------- token_budget_mixture
+
+
+def token_budget_mixture(sf_dir: str, budget: int = MIX_BUDGET_TOKENS):
+    """(doc_id, lang, n_tokens): deterministic mixture sampling — per
+    lang, documents are ordered by a multiplicative priority hash of
+    doc_id (a reproducible shuffle) and kept while the running token
+    total stays within ``budget``. The standard "sample each domain to
+    a token budget" step when composing a training mixture.
+
+    Scale shape (NO per-lang shuffle, NO global sort): the running-sum
+    cutoff is found with a two-pass threshold scheme.
+
+    1. One streaming pass aggregates token counts into
+       (lang, priority-bucket) cells, where bucket = top 12 bits of the
+       32-bit priority hash — a (n_langs x 4096)-sized table, tiny on
+       the driver.
+    2. Per lang, the bucket prefix-sum locates the CUTOFF bucket (the
+       first whose running total exceeds the budget). Every doc in an
+       earlier bucket is in; every doc in a later bucket is out (the
+       running sum is monotone). Only the cutoff bucket — ~1/4096 of
+       that lang's rows — is pulled to the driver, exactly
+       cumsum-ordered by (hash, doc_id), and resolved to a keep-set.
+    3. A second streaming pass keeps (bucket < cutoff) or (doc_id in
+       the broadcast cutoff keep-set).
+
+    Matches ``QUALIFY sum(n_tokens) OVER (PARTITION BY lang ORDER BY
+    pr, doc_id) <= budget`` exactly, including zero-token rows at the
+    boundary (the running sum is non-decreasing, so everything after
+    the first overflow row is excluded).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def tok_batch(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        n = pc.list_value_length(lists).cast(pa.int64())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pr = (ids * np.uint64(_MIX_MUL)) % np.uint64(1 << 32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": n,
+                "pr": pa.array(pr, pa.uint64()),
+                "bucket": pa.array(
+                    (pr >> np.uint64(20)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tokens_ds():
+        return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+            tok_batch, batch_format="pyarrow"
+        )
+
+    # pass 1: (lang, bucket) token totals — the aggregate is over at
+    # most n_langs * 4096 groups, after per-block partial aggregation
+    cells = (
+        tokens_ds()
+        .select_columns(["lang", "bucket", "n_tokens"])
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="tok"))
+        .to_pandas()
+    )
+
+    cutoff_bucket: dict[str, int] = {}
+    prefix_before: dict[str, int] = {}
+    for lang, sub in cells.groupby("lang"):
+        sub = sub.sort_values("bucket")
+        run = sub["tok"].cumsum()
+        over = run > budget
+        if not over.any():
+            cutoff_bucket[lang] = _MIX_BUCKETS  # everything fits
+            prefix_before[lang] = int(run.iloc[-1]) if len(run) else 0
+            continue
+        i = int(np.argmax(over.to_numpy()))
+        cutoff_bucket[lang] = int(sub["bucket"].iloc[i])
+        prefix_before[lang] = int(run.iloc[i - 1]) if i else 0
+
+    # resolve the cutoff buckets exactly: pull ONLY those rows
+    # (~1/4096 of each lang) and replay the QUALIFY cumsum
+    cb_arr = {k: v for k, v in cutoff_bucket.items() if v < _MIX_BUCKETS}
+    keep_ids: list[int] = []
+    if cb_arr:
+        langs = list(cb_arr)
+        buckets = np.asarray([cb_arr[g] for g in langs], dtype=np.int64)
+
+        def in_cutoff(batch: pa.Table) -> pa.Table:
+            lg = batch["lang"].to_numpy(zero_copy_only=False)
+            bk = batch["bucket"].to_numpy(zero_copy_only=False)
+            m = np.zeros(len(bk), dtype=bool)
+            for g, b in zip(langs, buckets):
+                m |= (lg == g) & (bk == b)
+            return batch.filter(pa.array(m))
+
+        edge = tokens_ds().map_batches(
+            in_cutoff, batch_format="pyarrow"
+        ).to_pandas()
+        for g in langs:
+            sub = edge[edge["lang"] == g].sort_values(["pr", "doc_id"])
+            rem = budget - prefix_before[g]
+            ok = sub["n_tokens"].cumsum() <= rem
+            keep_ids.extend(sub["doc_id"][ok].tolist())
+    keep = np.sort(np.asarray(keep_ids, dtype=np.int64))
+
+    def final(batch: pa.Table) -> pa.Table:
+        lg = batch["lang"].to_numpy(zero_copy_only=False)
+        bk = batch["bucket"].to_numpy(zero_copy_only=False)
+        m = np.zeros(len(bk), dtype=bool)
+        for g in set(lg):
+            m |= (lg == g) & (bk < cutoff_bucket.get(g, _MIX_BUCKETS))
+        if keep.size:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keep, ids)
+            pos[pos == keep.size] = 0
+            m |= keep[np.clip(pos, 0, keep.size - 1)] == ids
+        return batch.select(["doc_id", "lang", "n_tokens"]).filter(
+            pa.array(m)
+        )
+
+    return tokens_ds().map_batches(final, batch_format="pyarrow")
+
+
+def token_budget_mixture_sql(budget: int = MIX_BUDGET_TOKENS) -> str:
+    texpr = sql_token_expr("text")
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, lang,
+                 CAST(coalesce(len({texpr}), 0) AS BIGINT) AS n_tokens,
+                 (doc_id::HUGEINT * {_MIX_MUL}) % 4294967296 AS pr
+          FROM documents)
+        SELECT doc_id, lang, n_tokens FROM tk
+        QUALIFY sum(n_tokens) OVER (
+          PARTITION BY lang ORDER BY pr, doc_id
+          ROWS UNBOUNDED PRECEDING) <= {budget}
+    """
+
+
+# --------------------------------------------------- docs_pii_redacted
+
+# RE2 patterns (pyarrow and DuckDB both run RE2, so the semantics are
+# bit-identical on both sides of the oracle). Order matters and is
+# fixed: emails first (their local parts may contain digit runs), then
+# IPv4, then bare long digit runs (9+, i.e. id-/phone-like; an IPv4
+# octet is at most 3 digits so the classes never overlap).
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\d{9,}", "<NUM>"),
+)
+
+
+def docs_pii_redacted(sf_dir: str):
+    """(doc_id, text_redacted, n_redactions): PII scrubbing — emails,
+    IPv4 addresses and long digit runs replaced by typed sentinels, with
+    a per-doc redaction count. One vectorized RE2 pass per rule per
+    batch (pc.count_substring_regex + pc.replace_substring_regex); no
+    per-row Python."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        for pat, repl in PII_RULES:
+            cnt = pc.count_substring_regex(text, pat)
+            total += cnt.to_numpy(zero_copy_only=False).astype(np.int64)
+            text = pc.replace_substring_regex(text, pat, repl)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_redacted": text.cast(pa.string()),
+                "n_redactions": pa.array(total, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def docs_pii_redacted_sql() -> str:
+    expr = "text"
+    counts = []
+    for pat, repl in PII_RULES:
+        # DuckDB single-quoted strings are RAW (no backslash escapes):
+        # only quote-double; the regex text passes through verbatim
+        pat_sql = pat.replace("'", "''")
+        counts.append(
+            f"len(regexp_extract_all({expr}, '{pat_sql}'))"
+        )
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    n_red = " + ".join(counts)
+    return f"""
+        SELECT doc_id,
+               {expr} AS text_redacted,
+               CAST({n_red} AS BIGINT) AS n_redactions
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------- doc_chunks
+
+# window defaults sized so the sf corpora (~40-60 tokens/doc) emit
+# MULTI-chunk documents and exercise the overlap arithmetic;
+# production callers pass their model's real context size.
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def doc_chunks(
+    sf_dir: str,
+    chunk: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+):
+    """(doc_id, chunk_id, chunk_tokens, first_tok, last_tok): fixed
+    token-window chunking with overlap — the context-window packing
+    step before tokenized-shard export. Window starts step by
+    ``chunk - overlap``; a document emits
+    ``1 + max(0, ceil((n - chunk) / stride))`` chunks (zero-token docs
+    emit none), so no chunk is a pure suffix of its predecessor.
+
+    Emits chunk METADATA (sizes + boundary tokens), not the token
+    text — the metadata pins the exact window arithmetic against the
+    SQL oracle while keeping the output narrow; a shard exporter would
+    slice the same offsets. Fully vectorized: one tokenize + flatten
+    per batch, boundary tokens gathered by flat offset arithmetic."""
+    if chunk <= overlap:
+        raise ValueError("chunk must exceed overlap")
+    stride = chunk - overlap
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        lists = (
+            lists.combine_chunks()
+            if isinstance(lists, pa.ChunkedArray)
+            else lists
+        )
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        n = n.astype(np.int64)
+        flat = pc.list_flatten(lists)
+        # flat start offset of each doc's token run
+        doc_off = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(n[:-1], out=doc_off[1:])
+
+        n_chunks = np.where(
+            n > 0, 1 + np.maximum(0, -(-(n - chunk) // stride)), 0
+        )
+        total = int(n_chunks.sum())
+        if not total:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_tokens": pa.array([], pa.int64()),
+                    "first_tok": pa.array([], pa.string()),
+                    "last_tok": pa.array([], pa.string()),
+                }
+            )
+        rows = np.flatnonzero(n_chunks)
+        rep = n_chunks[rows]
+        doc_sel = np.repeat(rows, rep)
+        starts_of = np.zeros(rows.size, dtype=np.int64)
+        np.cumsum(rep[:-1], out=starts_of[1:])
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(
+            starts_of, rep
+        )
+        s = chunk_id * stride
+        nn = n[doc_sel]
+        size = np.minimum(nn - s, chunk)
+        first_idx = doc_off[doc_sel] + s
+        last_idx = doc_off[doc_sel] + np.minimum(s + chunk, nn) - 1
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "chunk_tokens": pa.array(size, pa.int64()),
+                "first_tok": flat.take(pa.array(first_idx)).cast(
+                    pa.string()
+                ),
+                "last_tok": flat.take(pa.array(last_idx)).cast(
+                    pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def doc_chunks_sql(
+    chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk - overlap
+    texpr = sql_token_expr("text")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {texpr} AS toks,
+                 CAST(coalesce(len({texpr}), 0) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, n,
+                 1 + greatest(0::BIGINT,
+                   CAST(ceil((n - {chunk}) / {stride}.0) AS BIGINT))
+                   AS n_chunks
+          FROM t WHERE n > 0)
+        SELECT doc_id,
+          unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+          unnest(list_transform(generate_series(0, n_chunks - 1),
+            g -> least(n - g * {stride}, {chunk}))) AS chunk_tokens,
+          unnest(list_transform(generate_series(0, n_chunks - 1),
+            g -> toks[g * {stride} + 1])) AS first_tok,
+          unnest(list_transform(generate_series(0, n_chunks - 1),
+            g -> toks[least(g * {stride} + {chunk}, n)])) AS last_tok
+        FROM c
+    """
+
+
+# -------------------------------------------------------- doc_oov_rate
+
+OOV_VOCAB_SIZE = 1000
+
+
+def doc_oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE):
+    """(doc_id, n_tokens, n_oov, oov_rate): per-document
+    out-of-vocabulary rate against the corpus top-``vocab_size``
+    vocabulary by collection frequency (ties broken by term, so the
+    vocabulary is deterministic). Vocabulary coverage is the standard
+    gate before committing to a tokenizer/vocab for training.
+
+    Two streaming passes: (1) the A1 partial+final term-count aggregate
+    keeps only the top-V rows (output-sized driver state); (2) the
+    vocabulary is broadcast and each batch scores membership with ONE
+    vectorized ``pc.is_in`` over its flattened tokens."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        flat = pc.list_flatten(lists)
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "term": vc.field("values").cast(pa.string()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    top = (
+        _docs(sf_dir, ["text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cf"))
+        .to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True])
+        .head(vocab_size)
+    )
+    vocab = pa.array(top["term"].tolist(), pa.large_string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        n = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False
+        )
+        inv = pc.is_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        n_oov = np.zeros(batch.num_rows, dtype=np.int64)
+        if parents.size:
+            n_oov = np.bincount(
+                parents, weights=~inv, minlength=batch.num_rows
+            ).astype(np.int64)
+        rate = np.divide(
+            n_oov, n, out=np.zeros(len(n), dtype=np.float64), where=n > 0
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "oov_rate": pa.array(np.round(rate, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def doc_oov_rate_sql(vocab_size: int = OOV_VOCAB_SIZE) -> str:
+    texpr = sql_token_expr("text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({texpr}) AS term FROM documents),
+        vocab AS (
+          SELECT term FROM toks GROUP BY term
+          ORDER BY count(*) DESC, term LIMIT {vocab_size}),
+        per_doc AS (
+          SELECT t.doc_id,
+                 count(*) AS n_tokens,
+                 count(*) FILTER (WHERE v.term IS NULL) AS n_oov
+          FROM toks t LEFT JOIN vocab v USING (term)
+          GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               round(coalesce(p.n_oov / p.n_tokens::DOUBLE, 0.0), 6)
+                 AS oov_rate
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -1,0 +1,230 @@
+"""Training-data preparation operator tests (training.py): PII
+redaction, token-budget mixture sampling, chunking, OOV scoring.
+
+The sf corpora contain no PII-shaped spans (sum(n_redactions) == 0
+there), so redaction is tested on PLANTED fixtures — including a
+DuckDB run of the oracle SQL on the same fixture, which keeps the
+driver's vacuously-green oracle row honest."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _write_docs(tmp_path, texts, langs=None, ids=None):
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                ids if ids is not None else list(range(n)), pa.int64()
+            ),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs if langs is not None else ["en"] * n),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+PII_TEXTS = [
+    "contact alice@example.com or bob.smith@mail.co",
+    "server at 10.0.0.1 port 8080",
+    "id 123456789012 and 12345678 trailing",
+    "x@y.io 1.2.3.4 999999999",
+    "nothing here",
+]
+PII_EXPECT = [
+    ("contact <EMAIL> or <EMAIL>", 2),
+    ("server at <IP> port 8080", 1),
+    ("id <NUM> and 12345678 trailing", 1),
+    ("<EMAIL> <IP> <NUM>", 3),
+    ("nothing here", 0),
+]
+
+
+def test_pii_redaction_planted(tmp_path):
+    from sotohp_ray.pipelines.training import docs_pii_redacted
+
+    d = _write_docs(tmp_path, PII_TEXTS)
+    df = docs_pii_redacted(d).to_pandas().sort_values("doc_id")
+    assert list(df["text_redacted"]) == [e[0] for e in PII_EXPECT]
+    assert list(df["n_redactions"]) == [e[1] for e in PII_EXPECT]
+
+
+def test_pii_oracle_sql_matches_on_planted(tmp_path):
+    """The sf corpora have zero redactions, so prove the SQL oracle on
+    a fixture where the rules actually fire."""
+    import duckdb
+
+    from sotohp_ray.pipelines.training import (
+        docs_pii_redacted,
+        docs_pii_redacted_sql,
+    )
+
+    d = _write_docs(tmp_path, PII_TEXTS)
+    ray_df = (
+        docs_pii_redacted(d).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    sql_df = (
+        con.sql(docs_pii_redacted_sql()).df().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(ray_df["text_redacted"]) == list(sql_df["text_redacted"])
+    assert list(ray_df["n_redactions"]) == list(sql_df["n_redactions"])
+    assert int(ray_df["n_redactions"].sum()) == 7  # rules really fired
+
+
+def _brute_chunks(texts, ids, chunk, overlap):
+    from sotohp_ray.pipelines.textops import _TOK
+
+    stride = chunk - overlap
+    toks = _TOK.token_lists(pa.array(texts, pa.large_string())).to_pylist()
+    rows = []
+    for did, tl in zip(ids, toks):
+        n = len(tl)
+        if n == 0:
+            continue
+        s = 0
+        cid = 0
+        while True:
+            end = min(s + chunk, n)
+            rows.append((did, cid, end - s, tl[s], tl[end - 1]))
+            if s + chunk >= n:
+                break
+            s += stride
+            cid += 1
+    return rows
+
+
+def test_doc_chunks_matches_bruteforce(tmp_path):
+    from sotohp_ray.pipelines.training import doc_chunks
+
+    # token counts around every boundary: 0, 1, chunk-1, chunk,
+    # chunk+1, one full stride past, and a long multi-chunk doc
+    texts = [
+        "1234",  # digits only -> 0 tokens
+        "alpha",
+        " ".join(f"w{i} x" for i in range(20)),
+        " ".join(f"tok{i} y" for i in range(40)),
+        " ".join(f"z{i} q p" for i in range(33)),
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = (
+        doc_chunks(d, chunk=32, overlap=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    want = _brute_chunks(texts, range(len(texts)), 32, 8)
+    assert (
+        list(
+            got[
+                ["doc_id", "chunk_id", "chunk_tokens", "first_tok", "last_tok"]
+            ].itertuples(index=False, name=None)
+        )
+        == want
+    )
+    # the boundary rule emitted no pure-suffix chunk
+    assert (got["chunk_tokens"] > 8).all() or (got["chunk_id"] == 0).any()
+
+
+def test_doc_chunks_rejects_bad_window():
+    from sotohp_ray.pipelines.training import doc_chunks
+
+    with pytest.raises(ValueError):
+        doc_chunks(SF, chunk=8, overlap=8)
+
+
+def _brute_mixture(texts, ids, langs, budget):
+    from sotohp_ray.pipelines.training import _MIX_MUL
+    from sotohp_ray.pipelines.textops import _TOK
+
+    toks = _TOK.token_lists(pa.array(texts, pa.large_string()))
+    import pyarrow.compute as pc
+
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    pr = (
+        np.asarray(ids, dtype=np.uint64) * np.uint64(_MIX_MUL)
+    ) % np.uint64(1 << 32)
+    keep = set()
+    for g in set(langs):
+        rows = [
+            (pr[i], ids[i], n[i])
+            for i in range(len(ids))
+            if langs[i] == g
+        ]
+        rows.sort()
+        run = 0
+        for p, did, nt in rows:
+            run += int(nt)
+            if run <= budget:
+                keep.add(did)
+    return keep
+
+
+def test_token_budget_mixture_matches_bruteforce(tmp_path):
+    from sotohp_ray.pipelines.training import token_budget_mixture
+
+    rng = np.random.default_rng(7)
+    texts, langs, ids = [], [], []
+    for i in range(120):
+        nw = int(rng.integers(0, 12))
+        # nw == 0 -> "1234" (zero analyzed tokens): exercises the
+        # zero-token boundary rows of the QUALIFY semantics
+        texts.append(
+            "1234" if nw == 0 else " ".join(
+                f"w{rng.integers(0, 50)}" for _ in range(nw)
+            )
+        )
+        langs.append(["en", "de", "fr"][int(rng.integers(0, 3))])
+        ids.append(i * 13 + 5)
+    d = _write_docs(tmp_path, texts, langs=langs, ids=ids)
+    for budget in (0, 30, 200, 10_000_000):
+        got = token_budget_mixture(d, budget=budget).to_pandas()
+        want = _brute_mixture(texts, ids, langs, budget)
+        assert set(got["doc_id"]) == want, f"budget={budget}"
+        if budget == 10_000_000:
+            assert len(got) == len(ids)  # everything fits
+
+
+def test_doc_oov_rate_matches_bruteforce(tmp_path):
+    from sotohp_ray.pipelines.training import doc_oov_rate
+    from sotohp_ray.pipelines.textops import _TOK
+
+    texts = [
+        "apple apple banana cherry",
+        "banana date elder fig grape",
+        "apple banana apple",
+        "1234",
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = doc_oov_rate(d, vocab_size=2).to_pandas().sort_values("doc_id")
+    toks = _TOK.token_lists(pa.array(texts, pa.large_string())).to_pylist()
+    from collections import Counter
+
+    cf = Counter(t for tl in toks for t in tl)
+    # top-2 by (count desc, term asc)
+    vocab = {
+        t for t, _ in sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    }
+    for row, tl in zip(got.itertuples(), toks):
+        n_oov = sum(1 for t in tl if t not in vocab)
+        assert row.n_tokens == len(tl)
+        assert row.n_oov == n_oov
+        assert row.oov_rate == (
+            round(n_oov / len(tl), 6) if tl else 0.0
+        )
