@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_signals": textops.doc_quality_signals,
         "corpus_quality_filter": textops.corpus_quality_filter,
         # --- training-data preparation ---
+        "percolate": textops.percolate,
         "token_budget_mixture": training.token_budget_mixture,
         "docs_pii_redacted": training.docs_pii_redacted,
         "doc_chunks": training.doc_chunks,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_grams": textops.doc_dup_grams_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "doc_quality_signals": textops.doc_quality_signals_sql(),
+        "percolate": textops.percolate_sql(),
         "token_budget_mixture": training.token_budget_mixture_sql(),
         "docs_pii_redacted": training.docs_pii_redacted_sql(),
         "doc_chunks": training.doc_chunks_sql(),

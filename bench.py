@@ -358,6 +358,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: training.docs_pii_redacted(sf_dir))
     timed("doc_chunks", lambda: training.doc_chunks(sf_dir))
     timed("doc_oov_rate", lambda: training.doc_oov_rate(sf_dir))
+    timed("percolate", lambda: textops.percolate(sf_dir))
     return out
 
 

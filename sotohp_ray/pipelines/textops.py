@@ -2491,6 +2491,102 @@ def keyword_search_sql(keywords=KEYWORD_QUERY) -> str:
     )
 
 
+# Registered percolator queries: (query_id, MUST terms, MUST_NOT
+# terms). Fixed and tiny — the percolator's contract is "queries are
+# registered ahead of the stream"; terms are analyzed tokens.
+PERCOLATE_QUERIES: tuple[tuple[int, tuple[str, ...], tuple[str, ...]], ...] = (
+    (1, ("sort", "merge"), ()),
+    (2, ("window",), ("hash",)),
+    (3, ("stream", "batch", "join"), ()),
+    (4, ("scan",), ("merge", "sort")),
+    (5, ("the", "fast"), ()),
+    (6, ("zzz_unmatched_term",), ()),  # empty-result edge
+)
+
+
+def percolate(sf_dir: str, queries=PERCOLATE_QUERIES):
+    """(query_id, doc_id): the ES percolator, reverse search — a small
+    REGISTERED query set is matched against the document stream
+    (reference serves search through Elasticsearch, whose percolator
+    is this exact operation; the reference's own scan-shaped analog is
+    the M9 forall-contains predicate, MediaServiceLive.scala:108-112).
+
+    One tokenize pass per batch; every query evaluates against a
+    shared (docs x vocab) presence matrix built by a single
+    ``pc.index_in`` over the flattened tokens — per-query work is a
+    handful of vectorized column ANDs, so adding queries is ~free.
+    The registered set is broadcast by closure (queries are the SMALL
+    side; documents stream)."""
+    qs = tuple(queries)
+    vocab = sorted({t for _, must, mnot in qs for t in must + mnot})
+    vpos = {t: i for i, t in enumerate(vocab)}
+
+    def f(batch: pa.Table) -> pa.Table:
+        parents, flat = _TOK.exploded(_text_col(batch))
+        pn = parents.to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(
+            pc.index_in(flat, value_set=pa.array(vocab).cast(flat.type)),
+            -1,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        present = np.zeros((batch.num_rows, len(vocab)), dtype=bool)
+        hit = idx >= 0
+        present[pn[hit], idx[hit]] = True
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for qid, must, mnot in qs:
+            ok = np.ones(batch.num_rows, dtype=bool)
+            for t in must:
+                ok &= present[:, vpos[t]]
+            for t in mnot:
+                ok &= ~present[:, vpos[t]]
+            n = int(ok.sum())
+            if n:
+                out_q.append(np.full(n, qid, dtype=np.int64))
+                out_d.append(ids[ok])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def percolate_sql(queries=PERCOLATE_QUERIES) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    parts = []
+    for qid, must, mnot in queries:
+        conds = []
+        if must:
+            lst = ", ".join(f"'{t}'" for t in must)
+            conds.append(f"list_has_all(toks, [{lst}])")
+        if mnot:
+            lst = ", ".join(f"'{t}'" for t in mnot)
+            conds.append(f"NOT list_has_any(toks, [{lst}])")
+        where = " AND ".join(conds) if conds else "TRUE"
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id "
+            f"FROM t WHERE {where}"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH t AS (SELECT doc_id, {texpr} AS toks FROM documents)\n{body}"
+
+
 def corpus_stats(sf_dir: str):
     """Single-row multi-aggregate over the corpus (A2: the Statistics
     single-pass fold, Statistics.scala:49-135,179-185 — counts, min/max

@@ -1257,3 +1257,53 @@ def test_decontaminate_planted_overlap(tmp_path):
     assert got == expect
     assert set(got) == {2, 3}          # the clean + short docs absent
     assert got[3] > got[2]             # double leak counts more
+
+
+def test_percolate_matches_bruteforce_and_is_nonvacuous(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import (
+        _TOK,
+        PERCOLATE_QUERIES,
+        percolate,
+    )
+
+    texts = [
+        "sort then merge the table",       # q1, q5? needs the+fast -> no
+        "window frame over rows",          # q2
+        "window hash partition",           # not q2 (hash excluded)
+        "stream of batch join plans",      # q3
+        "scan only here",                  # q4
+        "scan with merge",                 # not q4
+        "the fast path",                   # q5
+        "nothing relevant 123",
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = percolate(str(d)).to_pandas()
+    got_set = set(map(tuple, got[["query_id", "doc_id"]].to_numpy()))
+    toks = _TOK.token_lists(
+        pa.array(texts, pa.large_string())
+    ).to_pylist()
+    want = set()
+    for qid, must, mnot in PERCOLATE_QUERIES:
+        for did, tl in enumerate(toks):
+            s = set(tl)
+            if all(t in s for t in must) and not any(t in s for t in mnot):
+                want.add((qid, did))
+    assert got_set == want
+    assert (1, 0) in want and (2, 1) in want and (4, 4) in want
+    assert not any(q == 6 for q, _ in want)  # unmatched query stays empty
+    # non-vacuous on the real corpus too: every non-sentinel query hits
+    real = percolate(SF).to_pandas()
+    assert set(real["query_id"]) == {1, 2, 3, 4, 5}
