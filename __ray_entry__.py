@@ -69,6 +69,11 @@ from sotohp_ray.pipelines.fulltext import (
     spell_correct_sql,
     contains_search,
     contains_search_sql,
+    suffix_search,
+    suffix_search_sql,
+    bm25_min_should_match,
+    bm25_min_should_match_sql,
+    bm25_topk_boosted,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -116,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": lambda sf: suggest_terms(sf),
         "spell_correct": lambda sf: spell_correct(sf),
         "contains_search": lambda sf: contains_search(sf),
+        "suffix_search": lambda sf: suffix_search(sf),
+        "bm25_min_should_match": lambda sf: bm25_min_should_match(sf),
+        "bm25_topk_boosted": lambda sf: bm25_topk_boosted(sf),
         "regex_search": lambda sf: regex_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
@@ -239,6 +247,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": suggest_terms_sql(),
         "spell_correct": spell_correct_sql(),
         "contains_search": contains_search_sql(),
+        "suffix_search": suffix_search_sql(),
+        "bm25_min_should_match": bm25_min_should_match_sql(),
+        "bm25_topk_boosted": bm25_oracle_sql(boost_nchars=100.0),
         "regex_search": regex_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "search_snippets": search_snippets_sql(),

@@ -140,6 +140,145 @@ def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
     )
 
 
+def _msm_of(query: str) -> int:
+    """minimum_should_match for a query: ceil(0.6 * n) of its distinct
+    analyzed terms, at least 2, capped at n (the ES "60%" convention).
+    Integer arithmetic — float 0.6*n rounds wrong at n=5."""
+    n = len(set(CodeTokenizer().tokens_of(query)))
+    return min(n, max(2, (3 * n + 4) // 5))
+
+
+def bm25_min_should_match(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10
+) -> pa.Table:
+    """(query_id, doc_id, score, n_matched): BM25 top-k restricted to
+    docs matching at least ceil(60%) of each query's distinct analyzed
+    terms — the ES ``minimum_should_match`` contract (pure OR rewards
+    one hot term, AND is brittle; m-of-n is the standard middle).
+    Engine path: Searcher.search_min_should_match (one bincount over
+    the per-term contribution rows gives the distinct-match mask and
+    the score sums). Ranked (round(score,4) DESC, doc_id ASC)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_min_should_match(q, _msm_of(q), k=s.space)
+        ranked = sorted(
+            ((int(eng2orig[d]), sc, nm) for d, sc, nm in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc, nm in ranked:
+            rows.append((qi, d, sc, nm))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+        "n_matched": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def bm25_min_should_match_sql(queries=DOC_QUERIES, k: int = 10) -> str:
+    """DuckDB oracle: the bm25_oracle_sql scores CTE with a 4th VALUES
+    column qm (the per-query minimum) and a distinct-matched-term
+    HAVING — count(*) over the (tf JOIN q) group is exactly the
+    distinct matched-term count because tf has one row per
+    (doc, term)."""
+    tok = CodeTokenizer()
+    vals = []
+    for qi, q in enumerate(queries):
+        from collections import Counter
+
+        m = _msm_of(q)
+        for term, qtf in sorted(Counter(tok.tokens_of(q)).items()):
+            vals.append(f"({qi}, '{term}', {qtf}, {m})")
+    values_sql = ", ".join(vals)
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf, qm) AS (VALUES {values_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1.0)
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+         ) AS score,
+         count(*) AS n_matched,
+         min(q.qm) AS qm
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 4) AS score, n_matched
+FROM scores WHERE n_matched >= qm
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
+BOOST_NCHARS = 100.0
+
+
+def bm25_topk_boosted(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    nchars_div: float = BOOST_NCHARS,
+) -> pa.Table:
+    """(query_id, doc_id, score): BM25 top-k with a function_score
+    field_value_factor boost — score * (1 + ln(1 + n_chars/div)) —
+    the ES static-signal boost (recency/popularity/length) applied at
+    rank time from document metadata, re-ordering the ranking rather
+    than filtering it. The factor table is doc-metadata-sized and
+    built once from a 2-column parquet read; at cluster scale it is
+    the classic ray.put-broadcast small side."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    nch = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ids = nch["doc_id"].to_numpy(zero_copy_only=False)
+    factor = np.ones(int(ids.max()) + 1, dtype=np.float64)
+    factor[ids] = 1.0 + np.log1p(
+        nch["n_chars"].to_numpy(zero_copy_only=False) / nchars_div
+    )
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        ranked = sorted(
+            (
+                (int(eng2orig[d]), round(sc * factor[int(eng2orig[d])], 4))
+                for d, sc in full
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 PHRASE_QUERIES = (
     "table hash",
     "merge group",
@@ -678,6 +817,24 @@ def fuzzy_search(sf_dir: str, queries=FUZZY_QUERIES) -> pa.Table:
 
 def fuzzy_search_sql(queries=FUZZY_QUERIES) -> str:
     return _multiterm_sql(queries, "query", "levenshtein(term, '{q}') <= 1")
+
+
+SUFFIX_QUERIES = ("er", "le", "ow", "t")
+
+
+def suffix_search(sf_dir: str, suffixes=SUFFIX_QUERIES) -> pa.Table:
+    """(suffix, doc_id, n_terms): leading-wildcard ``*suffix``
+    retrieval from the dictionary (Searcher.search_suffix) — the fifth
+    multi-term rewrite beside prefix, infix, regex and fuzzy. ES
+    serves this by indexing a reversed copy of every token (the
+    reverse-token analyzer technique); here the vectorized dictionary
+    scan already costs the same as the prefix path, so ``ends_with``
+    IS the reversed-prefix scan with no second dictionary to sync."""
+    return _multiterm_retrieval(sf_dir, suffixes, "search_suffix", "suffix")
+
+
+def suffix_search_sql(suffixes=SUFFIX_QUERIES) -> str:
+    return _multiterm_sql(suffixes, "suffix", "term LIKE '%{q}'")
 
 
 FILTER_LANG = "es"
@@ -2088,6 +2245,7 @@ def bm25_topk_updated(
 def bm25_oracle_sql(
     queries=DOC_QUERIES, k: int = 10, exclude_ids=None,
     update_ids=None, update_suffix=UPDATE_SUFFIX, filter_lang=None,
+    boost_nchars: float | None = None,
 ) -> str:
     """DuckDB SQL computing the same BM25 top-k on ``documents``.
     Query tokenization happens here in Python (same tokenizer), emitted
@@ -2125,6 +2283,14 @@ def bm25_oracle_sql(
             f"\nJOIN documents fd ON fd.doc_id = s.doc_id"
             f" AND fd.lang = '{filter_lang}'"
         )
+    # function_score field_value_factor: boost by document length
+    # metadata (the engine shares the exact formula, bm25_topk_boosted)
+    score_expr, boost_join = "score", ""
+    if boost_nchars is not None:
+        score_expr = (
+            f"score * (1.0 + ln(1.0 + bd.n_chars / {boost_nchars}))"
+        )
+        boost_join = "\nJOIN documents bd ON bd.doc_id = s.doc_id"
     return f"""
 WITH docs_src AS (SELECT * FROM {src}),
 toks AS (
@@ -2152,10 +2318,10 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY 1, 2
 )
-SELECT query_id, s.doc_id AS doc_id, round(score, 4) AS score
-FROM scores s{filter_join}
+SELECT query_id, s.doc_id AS doc_id, round({score_expr}, 4) AS score
+FROM scores s{boost_join}{filter_join}
 QUALIFY row_number() OVER (
-  PARTITION BY query_id ORDER BY round(score, 4) DESC, s.doc_id ASC
+  PARTITION BY query_id ORDER BY round({score_expr}, 4) DESC, s.doc_id ASC
 ) <= {k}
 ORDER BY query_id, doc_id
 """

@@ -785,6 +785,36 @@ class Searcher:
         top = nz[order[:k]]
         return [(int(d), float(scores[d])) for d in top]
 
+    def search_min_should_match(
+        self, query: str, m: int, k: int = 10,
+    ) -> list[tuple[int, float, int]]:
+        """ES ``minimum_should_match`` retrieval: BM25 top-k over the
+        docs matching at least ``m`` DISTINCT analyzed query terms
+        (a pure OR rewards one hot term; AND is brittle; m-of-n is the
+        standard middle). Returns (doc_id, score, n_matched). Built on
+        ``search_contribs`` — its rows are exactly the (distinct term,
+        doc) match pairs, so per-doc row multiplicity IS the distinct
+        matched-term count; one bincount gives both the mask and the
+        per-doc score sums (matching-postings-sized, never doc-space
+        loops). Ranking contract: (round(score,4) DESC, doc_id ASC)."""
+        docs, _qis, cs = self.search_contribs(query)
+        if docs.size == 0:
+            return []
+        udocs, inv = np.unique(docs, return_inverse=True)
+        nmatch = np.bincount(inv)
+        sums = np.bincount(inv, weights=cs)
+        keep = nmatch >= m
+        if self._tomb is not None:
+            keep &= self._live_mask(udocs)
+        udocs, sums, nmatch = udocs[keep], sums[keep], nmatch[keep]
+        if udocs.size == 0:
+            return []
+        r = np.round(sums, 4)
+        top = np.lexsort((udocs, -r))[:k]
+        return [
+            (int(udocs[i]), float(r[i]), int(nmatch[i])) for i in top
+        ]
+
     def search_after(
         self, query: str, k: int = 10,
         after: tuple[float, int] | None = None,
@@ -1276,6 +1306,24 @@ class Searcher:
             pc.match_substring(self._tbl["term"], substr)
         )
 
+    def search_suffix(self, suffix: str) -> tuple[np.ndarray, np.ndarray]:
+        """Leading-wildcard (``*suffix``) retrieval: (doc_ids, n_terms)
+        — docs containing ANY dictionary term ending with ``suffix``,
+        with distinct-matching-term counts. ES serves this by indexing
+        a REVERSED copy of each token so the leading wildcard becomes
+        a prefix scan (the reverse-token analyzer technique); this
+        dictionary's multi-term rewrites are already one vectorized
+        vocabulary-sized kernel, so ``ends_with`` over the term column
+        IS the reversed-prefix scan (same cost as ``search_prefix``,
+        no second dictionary copy to keep in sync). Same constant-score
+        rewrite and shard-group caveat as prefix/infix: suffix matches
+        hash anywhere, so group scope needs a fan-out union."""
+        if not suffix:
+            raise ValueError("empty suffix")
+        return self._constant_score_scan(
+            pc.ends_with(self._tbl["term"], suffix)
+        )
+
     def search_regex(self, pattern: str) -> tuple[np.ndarray, np.ndarray]:
         """Regex retrieval (Lucene RegexpQuery shape): (doc_ids,
         n_terms) — docs containing ANY dictionary term matching
@@ -1447,6 +1495,9 @@ class _GroupServer:
 
     def regex_hits(self, pattern: str):
         return self.searcher.search_regex(pattern)
+
+    def suffix_hits(self, suffix: str):
+        return self.searcher.search_suffix(suffix)
 
     def suggest_local(self, prefix: str, k: int):
         """Group-local completion candidates: (terms, dfs). Each term
@@ -1813,6 +1864,17 @@ class FanoutSearcher:
 
         parts = ray.get(
             [a.regex_hits.remote(pattern) for a in self.actors]
+        )
+        return self._union_counts(parts)
+
+    def search_suffix(self, suffix: str) -> tuple[np.ndarray, np.ndarray]:
+        """Leading-wildcard retrieval across every shard group (suffix
+        matches can hash anywhere — same full fan-out union as
+        prefix/infix/regex)."""
+        import ray
+
+        parts = ray.get(
+            [a.suffix_hits.remote(suffix) for a in self.actors]
         )
         return self._union_counts(parts)
 

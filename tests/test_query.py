@@ -1008,3 +1008,70 @@ def test_spell_corrections_rank_by_df_and_fanout(small_index):
         np.testing.assert_array_equal(fd, got_d, err_msg=q)
     with pytest.raises(ValueError):
         s.suggest_corrections("")
+
+
+def test_suffix_search_matches_bruteforce_and_fanout(small_index):
+    """Leading-wildcard retrieval (search_suffix): docs and
+    distinct-matching-term counts must equal a brute-force scan over
+    the vocabulary + per-term postings, and the 4-group fan-out union
+    must equal the single searcher (suffix matches hash anywhere)."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    vocab = s._tbl["term"].to_pylist()
+    suffixes = sorted({t[-2:] for t in vocab if len(t) >= 2})[:6]
+    for suf in suffixes + ["zzznot"]:
+        docs, counts = s.search_suffix(suf)
+        exp: dict[int, int] = {}
+        for t in vocab:
+            if t.endswith(suf):
+                d, _ = s._decode_full(t)
+                for x in d:
+                    exp[int(x)] = exp.get(int(x), 0) + 1
+        assert docs.tolist() == sorted(exp), suf
+        assert counts.tolist() == [exp[d] for d in sorted(exp)], suf
+        fd, fc = f.search_suffix(suf)
+        np.testing.assert_array_equal(docs, fd, err_msg=suf)
+        np.testing.assert_array_equal(counts, fc, err_msg=suf)
+    with pytest.raises(ValueError):
+        s.search_suffix("")
+
+
+def test_min_should_match_semantics(small_index):
+    """minimum_should_match: for every m, the result set must be
+    exactly the docs whose DISTINCT matched-term count (from raw
+    per-term postings) is >= m, scores must equal the exact TAAT
+    scores rounded to 4, and m=1 must reproduce the OR result set."""
+    import numpy as np
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    queries = [q["q"] for q in reference_queries(small_index[0])]
+    multi = [q for q in queries
+             if len(set(s.tok.tokens_of(q))) >= 2][:8]
+    assert multi, "fixture queries must include multi-term ones"
+    for q in multi:
+        terms = [t for t in dict.fromkeys(s.tok.tokens_of(q))
+                 if t in s._row]
+        nmatch: dict[int, int] = {}
+        for t in terms:
+            d, _ = s._decode_full(t)
+            for x in d:
+                nmatch[int(x)] = nmatch.get(int(x), 0) + 1
+        exact = dict(s.search_exact(q, k=s.space))
+        for m in range(1, len(terms) + 2):
+            got = s.search_min_should_match(q, m, k=s.space)
+            want_docs = sorted(d for d, c in nmatch.items() if c >= m)
+            assert sorted(d for d, _, _ in got) == want_docs, (q, m)
+            for d, sc, nm in got:
+                assert nm == nmatch[d], (q, m, d)
+                assert sc == round(exact[d], 4), (q, m, d)
+        # m = 1 degenerates to the OR candidate set
+        or_docs = sorted(exact)
+        got1 = sorted(d for d, _, _ in
+                      s.search_min_should_match(q, 1, k=s.space))
+        assert got1 == or_docs, q
