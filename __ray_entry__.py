@@ -74,6 +74,12 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_min_should_match,
     bm25_min_should_match_sql,
     bm25_topk_boosted,
+    bm25_explain,
+    bm25_explain_sql,
+    bm25_dismax,
+    bm25_dismax_sql,
+    bm25_boosting,
+    bm25_boosting_sql,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -124,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_search": lambda sf: suffix_search(sf),
         "bm25_min_should_match": lambda sf: bm25_min_should_match(sf),
         "bm25_topk_boosted": lambda sf: bm25_topk_boosted(sf),
+        "bm25_explain": lambda sf: bm25_explain(sf),
+        "bm25_dismax": lambda sf: bm25_dismax(sf),
+        "bm25_boosting": lambda sf: bm25_boosting(sf),
         "regex_search": lambda sf: regex_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
@@ -250,6 +259,9 @@ def oracle_sql() -> dict[str, str]:
         "suffix_search": suffix_search_sql(),
         "bm25_min_should_match": bm25_min_should_match_sql(),
         "bm25_topk_boosted": bm25_oracle_sql(boost_nchars=100.0),
+        "bm25_explain": bm25_explain_sql(),
+        "bm25_dismax": bm25_dismax_sql(),
+        "bm25_boosting": bm25_boosting_sql(),
         "regex_search": regex_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "search_snippets": search_snippets_sql(),

@@ -279,6 +279,299 @@ def bm25_topk_boosted(
     })
 
 
+def _bm25_cte_prefix() -> str:
+    """The shared DuckDB CTE chain computing per-(doc, term) tf, doc
+    lengths, corpus stats and df over ``documents`` — the scoring
+    substrate every BM25-family oracle builds on."""
+    texpr = sql_token_expr("text")
+    return f"""toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)"""
+
+
+# one (query term, doc) BM25 contribution — the engine's _contrib
+# expression verbatim in SQL (requires tf/df/dl/stats row aliases)
+_CONTRIB_EXPR = (
+    f"q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))"
+    f" * tf.tf * ({_K1} + 1.0)"
+    f" / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))"
+)
+
+
+EXPLAIN_K = 3
+
+
+def bm25_explain(
+    sf_dir: str, queries=DOC_QUERIES, k: int = EXPLAIN_K
+) -> pa.Table:
+    """(query_id, doc_id, term, contrib): the per-term BM25 score
+    breakdown for each query's top-k docs — the ES ``explain`` API
+    shape (why did this doc rank?). The top-k set is bm25_topk's
+    ranking exactly; contributions are search_contribs' rows filtered
+    to those docs (matching-postings-sized mask, k x |terms| surviving
+    rows), each rounded to 4 like every score column."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qid, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4), int(d)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        orig_of = {de: do for do, _, de in ranked}
+        if not orig_of:
+            continue
+        docs, qis, cs = s.search_contribs(q)
+        # qi -> analyzed term, same first-appearance order the
+        # searcher computes (_owned_query_terms)
+        seen = list(dict.fromkeys(s.tok.tokens_of(q)))
+        keep = np.isin(docs, np.fromiter(orig_of, dtype=np.int64))
+        for de, ti, c in zip(docs[keep], qis[keep], cs[keep]):
+            rows.append(
+                (qid, orig_of[int(de)], seen[int(ti)], round(float(c), 4))
+            )
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "term": pa.array([r[2] for r in rows], pa.string()),
+        "contrib": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def _q_values(queries, with_clause=False) -> str:
+    """VALUES rows '(query_id, term, qtf)' (or with a clause_id) from
+    analyzed query strings — the oracle-side query tokenization."""
+    from collections import Counter
+
+    tok = CodeTokenizer()
+    vals = []
+    for qi, q in enumerate(queries):
+        clauses = q if with_clause else (q,)
+        for ci, clause in enumerate(clauses):
+            for term, qtf in sorted(Counter(tok.tokens_of(clause)).items()):
+                vals.append(
+                    f"({qi}, {ci}, '{term}', {qtf})" if with_clause
+                    else f"({qi}, '{term}', {qtf})"
+                )
+    return ", ".join(vals)
+
+
+def bm25_explain_sql(queries=DOC_QUERIES, k: int = EXPLAIN_K) -> str:
+    return f"""
+WITH {_bm25_cte_prefix()},
+q(query_id, term, qtf) AS (VALUES {_q_values(queries)}),
+contribs AS (
+  SELECT q.query_id, tf.doc_id, q.term, {_CONTRIB_EXPR} AS contrib
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, sum(contrib) AS score
+  FROM contribs GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id FROM scores
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+  ) <= {k}
+)
+SELECT c.query_id, c.doc_id, c.term, round(c.contrib, 4) AS contrib
+FROM contribs c
+JOIN topk t ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+ORDER BY 1, 2, 3
+"""
+
+
+DISMAX_QUERIES = (
+    ("spark sort merge", "hash join"),
+    ("window batch stream", "query data filter"),
+    ("slow big table scan", "vector column agg", "the fast key"),
+    ("dup group row order", "hash join"),
+)
+DISMAX_TIE = 0.3
+
+
+def bm25_dismax(
+    sf_dir: str, query_sets=DISMAX_QUERIES, tie: float = DISMAX_TIE,
+    k: int = 10,
+) -> pa.Table:
+    """(query_id, doc_id, score): the ES/Lucene ``dis_max`` query —
+    per doc, score = best clause score + tie_breaker * (sum of the
+    other clauses). OR blurs which clause won; dis_max keeps the best
+    field/phrasing dominant (multi_match best_fields semantics) while
+    the tie-breaker still rewards multi-clause agreement. One TAAT
+    pass per clause, combined with two vectorized reductions
+    (clause-count-bounded; single-searcher harness path like
+    bm25_topk)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for sid, clauses in enumerate(query_sets):
+        arrs = [a for a in (s._taat_scores(c) for c in clauses)
+                if a is not None]
+        if not arrs:
+            continue
+        m = np.vstack(arrs)
+        best = m.max(axis=0)
+        sc = best + tie * (m.sum(axis=0) - best)
+        nz = np.flatnonzero(sc > 0.0)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(float(sc[d]), 4)) for d in nz),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, v in ranked:
+            rows.append((sid, d, v))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def bm25_dismax_sql(
+    query_sets=DISMAX_QUERIES, tie: float = DISMAX_TIE, k: int = 10
+) -> str:
+    return f"""
+WITH {_bm25_cte_prefix()},
+q(query_id, clause_id, term, qtf) AS (
+  VALUES {_q_values(query_sets, with_clause=True)}
+),
+cs AS (
+  SELECT q.query_id, q.clause_id, tf.doc_id, sum({_CONTRIB_EXPR}) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+dm AS (
+  SELECT query_id, doc_id,
+         max(score) + {tie} * (sum(score) - max(score)) AS score
+  FROM cs GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM dm
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
+BOOSTING_QUERIES = (
+    # (positive query, negative query, negative_boost)
+    ("query data filter", "slow", 0.4),
+    ("spark sort merge", "hash", 0.5),
+    ("window batch stream", "the fast key", 0.25),
+    ("slow big table scan", "join order", 0.5),
+)
+
+
+def bm25_boosting(
+    sf_dir: str, specs=BOOSTING_QUERIES, k: int = 10
+) -> pa.Table:
+    """(query_id, doc_id, score): the ES ``boosting`` query — rank by
+    the positive query's BM25 score, DEMOTING (not excluding) docs
+    matching any negative-query term by the spec's negative_boost
+    multiplier. MUST_NOT is a hard filter; boosting keeps recall and
+    just re-orders. The demotion set is the union of the negative
+    terms' postings — postings-sized, one factor gather."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qid, (pos, neg, nb) in enumerate(specs):
+        scores = s._taat_scores(pos)
+        if scores is None:
+            continue
+        factor = np.ones(s.space, dtype=np.float64)
+        for t, _w in s._query_terms(neg):
+            d, _f = s._decode_full(t)
+            factor[d] = nb
+        sc = scores * factor
+        nz = np.flatnonzero(sc > 0.0)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(float(sc[d]), 4)) for d in nz),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, v in ranked:
+            rows.append((qid, d, v))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def bm25_boosting_sql(specs=BOOSTING_QUERIES, k: int = 10) -> str:
+    tok = CodeTokenizer()
+    from collections import Counter
+
+    pos_vals, neg_vals, nb_vals = [], [], []
+    for qi, (pos, neg, nb) in enumerate(specs):
+        for term, qtf in sorted(Counter(tok.tokens_of(pos)).items()):
+            pos_vals.append(f"({qi}, '{term}', {qtf})")
+        for term in sorted(set(tok.tokens_of(neg))):
+            neg_vals.append(f"({qi}, '{term}')")
+        nb_vals.append(f"({qi}, {nb})")
+    return f"""
+WITH {_bm25_cte_prefix()},
+q(query_id, term, qtf) AS (VALUES {", ".join(pos_vals)}),
+nq(query_id, term) AS (VALUES {", ".join(neg_vals)}),
+nbv(query_id, nb) AS (VALUES {", ".join(nb_vals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum({_CONTRIB_EXPR}) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+negdocs AS (
+  SELECT DISTINCT nq.query_id, tf.doc_id
+  FROM tf JOIN nq ON nq.term = tf.term
+),
+boosted AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score * CASE WHEN nd.doc_id IS NOT NULL
+                         THEN b.nb ELSE 1.0 END AS score
+  FROM scores sc
+  JOIN nbv b ON b.query_id = sc.query_id
+  LEFT JOIN negdocs nd
+    ON nd.query_id = sc.query_id AND nd.doc_id = sc.doc_id
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM boosted
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
 PHRASE_QUERIES = (
     "table hash",
     "merge group",

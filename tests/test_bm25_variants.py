@@ -1,0 +1,135 @@
+"""Semantics tests for the BM25 query-DSL variants (dis_max, boosting,
+explain) beyond oracle parity: each variant must degenerate to the
+plain ranking at its identity parameter, and explain's breakdown must
+reconstruct the ranking it explains."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def _by_query(tbl):
+    df = tbl.to_pandas()
+    return {
+        int(q): g.sort_values("doc_id")[["doc_id", "score"]].values
+        for q, g in df.groupby("query_id")
+    }
+
+
+def test_dismax_single_clause_is_plain_topk():
+    """A one-clause dis_max IS the plain BM25 ranking (max == sum ==
+    the only clause, tie-breaker moot)."""
+    from sotohp_ray.pipelines.fulltext import bm25_dismax, bm25_topk
+
+    q = "hash join"
+    plain = _by_query(bm25_topk(SF_DIR, queries=(q,)))
+    for tie in (0.0, 0.3, 1.0):
+        dm = _by_query(bm25_dismax(SF_DIR, query_sets=((q,),), tie=tie))
+        np.testing.assert_allclose(dm[0], plain[0], atol=1e-9)
+
+
+def test_dismax_tie1_disjoint_clauses_is_union_query():
+    """With tie_breaker=1 the dis_max score is the SUM over clauses;
+    for clauses with disjoint term sets that equals the plain BM25
+    score of the concatenated query."""
+    from sotohp_ray.pipelines.fulltext import bm25_dismax, bm25_topk
+
+    clauses = ("spark sort merge", "hash join")  # disjoint terms
+    dm = _by_query(bm25_dismax(SF_DIR, query_sets=(clauses,), tie=1.0))
+    plain = _by_query(bm25_topk(SF_DIR, queries=(" ".join(clauses),)))
+    np.testing.assert_allclose(dm[0], plain[0], atol=1e-3)
+
+
+def test_dismax_tie0_is_best_clause():
+    """With tie_breaker=0 every doc's score is its best single-clause
+    score — recompute from the two one-clause runs at full depth."""
+    from sotohp_ray.pipelines.fulltext import bm25_dismax, bm25_topk
+
+    clauses = ("slow big table scan", "vector column agg")
+    a = _by_query(bm25_topk(SF_DIR, queries=(clauses[0],), k=10**9))
+    b = _by_query(bm25_topk(SF_DIR, queries=(clauses[1],), k=10**9))
+    best: dict[int, float] = {}
+    for arr in (a[0], b[0]):
+        for d, sc in arr:
+            best[int(d)] = max(best.get(int(d), 0.0), float(sc))
+    dm = bm25_dismax(SF_DIR, query_sets=(clauses,), tie=0.0).to_pandas()
+    assert len(dm) > 0
+    for _, r in dm.iterrows():
+        assert r["score"] == pytest.approx(best[int(r["doc_id"])], abs=1e-9)
+
+
+def test_boosting_identity_at_nb1():
+    """negative_boost=1.0 demotes nothing: ranking == plain BM25."""
+    from sotohp_ray.pipelines.fulltext import bm25_boosting, bm25_topk
+
+    pos = "query data filter"
+    plain = _by_query(bm25_topk(SF_DIR, queries=(pos,)))
+    bq = _by_query(bm25_boosting(SF_DIR, specs=((pos, "slow", 1.0),)))
+    np.testing.assert_allclose(bq[0], plain[0], atol=1e-9)
+
+
+def test_boosting_demotes_only_negative_matches():
+    """With nb<1, a doc's boosted score is exactly nb * plain score iff
+    it matches a negative term, else the plain score."""
+    from sotohp_ray.pipelines.fulltext import (
+        bm25_boosting, bm25_topk, documents_index,
+    )
+    from sotohp_ray.pipelines.query import Searcher
+
+    pos, neg, nb = "spark sort merge", "hash", 0.5
+    s = Searcher(documents_index(SF_DIR))
+    from sotohp_ray.pipelines.fulltext import _eng2orig
+
+    eng2orig = _eng2orig(documents_index(SF_DIR), s.space)
+    negdocs: set[int] = set()
+    for t, _ in s._query_terms(neg):
+        d, _f = s._decode_full(t)
+        negdocs.update(int(eng2orig[x]) for x in d)
+    plain = {
+        int(d): float(sc)
+        for d, sc in bm25_topk(SF_DIR, queries=(pos,), k=10**9)
+        .to_pandas()[["doc_id", "score"]].values
+    }
+    bq = bm25_boosting(SF_DIR, specs=((pos, neg, nb),), k=10**9).to_pandas()
+    demoted = 0
+    for _, r in bq.iterrows():
+        d = int(r["doc_id"])
+        want = plain[d] * nb if d in negdocs else plain[d]
+        assert r["score"] == pytest.approx(want, abs=2e-4), d
+        demoted += d in negdocs
+    assert demoted > 0, "fixture must demote at least one doc"
+
+
+def test_explain_reconstructs_topk():
+    """bm25_explain's per-term contributions must sum (within rounding)
+    to the bm25_topk score of each explained doc, and the explained doc
+    set per query must be exactly the top-EXPLAIN_K set."""
+    from sotohp_ray.pipelines.fulltext import (
+        DOC_QUERIES, EXPLAIN_K, bm25_explain, bm25_topk,
+    )
+
+    ex = bm25_explain(SF_DIR).to_pandas()
+    top = bm25_topk(SF_DIR, k=EXPLAIN_K).to_pandas()
+    for qid, g in top.groupby("query_id"):
+        eg = ex[ex["query_id"] == qid]
+        assert set(eg["doc_id"]) == set(g["doc_id"]), qid
+        nterms = eg.groupby("doc_id")["term"].nunique().max()
+        for _, r in g.iterrows():
+            contribs = eg[eg["doc_id"] == r["doc_id"]]["contrib"]
+            assert r["score"] == pytest.approx(
+                contribs.sum(), abs=1e-4 * (len(contribs) + 1)
+            ), (qid, r["doc_id"])
+        # every explained term is an analyzed term of the query
+        from sotohp_ray.functions.tokenizer import CodeTokenizer
+
+        qterms = set(CodeTokenizer().tokens_of(DOC_QUERIES[int(qid)]))
+        assert set(eg["term"]) <= qterms, qid
+        assert nterms >= 1
