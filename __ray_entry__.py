@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redacted": training.docs_pii_redacted,
         "doc_chunks": training.doc_chunks,
         "doc_oov_rate": training.doc_oov_rate,
+        "doc_lm_score": training.doc_lm_score,
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_redacted": training.docs_pii_redacted_sql(),
         "doc_chunks": training.doc_chunks_sql(),
         "doc_oov_rate": training.doc_oov_rate_sql(),
+        "doc_lm_score": training.doc_lm_score_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),
             agg AS (

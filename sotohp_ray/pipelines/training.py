@@ -432,6 +432,160 @@ def doc_oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE):
     )
 
 
+# -------------------------------------------------------- doc_lm_score
+
+LM_VOCAB_SIZE = 512
+
+
+def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
+    """(doc_id, n_bigrams, cross_entropy): per-document cross-entropy
+    under an add-one-smoothed bigram language model trained on the
+    corpus itself — the CCNet/Wenzek-style "perplexity under a
+    reference LM" quality signal (low = fluent/typical, high =
+    boilerplate, noise, or wrong-register text), computable without
+    external model weights. Tokens outside the top-``vocab_size``
+    vocabulary (by collection frequency, term-asc ties) map to an
+    ``<unk>`` id, so the model is bounded by (V+1)^2 REGARDLESS of
+    corpus size. P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V+1) with c(w1·)
+    the bigram-start count (sum over w2 of c(w1,w2)), which makes the
+    distribution proper per w1 row.
+
+    Three streaming passes, zero wide shuffles beyond tiny aggregates:
+    (1) top-V vocabulary via the A1 partial+final count (doc_oov_rate's
+    pass); (2) bigram counts as int64 keys id1*(V+1)+id2 — per-batch
+    ``np.unique`` combiner then one (<= (V+1)^2)-row groupby; (3) the
+    dense (V+1)^2 count array (2 MB at V=512; a sparse/hash layout is
+    the large-V variant) broadcast via ray.put, each batch scores its
+    adjacent same-doc pairs with two gathers + one log + one bincount.
+    Docs with < 2 tokens have no bigrams and are excluded (same rows
+    the oracle's bigram join drops)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        vc = pc.list_flatten(lists).value_counts()
+        return pa.table({
+            "term": vc.field("values").cast(pa.string()),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    top = (
+        _docs(sf_dir, ["text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cf"))
+        .to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True])
+        .head(vocab_size)
+    )
+    v = len(top)  # actual vocabulary size (may be < vocab_size)
+    vref = ray.put(pa.array(top["term"].tolist(), pa.large_string()))
+
+    def _adj_ids(batch: pa.Table):
+        """(parents, ids): per-token doc row index and vocab id
+        (v = <unk>) for the batch's flattened analyzed tokens."""
+        lists = _TOK.token_lists(_text_col(batch))
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False
+        )
+        ids = pc.fill_null(
+            pc.index_in(flat, value_set=ray.get(vref)), v
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return parents, ids
+
+    def bpartial(batch: pa.Table) -> pa.Table:
+        parents, ids = _adj_ids(batch)
+        if ids.size < 2:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+            })
+        same = parents[:-1] == parents[1:]
+        keys = ids[:-1][same] * (v + 1) + ids[1:][same]
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "n_partial": pa.array(cnt, pa.int64()),
+        })
+
+    model = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bpartial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+    )
+    bc = np.zeros((v + 1) * (v + 1), dtype=np.float64)
+    if len(model):
+        bc[model["key"].to_numpy()] = model["n"].to_numpy()
+    uc = bc.reshape(v + 1, v + 1).sum(axis=1)
+    bref, uref = ray.put(bc), ray.put(uc)
+
+    def score(batch: pa.Table) -> pa.Table:
+        b, u = ray.get(bref), ray.get(uref)
+        parents, ids = _adj_ids(batch)
+        nb = np.zeros(batch.num_rows, dtype=np.int64)
+        s = np.zeros(batch.num_rows, dtype=np.float64)
+        if ids.size >= 2:
+            same = parents[:-1] == parents[1:]
+            w1 = ids[:-1][same]
+            keys = w1 * (v + 1) + ids[1:][same]
+            par = parents[:-1][same]
+            ll = np.log((b[keys] + 1.0) / (u[w1] + v + 1.0))
+            nb = np.bincount(par, minlength=batch.num_rows)
+            s = np.bincount(par, weights=ll, minlength=batch.num_rows)
+        keep = nb > 0
+        return pa.table({
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            ),
+            "n_bigrams": pa.array(nb[keep], pa.int64()),
+            "cross_entropy": pa.array(
+                np.round(-(s[keep] / nb[keep]), 6), pa.float64()
+            ),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def doc_lm_score_sql(vocab_size: int = LM_VOCAB_SIZE) -> str:
+    texpr = sql_token_expr("text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({texpr}) AS term,
+                 generate_subscripts({texpr}, 1) AS pos
+          FROM documents),
+        vocab AS (
+          SELECT term FROM toks GROUP BY term
+          ORDER BY count(*) DESC, term LIMIT {vocab_size}),
+        nv AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+        m AS (
+          SELECT t.doc_id, t.pos,
+                 CASE WHEN v.term IS NULL THEN chr(0) ELSE t.term END
+                   AS term
+          FROM toks t LEFT JOIN vocab v USING (term)),
+        bg AS (
+          SELECT a.doc_id, a.term AS w1, b.term AS w2
+          FROM m a JOIN m b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        bc AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2),
+        uc AS (SELECT w1, sum(c) AS u FROM bc GROUP BY 1)
+        SELECT g.doc_id, count(*) AS n_bigrams,
+               round(-avg(ln((bc.c + 1.0) / (uc.u + nv.v + 1.0))), 6)
+                 AS cross_entropy
+        FROM bg g
+        JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+        JOIN uc ON uc.w1 = g.w1
+        CROSS JOIN nv
+        GROUP BY g.doc_id, nv.v
+    """
+
+
 def doc_oov_rate_sql(vocab_size: int = OOV_VOCAB_SIZE) -> str:
     texpr = sql_token_expr("text")
     return f"""

@@ -228,3 +228,55 @@ def test_doc_oov_rate_matches_bruteforce(tmp_path):
         assert row.oov_rate == (
             round(n_oov / len(tl), 6) if tl else 0.0
         )
+
+def test_doc_lm_score_matches_bruteforce(tmp_path):
+    """Bigram-LM cross-entropy vs a pure-Python model on a planted
+    corpus with a tiny vocab (so <unk> mapping and smoothing both
+    bite), including a doc with repeated fluent bigrams (low CE), a
+    noise doc (high CE), and a 1-token doc (excluded)."""
+    import math
+    from collections import Counter
+
+    from sotohp_ray.pipelines.textops import _TOK
+    from sotohp_ray.pipelines.training import doc_lm_score
+
+    texts = [
+        "the cat sat on the mat the cat sat",
+        "the cat sat on the mat",
+        "zig quux blorp wobble frotz",
+        "the",
+        "",
+        "mat cat the on sat",
+    ]
+    d = _write_docs(tmp_path, texts)
+    V = 4
+    got = doc_lm_score(d, vocab_size=V).to_pandas().sort_values("doc_id")
+
+    toks = _TOK.token_lists(pa.array(texts, pa.large_string())).to_pylist()
+    cf = Counter(t for tl in toks for t in tl)
+    vocab = [
+        t for t, _ in sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    ]
+    v = len(vocab)
+    m = [[t if t in vocab else "<unk>" for t in tl] for tl in toks]
+    bc: Counter = Counter()
+    for tl in m:
+        bc.update(zip(tl, tl[1:]))
+    uc = Counter()
+    for (w1, _), c in bc.items():
+        uc[w1] += c
+    exp = {}
+    for i, tl in enumerate(m):
+        bgs = list(zip(tl, tl[1:]))
+        if not bgs:
+            continue
+        ll = [math.log((bc[b] + 1.0) / (uc[b[0]] + v + 1.0)) for b in bgs]
+        exp[i] = (len(bgs), round(-sum(ll) / len(bgs), 6))
+    assert sorted(got["doc_id"]) == sorted(exp)
+    for row in got.itertuples():
+        nb, ce = exp[int(row.doc_id)]
+        assert row.n_bigrams == nb, row.doc_id
+        assert row.cross_entropy == pytest.approx(ce, abs=2e-6), row.doc_id
+    # repeating a doc's bigrams raises their counts -> its CE drops
+    # (no cross-doc claim: unk-unk can legitimately be a hot bigram)
+    assert got["cross_entropy"].min() > 0.0
