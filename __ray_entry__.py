@@ -80,6 +80,10 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_dismax_sql,
     bm25_boosting,
     bm25_boosting_sql,
+    synonym_search,
+    synonym_search_sql,
+    tfidf_topk,
+    tfidf_topk_sql,
     proximity_oracle_sql,
     proximity_topk,
 )
@@ -133,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": lambda sf: bm25_explain(sf),
         "bm25_dismax": lambda sf: bm25_dismax(sf),
         "bm25_boosting": lambda sf: bm25_boosting(sf),
+        "synonym_search": lambda sf: synonym_search(sf),
+        "tfidf_topk": lambda sf: tfidf_topk(sf),
         "regex_search": lambda sf: regex_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
@@ -164,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": training.doc_chunks,
         "doc_oov_rate": training.doc_oov_rate,
         "doc_lm_score": training.doc_lm_score,
+        "training_shards": training.training_shards,
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
@@ -263,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_explain": bm25_explain_sql(),
         "bm25_dismax": bm25_dismax_sql(),
         "bm25_boosting": bm25_boosting_sql(),
+        "synonym_search": synonym_search_sql(),
+        "tfidf_topk": tfidf_topk_sql(),
         "regex_search": regex_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "search_snippets": search_snippets_sql(),
@@ -297,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": training.doc_chunks_sql(),
         "doc_oov_rate": training.doc_oov_rate_sql(),
         "doc_lm_score": training.doc_lm_score_sql(),
+        "training_shards": training.training_shards_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),
             agg AS (

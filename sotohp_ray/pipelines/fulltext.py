@@ -572,6 +572,159 @@ ORDER BY query_id, doc_id
 """
 
 
+# query-time synonym groups (ES synonym_graph filter): every member
+# of a group expands to the whole group at the ORIGINAL term's query
+# weight. "large" is deliberately outside the corpus vocabulary — an
+# expansion term absent from the index must be a no-op on both sides.
+SYNONYM_GROUPS = (("sort", "order"), ("join", "merge"), ("big", "large"))
+SYN_QUERIES = ("fast sort", "hash join table", "big row group")
+
+
+def _expand_synonyms(query: str, groups=SYNONYM_GROUPS):
+    """[(term, weight)]: analyzed query terms expanded through the
+    synonym groups — each original term contributes its query tf to
+    every member of its group (itself included); weights accumulate
+    when expansions collide. ONE definition, used by both the engine
+    scoring and the oracle's VALUES emission, so the expansion policy
+    cannot drift between them."""
+    from collections import Counter
+
+    tok = CodeTokenizer()
+    of_term = {}
+    for g in groups:
+        for t in g:
+            of_term[t] = g
+    w: Counter = Counter()
+    for t, qtf in Counter(tok.tokens_of(query)).items():
+        for e in of_term.get(t, (t,)):
+            w[e] += qtf
+    return sorted(w.items())
+
+
+def synonym_search(
+    sf_dir: str, queries=SYN_QUERIES, k: int = 10
+) -> pa.Table:
+    """(query_id, doc_id, score): BM25 top-k with query-time synonym
+    expansion (the ES synonym_graph token-filter contract) — a doc
+    mentioning "order" matches a "sort" query at the same query
+    weight. Scoring reuses the explicit-term TAAT entry point
+    (_taat_scores_terms, the more-like-this path), so expansion is
+    pure query rewriting: the index is untouched and the synonym table
+    can change without a rebuild."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        scores = s._taat_scores_terms(
+            [(t, float(w)) for t, w in _expand_synonyms(q)]
+        )
+        if scores is None:
+            continue
+        nz = np.flatnonzero(scores > 0.0)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(float(scores[d]), 4)) for d in nz),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def synonym_search_sql(queries=SYN_QUERIES, k: int = 10) -> str:
+    vals = []
+    for qi, q in enumerate(queries):
+        for term, w in _expand_synonyms(q):
+            vals.append(f"({qi}, '{term}', {w})")
+    return f"""
+WITH {_bm25_cte_prefix()},
+q(query_id, term, qtf) AS (VALUES {", ".join(vals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum({_CONTRIB_EXPR}) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM scores
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
+def tfidf_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
+    """(query_id, doc_id, score): classic TF-IDF ranking — score =
+    sum over query terms of qtf * (1 + ln tf) * ln(N/df), normalized
+    by 1/sqrt(dl) (the pre-BM25 lnc.ltc cosine family). The point is
+    pluggable similarity: the same index primitives (postings decode,
+    df table, doc lengths) serve a second scoring function with zero
+    index changes — the ES per-field ``similarity`` setting."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    n = float(s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        scores = np.zeros(s.space, dtype=np.float64)
+        for t, qtf in s._query_terms(q):
+            d, f = s._decode_full(t)
+            df_t = float(s._dfs[s._row[t]])
+            dli = s.doc_len[d]
+            scores[d] += (
+                qtf * (1.0 + np.log(f.astype(np.float64)))
+                * np.log(n / df_t) / np.sqrt(dli)
+            )
+        nz = np.flatnonzero(scores > 0.0)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(float(scores[d]), 4)) for d in nz),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def tfidf_topk_sql(queries=DOC_QUERIES, k: int = 10) -> str:
+    return f"""
+WITH {_bm25_cte_prefix()},
+q(query_id, term, qtf) AS (VALUES {_q_values(queries)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * (1.0 + ln(tf.tf)) * ln(s.n / df.df)
+             / sqrt(dl.dl)) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM scores
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
 PHRASE_QUERIES = (
     "table hash",
     "merge group",

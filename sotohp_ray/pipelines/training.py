@@ -432,6 +432,68 @@ def doc_oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE):
     )
 
 
+# ------------------------------------------------------ training_shards
+
+SHARD_COUNT = 16
+
+
+def training_shards(sf_dir: str, n_shards: int = SHARD_COUNT):
+    """(doc_id, shard_id, pos): reproducible global shuffle + shard
+    assignment for training-shard export — priority = the same 32-bit
+    multiplicative doc_id hash the mixture sampler uses, shard =
+    pr % n_shards, pos = rank within the shard by (pr, doc_id).
+    Decorrelates source-adjacent documents with ZERO random state:
+    byte-identical output on every run and cluster size (a
+    random_shuffle would not be reproducible across executions).
+
+    Scale shape: one stateless map pass assigns (pr, shard); ranks are
+    computed WITHIN each shard (shard-sized sort tasks, no global
+    sort). Production exports size n_shards so one shard fits a task —
+    thousands of shards at 100 TB — the same per-shard discipline as
+    export_cleaned_corpus."""
+    import pandas as pd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        pr = (ids * np.uint64(_MIX_MUL)) % np.uint64(1 << 32)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shard_id": pa.array(
+                (pr % np.uint64(n_shards)).astype(np.int64), pa.int64()
+            ),
+            "pr": pa.array(pr.astype(np.int64), pa.int64()),
+        })
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pr", "doc_id"]).reset_index(drop=True)
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df[["doc_id", "shard_id", "pos"]]
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard_id")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+def training_shards_sql(n_shards: int = SHARD_COUNT) -> str:
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 (doc_id::HUGEINT * {_MIX_MUL}) % 4294967296 AS pr
+          FROM documents)
+        SELECT doc_id,
+               (pr % {n_shards})::BIGINT AS shard_id,
+               (row_number() OVER (
+                  PARTITION BY pr % {n_shards} ORDER BY pr, doc_id
+                ) - 1)::BIGINT AS pos
+        FROM tk
+    """
+
+
 # -------------------------------------------------------- doc_lm_score
 
 LM_VOCAB_SIZE = 512

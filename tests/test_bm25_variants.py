@@ -133,3 +133,71 @@ def test_explain_reconstructs_topk():
         qterms = set(CodeTokenizer().tokens_of(DOC_QUERIES[int(qid)]))
         assert set(eg["term"]) <= qterms, qid
         assert nterms >= 1
+
+
+def test_synonym_search_matches_synonym_only_docs():
+    """A 'fast sort' query expanded through ('sort','order') must
+    retrieve docs that contain 'order' (or 'fast') but NO 'sort'
+    token, at the same query weight — and every result doc must
+    contain at least one expanded term."""
+    from sotohp_ray.pipelines.fulltext import (
+        _expand_synonyms, documents_index, synonym_search,
+    )
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.pipelines.fulltext import _eng2orig
+
+    q = "fast sort"
+    exp_terms = {t for t, _ in _expand_synonyms(q)}
+    assert exp_terms == {"fast", "sort", "order"}
+    res = synonym_search(SF_DIR, queries=(q,), k=10**9).to_pandas()
+    idx = documents_index(SF_DIR)
+    s = Searcher(idx)
+    eng2orig = _eng2orig(idx, s.space)
+    docs_of = {}
+    for t in ("fast", "sort", "order"):
+        d, _ = s._decode_full(t)
+        docs_of[t] = {int(eng2orig[x]) for x in d}
+    got = set(res["doc_id"].astype(int))
+    assert got == docs_of["fast"] | docs_of["sort"] | docs_of["order"]
+    only_syn = (docs_of["order"] - docs_of["sort"]) - docs_of["fast"]
+    assert only_syn and only_syn <= got, "synonym-only docs must match"
+
+
+def test_expand_synonyms_accumulates_collisions():
+    """A query containing both members of a group gives every member
+    the SUM of both query tfs; unknown terms pass through unexpanded."""
+    from sotohp_ray.pipelines.fulltext import _expand_synonyms
+
+    got = dict(_expand_synonyms("sort order sort xyzzy"))
+    assert got["sort"] == 3 and got["order"] == 3
+    assert got["xyzzy"] == 1
+
+
+def test_tfidf_formula_bruteforce():
+    """tfidf_topk's scores must equal the lnc-style formula computed
+    from raw postings: sum qtf*(1+ln tf)*ln(N/df)/sqrt(dl)."""
+    from sotohp_ray.pipelines.fulltext import (
+        _eng2orig, documents_index, tfidf_topk,
+    )
+    from sotohp_ray.pipelines.query import Searcher
+
+    q = "hash join"
+    idx = documents_index(SF_DIR)
+    s = Searcher(idx)
+    eng2orig = _eng2orig(idx, s.space)
+    exp: dict[int, float] = {}
+    for t, qtf in s._query_terms(q):
+        d, f = s._decode_full(t)
+        df_t = float(s._dfs[s._row[t]])
+        for de, tf in zip(d, f):
+            de = int(de)
+            exp[int(eng2orig[de])] = exp.get(int(eng2orig[de]), 0.0) + (
+                qtf * (1.0 + np.log(float(tf)))
+                * np.log(s.space / df_t) / np.sqrt(float(s.doc_len[de]))
+            )
+    got = tfidf_topk(SF_DIR, queries=(q,), k=10**9).to_pandas()
+    assert set(got["doc_id"].astype(int)) == set(exp)
+    for _, r in got.iterrows():
+        assert r["score"] == pytest.approx(
+            round(exp[int(r["doc_id"])], 4), abs=2e-4
+        )

@@ -280,3 +280,30 @@ def test_doc_lm_score_matches_bruteforce(tmp_path):
     # repeating a doc's bigrams raises their counts -> its CE drops
     # (no cross-doc claim: unk-unk can legitimately be a hot bigram)
     assert got["cross_entropy"].min() > 0.0
+
+def test_training_shards_partition_properties(tmp_path):
+    """Deterministic shuffle shards: every doc appears exactly once,
+    shard = hash % n, per-shard positions are dense 0..len-1 in
+    (pr, doc_id) order, and a second run is byte-identical."""
+    from sotohp_ray.pipelines.training import _MIX_MUL, training_shards
+
+    ids = [3, 7, 11, 100, 4096, 77777, 12, 13, 14, 15]
+    d = _write_docs(tmp_path, [f"doc {i}" for i in ids], ids=ids)
+    n_shards = 4
+    got = (
+        training_shards(d, n_shards=n_shards)
+        .to_pandas().sort_values(["shard_id", "pos"])
+    )
+    assert sorted(got["doc_id"]) == sorted(ids)
+    pr = {i: (i * _MIX_MUL) % (1 << 32) for i in ids}
+    for i, s in zip(got["doc_id"], got["shard_id"]):
+        assert s == pr[int(i)] % n_shards
+    for s, g in got.groupby("shard_id"):
+        assert list(g["pos"]) == list(range(len(g)))
+        want = sorted(g["doc_id"], key=lambda i: (pr[int(i)], int(i)))
+        assert list(g["doc_id"]) == want
+    again = (
+        training_shards(d, n_shards=n_shards)
+        .to_pandas().sort_values(["shard_id", "pos"])
+    )
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
