@@ -359,6 +359,18 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("doc_chunks", lambda: training.doc_chunks(sf_dir))
     timed("doc_oov_rate", lambda: training.doc_oov_rate(sf_dir))
     timed("percolate", lambda: textops.percolate(sf_dir))
+    # round-4 session-5: LM scoring, shard shuffle, query-DSL variants
+    from sotohp_ray.pipelines.fulltext import (
+        bm25_dismax,
+        synonym_search,
+        tfidf_topk,
+    )
+
+    timed("doc_lm_score", lambda: training.doc_lm_score(sf_dir))
+    timed("training_shards", lambda: training.training_shards(sf_dir))
+    timed("tfidf_topk", lambda: tfidf_topk(sf_dir))
+    timed("synonym_search", lambda: synonym_search(sf_dir))
+    timed("bm25_dismax", lambda: bm25_dismax(sf_dir))
     return out
 
 
