@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": training.doc_oov_rate,
         "doc_lm_score": training.doc_lm_score,
         "training_shards": training.training_shards,
+        "doc_packing": training.doc_packing,
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_oov_rate": training.doc_oov_rate_sql(),
         "doc_lm_score": training.doc_lm_score_sql(),
         "training_shards": training.training_shards_sql(),
+        "doc_packing": training.doc_packing_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),
             agg AS (

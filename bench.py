@@ -368,6 +368,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
 
     timed("doc_lm_score", lambda: training.doc_lm_score(sf_dir))
     timed("training_shards", lambda: training.training_shards(sf_dir))
+    timed("doc_packing", lambda: training.doc_packing(sf_dir))
     timed("tfidf_topk", lambda: tfidf_topk(sf_dir))
     timed("synonym_search", lambda: synonym_search(sf_dir))
     timed("bm25_dismax", lambda: bm25_dismax(sf_dir))

@@ -494,6 +494,123 @@ def training_shards_sql(n_shards: int = SHARD_COUNT) -> str:
     """
 
 
+# --------------------------------------------------------- doc_packing
+
+PACK_SEQ_TOKENS = 256
+
+
+def doc_packing(
+    sf_dir: str, seq_tokens: int = PACK_SEQ_TOKENS,
+    n_shards: int = SHARD_COUNT,
+):
+    """(doc_id, shard_id, seq_id, n_tokens, offset): greedy NEXT-FIT
+    packing of whole documents into fixed-capacity training sequences
+    (the "sequence packing" step that turns a cleaned corpus into
+    dense model inputs; docs are never split — an oversized doc gets
+    its own overflowing sequence, the standard don't-truncate rule).
+    Packing order is the deterministic shard shuffle (training_shards'
+    (pr, doc_id) order within hash shards), so output is reproducible
+    and shards pack INDEPENDENTLY — the parallel unit at 100 TB is the
+    shard, exactly like the shard ranking.
+
+    The per-shard fold is not a per-doc Python loop: with prefix sums
+    P over the shard's ordered token counts, each sequence's span is
+    one ``searchsorted(P, base + capacity)`` — the loop runs once per
+    OUTPUT sequence, not per doc."""
+    import pandas as pd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        n = pc.list_value_length(lists).cast(pa.int64())
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        pr = (ids * np.uint64(_MIX_MUL)) % np.uint64(1 << 32)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n,
+            "shard_id": pa.array(
+                (pr % np.uint64(n_shards)).astype(np.int64), pa.int64()
+            ),
+            "pr": pa.array(pr.astype(np.int64), pa.int64()),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pr", "doc_id"]).reset_index(drop=True)
+        sizes = df["n_tokens"].to_numpy(np.int64)
+        csum = np.cumsum(sizes)
+        n = len(df)
+        seq = np.zeros(n, dtype=np.int64)
+        start, base, k = 0, 0, 0
+        while start < n:
+            j = int(np.searchsorted(csum, base + seq_tokens, side="right"))
+            if j == start:  # oversized doc: its own sequence
+                j = start + 1
+            seq[start:j] = k
+            base = csum[j - 1]
+            start, k = j, k + 1
+        # offset of each doc inside its sequence
+        seq_base = np.concatenate(([0], csum))[
+            np.searchsorted(seq, seq, side="left")
+        ]
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "shard_id": df["shard_id"].to_numpy(np.int64),
+            "seq_id": seq,
+            "n_tokens": sizes,
+            "offset": csum - sizes - seq_base,
+        })
+        return out
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard_id")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+def doc_packing_sql(
+    seq_tokens: int = PACK_SEQ_TOKENS, n_shards: int = SHARD_COUNT
+) -> str:
+    """Next-fit is a sequential fold, expressed as a recursive CTE
+    that advances every shard one document per iteration (the
+    recursive term sees only the previous iteration's rows, so each
+    step joins the frontier row of each shard to its successor) —
+    depth = max docs per shard."""
+    texpr = sql_token_expr("text")
+    return f"""
+        WITH RECURSIVE tk AS (
+          SELECT doc_id,
+                 CAST(coalesce(len({texpr}), 0) AS BIGINT) AS n_tokens,
+                 ((doc_id::HUGEINT * {_MIX_MUL}) % 4294967296)
+                   % {n_shards} AS shard_id,
+                 row_number() OVER (
+                   PARTITION BY ((doc_id::HUGEINT * {_MIX_MUL})
+                                 % 4294967296) % {n_shards}
+                   ORDER BY (doc_id::HUGEINT * {_MIX_MUL}) % 4294967296,
+                            doc_id
+                 ) AS rn
+          FROM documents),
+        walk(shard_id, rn, doc_id, n_tokens, seq_id, fill) AS (
+          SELECT shard_id, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+          FROM tk WHERE rn = 1
+          UNION ALL
+          SELECT t.shard_id, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN w.fill + t.n_tokens <= {seq_tokens}
+                      THEN w.seq_id ELSE w.seq_id + 1 END,
+                 CASE WHEN w.fill + t.n_tokens <= {seq_tokens}
+                      THEN w.fill + t.n_tokens ELSE t.n_tokens END
+          FROM walk w JOIN tk t
+            ON t.shard_id = w.shard_id AND t.rn = w.rn + 1)
+        SELECT doc_id, shard_id::BIGINT AS shard_id, seq_id, n_tokens,
+               (sum(n_tokens) OVER (
+                  PARTITION BY shard_id, seq_id ORDER BY rn
+                ) - n_tokens)::BIGINT AS offset
+        FROM walk
+    """
+
+
 # -------------------------------------------------------- doc_lm_score
 
 LM_VOCAB_SIZE = 512

@@ -307,3 +307,55 @@ def test_training_shards_partition_properties(tmp_path):
         .to_pandas().sort_values(["shard_id", "pos"])
     )
     assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+def test_doc_packing_matches_bruteforce(tmp_path):
+    """Next-fit packing vs a pure-Python fold over planted token
+    counts: oversized docs (own overflowing sequence), zero-token
+    docs, exact-fit boundaries, and multi-shard independence."""
+    from sotohp_ray.pipelines.textops import _TOK
+    from sotohp_ray.pipelines.training import _MIX_MUL, doc_packing
+
+    # word counts engineered around L=8: exact fit, overflow-by-one,
+    # oversized, zero tokens ("1234" analyzes to no tokens)
+    sizes = [3, 5, 1, 8, 9, 0, 2, 7, 8, 1, 4, 4, 4]
+    texts = ["1234" if s == 0 else " ".join(f"w{j}" for j in range(s))
+             for s in sizes]
+    ids = [i * 7 + 2 for i in range(len(sizes))]
+    d = _write_docs(tmp_path, texts, ids=ids)
+    L, n_shards = 8, 3
+    got = (
+        doc_packing(d, seq_tokens=L, n_shards=n_shards)
+        .to_pandas().sort_values(["shard_id", "seq_id", "offset"])
+    )
+    # brute force: per shard, (pr, doc_id) order, sequential fold
+    toks = _TOK.token_lists(pa.array(texts, pa.large_string())).to_pylist()
+    nt = {i: len(tl) for i, tl in zip(ids, toks)}
+    assert [nt[i] for i in ids] == sizes  # fixture really has these
+    pr = {i: (i * _MIX_MUL) % (1 << 32) for i in ids}
+    exp = {}
+    for sh in range(n_shards):
+        rows = sorted(
+            (i for i in ids if pr[i] % n_shards == sh),
+            key=lambda i: (pr[i], i),
+        )
+        seq, fill = 0, None
+        for i in rows:
+            if fill is None:
+                fill = nt[i]
+            elif fill + nt[i] <= L:
+                off = fill
+                fill += nt[i]
+                exp[i] = (sh, seq, off)
+                continue
+            else:
+                seq += 1
+                fill = nt[i]
+            exp[i] = (sh, seq, 0)
+    assert len(got) == len(ids)
+    for r in got.itertuples():
+        sh, seq, off = exp[int(r.doc_id)]
+        assert (r.shard_id, r.seq_id, r.offset) == (sh, seq, off), r.doc_id
+        assert r.n_tokens == nt[int(r.doc_id)]
+    # every sequence respects capacity unless it holds one oversized doc
+    for (_, _), g in got.groupby(["shard_id", "seq_id"]):
+        assert g["n_tokens"].sum() <= L or len(g) == 1
