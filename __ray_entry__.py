@@ -36,6 +36,8 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_top_per_lang_sql,
     bm25_length_facets,
     bm25_length_facets_sql,
+    bm25_lang_stats,
+    bm25_lang_stats_sql,
     keyword_search_excluding,
     keyword_search_excluding_sql,
     keyword_search_indexed,
@@ -55,6 +57,8 @@ from sotohp_ray.pipelines.fulltext import (
     fuzzy_search_sql,
     phrase_oracle_sql,
     phrase_topk,
+    phrase_prefix_topk,
+    phrase_prefix_oracle_sql,
     prefix_search,
     prefix_search_sql,
     regex_search,
@@ -144,12 +148,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
+        "phrase_prefix_topk": lambda sf: phrase_prefix_topk(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "significant_terms": lambda sf: significant_terms(sf),
         "hybrid_search_rrf": lambda sf: hybrid_search_rrf(sf),
         "bm25_top_per_lang": lambda sf: bm25_top_per_lang(sf),
         "bm25_length_facets": lambda sf: bm25_length_facets(sf),
+        "bm25_lang_stats": lambda sf: bm25_lang_stats(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),
         "term_df": textops.term_df,
@@ -278,12 +284,14 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),
         "phrase_topk": phrase_oracle_sql(),
+        "phrase_prefix_topk": phrase_prefix_oracle_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
         "significant_terms": significant_terms_sql(),
         "hybrid_search_rrf": hybrid_search_rrf_sql(),
         "bm25_top_per_lang": bm25_top_per_lang_sql(),
         "bm25_length_facets": bm25_length_facets_sql(),
+        "bm25_lang_stats": bm25_lang_stats_sql(),
         "keyword_search_indexed": textops.keyword_search_sql(),
         "keyword_search_excluding": keyword_search_excluding_sql(),
         "term_df": f"""

@@ -372,6 +372,13 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("tfidf_topk", lambda: tfidf_topk(sf_dir))
     timed("synonym_search", lambda: synonym_search(sf_dir))
     timed("bm25_dismax", lambda: bm25_dismax(sf_dir))
+    from sotohp_ray.pipelines.fulltext import (
+        bm25_lang_stats,
+        phrase_prefix_topk,
+    )
+
+    timed("bm25_lang_stats", lambda: bm25_lang_stats(sf_dir))
+    timed("phrase_prefix_topk", lambda: phrase_prefix_topk(sf_dir))
     return out
 
 

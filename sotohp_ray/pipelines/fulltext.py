@@ -769,6 +769,128 @@ def phrase_topk(sf_dir: str, phrases=PHRASE_QUERIES, k: int = 10) -> pa.Table:
     )
 
 
+PHRASE_PREFIX_QUERIES = (
+    "hash jo",
+    "merge gro",
+    "row or",
+    "slow hash ba",
+    "the fast s",
+    "table zz",
+)
+PHRASE_PREFIX_EXPANSIONS = 3  # small so the ES expansion cap BITES
+
+
+def phrase_prefix_topk(
+    sf_dir: str, phrases=PHRASE_PREFIX_QUERIES, k: int = 10,
+    max_expansions: int = PHRASE_PREFIX_EXPANSIONS,
+) -> pa.Table:
+    """(query_id, doc_id, score): ES ``match_phrase_prefix``
+    (search-as-you-type) — the phrase's last token is a PREFIX,
+    expanded to the first ``max_expansions`` dictionary terms in term
+    order, each phrase-aligned on the positional index; ranking = BM25
+    over the FIXED leading terms (stable across keystrokes). The cap
+    is deliberately small here so its truncation rule is exercised by
+    the oracle."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, p in enumerate(phrases):
+        full = s.search_phrase_prefix(
+            p, max_expansions=max_expansions, k=s.space
+        )
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def phrase_prefix_oracle_sql(
+    phrases=PHRASE_PREFIX_QUERIES, k: int = 10,
+    max_expansions: int = PHRASE_PREFIX_EXPANSIONS,
+) -> str:
+    """Match = leading terms at consecutive positions followed by ANY
+    of the first ``max_expansions`` distinct corpus terms (term order)
+    with the prefix; score = the BM25 CTE over the leading terms
+    only."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    from collections import Counter
+
+    qvals, match_parts = [], []
+    for qi, p in enumerate(phrases):
+        toks = tok.tokens_of(p)
+        lead, pfx = toks[:-1], toks[-1]
+        for term, qtf in sorted(Counter(lead).items()):
+            qvals.append(f"({qi}, '{term}', {qtf})")
+        joins = []
+        for off, term in enumerate(lead):
+            if off == 0:
+                continue
+            joins.append(
+                f"JOIN toks t{off} ON t{off}.doc_id = t0.doc_id "
+                f"AND t{off}.pos = t0.pos + {off} "
+                f"AND t{off}.term = '{term}'"
+            )
+        last = len(toks) - 1
+        joins.append(
+            f"JOIN toks t{last} ON t{last}.doc_id = t0.doc_id "
+            f"AND t{last}.pos = t0.pos + {last} "
+            f"AND t{last}.term IN ("
+            f"SELECT term FROM (SELECT DISTINCT term FROM toks "
+            f"WHERE term LIKE '{pfx}%' ORDER BY term "
+            f"LIMIT {max_expansions}))"
+        )
+        match_parts.append(
+            f"SELECT DISTINCT {qi} AS query_id, t0.doc_id "
+            f"FROM toks t0 {' '.join(joins)} "
+            f"WHERE t0.term = '{lead[0]}'"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {", ".join(qvals)}),
+matches AS ({" UNION ALL ".join(match_parts)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum({_CONTRIB_EXPR}) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT m.query_id, m.doc_id, round(sc.score, 4) AS score
+FROM matches m
+JOIN scores sc ON sc.query_id = m.query_id AND sc.doc_id = m.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY m.query_id
+  ORDER BY round(sc.score, 4) DESC, m.doc_id ASC
+) <= {k}
+ORDER BY m.query_id, m.doc_id
+"""
+
+
 def phrase_oracle_sql(phrases=PHRASE_QUERIES, k: int = 10) -> str:
     """DuckDB oracle: phrase match via token-subscript self-joins, then
     the same BM25 scoring as bm25_oracle_sql restricted to matching
@@ -1850,6 +1972,133 @@ def bm25_length_facets_sql(
     return (
         " UNION ALL ".join(parts) + " ORDER BY query_id, bucket_lo"
     )
+
+
+def bm25_lang_stats(sf_dir: str, queries=DOC_QUERIES) -> pa.Table:
+    """(query_id, lang, n_matches, avg_chars, max_chars): the ES
+    bucket-plus-metric sub-aggregation shape — a terms agg over each
+    query's hits with stats metrics inside each bucket (facets answer
+    "how many per lang"; this answers "and what do those hits look
+    like"). Same distributed discipline as bm25_length_facets: matched
+    original-id arrays broadcast once, each documents batch emits
+    per-(query, lang) (count, sum, max) partials via unique/bincount,
+    the driver merges output-sized partials (sum, sum, max) and
+    finishes avg = sum/count."""
+    import ray
+    import ray.data
+
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    match = {}
+    for qi, q in enumerate(queries):
+        ids = s.search_boolean(q, mode="or")
+        if ids.size:
+            match[qi] = np.sort(eng2orig[ids].astype(np.int64))
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "n_matches": pa.array([], pa.int64()),
+        "avg_chars": pa.array([], pa.float64()),
+        "max_chars": pa.array([], pa.int64()),
+    })
+    if not match:
+        return empty
+    mref = ray.put(match)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        qs, ls, cs, ss, ms = [], [], [], [], []
+        for qi, arr in m.items():
+            p = np.searchsorted(arr, ids)
+            inb = p < arr.size
+            mask = np.zeros(ids.size, dtype=bool)
+            mask[inb] = arr[p[inb]] == ids[inb]
+            if not mask.any():
+                continue
+            u, inv = np.unique(langs[mask], return_inverse=True)
+            cnt = np.bincount(inv)
+            sm = np.bincount(inv, weights=nch[mask]).astype(np.int64)
+            mx = np.full(u.size, np.iinfo(np.int64).min, dtype=np.int64)
+            np.maximum.at(mx, inv, nch[mask])
+            qs.append(np.full(u.size, qi, dtype=np.int64))
+            ls.append(u)
+            cs.append(cnt.astype(np.int64))
+            ss.append(sm)
+            ms.append(mx)
+        if not qs:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "sm": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), pa.int64()),
+            "lang": pa.array(
+                np.concatenate(ls).astype(str), pa.string()
+            ),
+            "cnt": pa.array(np.concatenate(cs), pa.int64()),
+            "sm": pa.array(np.concatenate(ss), pa.int64()),
+            "mx": pa.array(np.concatenate(ms), pa.int64()),
+        })
+
+    cand = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # (queries x langs) rows per block: output-sized
+    )
+    if not len(cand):
+        return empty
+    agg = (
+        cand.groupby(["query_id", "lang"], as_index=False)
+        .agg(cnt=("cnt", "sum"), sm=("sm", "sum"), mx=("mx", "max"))
+        .sort_values(["query_id", "lang"])
+    )
+    return pa.table({
+        "query_id": pa.array(agg["query_id"].to_numpy(), pa.int64()),
+        "lang": pa.array(agg["lang"].tolist(), pa.string()),
+        "n_matches": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+        "avg_chars": pa.array(
+            np.round(
+                agg["sm"].to_numpy() / agg["cnt"].to_numpy(), 4
+            ),
+            pa.float64(),
+        ),
+        "max_chars": pa.array(agg["mx"].to_numpy(), pa.int64()),
+    })
+
+
+def bm25_lang_stats_sql(queries=DOC_QUERIES) -> str:
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    parts = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(tok.tokens_of(q)))
+        lst = ", ".join(f"'{_sql_lit(t)}'" for t in terms)
+        parts.append(
+            f"SELECT {qi} AS query_id, d.lang,"
+            f" count(*) AS n_matches,"
+            f" round(sum(d.n_chars) / count(*)::DOUBLE, 4) AS avg_chars,"
+            f" max(d.n_chars) AS max_chars"
+            f" FROM documents d WHERE EXISTS ("
+            f"SELECT 1 FROM unnest({texpr.replace('text', 'd.text')}) "
+            f"AS u(t) WHERE t IN ({lst})) GROUP BY d.lang"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id, lang"
 
 
 COLLAPSE_N = 2

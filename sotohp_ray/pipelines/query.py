@@ -648,6 +648,69 @@ class Searcher:
         order = np.lexsort((match_docs, -scores))[:k]
         return [(int(match_docs[i]), float(scores[i])) for i in order]
 
+    def prefix_terms(
+        self, prefix: str, max_expansions: int = 50
+    ) -> list[str]:
+        """The first ``max_expansions`` dictionary terms starting with
+        ``prefix``, in TERM order — the deterministic multi-term
+        expansion list (the ES expansion cap is part of the query
+        contract, so the cap rule must be order-stable)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        hits = pc.starts_with(self._tbl["term"], prefix)
+        idx = np.flatnonzero(hits.to_numpy(zero_copy_only=False))
+        if idx.size == 0:
+            return []
+        terms = self._tbl["term"].take(
+            pa.array(idx, pa.int64())
+        ).to_pylist()
+        return sorted(terms)[:max_expansions]
+
+    def search_phrase_prefix(
+        self, phrase: str, max_expansions: int = 50, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``match_phrase_prefix`` (search-as-you-type): the
+        analyzed phrase must appear at consecutive positions with its
+        LAST token as a PREFIX of the final term. The prefix expands
+        to the first ``max_expansions`` dictionary terms in term order
+        (prefix_terms), each expansion runs the shared phrase-align
+        kernel, and the match sets union. Ranking: BM25 over the FIXED
+        leading terms only — expansions gate the match but do not
+        perturb the score, so ranking stays stable keystroke to
+        keystroke (and the oracle shares the exact contract)."""
+        toks = self.tok.tokens_of(phrase)
+        if len(toks) < 2:
+            raise ValueError(
+                "phrase_prefix needs >= 2 analyzed tokens"
+            )
+        lead, pfx = toks[:-1], toks[-1]
+        if any(t not in self._row for t in lead):
+            return []
+        lead_pos = [self._positions_of(t) for t in lead]
+        parts = []
+        for e in self.prefix_terms(pfx, max_expansions):
+            md = _phrase_align(
+                lead_pos + [self._positions_of(e)], len(toks)
+            )
+            if md.size:
+                parts.append(md)
+        if not parts:
+            return []
+        match_docs = np.unique(np.concatenate(parts))
+        match_docs = match_docs[self._live_mask(match_docs)]
+        if match_docs.size == 0:
+            return []
+        scores = np.zeros(match_docs.size, dtype=np.float64)
+        for term, qw in self._query_terms(" ".join(lead)):
+            docs, tfs = self._decode_full(term)
+            idx = np.searchsorted(docs, match_docs.astype(np.uint64))
+            scores += self._contrib(
+                qw, int(self._dfs[self._row[term]]),
+                tfs[idx].astype(np.float64), self.doc_len[match_docs],
+            )
+        order = np.lexsort((match_docs, -scores))[:k]
+        return [(int(match_docs[i]), float(scores[i])) for i in order]
+
     def search_proximity(
         self, term_a: str, term_b: str, window: int = 3, k: int = 10
     ) -> list[tuple[int, float]]:
@@ -1499,6 +1562,13 @@ class _GroupServer:
     def suffix_hits(self, suffix: str):
         return self.searcher.search_suffix(suffix)
 
+    def prefix_terms_local(self, prefix: str, max_expansions: int):
+        """Group-local prefix expansion candidates in term order.
+        Capping per group at the global cap is EXACT: the global
+        first-m set draws at most m terms from any group, all within
+        that group's first m."""
+        return self.searcher.prefix_terms(prefix, max_expansions)
+
     def suggest_local(self, prefix: str, k: int):
         """Group-local completion candidates: (terms, dfs). Each term
         is hash-routed to exactly one shard group, so group results
@@ -1977,6 +2047,50 @@ class FanoutSearcher:
         if match_docs.size == 0:
             return []
         udocs, sums = self._score_match_docs(phrase, match_docs)
+        order = np.lexsort((udocs, -sums))[:k]
+        return [(int(udocs[i]), float(sums[i])) for i in order]
+
+    def search_phrase_prefix(
+        self, phrase: str, max_expansions: int = 50, k: int = 10
+    ):
+        """Distributed match_phrase_prefix: per-group prefix expansion
+        (hash-disjoint dictionaries, per-group cap then one global
+        term-order cap — exact, see prefix_terms_local), per-term
+        position fan-out, the single Searcher's phrase-align kernel
+        per expansion, and the shared match-doc scoring contract (BM25
+        over the fixed leading terms)."""
+        import ray
+
+        toks = self.tok.tokens_of(phrase)
+        if len(toks) < 2:
+            raise ValueError(
+                "phrase_prefix needs >= 2 analyzed tokens"
+            )
+        lead, pfx = toks[:-1], toks[-1]
+        exp_parts = ray.get([
+            a.prefix_terms_local.remote(pfx, max_expansions)
+            for a in self.actors
+        ])
+        exps = sorted(
+            set().union(*(set(p) for p in exp_parts))
+        )[:max_expansions]
+        if not exps:
+            return []
+        pos = self._positions_fanout(lead + exps)
+        parts = []
+        for e in exps:
+            md = _phrase_align(
+                [pos[t] for t in lead] + [pos[e]], len(toks)
+            )
+            if md.size:
+                parts.append(md)
+        if not parts:
+            return []
+        match_docs = np.unique(np.concatenate(parts))
+        match_docs = match_docs[self._live_of(match_docs)]
+        if match_docs.size == 0:
+            return []
+        udocs, sums = self._score_match_docs(" ".join(lead), match_docs)
         order = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in order]
 

@@ -1075,3 +1075,87 @@ def test_min_should_match_semantics(small_index):
         got1 = sorted(d for d, _, _ in
                       s.search_min_should_match(q, 1, k=s.space))
         assert got1 == or_docs, q
+
+
+def _token_streams(corpus_dir, index_dir):
+    """Analyzed token stream per engine doc id (docmeta key order)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.sources.corpus import corpus_files
+
+    tok = CodeTokenizer()
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    key2id = {
+        (r, p, c): d
+        for r, p, c, d in zip(
+            dm["repo"].to_pylist(), dm["path"].to_pylist(),
+            dm["commit"].to_pylist(), dm["doc_id"].to_pylist(),
+        )
+    }
+    streams = {}
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        for r, p, c, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(),
+            t["commit"].to_pylist(), t["content"].to_pylist(),
+        ):
+            streams[key2id[(r, p, c)]] = tok.tokens_of(content)
+    return streams
+
+
+def test_phrase_prefix_matches_bruteforce_and_fanout(small_index):
+    """match_phrase_prefix: docs must equal a per-doc scan matching
+    the leading tokens followed by ANY term carrying the prefix, with
+    the expansion cap applied in term order; scores equal BM25 over
+    the leading terms; 4-group fan-out == single searcher."""
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    tok = CodeTokenizer()
+    streams = _token_streams(corpus_dir, index_dir)
+    vocab = set(s._tbl["term"].to_pylist())
+
+    # derive phrase-prefix probes from real adjacent pairs
+    probes = set()
+    for toks in streams.values():
+        for a, b in zip(toks, toks[1:]):
+            if len(b) >= 3:
+                probes.add(f"{a} {b[:2]}")
+            if len(probes) >= 5:
+                break
+        if len(probes) >= 5:
+            break
+    probes = sorted(probes) + ["zzz qq"]
+    for cap in (1, 2, 50):
+        for p in probes:
+            ptoks = tok.tokens_of(p)
+            lead, pfx = ptoks[:-1], ptoks[-1]
+            exps = sorted(
+                t for t in vocab if t.startswith(pfx)
+            )[:cap]
+            expect = set()
+            for d, toks in streams.items():
+                n = len(ptoks)
+                for i in range(len(toks) - n + 1):
+                    if (toks[i:i + n - 1] == lead
+                            and toks[i + n - 1] in exps):
+                        expect.add(d)
+                        break
+            got = s.search_phrase_prefix(p, max_expansions=cap, k=s.space)
+            assert {d for d, _ in got} == expect, (p, cap)
+            # scores = BM25 over the leading terms on the match set
+            exact = dict(s.search_exact(" ".join(lead), k=s.space))
+            for d, sc in got:
+                assert sc == pytest.approx(exact[d], abs=1e-12), (p, d)
+            fg = f.search_phrase_prefix(p, max_expansions=cap, k=s.space)
+            assert fg == got, (p, cap)
+    with pytest.raises(ValueError):
+        s.search_phrase_prefix("single")
+    with pytest.raises(ValueError):
+        f.search_phrase_prefix("single")
