@@ -59,6 +59,8 @@ from sotohp_ray.pipelines.fulltext import (
     phrase_topk,
     phrase_prefix_topk,
     phrase_prefix_oracle_sql,
+    analyze_texts,
+    analyze_texts_sql,
     prefix_search,
     prefix_search_sql,
     regex_search,
@@ -149,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_docs": lambda sf: similar_docs(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
         "phrase_prefix_topk": lambda sf: phrase_prefix_topk(sf),
+        "analyze_texts": lambda sf: analyze_texts(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "significant_terms": lambda sf: significant_terms(sf),
@@ -206,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_filtered": ann.knn_cosine_filtered,
         "knn_label_consensus": ann.knn_label_consensus,
         "knn_range_search": ann.knn_range_search,
+        "knn_mmr": ann.knn_mmr,                             # rows-only
+
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
         "ann_lsh_search": ann.ann_lsh_search,               # rows-only
@@ -285,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_docs": similar_docs_sql(),
         "phrase_topk": phrase_oracle_sql(),
         "phrase_prefix_topk": phrase_prefix_oracle_sql(),
+        "analyze_texts": analyze_texts_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
         "significant_terms": significant_terms_sql(),

@@ -379,6 +379,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
 
     timed("bm25_lang_stats", lambda: bm25_lang_stats(sf_dir))
     timed("phrase_prefix_topk", lambda: phrase_prefix_topk(sf_dir))
+    timed("knn_mmr", lambda: ann.knn_mmr(sf_dir))
     return out
 
 

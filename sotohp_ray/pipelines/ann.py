@@ -154,6 +154,91 @@ def knn_cosine(
     return _topk_merge(ds, k)
 
 
+MMR_LAMBDA = 0.7
+MMR_DEPTH = 50
+
+
+def knn_mmr(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    depth: int = MMR_DEPTH, lam: float = MMR_LAMBDA,
+):
+    """(query_id, rank, vec_id, score, mmr): DIVERSIFIED top-k via
+    maximal marginal relevance (Carbonell & Goldstein, SIGIR 1998; the
+    ES diversified-sampler / result-diversification shape): greedily
+    pick argmax of lam*sim(q,d) - (1-lam)*max_{s in picked} sim(d,s)
+    over the top-``depth`` cosine candidates, so near-duplicate
+    neighbors don't crowd the result page. ``score`` is the plain
+    cosine; ``mmr`` the value at selection time (round 6, ties broken
+    by vec_id asc — the determinism contract).
+
+    Distribution: candidate retrieval IS knn_cosine's actor pool over
+    the full table; the greedy re-rank is k iterations on a
+    (depth x depth) similarity matrix per query — candidate-sized
+    driver work (predicate-pushdown vector fetch), never
+    corpus-sized. Iterative argmax is not SQL-expressible: rows-only
+    driver row + brute-force/planted-duplicate pytests."""
+    import pyarrow.parquet as pq
+
+    cands = knn_cosine(sf_dir, query_ids, k=depth).to_pandas()
+    if not len(cands):
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "mmr": pa.array([], pa.float64()),
+        })
+    need = sorted(set(cands["vec_id"].astype(int)) | set(query_ids))
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", need)],
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    V = _normalize(
+        col.flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(len(ids), dim)
+    )
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qid, g in cands.groupby("query_id"):
+        g = g.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        cvec = V[[row_of[int(v)] for v in g["vec_id"]]]
+        rel = g["score"].to_numpy(np.float64)
+        vids = g["vec_id"].to_numpy(np.int64)
+        sim = cvec @ cvec.T
+        picked: list[int] = []
+        avail = np.ones(len(g), dtype=bool)
+        while avail.any() and len(picked) < k:
+            if picked:
+                maxsim = sim[:, picked].max(axis=1)
+                mmr = lam * rel - (1.0 - lam) * maxsim
+            else:
+                mmr = lam * rel
+            r = np.round(mmr, 6)
+            r[~avail] = -np.inf
+            # argmax with vec_id-asc tie-break
+            cand = np.flatnonzero(r == r.max())
+            i = int(cand[np.argmin(vids[cand])])
+            rows.append((
+                int(qid), len(picked), int(vids[i]),
+                float(rel[i]), float(r[i]),
+            ))
+            picked.append(i)
+            avail[i] = False
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+        "mmr": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
 QUANT_DEPTH = 32
 
 

@@ -572,6 +572,53 @@ ORDER BY query_id, doc_id
 """
 
 
+ANALYZE_PROBES = (
+    "Hello, World! FooBar_baz 42x",
+    "snake_case camelCase XMLHttpRequest 1234",
+    "MixedCASE tokens-with-dashes a.b.c",
+    "",
+    "   leading and trailing   ",
+)
+
+
+def analyze_texts(sf_dir: str, probes=ANALYZE_PROBES) -> pa.Table:
+    """(text_id, pos, token): the ES ``_analyze`` API — run the
+    engine's analyzer over probe strings and return the token stream
+    with positions. This is the M7 tokenizer-parity surface exposed
+    DIRECTLY: the engine side is the Python CodeTokenizer, the oracle
+    side is ``sql_token_expr``'s RE2 pipeline in DuckDB, so the oracle
+    compare proves the two analyzer implementations agree token by
+    token (every other token query inherits that agreement). Takes
+    ``sf_dir`` for the driver-contract signature; the probes are the
+    input."""
+    tok = CodeTokenizer()
+    t_ids, poss, toks = [], [], []
+    for ti, p in enumerate(probes):
+        for pos, token in enumerate(tok.tokens_of(p)):
+            t_ids.append(ti)
+            poss.append(pos)
+            toks.append(token)
+    return pa.table({
+        "text_id": pa.array(t_ids, pa.int64()),
+        "pos": pa.array(poss, pa.int64()),
+        "token": pa.array(toks, pa.string()),
+    })
+
+
+def analyze_texts_sql(probes=ANALYZE_PROBES) -> str:
+    texpr = sql_token_expr("text")
+    vals = ", ".join(
+        f"({ti}, '{_sql_lit(p)}')" for ti, p in enumerate(probes)
+    )
+    return f"""
+        WITH q(text_id, text) AS (VALUES {vals})
+        SELECT text_id,
+               generate_subscripts({texpr}, 1) - 1 AS pos,
+               unnest({texpr}) AS token
+        FROM q
+    """
+
+
 # query-time synonym groups (ES synonym_graph filter): every member
 # of a group expands to the whole group at the ORIGINAL term's query
 # weight. "large" is deliberately outside the corpus vocabulary — an

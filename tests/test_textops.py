@@ -1307,3 +1307,72 @@ def test_percolate_matches_bruteforce_and_is_nonvacuous(tmp_path):
     # non-vacuous on the real corpus too: every non-sentinel query hits
     real = percolate(SF).to_pandas()
     assert set(real["query_id"]) == {1, 2, 3, 4, 5}
+
+
+def test_knn_mmr_diversifies_planted_duplicates(tmp_path):
+    """MMR re-ranking: on a fixture where the two nearest neighbors
+    are IDENTICAL vectors, plain top-k returns both adjacent while
+    MMR (lam=0.5) demotes the duplicate below a less-similar but
+    diverse vector; rank 0 is always the plain cosine argmax, and a
+    brute-force greedy replay must match exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.ann import _normalize, knn_cosine, knn_mmr
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    q = np.ones(dim)
+    dup = q + rng.normal(0, 0.01, dim)  # very near the query
+    vecs = [q, dup, dup.copy(),              # 1, 2 identical dupes
+            q + np.array([0, 0, 0, 0, 3, 3, 3, 3.0]),  # diverse-ish
+            rng.normal(0, 1, dim), rng.normal(0, 1, dim)]
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(
+            [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+        ),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    lam, k = 0.5, 3
+    plain = knn_cosine(str(d), query_ids=(0,), k=k).to_pandas()
+    mmr = knn_mmr(
+        str(d), query_ids=(0,), k=k, depth=5, lam=lam
+    ).to_pandas().sort_values("rank")
+    # plain top-2 are the duplicate pair; MMR keeps one, demotes the other
+    assert set(plain["vec_id"][:2]) == {1, 2}
+    assert list(mmr["vec_id"][:2])[0] == 1
+    assert 2 not in set(mmr["vec_id"][:2])
+    assert mmr["rank"].tolist() == list(range(len(mmr)))
+
+    # brute-force greedy replay over the same candidate pool
+    cands = knn_cosine(str(d), query_ids=(0,), k=5).to_pandas()
+    cands = cands.sort_values(
+        ["score", "vec_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    V = _normalize(np.array(
+        [vecs[int(v)] for v in cands["vec_id"]], dtype=np.float64
+    ))
+    rel = cands["score"].to_numpy()
+    vids = cands["vec_id"].to_numpy()
+    sim = V @ V.T
+    picked, out = [], []
+    avail = np.ones(len(cands), dtype=bool)
+    while avail.any() and len(picked) < k:
+        m = lam * rel - (
+            (1 - lam) * sim[:, picked].max(axis=1) if picked else 0.0
+        )
+        r = np.round(m, 6)
+        r[~avail] = -np.inf
+        c = np.flatnonzero(r == r.max())
+        i = int(c[np.argmin(vids[c])])
+        out.append((int(vids[i]), float(rel[i]), float(r[i])))
+        picked.append(i)
+        avail[i] = False
+    got = list(mmr[["vec_id", "score", "mmr"]].itertuples(
+        index=False, name=None
+    ))
+    assert got == out
