@@ -61,6 +61,8 @@ from sotohp_ray.pipelines.fulltext import (
     phrase_prefix_oracle_sql,
     analyze_texts,
     analyze_texts_sql,
+    bm25_rescore_phrase,
+    bm25_rescore_phrase_sql,
     prefix_search,
     prefix_search_sql,
     regex_search,
@@ -152,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": lambda sf: phrase_topk(sf),
         "phrase_prefix_topk": lambda sf: phrase_prefix_topk(sf),
         "analyze_texts": lambda sf: analyze_texts(sf),
+        "bm25_rescore_phrase": lambda sf: bm25_rescore_phrase(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "significant_terms": lambda sf: significant_terms(sf),
@@ -291,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": phrase_oracle_sql(),
         "phrase_prefix_topk": phrase_prefix_oracle_sql(),
         "analyze_texts": analyze_texts_sql(),
+        "bm25_rescore_phrase": bm25_rescore_phrase_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
         "significant_terms": significant_terms_sql(),

@@ -380,6 +380,9 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("bm25_lang_stats", lambda: bm25_lang_stats(sf_dir))
     timed("phrase_prefix_topk", lambda: phrase_prefix_topk(sf_dir))
     timed("knn_mmr", lambda: ann.knn_mmr(sf_dir))
+    from sotohp_ray.pipelines.fulltext import bm25_rescore_phrase
+
+    timed("bm25_rescore_phrase", lambda: bm25_rescore_phrase(sf_dir))
     return out
 
 

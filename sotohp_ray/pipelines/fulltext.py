@@ -816,6 +816,145 @@ def phrase_topk(sf_dir: str, phrases=PHRASE_QUERIES, k: int = 10) -> pa.Table:
     )
 
 
+RESCORE_WINDOW = 20
+RESCORE_BONUS = 2.0
+RESCORE_QUERIES = (
+    "table hash",
+    "slow hash batch",
+    "merge group",
+    "query data",
+)
+
+
+def bm25_rescore_phrase(
+    sf_dir: str, queries=RESCORE_QUERIES, k: int = 10,
+    window: int = RESCORE_WINDOW, bonus: float = RESCORE_BONUS,
+) -> pa.Table:
+    """(query_id, doc_id, score): the ES ``rescore`` query — the cheap
+    BM25 pass ranks everything, then ONLY the top-``window`` docs pay
+    for the expensive signal (here: an exact-phrase positional check;
+    in ES typically a phrase or script score) and are re-sorted by
+    base + bonus*has_phrase. Only window docs can receive the bonus —
+    the ES window semantics (a doc with the phrase outside the window
+    stays ranked by its base score). This harness reuses the shared
+    corpus-wide phrase-align kernel for the membership set (its cost
+    is postings-bounded); a latency-critical serving path would
+    intersect positions for just the window docs. k <= window so the
+    final page comes entirely from the rescored window (the ES
+    contract when window_size >= size)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    if k > window:
+        raise ValueError("k must be <= window (ES rescore contract)")
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        win = sorted(
+            ((int(eng2orig[d]), round(sc, 4), int(d)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:window]
+        if not win:
+            continue
+        # phrase membership for ONLY the window docs
+        phrase_docs = {
+            int(d) for d, _ in s.search_phrase(q, k=s.space)
+        }
+        ranked = sorted(
+            (
+                (do, round(sc + (bonus if de in phrase_docs else 0.0), 4))
+                for do, sc, de in win
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def bm25_rescore_phrase_sql(
+    queries=RESCORE_QUERIES, k: int = 10,
+    window: int = RESCORE_WINDOW, bonus: float = RESCORE_BONUS,
+) -> str:
+    """Base BM25 CTE windowed to top-``window``, LEFT JOIN the
+    positional phrase-match set, re-rank by base + bonus."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    from collections import Counter
+
+    qvals, match_parts = [], []
+    for qi, p in enumerate(queries):
+        toks = tok.tokens_of(p)
+        for term, qtf in sorted(Counter(toks).items()):
+            qvals.append(f"({qi}, '{term}', {qtf})")
+        joins = []
+        for off, term in enumerate(toks):
+            if off == 0:
+                continue
+            joins.append(
+                f"JOIN toks t{off} ON t{off}.doc_id = t0.doc_id "
+                f"AND t{off}.pos = t0.pos + {off} "
+                f"AND t{off}.term = '{term}'"
+            )
+        match_parts.append(
+            f"SELECT DISTINCT {qi} AS query_id, t0.doc_id "
+            f"FROM toks t0 {' '.join(joins)} "
+            f"WHERE t0.term = '{toks[0]}'"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {", ".join(qvals)}),
+base AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum({_CONTRIB_EXPR}), 4) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id, score FROM base
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+  ) <= {window}
+),
+phr AS ({" UNION ALL ".join(match_parts)})
+SELECT w.query_id, w.doc_id,
+       round(w.score + CASE WHEN p.doc_id IS NOT NULL
+                            THEN {bonus} ELSE 0.0 END, 4) AS score
+FROM win w
+LEFT JOIN phr p
+  ON p.query_id = w.query_id AND p.doc_id = w.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY w.query_id
+  ORDER BY round(w.score + CASE WHEN p.doc_id IS NOT NULL
+                                THEN {bonus} ELSE 0.0 END, 4) DESC,
+           w.doc_id ASC
+) <= {k}
+ORDER BY w.query_id, w.doc_id
+"""
+
+
 PHRASE_PREFIX_QUERIES = (
     "hash jo",
     "merge gro",

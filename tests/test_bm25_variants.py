@@ -201,3 +201,52 @@ def test_tfidf_formula_bruteforce():
         assert r["score"] == pytest.approx(
             round(exp[int(r["doc_id"])], 4), abs=2e-4
         )
+
+
+def test_rescore_phrase_window_semantics():
+    """ES rescore-window: bonus=0 degenerates to plain top-k; with a
+    bonus, every returned score equals base + bonus iff the doc (a)
+    is inside the top-window base ranking AND (b) contains the exact
+    phrase — recomputed independently from full-depth base and phrase
+    runs."""
+    from sotohp_ray.pipelines.fulltext import (
+        bm25_rescore_phrase, bm25_topk, documents_index,
+    )
+    from sotohp_ray.pipelines.fulltext import _eng2orig
+    from sotohp_ray.pipelines.query import Searcher
+
+    q = "table hash"
+    plain = _by_query(bm25_topk(SF_DIR, queries=(q,)))
+    r0 = _by_query(
+        bm25_rescore_phrase(SF_DIR, queries=(q,), bonus=0.0)
+    )
+    np.testing.assert_allclose(r0[0], plain[0], atol=1e-9)
+
+    window, bonus = 20, 2.0
+    base = bm25_topk(SF_DIR, queries=(q,), k=10**9).to_pandas()
+    base = base.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    win = base.head(window)
+    base_of = dict(zip(win["doc_id"].astype(int), win["score"]))
+    idx = documents_index(SF_DIR)
+    s = Searcher(idx)
+    eng2orig = _eng2orig(idx, s.space)
+    phrase = {
+        int(eng2orig[d]) for d, _ in s.search_phrase(q, k=s.space)
+    }
+    got = bm25_rescore_phrase(
+        SF_DIR, queries=(q,), window=window, bonus=bonus
+    ).to_pandas()
+    assert len(got) == 10
+    for r in got.itertuples():
+        d = int(r.doc_id)
+        assert d in base_of, "result outside the base window"
+        want = round(
+            base_of[d] + (bonus if d in phrase else 0.0), 4
+        )
+        assert r.score == pytest.approx(want, abs=1e-9), d
+    assert phrase & set(base_of), "fixture: window must contain a phrase hit"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bm25_rescore_phrase(SF_DIR, queries=(q,), k=30, window=20)
