@@ -94,6 +94,8 @@ from sotohp_ray.pipelines.fulltext import (
     tfidf_topk_sql,
     proximity_oracle_sql,
     proximity_topk,
+    span_near_topk,
+    span_near_oracle_sql,
 )
 
 
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_texts": lambda sf: analyze_texts(sf),
         "bm25_rescore_phrase": lambda sf: bm25_rescore_phrase(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
+        "span_near_topk": lambda sf: span_near_topk(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "significant_terms": lambda sf: significant_terms(sf),
         "hybrid_search_rrf": lambda sf: hybrid_search_rrf(sf),
@@ -296,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "analyze_texts": analyze_texts_sql(),
         "bm25_rescore_phrase": bm25_rescore_phrase_sql(),
         "proximity_topk": proximity_oracle_sql(),
+        "span_near_topk": span_near_oracle_sql(),
         "bm25_facets": bm25_facets_sql(),
         "significant_terms": significant_terms_sql(),
         "hybrid_search_rrf": hybrid_search_rrf_sql(),

@@ -383,6 +383,9 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     from sotohp_ray.pipelines.fulltext import bm25_rescore_phrase
 
     timed("bm25_rescore_phrase", lambda: bm25_rescore_phrase(sf_dir))
+    from sotohp_ray.pipelines.fulltext import span_near_topk
+
+    timed("span_near_topk", lambda: span_near_topk(sf_dir))
     return out
 
 

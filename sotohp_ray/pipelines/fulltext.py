@@ -2832,6 +2832,100 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+SPAN_NEAR_QUERIES = (
+    ("slow", "batch"),
+    ("hash", "join"),
+    ("join", "hash"),  # direction sensitivity: reverse of the above
+    ("window", "query"),
+)
+SPAN_NEAR_WINDOW = 3
+
+
+def span_near_topk(
+    sf_dir: str, pairs=SPAN_NEAR_QUERIES, window: int = SPAN_NEAR_WINDOW,
+    k: int = 10,
+) -> pa.Table:
+    """(query_id, doc_id, score): ORDERED span-near (Lucene span_near
+    in_order=true) — docs where the second term FOLLOWS the first
+    within ``window`` positions, BM25-ranked; the direction-sensitive
+    sibling of proximity_topk (the fixture includes a reversed pair to
+    prove direction matters)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, (a, b) in enumerate(pairs):
+        full = s.search_span_near(a, b, window=window, k=s.space)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def span_near_oracle_sql(
+    pairs=SPAN_NEAR_QUERIES, window: int = SPAN_NEAR_WINDOW, k: int = 10
+) -> str:
+    """Like the proximity oracle but the positional join is ordered:
+    t1.pos BETWEEN t0.pos + 1 AND t0.pos + window."""
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    from collections import Counter
+
+    qvals, match_parts = [], []
+    for qi, (a, b) in enumerate(pairs):
+        ta, tb = tok.tokens_of(a)[0], tok.tokens_of(b)[0]
+        for term, qtf in sorted(Counter([ta, tb]).items()):
+            qvals.append(f"({qi}, '{term}', {qtf})")
+        match_parts.append(
+            f"SELECT DISTINCT {qi} AS query_id, t0.doc_id "
+            f"FROM toks t0 JOIN toks t1 ON t1.doc_id = t0.doc_id "
+            f"AND t1.pos BETWEEN t0.pos + 1 AND t0.pos + {window} "
+            f"AND t1.term = '{tb}' WHERE t0.term = '{ta}'"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {", ".join(qvals)}),
+matches AS ({" UNION ALL ".join(match_parts)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum({_CONTRIB_EXPR}) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT s.query_id, s.doc_id, round(s.score, 4) AS score
+FROM scores s JOIN matches m
+  ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY s.query_id ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+) <= {k}
+ORDER BY s.query_id, s.doc_id
+"""
+
+
 DELETED_DOC_IDS = (3, 17, 54, 121, 200)
 
 

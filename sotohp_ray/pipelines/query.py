@@ -242,6 +242,32 @@ def _proximity_match(pos_a, pos_b, window: int) -> np.ndarray:
     return np.unique((ka[hit] >> SH).astype(np.int64))
 
 
+def _span_near_ordered_match(pos_a, pos_b, window: int) -> np.ndarray:
+    """Ordered-span kernel (Lucene span_near in_order=true): docs
+    where some occurrence of b FOLLOWS an occurrence of a by 1..window
+    positions. Each a-occurrence probes only its nearest SUBSEQUENT
+    b occurrence (searchsorted side='right' on the (doc<<32|pos) key
+    array): if any b qualifies, the nearest subsequent one does.
+    Returns sorted unique matching doc ids (pre-tombstone)."""
+    docs_a, tfs_a, occ_a = pos_a
+    docs_b, tfs_b, occ_b = pos_b
+    SH = np.uint64(_POS_SHIFT)
+    ka = (np.repeat(docs_a, tfs_a.astype(np.int64)) << SH) | occ_a
+    kb = (np.repeat(docs_b, tfs_b.astype(np.int64)) << SH) | occ_b
+    if ka.size == 0 or kb.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.searchsorted(kb, ka, side="right")
+    valid = idx < kb.size
+    kv = kb[np.clip(idx, 0, max(kb.size - 1, 0))]
+    same_doc = (kv >> SH) == (ka >> SH)
+    dist = (
+        (kv & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        - (ka & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    )
+    hit = valid & same_doc & (dist >= 1) & (dist <= window)
+    return np.unique((ka[hit] >> SH).astype(np.int64))
+
+
 def _boolean_combine(sets: list, mode: str) -> np.ndarray:
     """Boolean set algebra shared by Searcher and FanoutSearcher:
     ``sets`` holds each present term's sorted doc array. OR is one
@@ -644,6 +670,41 @@ class Searcher:
             scores += self._contrib(
                 qw, int(self._dfs[self._row[term]]), tf,
                 self.doc_len[match_docs],
+            )
+        order = np.lexsort((match_docs, -scores))[:k]
+        return [(int(match_docs[i]), float(scores[i])) for i in order]
+
+    def search_span_near(
+        self, term_a: str, term_b: str, window: int = 3, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ORDERED span-near (Lucene span_near in_order=true): docs
+        where ``term_b`` follows ``term_a`` within ``window``
+        positions, ranked by BM25 over the two terms — the
+        direction-sensitive sibling of search_proximity ("hash join"
+        near-misses where only "join ... hash" appears). Kernel:
+        ``_span_near_ordered_match`` (shared with the fan-out
+        path)."""
+        ta = self.tok.tokens_of(term_a)
+        tb = self.tok.tokens_of(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("span terms must analyze to one token")
+        a, b = ta[0], tb[0]
+        if a not in self._row or b not in self._row:
+            return []
+        match_docs = _span_near_ordered_match(
+            self._positions_of(a), self._positions_of(b), window
+        )
+        if match_docs.size:
+            match_docs = match_docs[self._live_mask(match_docs)]
+        if match_docs.size == 0:
+            return []
+        scores = np.zeros(match_docs.size, dtype=np.float64)
+        for term, qw in self._query_terms(f"{term_a} {term_b}"):
+            docs, tfs = self._decode_full(term)
+            i2 = np.searchsorted(docs, match_docs.astype(np.uint64))
+            scores += self._contrib(
+                qw, int(self._dfs[self._row[term]]),
+                tfs[i2].astype(np.float64), self.doc_len[match_docs],
             )
         order = np.lexsort((match_docs, -scores))[:k]
         return [(int(match_docs[i]), float(scores[i])) for i in order]
@@ -2050,6 +2111,42 @@ class FanoutSearcher:
         order = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in order]
 
+    def search_min_should_match(
+        self, query: str, m: int, k: int = 10,
+    ) -> list[tuple[int, float, int]]:
+        """Distributed minimum_should_match: per-group contributions
+        merged and sorted (qi-major, doc-minor) — EXACTLY the single
+        searcher's search_contribs array order, so the bincount score
+        sums are bit-identical — then the same distinct-match-count
+        mask and (round(score,4) DESC, doc ASC) ranking."""
+        import ray
+
+        gids = self._groups_for(query)
+        if not gids:
+            return []
+        parts = ray.get(
+            [self.actors[g].contribs.remote(query) for g in gids]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        if docs.size == 0:
+            return []
+        qis = np.concatenate([p[1] for p in parts])
+        cs = np.concatenate([p[2] for p in parts])
+        o = np.lexsort((docs, qis))
+        docs, cs = docs[o], cs[o]
+        udocs, inv = np.unique(docs, return_inverse=True)
+        nmatch = np.bincount(inv)
+        sums = np.bincount(inv, weights=cs)
+        keep = (nmatch >= m) & self._live_of(udocs)
+        udocs, sums, nmatch = udocs[keep], sums[keep], nmatch[keep]
+        if udocs.size == 0:
+            return []
+        r = np.round(sums, 4)
+        top = np.lexsort((udocs, -r))[:k]
+        return [
+            (int(udocs[i]), float(r[i]), int(nmatch[i])) for i in top
+        ]
+
     def search_phrase_prefix(
         self, phrase: str, max_expansions: int = 50, k: int = 10
     ):
@@ -2091,6 +2188,29 @@ class FanoutSearcher:
         if match_docs.size == 0:
             return []
         udocs, sums = self._score_match_docs(" ".join(lead), match_docs)
+        order = np.lexsort((udocs, -sums))[:k]
+        return [(int(udocs[i]), float(sums[i])) for i in order]
+
+    def search_span_near(
+        self, term_a: str, term_b: str, window: int = 3, k: int = 10
+    ):
+        """Distributed ORDERED span-near: per-term position fan-out +
+        the single Searcher's ordered kernel and scoring contract."""
+        ta = self.tok.tokens_of(term_a)
+        tb = self.tok.tokens_of(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("span terms must analyze to one token")
+        pos = self._positions_fanout([ta[0], tb[0]])
+        match_docs = _span_near_ordered_match(
+            pos[ta[0]], pos[tb[0]], window
+        )
+        if match_docs.size:
+            match_docs = match_docs[self._live_of(match_docs)]
+        if match_docs.size == 0:
+            return []
+        udocs, sums = self._score_match_docs(
+            f"{term_a} {term_b}", match_docs
+        )
         order = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in order]
 

@@ -1159,3 +1159,72 @@ def test_phrase_prefix_matches_bruteforce_and_fanout(small_index):
         s.search_phrase_prefix("single")
     with pytest.raises(ValueError):
         f.search_phrase_prefix("single")
+
+
+def test_fanout_min_should_match_equals_single(small_index):
+    """Fan-out msm: per-group contributions sorted qi-major must give
+    BIT-identical rounded scores, match counts and ranking to the
+    single searcher for every m."""
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    queries = [q["q"] for q in reference_queries(small_index[0])][:8]
+    for q in queries:
+        n = len(set(s.tok.tokens_of(q)))
+        for m in range(1, n + 1):
+            a = s.search_min_should_match(q, m, k=s.space)
+            b = f.search_min_should_match(q, m, k=s.space)
+            assert a == b, (q, m)
+
+
+def test_span_near_ordered_matches_bruteforce_and_fanout(small_index):
+    """Ordered span-near: match sets must equal a per-doc positional
+    scan requiring b AFTER a within the window; the reversed pair must
+    differ somewhere on the fixture (direction sensitivity); fan-out
+    == single."""
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    corpus_dir, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    streams = _token_streams(corpus_dir, index_dir)
+    vocab = [t for t in s._tbl["term"].to_pylist()]
+    # pick co-occurring pairs from real streams
+    pairs = set()
+    for toks in streams.values():
+        for i in range(len(toks) - 1):
+            pairs.add((toks[i], toks[i + 1]))
+            if len(pairs) >= 4:
+                break
+        if len(pairs) >= 4:
+            break
+    pairs = sorted(pairs)[:4] + [(vocab[0], "zzznot")]
+    window = 3
+    direction_differs = False
+    for a, b in pairs:
+        for x, y in ((a, b), (b, a)):
+            if y == "zzznot" or x == "zzznot":
+                got = s.search_span_near(x, y, window=window, k=s.space)
+                assert got == []
+                continue
+            expect = set()
+            for d, toks in streams.items():
+                for i, t in enumerate(toks):
+                    if t != x:
+                        continue
+                    if y in toks[i + 1: i + 1 + window]:
+                        expect.add(d)
+                        break
+            got = s.search_span_near(x, y, window=window, k=s.space)
+            assert {d for d, _ in got} == expect, (x, y)
+            fg = f.search_span_near(x, y, window=window, k=s.space)
+            assert fg == got, (x, y)
+        fwd = {d for d, _ in s.search_span_near(a, b, window=window, k=s.space)}
+        rev = {d for d, _ in s.search_span_near(b, a, window=window, k=s.space)}
+        if fwd != rev:
+            direction_differs = True
+    assert direction_differs, "fixture shows no direction sensitivity"
+    with pytest.raises(ValueError):
+        s.search_span_near("two words", "x")
