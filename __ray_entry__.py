@@ -96,6 +96,10 @@ from sotohp_ray.pipelines.fulltext import (
     proximity_topk,
     span_near_topk,
     span_near_oracle_sql,
+    docs_mget,
+    docs_mget_sql,
+    search_count,
+    search_count_sql,
 )
 
 
@@ -159,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rescore_phrase": lambda sf: bm25_rescore_phrase(sf),
         "proximity_topk": lambda sf: proximity_topk(sf),
         "span_near_topk": lambda sf: span_near_topk(sf),
+        "docs_mget": lambda sf: docs_mget(sf),
+        "search_count": lambda sf: search_count(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "significant_terms": lambda sf: significant_terms(sf),
         "hybrid_search_rrf": lambda sf: hybrid_search_rrf(sf),
@@ -300,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore_phrase": bm25_rescore_phrase_sql(),
         "proximity_topk": proximity_oracle_sql(),
         "span_near_topk": span_near_oracle_sql(),
+        "docs_mget": docs_mget_sql(),
+        "search_count": search_count_sql(),
         "bm25_facets": bm25_facets_sql(),
         "significant_terms": significant_terms_sql(),
         "hybrid_search_rrf": hybrid_search_rrf_sql(),

@@ -2832,6 +2832,81 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+MGET_DOC_IDS = (0, 7, 42, 123, 404, 499, 1_000_000)  # last id absent
+
+
+def docs_mget(sf_dir: str, doc_ids=MGET_DOC_IDS) -> pa.Table:
+    """(doc_id, lang, content_sha256, n_tokens): point reads from the
+    INDEX's denormalized docmeta store — the ES ``_mget`` endpoint and
+    the M12 search-doc-projection READBACK: the oracle recomputes the
+    same fields from the RAW documents table (DuckDB sha256 + the RE2
+    token-count expression), so a green row proves the denormalized
+    projection survives the build byte-for-byte. Absent ids are
+    omitted (ES found=false). The docmeta read is predicate-pushdown
+    on path (the zero-padded original id) — id-list-sized, never a
+    table scan."""
+    index_dir = documents_index(sf_dir)
+    keys = [f"{int(d):010d}" for d in doc_ids]
+    t = pq.read_table(
+        os.path.join(index_dir, "docmeta"),
+        columns=["path", "lang", "content_sha256", "doc_len"],
+        filters=[("path", "in", keys)],
+    )
+    ids = pc.cast(t["path"], pa.int64())
+    order = pc.sort_indices(ids)
+    return pa.table({
+        "doc_id": ids.take(order),
+        "lang": t["lang"].take(order).combine_chunks().cast(pa.string()),
+        "content_sha256": t["content_sha256"].take(order)
+        .combine_chunks().cast(pa.string()),
+        "n_tokens": t["doc_len"].take(order).combine_chunks()
+        .cast(pa.int64()),
+    })
+
+
+def docs_mget_sql(doc_ids=MGET_DOC_IDS) -> str:
+    texpr = sql_token_expr("text")
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+        SELECT doc_id, lang, sha256(text) AS content_sha256,
+               CAST(coalesce(len({texpr}), 0) AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id IN ({ids}) ORDER BY doc_id
+    """
+
+
+def search_count(sf_dir: str, queries=DOC_QUERIES) -> pa.Table:
+    """(query_id, n_matches): the ES ``_count`` endpoint — match-set
+    sizes straight from the index (boolean OR over the query terms,
+    df-bounded posting reads), no scoring, no paging, no fetch."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    s = Searcher(documents_index(sf_dir))
+    rows = [
+        (qi, int(s.search_boolean(q, mode="or").size))
+        for qi, q in enumerate(queries)
+    ]
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_matches": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def search_count_sql(queries=DOC_QUERIES) -> str:
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    parts = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(tok.tokens_of(q)))
+        lst = ", ".join(f"'{_sql_lit(t)}'" for t in terms)
+        parts.append(
+            f"SELECT {qi} AS query_id, count(*) AS n_matches"
+            f" FROM documents d WHERE EXISTS ("
+            f"SELECT 1 FROM unnest({texpr.replace('text', 'd.text')}) "
+            f"AS u(t) WHERE t IN ({lst}))"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id"
+
+
 SPAN_NEAR_QUERIES = (
     ("slow", "batch"),
     ("hash", "join"),
