@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relational.events_distinct_users,
         "orders_with_segment": relational.orders_with_segment,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
+        "events_value_percentile_ranks":
+            relational.events_value_percentile_ranks,
         "events_value_quantile_sketch":
             relational.events_value_quantile_sketch,    # rows-only (sketch)
         "customers_without_big_orders":
@@ -383,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": relational.events_hopping_window_sql(),
         "events_rolling_max": relational.events_rolling_max_sql(),
         "events_distinct_users": relational.events_distinct_users_sql(),
+        "events_value_percentile_ranks": relational.events_value_percentile_ranks_sql(),
         "orders_with_segment": relational.orders_with_segment_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),

@@ -412,6 +412,88 @@ def events_distinct_users_sql() -> str:
     """
 
 
+PCT_RANK_THRESHOLDS = (10.0, 50.0, 100.0, 500.0)
+
+
+def events_value_percentile_ranks(
+    sf_dir: str, thresholds=PCT_RANK_THRESHOLDS
+):
+    """(event_type, threshold, pct_rank): the ES ``percentile_ranks``
+    aggregation (the inverse of percentiles — "what fraction of values
+    sit at or below X?"). Exact and shuffle-light: each batch emits
+    per-(type, threshold) (n_le, n_total) partials from ONE
+    searchsorted per batch over its sorted values, one tiny groupby
+    sums them, pct = 100 * n_le / n_total rounded to 4."""
+    from ray.data.aggregate import Sum
+
+    th = np.sort(np.asarray(thresholds, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        types, e_parts, t_parts, le_parts, n_parts = np.unique(et), [], [], [], []
+        for t in types:
+            v = np.sort(val[et == t])
+            le = np.searchsorted(v, th, side="right")
+            e_parts.append(np.full(th.size, t, dtype=object))
+            t_parts.append(th)
+            le_parts.append(le.astype(np.int64))
+            n_parts.append(np.full(th.size, v.size, dtype=np.int64))
+        if not e_parts:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "threshold": pa.array([], pa.float64()),
+                "n_le": pa.array([], pa.int64()),
+                "n_total": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "event_type": pa.array(
+                np.concatenate(e_parts).astype(str), pa.string()
+            ),
+            "threshold": pa.array(np.concatenate(t_parts), pa.float64()),
+            "n_le": pa.array(np.concatenate(le_parts), pa.int64()),
+            "n_total": pa.array(np.concatenate(n_parts), pa.int64()),
+        })
+
+    agg = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "threshold"])
+        .aggregate(
+            Sum("n_le", alias_name="le"),
+            Sum("n_total", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values(["event_type", "threshold"])
+    )
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+        "threshold": pa.array(agg["threshold"].to_numpy(), pa.float64()),
+        "pct_rank": pa.array(
+            np.round(
+                100.0 * agg["le"].to_numpy() / agg["n"].to_numpy(), 4
+            ),
+            pa.float64(),
+        ),
+    })
+
+
+def events_value_percentile_ranks_sql(
+    thresholds=PCT_RANK_THRESHOLDS,
+) -> str:
+    parts = []
+    for t in sorted(thresholds):
+        parts.append(
+            f"SELECT event_type, {t} AS threshold,"
+            f" round(100.0 * count(*) FILTER (WHERE value <= {t})"
+            f" / count(*), 4) AS pct_rank"
+            f" FROM events GROUP BY event_type"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY event_type, threshold"
+
+
 HLL_P = 12  # 4096 registers: sigma = 1.04/sqrt(m) = 1.6%
 
 
