@@ -98,6 +98,8 @@ from sotohp_ray.pipelines.fulltext import (
     span_near_oracle_sql,
     docs_mget,
     docs_mget_sql,
+    term_adjacency_matrix,
+    term_adjacency_matrix_sql,
     search_count,
     search_count_sql,
 )
@@ -164,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_topk": lambda sf: proximity_topk(sf),
         "span_near_topk": lambda sf: span_near_topk(sf),
         "docs_mget": lambda sf: docs_mget(sf),
+        "term_adjacency_matrix": lambda sf: term_adjacency_matrix(sf),
         "search_count": lambda sf: search_count(sf),
         "bm25_facets": lambda sf: bm25_facets(sf),
         "significant_terms": lambda sf: significant_terms(sf),
@@ -260,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
+        "events_composite_pages": relational.events_composite_pages,
         "events_value_quantile_sketch":
             relational.events_value_quantile_sketch,    # rows-only (sketch)
         "customers_without_big_orders":
@@ -309,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_topk": proximity_oracle_sql(),
         "span_near_topk": span_near_oracle_sql(),
         "docs_mget": docs_mget_sql(),
+        "term_adjacency_matrix": term_adjacency_matrix_sql(),
         "search_count": search_count_sql(),
         "bm25_facets": bm25_facets_sql(),
         "significant_terms": significant_terms_sql(),
@@ -386,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_max": relational.events_rolling_max_sql(),
         "events_distinct_users": relational.events_distinct_users_sql(),
         "events_value_percentile_ranks": relational.events_value_percentile_ranks_sql(),
+        "events_composite_pages": relational.events_composite_pages_sql(),
         "orders_with_segment": relational.orders_with_segment_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),

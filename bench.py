@@ -386,6 +386,14 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     from sotohp_ray.pipelines.fulltext import span_near_topk
 
     timed("span_near_topk", lambda: span_near_topk(sf_dir))
+    from sotohp_ray.pipelines.fulltext import term_adjacency_matrix
+
+    timed("term_adjacency_matrix",
+          lambda: term_adjacency_matrix(sf_dir))
+    timed("events_composite_pages",
+          lambda: relational.events_composite_pages(sf_dir))
+    timed("events_value_percentile_ranks",
+          lambda: relational.events_value_percentile_ranks(sf_dir))
     return out
 
 

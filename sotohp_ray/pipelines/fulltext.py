@@ -2832,6 +2832,75 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+ADJACENCY_TERMS = ("hash", "join", "sort", "merge", "window", "stream")
+
+
+def term_adjacency_matrix(
+    sf_dir: str, terms=ADJACENCY_TERMS
+) -> pa.Table:
+    """(t1, t2, n_docs): the ES ``adjacency_matrix`` aggregation —
+    for every unordered pair of named filters (here: single-term
+    filters, t1 <= t2, diagonal included), the number of docs matching
+    BOTH. Answered entirely from the index: each term's posting doc
+    set decodes once, pairs are sorted-array intersections — df-
+    bounded, no corpus scan, no shuffle."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    s = Searcher(documents_index(sf_dir))
+    tok = CodeTokenizer()
+    sets = {}
+    for t in terms:
+        at = tok.tokens_of(t)
+        if len(at) != 1:
+            raise ValueError("adjacency filters must be single terms")
+        a = at[0]
+        if a in s._row:
+            d, _ = s._decode_full(a)
+            d = d.astype(np.int64)
+            if s._tomb is not None:
+                d = d[s._live_mask(d)]
+            sets[a] = d
+        else:
+            sets[a] = np.zeros(0, dtype=np.int64)
+    names = sorted(sets)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            if a == b:
+                n = sets[a].size
+            else:
+                n = int(np.isin(
+                    sets[a], sets[b], assume_unique=True, kind="sort"
+                ).sum())
+            rows.append((a, b, n))
+    return pa.table({
+        "t1": pa.array([r[0] for r in rows], pa.string()),
+        "t2": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def term_adjacency_matrix_sql(terms=ADJACENCY_TERMS) -> str:
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    names = sorted({tok.tokens_of(t)[0] for t in terms})
+    parts = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            cond = (
+                f"list_contains({texpr}, '{a}')"
+                if a == b else
+                f"list_contains({texpr}, '{a}')"
+                f" AND list_contains({texpr}, '{b}')"
+            )
+            parts.append(
+                f"SELECT '{a}' AS t1, '{b}' AS t2,"
+                f" count(*) FILTER (WHERE {cond}) AS n_docs"
+                f" FROM documents"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY t1, t2"
+
+
 MGET_DOC_IDS = (0, 7, 42, 123, 404, 499, 1_000_000)  # last id absent
 
 

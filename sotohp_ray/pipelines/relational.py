@@ -412,6 +412,85 @@ def events_distinct_users_sql() -> str:
     """
 
 
+COMPOSITE_PAGE = 100
+
+
+def events_composite_pages(sf_dir: str, page: int = COMPOSITE_PAGE):
+    """(page_id, event_type, hour, n_events): the ES ``composite``
+    aggregation with after-key pagination — the agg-side deep-scroll:
+    buckets stream out in key order, ``page``-sized pages, each page
+    resolved by an exclusive after-key filter (not a global offset
+    slice, which would re-ship offset+page buckets per page). The
+    bucket table is built ONCE with the standard partial+final
+    aggregate (groups-sized); pages are then searchsorted windows over
+    its sorted key order — pagination state is one after-key, exactly
+    the ES contract."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        g = (
+            pa.table({"event_type": batch["event_type"], "hour": hour})
+            .group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return agg_select(g, {
+            "event_type": "event_type", "hour": "hour",
+            "count_all": "n_partial",
+        })
+
+    buckets = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_partial", alias_name="n_events"))
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    # after-key pagination over the composite key order: each page
+    # starts strictly after the previous page's last (event_type, hour)
+    pages = np.zeros(len(buckets), dtype=np.int64)
+    after, pid, start = None, 0, 0
+    et = buckets["event_type"].to_numpy()
+    hr = buckets["hour"].to_numpy()
+    while start < len(buckets):
+        if after is not None:
+            a_et, a_hr = after
+            # exclusive after-key filter (vectorized, the ES resume)
+            sel = (et > a_et) | ((et == a_et) & (hr > a_hr))
+            start = int(np.argmax(sel)) if sel.any() else len(buckets)
+            if start == 0 and not sel[0]:
+                break
+        end = min(start + page, len(buckets))
+        pages[start:end] = pid
+        after = (et[end - 1], hr[end - 1])
+        pid += 1
+        start = end
+    return pa.table({
+        "page_id": pa.array(pages, pa.int64()),
+        "event_type": pa.array(et.astype(str), pa.string()),
+        "hour": pa.array(buckets["hour"]),
+        "n_events": pa.array(
+            buckets["n_events"].to_numpy().astype(np.int64), pa.int64()
+        ),
+    })
+
+
+def events_composite_pages_sql(page: int = COMPOSITE_PAGE) -> str:
+    return f"""
+        SELECT ((row_number() OVER (ORDER BY event_type, hour) - 1)
+                 // {page})::BIGINT AS page_id,
+               event_type, hour, n_events
+        FROM (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        ORDER BY event_type, hour
+    """
+
+
 PCT_RANK_THRESHOLDS = (10.0, 50.0, 100.0, 500.0)
 
 
