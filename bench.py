@@ -394,6 +394,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_composite_pages(sf_dir))
     timed("events_value_percentile_ranks",
           lambda: relational.events_value_percentile_ranks(sf_dir))
+    timed("customer_geotile_grid",
+          lambda: relational.customer_geotile_grid(sf_dir))
     return out
 
 

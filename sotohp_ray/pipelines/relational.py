@@ -412,6 +412,103 @@ def events_distinct_users_sql() -> str:
     """
 
 
+GEOTILE_ZOOM = 3
+_MERC_LAT_MAX = 85.05112878  # Web Mercator latitude clamp
+
+
+def customer_geotile_grid(sf_dir: str, zoom: int = GEOTILE_ZOOM):
+    """(tile_x, tile_y, n_customers, sum_acctbal): the ES
+    ``geotile_grid`` aggregation — points bucketed into Web Mercator
+    tiles at a fixed zoom (x = floor((lon+180)/360 * 2^z), y from the
+    Mercator projection, latitude clamped to +/-85.05112878). The
+    engine and the oracle evaluate the IDENTICAL IEEE expression
+    (same pi literal, same operation order), so tile-edge floors
+    agree bit-for-bit. Coordinates derive from custkey exactly like
+    customer_geo_distance (the testdata has no geo columns). One
+    vectorized map pass emits per-tile partials; a tiny groupby sums
+    them (<= 4^zoom buckets)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    n_tiles = 1 << zoom
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        lat = ((keys * 37) % 18000) / 100.0 - 90.0
+        lon = ((keys * 91) % 36000) / 100.0 - 180.0
+        lat = np.clip(lat, -_MERC_LAT_MAX, _MERC_LAT_MAX)
+        tx = np.floor((lon + 180.0) / 360.0 * n_tiles).astype(np.int64)
+        tx = np.minimum(tx, n_tiles - 1)
+        rad = lat * math.pi / 180.0
+        ty = np.floor(
+            (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi)
+            / 2.0 * n_tiles
+        ).astype(np.int64)
+        ty = np.clip(ty, 0, n_tiles - 1)
+        code = tx * n_tiles + ty
+        u, inv = np.unique(code, return_inverse=True)
+        cnt = np.bincount(inv)
+        sm = np.bincount(inv, weights=bal)
+        return pa.table({
+            "tile_x": pa.array(u // n_tiles, pa.int64()),
+            "tile_y": pa.array(u % n_tiles, pa.int64()),
+            "n_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            "s_partial": pa.array(sm, pa.float64()),
+        })
+
+    agg = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(
+            Sum("n_partial", alias_name="n_customers"),
+            Sum("s_partial", alias_name="s"),
+        )
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"])
+    )
+    return pa.table({
+        "tile_x": pa.array(agg["tile_x"].to_numpy(), pa.int64()),
+        "tile_y": pa.array(agg["tile_y"].to_numpy(), pa.int64()),
+        "n_customers": pa.array(
+            agg["n_customers"].to_numpy().astype(np.int64), pa.int64()
+        ),
+        "sum_acctbal": pa.array(
+            np.round(agg["s"].to_numpy(), 2), pa.float64()
+        ),
+    })
+
+
+def customer_geotile_grid_sql(zoom: int = GEOTILE_ZOOM) -> str:
+    import math
+
+    n = 1 << zoom
+    pi = repr(math.pi)
+    return f"""
+        WITH pts AS (
+          SELECT c_acctbal,
+                 least(greatest(
+                   ((c_custkey * 37) % 18000) / 100.0 - 90.0,
+                   -{_MERC_LAT_MAX}), {_MERC_LAT_MAX}) AS lat,
+                 ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+          FROM customer),
+        tiles AS (
+          SELECT c_acctbal,
+                 least(CAST(floor((lon + 180.0) / 360.0 * {n})
+                       AS BIGINT), {n - 1}) AS tile_x,
+                 least(greatest(CAST(floor(
+                   (1.0 - ln(tan(lat * {pi} / 180.0)
+                             + 1.0 / cos(lat * {pi} / 180.0)) / {pi})
+                   / 2.0 * {n}) AS BIGINT), 0), {n - 1}) AS tile_y
+          FROM pts)
+        SELECT tile_x, tile_y, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM tiles GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 COMPOSITE_PAGE = 100
 
 
