@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": training.doc_lm_score,
         "training_shards": training.training_shards,
         "doc_packing": training.doc_packing,
+        "training_curriculum": training.training_curriculum,
         "lang_guess": textops.lang_guess,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
@@ -347,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": training.doc_lm_score_sql(),
         "training_shards": training.training_shards_sql(),
         "doc_packing": training.doc_packing_sql(),
+        "training_curriculum": training.training_curriculum_sql(),
         "quality_stats": f"""
             WITH t AS ({toks}),
             agg AS (

@@ -396,6 +396,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_value_percentile_ranks(sf_dir))
     timed("customer_geotile_grid",
           lambda: relational.customer_geotile_grid(sf_dir))
+    timed("training_curriculum",
+          lambda: training.training_curriculum(sf_dir))
     return out
 
 

@@ -611,6 +611,138 @@ def doc_packing_sql(
     """
 
 
+# ------------------------------------------------- training_curriculum
+
+CURRICULUM_STAGES = 4
+
+
+def training_curriculum(
+    sf_dir: str, n_stages: int = CURRICULUM_STAGES,
+    vocab_size: int = 512,
+):
+    """(doc_id, ce_q, stage): curriculum staging — documents bucketed
+    into ``n_stages`` quantile bands of their bigram-LM cross-entropy
+    (doc_lm_score), lowest-CE (most fluent/typical) band = stage 0.
+    The standard easy-to-hard ordering signal for curriculum training
+    schedules, composed entirely from oracle-gated pieces.
+
+    Exactness without a distributed sort: cross-entropy is QUANTIZED
+    to 2 decimals (both sides — bounded-cardinality histogram), the
+    stage cutoffs are exact percentile_disc values over that histogram
+    (the doc_length_quantiles rank arithmetic, ceil(f*N) in the same
+    IEEE doubles), and stage = count of cutoffs strictly below the
+    doc's quantized score (searchsorted left == the SQL COUNT — ties
+    land identically). The slim (doc_id, ce_q) projection is
+    materialized ONCE as the branch point for the histogram pass and
+    the staging pass (16 B/doc — re-running the 3-pass LM scoring
+    twice would cost more than holding the projection)."""
+    from ray.data.aggregate import Sum
+
+    scores = doc_lm_score(sf_dir, vocab_size)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        q = np.round(
+            batch["cross_entropy"].to_numpy(zero_copy_only=False), 2
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ce_q": pa.array(q, pa.float64()),
+        })
+
+    qd = scores.map_batches(quant, batch_format="pyarrow").materialize()
+
+    def hpartial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"ce_q": batch["ce_q"]})
+            .group_by("ce_q").aggregate([([], "count_all")])
+        )
+        from sotohp_ray.utils import agg_select
+
+        return agg_select(g, {"ce_q": "ce_q", "count_all": "n_partial"})
+
+    hist = (
+        qd.map_batches(hpartial, batch_format="pyarrow")
+        .groupby("ce_q")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+        .sort_values("ce_q")
+        .reset_index(drop=True)
+    )
+    vals = hist["ce_q"].to_numpy()
+    cum = hist["n"].to_numpy().astype(np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    cuts = []
+    for i in range(1, n_stages):
+        if not total:
+            break
+        rank = max(int(np.ceil(np.float64(i / n_stages) * total)), 1)
+        cuts.append(float(vals[int(np.searchsorted(cum, rank))]))
+    cuts_arr = np.asarray(sorted(cuts), dtype=np.float64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        q = batch["ce_q"].to_numpy(zero_copy_only=False)
+        st = np.searchsorted(cuts_arr, q, side="left").astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ce_q": batch["ce_q"],
+            "stage": pa.array(st, pa.int64()),
+        })
+
+    return qd.map_batches(stage, batch_format="pyarrow")
+
+
+def training_curriculum_sql(
+    n_stages: int = CURRICULUM_STAGES, vocab_size: int = 512
+) -> str:
+    texpr = sql_token_expr("text")
+    fracs = ", ".join(
+        f"({i / n_stages!r}::DOUBLE)" for i in range(1, n_stages)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({texpr}) AS term,
+                 generate_subscripts({texpr}, 1) AS pos
+          FROM documents),
+        vocab AS (
+          SELECT term FROM toks GROUP BY term
+          ORDER BY count(*) DESC, term LIMIT {vocab_size}),
+        nv AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+        m AS (
+          SELECT t.doc_id, t.pos,
+                 CASE WHEN v.term IS NULL THEN chr(0) ELSE t.term END
+                   AS term
+          FROM toks t LEFT JOIN vocab v USING (term)),
+        bg AS (
+          SELECT a.doc_id, a.term AS w1, b.term AS w2
+          FROM m a JOIN m b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        bc AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2),
+        uc AS (SELECT w1, sum(c) AS u FROM bc GROUP BY 1),
+        ce AS (
+          SELECT g.doc_id,
+                 round(round(-avg(ln((bc.c + 1.0) / (uc.u + nv.v + 1.0))),
+                             6), 2) AS ce_q
+          FROM bg g
+          JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+          JOIN uc ON uc.w1 = g.w1
+          CROSS JOIN nv
+          GROUP BY g.doc_id, nv.v),
+        o AS (
+          SELECT ce_q, row_number() OVER (ORDER BY ce_q) AS rn,
+                 count(*) OVER () AS n
+          FROM ce),
+        cuts AS (
+          SELECT f.f, min(o.ce_q) AS cut
+          FROM (VALUES {fracs}) f(f)
+          JOIN o ON o.rn >= greatest(ceil(f.f * o.n), 1)
+          GROUP BY 1)
+        SELECT c.doc_id, c.ce_q,
+               (SELECT count(*) FROM cuts k WHERE k.cut < c.ce_q)
+                 ::BIGINT AS stage
+        FROM ce c
+    """
+
+
 # -------------------------------------------------------- doc_lm_score
 
 LM_VOCAB_SIZE = 512
