@@ -55,6 +55,8 @@ from sotohp_ray.pipelines.fulltext import (
     term_positions_sql,
     fuzzy_search,
     fuzzy_search_sql,
+    bm25_fuzzy_topk,
+    bm25_fuzzy_topk_sql,
     phrase_oracle_sql,
     phrase_topk,
     phrase_prefix_topk,
@@ -157,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": lambda sf: tfidf_topk(sf),
         "regex_search": lambda sf: regex_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
+        "bm25_fuzzy_topk": lambda sf: bm25_fuzzy_topk(sf),
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
@@ -306,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": tfidf_topk_sql(),
         "regex_search": regex_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
+        "bm25_fuzzy_topk": bm25_fuzzy_topk_sql(),
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),
         "phrase_topk": phrase_oracle_sql(),

@@ -398,6 +398,9 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.customer_geotile_grid(sf_dir))
     timed("training_curriculum",
           lambda: training.training_curriculum(sf_dir))
+    from sotohp_ray.pipelines.fulltext import bm25_fuzzy_topk
+
+    timed("bm25_fuzzy_topk", lambda: bm25_fuzzy_topk(sf_dir))
     return out
 
 

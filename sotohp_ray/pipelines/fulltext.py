@@ -2832,6 +2832,97 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+FUZZY_MATCH_QUERIES = (
+    "spark sorr merge",
+    "hash joim",
+    "windoq batch",
+    "qery data filtr",
+)
+
+
+def bm25_fuzzy_topk(
+    sf_dir: str, queries=FUZZY_MATCH_QUERIES, k: int = 10
+) -> pa.Table:
+    """(query_id, doc_id, score): the ES ``match`` query with
+    fuzziness — SCORED fuzzy retrieval, unlike the constant-score
+    ``fuzzy_search`` rewrite: every analyzed query term expands to the
+    dictionary terms within edit distance 1 (itself included when
+    present), and a doc's score SUMS the BM25 contribution of every
+    (query term, expansion) pair, each expansion scored with ITS OWN
+    tf and df (rare corrections rank higher than common ones — the
+    behavior that makes typo tolerance useful). The
+    SHOULD-over-expansions contract is shared verbatim with the
+    oracle. Expansion uses the vectorized exact one-edit kernel
+    (``fuzzy_terms``), whose parity with DuckDB ``levenshtein`` is
+    already oracle-proven by fuzzy_search."""
+    from collections import Counter
+
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        scores = np.zeros(s.space, dtype=np.float64)
+        for t, w in sorted(Counter(s.tok.tokens_of(q)).items()):
+            for e in s.fuzzy_terms(t):
+                d, f = s._decode_full(e)
+                scores[d] += s._contrib(
+                    float(w), int(s._dfs[s._row[e]]),
+                    f.astype(np.float64), s.doc_len[d],
+                )
+        if s._tomb is not None:
+            scores[s._tomb] = 0.0
+        nz = np.flatnonzero(scores > 0.0)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(float(scores[d]), 4)) for d in nz),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def bm25_fuzzy_topk_sql(queries=FUZZY_MATCH_QUERIES, k: int = 10) -> str:
+    from collections import Counter
+
+    tok = CodeTokenizer()
+    vals = []
+    for qi, q in enumerate(queries):
+        for term, qtf in sorted(Counter(tok.tokens_of(q)).items()):
+            vals.append(f"({qi}, '{term}', {qtf})")
+    contrib = _CONTRIB_EXPR.replace("q.qtf", "e.qtf")
+    return f"""
+WITH {_bm25_cte_prefix()},
+qv(query_id, qterm, qtf) AS (VALUES {", ".join(vals)}),
+dict AS (SELECT DISTINCT term FROM toks),
+e AS (
+  SELECT v.query_id, v.qtf, d.term
+  FROM qv v JOIN dict d ON levenshtein(d.term, v.qterm) <= 1
+),
+scores AS (
+  SELECT e.query_id, tf.doc_id, sum({contrib}) AS score
+  FROM tf
+  JOIN e ON e.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 4) AS score
+FROM scores
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
 ADJACENCY_TERMS = ("hash", "join", "sort", "merge", "window", "stream")
 
 
