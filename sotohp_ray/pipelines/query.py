@@ -976,6 +976,35 @@ class Searcher:
         order = np.lexsort((tb, -r))[:k]
         return [(int(tb[i]), float(r[i])) for i in order]
 
+    def contribs_terms(self, qterms: list[tuple[str, float]]):
+        """``search_contribs`` for an EXPLICIT [(analyzed term,
+        weight)] list (the _taat_scores_terms entry point made
+        fan-out-servable): qi = the term's index IN THE PASSED LIST,
+        fixed by the caller so every shard group labels contributions
+        identically; only terms this dictionary owns (and that fall in
+        this searcher's shard range) emit rows."""
+        d_parts, q_parts, c_parts = [], [], []
+        for qi, (term, qw) in enumerate(qterms):
+            if term not in self._row:
+                continue
+            d, f = self._decode_full(term)
+            di = d.astype(np.int64)
+            contrib = self._contrib(
+                float(qw), int(self._dfs[self._row[term]]),
+                f.astype(np.float64), self.doc_len[di],
+            )
+            d_parts.append(di)
+            q_parts.append(np.full(di.size, qi, dtype=np.int64))
+            c_parts.append(contrib)
+        if not d_parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.float64)
+        return (
+            np.concatenate(d_parts),
+            np.concatenate(q_parts),
+            np.concatenate(c_parts),
+        )
+
     def search_contribs(self, query: str):
         """Per-term BM25 contributions for the query terms THIS
         searcher's dictionary owns: (doc_ids:int64[], qi:int64[],
@@ -1583,6 +1612,9 @@ class _GroupServer:
     def contribs(self, query: str):
         return self.searcher.search_contribs(query)
 
+    def contribs_terms(self, qterms):
+        return self.searcher.contribs_terms(qterms)
+
     def wand_bootstrap(self, query: str, k: int):
         """(ub_sum, local_topk_docs, local_scores): the group's share
         of the global score upper bound plus a k-bounded candidate
@@ -2108,6 +2140,50 @@ class FanoutSearcher:
         if match_docs.size == 0:
             return []
         udocs, sums = self._score_match_docs(phrase, match_docs)
+        order = np.lexsort((udocs, -sums))[:k]
+        return [(int(udocs[i]), float(sums[i])) for i in order]
+
+    def search_terms_weighted(
+        self, qterms: list[tuple[str, float]], k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Distributed retrieval over an EXPLICIT weighted term list —
+        the fan-out twin of ``Searcher._taat_scores_terms`` and the
+        serving primitive for every query REWRITER (synonym expansion,
+        more-like-this keyword sets, curriculum probes): terms route
+        to the groups owning their hash shards, per-group
+        contributions merge through the layered qi-ordered sums, so
+        scores are bit-identical to the single searcher's sequential
+        term accumulation."""
+        import ray
+
+        from sotohp_ray.functions.hashing import term_shard_of
+
+        S = self.config.num_term_shards
+        gids = set()
+        for t, _w in qterms:
+            s = term_shard_of(t, S)
+            for gi, (lo, hi) in enumerate(self.bounds):
+                if lo <= s < hi:
+                    gids.add(gi)
+                    break
+        if not gids:
+            return []
+        parts = ray.get([
+            self.actors[g].contribs_terms.remote(qterms)
+            for g in sorted(gids)
+        ])
+        docs = np.concatenate([p[0] for p in parts])
+        if docs.size == 0:
+            return []
+        qis = np.concatenate([p[1] for p in parts])
+        cs = np.concatenate([p[2] for p in parts])
+        udocs, sums = self._layered_sums(docs, qis, cs)
+        live = self._live_of(udocs)
+        udocs, sums = udocs[live], sums[live]
+        pos = sums > 0.0
+        udocs, sums = udocs[pos], sums[pos]
+        if udocs.size == 0:
+            return []
         order = np.lexsort((udocs, -sums))[:k]
         return [(int(udocs[i]), float(sums[i])) for i in order]
 

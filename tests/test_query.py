@@ -1228,3 +1228,34 @@ def test_span_near_ordered_matches_bruteforce_and_fanout(small_index):
     assert direction_differs, "fixture shows no direction sensitivity"
     with pytest.raises(ValueError):
         s.search_span_near("two words", "x")
+
+
+def test_fanout_terms_weighted_equals_single(small_index):
+    """Generic weighted-term fan-out retrieval (the serving primitive
+    for synonym/MLT rewrites) must be BIT-identical to the single
+    searcher's sequential _taat_scores_terms accumulation, including
+    fractional weights, absent terms, and duplicate-free qi labeling."""
+    import numpy as np
+
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    vocab = s._tbl["term"].to_pylist()
+    cases = [
+        [(vocab[0], 1.0), (vocab[3], 2.0), ("zzzabsent", 5.0)],
+        [(vocab[1], 0.25), (vocab[2], 1.0), (vocab[5], 3.5)],
+        [(t, 1.0) for t in vocab[:8]],
+        [("zzzabsent", 1.0)],
+    ]
+    for qterms in cases:
+        scores = s._taat_scores_terms(qterms)
+        if scores is None:
+            want = []
+        else:
+            nz = np.flatnonzero(scores > 0.0)
+            order = np.lexsort((nz, -scores[nz]))
+            want = [(int(d), float(scores[d])) for d in nz[order]]
+        got = f.search_terms_weighted(qterms, k=s.space)
+        assert got == want, qterms
