@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_consensus": ann.knn_label_consensus,
         "knn_range_search": ann.knn_range_search,
         "knn_mmr": ann.knn_mmr,                             # rows-only
+        "knn_cosine_pq": ann.knn_cosine_pq,                 # rows-only
+        "knn_cosine_pq_fullrerank": ann.knn_cosine_pq_fullrerank,
 
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
@@ -423,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_fullprobe": _KNN_COSINE_SQL,
         # full-re-rank quantized search == brute-force kNN, same oracle
         "knn_cosine_quantized_fullrerank": _KNN_COSINE_SQL,
+        "knn_cosine_pq_fullrerank": _KNN_COSINE_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100.0) AS BIGINT)

@@ -401,6 +401,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     from sotohp_ray.pipelines.fulltext import bm25_fuzzy_topk
 
     timed("bm25_fuzzy_topk", lambda: bm25_fuzzy_topk(sf_dir))
+    timed("knn_cosine_pq", lambda: ann.knn_cosine_pq(sf_dir))
     return out
 
 
