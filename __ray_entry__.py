@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mmr": ann.knn_mmr,                             # rows-only
         "knn_cosine_pq": ann.knn_cosine_pq,                 # rows-only
         "knn_cosine_pq_fullrerank": ann.knn_cosine_pq_fullrerank,
+        "ann_ivfpq_search": ann.ann_ivfpq_search,          # rows-only
+        "ann_ivfpq_fullprobe_fullrerank":
+            ann.ann_ivfpq_fullprobe_fullrerank,
 
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
@@ -426,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         # full-re-rank quantized search == brute-force kNN, same oracle
         "knn_cosine_quantized_fullrerank": _KNN_COSINE_SQL,
         "knn_cosine_pq_fullrerank": _KNN_COSINE_SQL,
+        "ann_ivfpq_fullprobe_fullrerank": _KNN_COSINE_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100.0) AS BIGINT)

@@ -839,6 +839,137 @@ def ann_ivf_search(
     return _topk_merge(ds, k)
 
 
+class _IVFPQScorer:
+    """IVF-PQ (Jegou et al. 2011, the billion-scale FAISS layout):
+    coarse assignment picks the probed cells, RESIDUAL PQ codes score
+    the candidates without touching floats per dimension, exact float
+    re-rank pays only for the per-batch top-``depth``. The residual
+    decomposition dot(q, x) ~= dot(q, c_x) + sum_m T[m, code_m] means
+    one centroid-dot gather + m table gathers per candidate."""
+
+    def __init__(self, ref, k: int, depth: int):
+        import ray
+
+        (self.q_ids, self.Q, self.C, self.probes,
+         self.books) = ray.get(ref)
+        m, ksub, dsub = self.books.shape
+        self.m, self.dsub = m, dsub
+        self.T = np.einsum(
+            "qsd,scd->qsc",
+            self.Q.reshape(self.q_ids.size, m, dsub),
+            self.books,
+        )
+        self.qc = self.Q @ self.C.T  # (queries, centroids)
+        self.cnorm = -0.5 * (self.books * self.books).sum(axis=2)
+        self.k = k
+        self.depth = depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        cent = np.argmax(Xn @ self.C.T, axis=1)
+        resid = Xn - self.C[cent]
+        codes = np.empty((Xn.shape[0], self.m), dtype=np.int64)
+        for s in range(self.m):
+            Rs = resid[:, s * self.dsub:(s + 1) * self.dsub]
+            codes[:, s] = np.argmax(
+                Rs @ self.books[s].T + self.cnorm[s], axis=1
+            )
+        rows_m = np.arange(self.m)
+        out_q, out_v, out_s = [], [], []
+        for j in range(self.q_ids.size):
+            rows = np.flatnonzero(
+                np.isin(cent, self.probes[j]) & (ids != self.q_ids[j])
+            )
+            if rows.size == 0:
+                continue
+            approx = (
+                self.qc[j][cent[rows]]
+                + self.T[j][rows_m[None, :], codes[rows]].sum(axis=1)
+            )
+            d = min(self.depth, rows.size)
+            order = np.lexsort((ids[rows], -approx))[:d]
+            sel = rows[order]
+            exact = np.round(Xn[sel] @ self.Q[j], 5)
+            take = min(self.k, d)
+            fin = np.lexsort((ids[sel], -exact))[:take]
+            out_q.extend([int(self.q_ids[j])] * take)
+            out_v.extend(ids[sel][fin].tolist())
+            out_s.extend(exact[fin].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_ivfpq_search(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    n_centroids: int = 32, n_probe: int = 8,
+    m: int = PQ_M, ksub: int = PQ_KSUB, depth: int = PQ_DEPTH,
+):
+    """(query_id, vec_id, score): IVF-PQ approximate search — the
+    composition the billion-scale deployments actually run: the coarse
+    quantizer bounds WHICH cells a query reads (n_probe/n_centroids of
+    the data), residual PQ codes bound the BYTES per candidate
+    (m + 4), and the exact re-rank bounds the float work (depth rows).
+    Residual codebooks train on (sample - assigned centroid), the
+    classic accuracy win over raw-vector PQ. Recall is pytest-gated;
+    the fullprobe+fullrerank twin below is oracle-gated."""
+    import ray
+
+    C = _train_centroids(sf_dir, n_centroids)
+    # residual codebooks: PQ trained on sample residuals
+    Xn = _unbiased_sample_matrix(sf_dir)
+    assign = np.argmax(Xn @ C.T, axis=1)
+    resid = Xn - C[assign]
+    n, dim = resid.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(42)
+    kk = min(ksub, n)
+    books = np.zeros((m, kk, dsub), dtype=np.float64)
+    for s in range(m):
+        Rs = resid[:, s * dsub:(s + 1) * dsub]
+        Cb = Rs[rng.choice(n, size=kk, replace=False)].copy()
+        for _ in range(8):
+            a = np.argmax(Rs @ Cb.T - 0.5 * (Cb * Cb).sum(axis=1), axis=1)
+            for j in range(kk):
+                sel = a == j
+                if sel.any():
+                    Cb[j] = Rs[sel].mean(axis=0)
+        books[s] = Cb
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    qc = Q @ C.T
+    probes = np.argsort(-qc, axis=1)[:, :n_probe]
+    ref = ray.put((
+        q_ids, Q, C, [probes[j] for j in range(q_ids.size)], books
+    ))
+    ds = _emb(sf_dir).map_batches(
+        _IVFPQScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k, "depth": depth},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(ds, k)
+
+
+def ann_ivfpq_fullprobe_fullrerank(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    n_centroids: int = 32,
+):
+    """IVF-PQ twin with every cell probed and every candidate exactly
+    re-ranked: equals brute force, so the kNN SQL oracle gates the
+    whole IVF-PQ plumbing (coarse assignment, residual encode, ADC
+    tables, probe routing, merge)."""
+    return ann_ivfpq_search(
+        sf_dir, query_ids, k=k, n_centroids=n_centroids,
+        n_probe=n_centroids, depth=1 << 62,
+    )
+
+
 def ann_ivf_buckets(sf_dir: str, n_centroids: int = 32):
     """(vec_id, centroid): the IVF partition assignment — the
     write-side bucketing a cluster deployment persists (one partition

@@ -1424,3 +1424,51 @@ def test_knn_pq_fullrerank_identity_and_recall(tmp_path):
         # near-identical); 8x64 codebooks at depth 64 must still
         # recover >= 90%
         assert len(a & b) / len(b) >= 0.9, q
+
+
+def test_ann_ivfpq_fullrerank_identity_and_recall(tmp_path):
+    """IVF-PQ: fullprobe+fullrerank must equal brute force row for
+    row; on a clustered fixture, probing 1 of 4 cells with residual-PQ
+    scoring must keep recall@10 >= 0.9 (coarse routing + residual
+    codes + ADC all working together)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.ann import (
+        ann_ivfpq_fullprobe_fullrerank, ann_ivfpq_search, knn_cosine,
+    )
+
+    rng = np.random.RandomState(13)
+    dim, per = 16, 300
+    centers = np.eye(4, dim) * 8.0
+    X = np.concatenate(
+        [centers[c] + rng.normal(0, 0.4, (per, dim)) for c in range(4)]
+    )
+    t = pa.table({
+        "vec_id": pa.array(np.arange(4 * per), pa.int64()),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in X], pa.list_(pa.float32())
+        ),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"), row_group_size=256)
+
+    qids = [0, per, 2 * per, 3 * per]
+    brute = knn_cosine(str(d), query_ids=qids).to_pandas()
+    full = ann_ivfpq_fullprobe_fullrerank(
+        str(d), query_ids=qids, n_centroids=4
+    ).to_pandas()
+    key = ["query_id", "vec_id", "score"]
+    assert (
+        brute.sort_values(key).reset_index(drop=True)[key]
+        .equals(full.sort_values(key).reset_index(drop=True)[key])
+    )
+    approx = ann_ivfpq_search(
+        str(d), query_ids=qids, n_centroids=4, n_probe=1,
+        m=8, ksub=64, depth=64,
+    ).to_pandas()
+    for q in qids:
+        b = set(brute[brute.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        assert len(a & b) / len(b) >= 0.9, q
