@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
         "events_composite_pages": relational.events_composite_pages,
+        "events_hourly_pipeline": relational.events_hourly_pipeline,
         "customer_geotile_grid": relational.customer_geotile_grid,
         "events_value_quantile_sketch":
             relational.events_value_quantile_sketch,    # rows-only (sketch)
@@ -404,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": relational.events_distinct_users_sql(),
         "events_value_percentile_ranks": relational.events_value_percentile_ranks_sql(),
         "events_composite_pages": relational.events_composite_pages_sql(),
+        "events_hourly_pipeline": relational.events_hourly_pipeline_sql(),
         "customer_geotile_grid": relational.customer_geotile_grid_sql(),
         "orders_with_segment": relational.orders_with_segment_sql(),
         "customers_without_big_orders":

@@ -403,6 +403,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("bm25_fuzzy_topk", lambda: bm25_fuzzy_topk(sf_dir))
     timed("knn_cosine_pq", lambda: ann.knn_cosine_pq(sf_dir))
     timed("ann_ivfpq_search", lambda: ann.ann_ivfpq_search(sf_dir))
+    timed("events_hourly_pipeline",
+          lambda: relational.events_hourly_pipeline(sf_dir))
     return out
 
 

@@ -412,6 +412,102 @@ def events_distinct_users_sql() -> str:
     """
 
 
+def events_hourly_pipeline(sf_dir: str):
+    """(event_type, hour, n_events, delta, mavg3): the ES PIPELINE
+    aggregation family over a dense date_histogram — per event type,
+    EVERY hour from that type's first to last bucket (min_doc_count=0
+    zero-filling, the gotcha that breaks naive derivative charts),
+    with the derivative (delta vs previous hour, NULL at the series
+    start) and a 3-bucket trailing moving average (window shrinks at
+    the start, the ES moving_fn contract). The distributed part is the
+    bucket aggregate (partial+final); the dense series IS the output,
+    so the driver-side fill is output-sized by construction."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        g = (
+            pa.table({"event_type": batch["event_type"], "hour": hour})
+            .group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return agg_select(g, {
+            "event_type": "event_type", "hour": "hour",
+            "count_all": "n_partial",
+        })
+
+    buckets = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+    )
+    e_out, h_out, n_out, d_out, m_out = [], [], [], [], []
+    for et, g in buckets.groupby("event_type"):
+        hrs = g["hour"].to_numpy()
+        ns = g["n"].to_numpy().astype(np.int64)
+        dense_h = np.arange(
+            hrs[0], hrs[-1] + np.timedelta64(1, "h"),
+            np.timedelta64(1, "h"),
+        )
+        dense_n = np.zeros(dense_h.size, dtype=np.int64)
+        dense_n[((hrs - hrs[0]) // np.timedelta64(1, "h")).astype(int)] = ns
+        delta = np.empty(dense_h.size, dtype=object)
+        delta[0] = None
+        delta[1:] = (dense_n[1:] - dense_n[:-1]).tolist()
+        c = np.concatenate(([0], dense_n.cumsum()))
+        idx = np.arange(dense_h.size)
+        lo = np.maximum(idx - 2, 0)
+        mavg = np.round(
+            (c[idx + 1] - c[lo]) / (idx - lo + 1).astype(np.float64), 4
+        )
+        e_out.extend([et] * dense_h.size)
+        h_out.extend(dense_h.tolist())
+        n_out.extend(dense_n.tolist())
+        d_out.extend(delta.tolist())
+        m_out.extend(mavg.tolist())
+    return pa.table({
+        "event_type": pa.array(e_out, pa.string()),
+        "hour": pa.array(h_out, pa.timestamp("us")),
+        "n_events": pa.array(n_out, pa.int64()),
+        "delta": pa.array(d_out, pa.int64()),
+        "mavg3": pa.array(m_out, pa.float64()),
+    })
+
+
+def events_hourly_pipeline_sql() -> str:
+    return """
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        spans AS (
+          SELECT event_type, min(hour) AS lo, max(hour) AS hi
+          FROM b GROUP BY 1),
+        dense AS (
+          SELECT s.event_type, unnest(generate_series(
+                   s.lo, s.hi, INTERVAL 1 HOUR)) AS hour
+          FROM spans s),
+        filled AS (
+          SELECT d.event_type, d.hour,
+                 coalesce(b.n, 0)::BIGINT AS n_events
+          FROM dense d
+          LEFT JOIN b ON b.event_type = d.event_type
+                     AND b.hour = d.hour)
+        SELECT event_type, hour, n_events,
+               (n_events - lag(n_events) OVER w)::BIGINT AS delta,
+               round(avg(n_events) OVER (
+                 w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                 AS mavg3
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+        ORDER BY event_type, hour
+    """
+
+
 GEOTILE_ZOOM = 3
 _MERC_LAT_MAX = 85.05112878  # Web Mercator latitude clamp
 
