@@ -188,7 +188,9 @@ def knn_mmr(
             "score": pa.array([], pa.float64()),
             "mmr": pa.array([], pa.float64()),
         })
-    need = sorted(set(cands["vec_id"].astype(int)) | set(query_ids))
+    # candidates only: relevance comes from knn_cosine's scores and
+    # the diversity matrix is candidate-vs-candidate
+    need = sorted(set(cands["vec_id"].astype(int)))
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
@@ -397,18 +399,17 @@ class _PQScorer:
         out_q, out_v, out_s = [], [], []
         for j in range(self.q_ids.size):
             approx = self.T[j][rows_m[None, :], codes].sum(axis=1)
-            mask = ids != self.q_ids[j]
-            cand_ids = ids[mask]
-            if cand_ids.size == 0:
+            rows = np.flatnonzero(ids != self.q_ids[j])
+            if rows.size == 0:
                 continue
-            a = approx[mask]
-            d = min(self.depth, cand_ids.size)
-            order = np.lexsort((cand_ids, -a))[:d]
-            exact = np.round(Xn[mask][order] @ self.Q[j], 5)
+            d = min(self.depth, rows.size)
+            order = rows[np.lexsort((ids[rows], -approx[rows]))[:d]]
+            # float rows touched: exactly `depth` (no full-batch copy)
+            exact = np.round(Xn[order] @ self.Q[j], 5)
             take = min(self.k, d)
-            fin = np.lexsort((cand_ids[order], -exact))[:take]
+            fin = np.lexsort((ids[order], -exact))[:take]
             out_q.extend([int(self.q_ids[j])] * take)
-            out_v.extend(cand_ids[order][fin].tolist())
+            out_v.extend(ids[order][fin].tolist())
             out_s.extend(exact[fin].tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),

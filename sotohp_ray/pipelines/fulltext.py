@@ -195,26 +195,12 @@ def bm25_min_should_match_sql(queries=DOC_QUERIES, k: int = 10) -> str:
         for term, qtf in sorted(Counter(tok.tokens_of(q)).items()):
             vals.append(f"({qi}, '{term}', {qtf}, {m})")
     values_sql = ", ".join(vals)
-    texpr = sql_token_expr("text")
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
-),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+WITH {_bm25_cte_prefix()},
 q(query_id, term, qtf, qm) AS (VALUES {values_sql}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-             * tf.tf * ({_K1} + 1.0)
-             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
-         ) AS score,
+         sum({_CONTRIB_EXPR}) AS score,
          count(*) AS n_matched,
          min(q.qm) AS qm
   FROM tf
@@ -257,8 +243,10 @@ def bm25_topk_boosted(
     )
     ids = nch["doc_id"].to_numpy(zero_copy_only=False)
     factor = np.ones(int(ids.max()) + 1, dtype=np.float64)
-    factor[ids] = 1.0 + np.log1p(
-        nch["n_chars"].to_numpy(zero_copy_only=False) / nchars_div
+    # np.log(1.0 + x), NOT log1p: the oracle computes ln(1.0 + x) and
+    # the two differ by an ulp — enough to flip a round-to-4 boundary
+    factor[ids] = 1.0 + np.log(
+        1.0 + nch["n_chars"].to_numpy(zero_copy_only=False) / nchars_div
     )
     rows = []
     for qi, q in enumerate(queries):
@@ -304,6 +292,27 @@ _CONTRIB_EXPR = (
     f" * tf.tf * ({_K1} + 1.0)"
     f" / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))"
 )
+
+
+def _bm25_positional_cte_prefix() -> str:
+    """``_bm25_cte_prefix`` with token POSITIONS in the toks CTE — the
+    single scoring substrate for every positional oracle (phrase,
+    proximity, span-near, phrase-prefix, rescore), so a tokenizer or
+    stats fix lands in one place."""
+    texpr = sql_token_expr("text")
+    return f"""toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)"""
 
 
 EXPLAIN_K = 3
@@ -510,8 +519,12 @@ def bm25_boosting(
         for t, _w in s._query_terms(neg):
             d, _f = s._decode_full(t)
             factor[d] = nb
+        # candidate set = positive matches BEFORE demotion: a doc
+        # demoted to 0 (negative_boost=0) stays in the ranking with
+        # score 0 — the ES contract (demote, never filter) and the
+        # oracle's row set
+        nz = np.flatnonzero(scores > 0.0)
         sc = scores * factor
-        nz = np.flatnonzero(sc > 0.0)
         ranked = sorted(
             ((int(eng2orig[d]), round(float(sc[d]), 4)) for d in nz),
             key=lambda t: (-t[1], t[0]),
@@ -885,7 +898,6 @@ def bm25_rescore_phrase_sql(
     """Base BM25 CTE windowed to top-``window``, LEFT JOIN the
     positional phrase-match set, re-rank by base + bonus."""
     tok = CodeTokenizer()
-    texpr = sql_token_expr("text")
     from collections import Counter
 
     qvals, match_parts = [], []
@@ -908,19 +920,7 @@ def bm25_rescore_phrase_sql(
             f"WHERE t0.term = '{toks[0]}'"
         )
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term,
-         generate_subscripts({texpr}, 1) AS pos
-  FROM documents
-),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
-),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+WITH {_bm25_positional_cte_prefix()},
 q(query_id, term, qtf) AS (VALUES {", ".join(qvals)}),
 base AS (
   SELECT q.query_id, tf.doc_id,
@@ -1009,7 +1009,6 @@ def phrase_prefix_oracle_sql(
     with the prefix; score = the BM25 CTE over the leading terms
     only."""
     tok = CodeTokenizer()
-    texpr = sql_token_expr("text")
     from collections import Counter
 
     qvals, match_parts = [], []
@@ -1042,19 +1041,7 @@ def phrase_prefix_oracle_sql(
             f"WHERE t0.term = '{lead[0]}'"
         )
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term,
-         generate_subscripts({texpr}, 1) AS pos
-  FROM documents
-),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
-),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+WITH {_bm25_positional_cte_prefix()},
 q(query_id, term, qtf) AS (VALUES {", ".join(qvals)}),
 matches AS ({" UNION ALL ".join(match_parts)}),
 scores AS (
@@ -1082,7 +1069,6 @@ def phrase_oracle_sql(phrases=PHRASE_QUERIES, k: int = 10) -> str:
     the same BM25 scoring as bm25_oracle_sql restricted to matching
     docs."""
     tok = CodeTokenizer()
-    texpr = sql_token_expr("text")
     qvals, match_parts = [], []
     for qi, p in enumerate(phrases):
         toks = tok.tokens_of(p)
@@ -1107,27 +1093,12 @@ def phrase_oracle_sql(phrases=PHRASE_QUERIES, k: int = 10) -> str:
     values_sql = ", ".join(qvals)
     matches_sql = " UNION ALL ".join(match_parts)
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term,
-         generate_subscripts({texpr}, 1) AS pos
-  FROM documents
-),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
-),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+WITH {_bm25_positional_cte_prefix()},
 q(query_id, term, qtf) AS (VALUES {values_sql}),
 matches AS ({matches_sql}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-             * tf.tf * ({_K1} + 1.0)
-             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
-         ) AS score
+         sum({_CONTRIB_EXPR}) AS score
   FROM tf
   JOIN q ON q.term = tf.term
   JOIN df ON df.term = tf.term
@@ -2777,7 +2748,6 @@ def proximity_oracle_sql(
     pairs=PROXIMITY_QUERIES, window: int = PROXIMITY_WINDOW, k: int = 10
 ) -> str:
     tok = CodeTokenizer()
-    texpr = sql_token_expr("text")
     qvals, match_parts = [], []
     for qi, (a, b) in enumerate(pairs):
         ta, tb = tok.tokens_of(a)[0], tok.tokens_of(b)[0]
@@ -2794,27 +2764,12 @@ def proximity_oracle_sql(
     values_sql = ", ".join(qvals)
     matches_sql = " UNION ALL ".join(match_parts)
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term,
-         generate_subscripts({texpr}, 1) AS pos
-  FROM documents
-),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
-),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+WITH {_bm25_positional_cte_prefix()},
 q(query_id, term, qtf) AS (VALUES {values_sql}),
 matches AS ({matches_sql}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-             * tf.tf * ({_K1} + 1.0)
-             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
-         ) AS score
+         sum({_CONTRIB_EXPR}) AS score
   FROM tf
   JOIN q ON q.term = tf.term
   JOIN df ON df.term = tf.term
@@ -3112,7 +3067,6 @@ def span_near_oracle_sql(
     """Like the proximity oracle but the positional join is ordered:
     t1.pos BETWEEN t0.pos + 1 AND t0.pos + window."""
     tok = CodeTokenizer()
-    texpr = sql_token_expr("text")
     from collections import Counter
 
     qvals, match_parts = [], []
@@ -3127,19 +3081,7 @@ def span_near_oracle_sql(
             f"AND t1.term = '{tb}' WHERE t0.term = '{ta}'"
         )
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({texpr}) AS term,
-         generate_subscripts({texpr}, 1) AS pos
-  FROM documents
-),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT count(*) FROM toks)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
-),
-df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+WITH {_bm25_positional_cte_prefix()},
 q(query_id, term, qtf) AS (VALUES {", ".join(qvals)}),
 matches AS ({" UNION ALL ".join(match_parts)}),
 scores AS (
@@ -3517,10 +3459,7 @@ df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(query_id, term, qtf) AS (VALUES {values_sql}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-             * tf.tf * ({_K1} + 1.0)
-             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
-         ) AS score
+         sum({_CONTRIB_EXPR}) AS score
   FROM tf
   JOIN q ON q.term = tf.term
   JOIN df ON df.term = tf.term

@@ -642,25 +642,13 @@ def events_composite_pages(sf_dir: str, page: int = COMPOSITE_PAGE):
         .sort_values(["event_type", "hour"])
         .reset_index(drop=True)
     )
-    # after-key pagination over the composite key order: each page
-    # starts strictly after the previous page's last (event_type, hour)
-    pages = np.zeros(len(buckets), dtype=np.int64)
-    after, pid, start = None, 0, 0
+    # after-key pagination: on a SORTED table of UNIQUE composite keys
+    # the exclusive after-key filter ("first row with key strictly
+    # greater than the previous page's last key") selects exactly the
+    # next row, so page windows are direct slices — one after-key of
+    # resume state, zero per-page rescans
+    pages = np.arange(len(buckets), dtype=np.int64) // page
     et = buckets["event_type"].to_numpy()
-    hr = buckets["hour"].to_numpy()
-    while start < len(buckets):
-        if after is not None:
-            a_et, a_hr = after
-            # exclusive after-key filter (vectorized, the ES resume)
-            sel = (et > a_et) | ((et == a_et) & (hr > a_hr))
-            start = int(np.argmax(sel)) if sel.any() else len(buckets)
-            if start == 0 and not sel[0]:
-                break
-        end = min(start + page, len(buckets))
-        pages[start:end] = pid
-        after = (et[end - 1], hr[end - 1])
-        pid += 1
-        start = end
     return pa.table({
         "page_id": pa.array(pages, pa.int64()),
         "event_type": pa.array(et.astype(str), pa.string()),
