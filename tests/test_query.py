@@ -1259,3 +1259,31 @@ def test_fanout_terms_weighted_equals_single(small_index):
             want = [(int(d), float(scores[d])) for d in nz[order]]
         got = f.search_terms_weighted(qterms, k=s.space)
         assert got == want, qterms
+
+
+def test_fanout_group_count_invariance(small_index):
+    """Shrink/split resharding: serving results must be IDENTICAL for
+    every group count (1, 2, 4, 8) — group boundaries are hash ranges
+    over the same dictionary, so regrouping is a pure serving-time
+    choice (the ES shrink/split contract, no index rewrite)."""
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    queries = [q["q"] for q in reference_queries(small_index[0])][:6]
+    baselines = {}
+    for q in queries:
+        baselines[q] = {
+            "exact": s.search_exact(q, 10),
+            "wand": s.search_wand(q, 10),
+            "msm2": s.search_min_should_match(q, 2, 10),
+        }
+    for n_groups in (1, 2, 4, 8):
+        f = FanoutSearcher(index_dir, n_groups=n_groups)
+        for q in queries:
+            assert f.search_exact(q, 10) == baselines[q]["exact"], (
+                n_groups, q)
+            assert f.search_wand(q, 10) == baselines[q]["wand"], (
+                n_groups, q)
+            assert f.search_min_should_match(q, 2, 10) == \
+                baselines[q]["msm2"], (n_groups, q)
