@@ -57,6 +57,8 @@ from sotohp_ray.pipelines.fulltext import (
     fuzzy_search_sql,
     bm25_fuzzy_topk,
     bm25_fuzzy_topk_sql,
+    bm25_pinned,
+    bm25_pinned_sql,
     phrase_oracle_sql,
     phrase_topk,
     phrase_prefix_topk,
@@ -160,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": lambda sf: regex_search(sf),
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "bm25_fuzzy_topk": lambda sf: bm25_fuzzy_topk(sf),
+        "bm25_pinned": lambda sf: bm25_pinned(sf),
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
@@ -316,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_search": regex_search_sql(),
         "fuzzy_search": fuzzy_search_sql(),
         "bm25_fuzzy_topk": bm25_fuzzy_topk_sql(),
+        "bm25_pinned": bm25_pinned_sql(),
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),
         "phrase_topk": phrase_oracle_sql(),

@@ -405,6 +405,9 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("ann_ivfpq_search", lambda: ann.ann_ivfpq_search(sf_dir))
     timed("events_hourly_pipeline",
           lambda: relational.events_hourly_pipeline(sf_dir))
+    from sotohp_ray.pipelines.fulltext import bm25_pinned
+
+    timed("bm25_pinned", lambda: bm25_pinned(sf_dir))
     return out
 
 

@@ -2787,6 +2787,94 @@ ORDER BY s.query_id, s.doc_id
 """
 
 
+PINNED_IDS = (42, 7, 256)  # promoted in THIS order, ahead of organic
+
+
+def bm25_pinned(
+    sf_dir: str, queries=DOC_QUERIES, pins=PINNED_IDS, k: int = 10
+) -> pa.Table:
+    """(query_id, rank, doc_id, score, pinned): the ES ``pinned``
+    query — editorially promoted documents occupy the first ranks IN
+    THE GIVEN ORDER regardless of relevance (score NULL, the ES
+    behavior of synthetic pin scores), then the organic BM25 ranking
+    fills the remaining slots with the pinned ids excluded. The
+    promoted list is an exact-k curation tool (sponsored results,
+    canonical answers); organic ranking statistics are untouched."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    pin_set = set(int(p) for p in pins)
+    rows = []
+    for qi, q in enumerate(queries):
+        rank = 0
+        for p in pins:
+            if rank >= k:
+                break
+            rows.append((qi, rank, int(p), None, True))
+            rank += 1
+        full = s.search_exact(q, k=s.space)
+        organic = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full
+             if int(eng2orig[d]) not in pin_set),
+            key=lambda t: (-t[1], t[0]),
+        )
+        for d, sc in organic[: max(0, k - rank)]:
+            rows.append((qi, rank, d, sc, False))
+            rank += 1
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+        "pinned": pa.array([r[4] for r in rows], pa.bool_()),
+    })
+
+
+def bm25_pinned_sql(
+    queries=DOC_QUERIES, pins=PINNED_IDS, k: int = 10
+) -> str:
+    pin_vals = ", ".join(
+        f"({i}, {int(p)})" for i, p in enumerate(pins)
+    )
+    pin_list = ", ".join(str(int(p)) for p in pins)
+    n_pins = len(pins)
+    return f"""
+WITH {_bm25_cte_prefix()},
+q(query_id, term, qtf) AS (VALUES {_q_values(queries)}),
+qids AS (SELECT DISTINCT query_id FROM q),
+pinrows(prank, doc_id) AS (VALUES {pin_vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum({_CONTRIB_EXPR}) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+organic AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 4) DESC, doc_id ASC
+         ) - 1 + {n_pins} AS rank
+  FROM scores WHERE doc_id NOT IN ({pin_list})
+),
+unioned AS (
+  SELECT qids.query_id, p.prank AS rank, p.doc_id,
+         NULL::DOUBLE AS score, TRUE AS pinned
+  FROM qids CROSS JOIN pinrows p
+  UNION ALL
+  SELECT query_id, rank, doc_id, score, FALSE AS pinned FROM organic
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score, pinned
+FROM unioned WHERE rank < {k}
+ORDER BY query_id, rank
+"""
+
+
 FUZZY_MATCH_QUERIES = (
     "spark sorr merge",
     "hash joim",
