@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
         "knn_cosine_filtered": ann.knn_cosine_filtered,
+        "ann_ivf_search_filtered": ann.ann_ivf_search_filtered,  # rows-only
+        "ann_ivf_filtered_fullprobe": ann.ann_ivf_filtered_fullprobe,
         "knn_label_consensus": ann.knn_label_consensus,
         "knn_range_search": ann.knn_range_search,
         "knn_mmr": ann.knn_mmr,                             # rows-only
@@ -430,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_range_search": ann.knn_range_search_sql(),
         "knn_cosine": _KNN_COSINE_SQL,
         "knn_cosine_filtered": ann.knn_cosine_filtered_sql(),
+        "ann_ivf_filtered_fullprobe": ann.knn_cosine_filtered_sql(),
         # full-probe IVF == brute-force kNN, same oracle
         "ann_ivf_fullprobe": _KNN_COSINE_SQL,
         # full-re-rank quantized search == brute-force kNN, same oracle

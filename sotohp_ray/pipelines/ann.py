@@ -493,6 +493,58 @@ def knn_cosine_filtered(
     return _topk_merge(scored, k)
 
 
+def ann_ivf_search_filtered(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    label: int = FILTER_LABEL, n_centroids: int = 32, n_probe: int = 8,
+):
+    """(query_id, vec_id, score): FILTERED approximate search — the
+    composition real filtered-ANN serving needs: the metadata filter
+    applies as a PRE-filter (parquet predicate pushdown, so k fills
+    from the qualifying set — post-filtering an unfiltered top-k is
+    the classic under-fill pitfall) and the IVF probe bounds which
+    cells of the qualifying rows are scored. Centroids train on the
+    UNFILTERED sample (the index is built once; filters vary per
+    query). At n_probe == n_centroids this equals brute filtered
+    search — the oracle-gated twin below."""
+    import ray
+    import ray.data
+    from pyarrow import dataset as pads
+
+    C = _train_centroids(sf_dir, n_centroids)
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    qc = Q @ C.T
+    probes = np.argsort(-qc, axis=1)[:, :n_probe]
+    ref = ray.put(
+        (q_ids, Q, C, [probes[j] for j in range(q_ids.size)])
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label") == label,
+    )
+    scored = ds.map_batches(
+        _IVFScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(scored, k)
+
+
+def ann_ivf_filtered_fullprobe(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    label: int = FILTER_LABEL, n_centroids: int = 32,
+):
+    """Filtered-IVF twin probing every cell: equals brute filtered
+    search, so the filtered-kNN SQL oracle gates the pre-filter + IVF
+    composition end-to-end."""
+    return ann_ivf_search_filtered(
+        sf_dir, query_ids, k=k, label=label,
+        n_centroids=n_centroids, n_probe=n_centroids,
+    )
+
+
 def knn_cosine_filtered_sql(
     query_ids=DEFAULT_QUERY_IDS, k: int = 10, label: int = FILTER_LABEL
 ) -> str:
