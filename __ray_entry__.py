@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.events_value_percentile_ranks,
         "events_composite_pages": relational.events_composite_pages,
         "events_hourly_pipeline": relational.events_hourly_pipeline,
+        "events_funnel": relational.events_funnel,
         "customer_geotile_grid": relational.customer_geotile_grid,
         "events_value_quantile_sketch":
             relational.events_value_quantile_sketch,    # rows-only (sketch)
@@ -412,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentile_ranks": relational.events_value_percentile_ranks_sql(),
         "events_composite_pages": relational.events_composite_pages_sql(),
         "events_hourly_pipeline": relational.events_hourly_pipeline_sql(),
+        "events_funnel": relational.events_funnel_sql(),
         "customer_geotile_grid": relational.customer_geotile_grid_sql(),
         "orders_with_segment": relational.orders_with_segment_sql(),
         "customers_without_big_orders":

@@ -408,6 +408,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     from sotohp_ray.pipelines.fulltext import bm25_pinned
 
     timed("bm25_pinned", lambda: bm25_pinned(sf_dir))
+    timed("events_funnel", lambda: relational.events_funnel(sf_dir))
     return out
 
 

@@ -412,6 +412,83 @@ def events_distinct_users_sql() -> str:
     """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, steps=FUNNEL_STEPS):
+    """(step_idx, step, n_users): ordered funnel analysis — a user
+    reaches step i when their FIRST qualifying occurrence of step i is
+    STRICTLY LATER than their first qualifying occurrence of step i-1
+    (the product-analytics funnel; order matters, which is exactly
+    what a per-type count cannot tell you). One co-partitioning
+    groupby by user (the sessionize discipline); within each user the
+    fold is len(steps) vectorized min-after-threshold scans; the
+    exchange output is (users x reached-steps) rows collapsed to a
+    steps-sized count table."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy()
+        et = df["event_type"].to_numpy()
+        cur = None
+        reached = []
+        for si, s in enumerate(steps):
+            m = et == s
+            if cur is not None:
+                m &= ts > cur
+            if not m.any():
+                break
+            cur = ts[m].min()
+            reached.append(si)
+        return pd.DataFrame({
+            "step_idx": np.asarray(reached, dtype=np.int64),
+        })
+
+    counts = (
+        ds.groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("step_idx")
+        .count()
+        .to_pandas()
+        .sort_values("step_idx")
+    )
+    n_of = dict(zip(
+        counts["step_idx"].astype(int), counts["count()"].astype(int)
+    ))
+    return pa.table({
+        "step_idx": pa.array(range(len(steps)), pa.int64()),
+        "step": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(
+            [n_of.get(i, 0) for i in range(len(steps))], pa.int64()
+        ),
+    })
+
+
+def events_funnel_sql(steps=FUNNEL_STEPS) -> str:
+    ctes, prev = [], None
+    for i, s in enumerate(steps):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(ts) AS t FROM events"
+                f" WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t"
+                f" FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id"
+                f" WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY 1)"
+            )
+        prev = s
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step,"
+        f" (SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY step_idx"
+
+
 def events_hourly_pipeline(sf_dir: str):
     """(event_type, hour, n_events, delta, mavg3): the ES PIPELINE
     aggregation family over a dense date_histogram — per event type,
