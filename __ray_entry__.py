@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": training.doc_packing,
         "training_curriculum": training.training_curriculum,
         "lang_guess": textops.lang_guess,
+        "lang_confusion": textops.lang_confusion,
         "keyword_search": textops.keyword_search,
         "corpus_stats": textops.corpus_stats,
         "bigram_counts": textops.bigram_counts,
@@ -390,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.h, 0) AS marker_hits
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
+        "lang_confusion": textops.lang_confusion_sql(),
         "corpus_dedup_exact": textops.corpus_dedup_exact_sql(),
         "set_similarity_join": textops.set_similarity_join_sql(),
         "similarity_components": textops.similarity_components_sql(),

@@ -889,6 +889,73 @@ def lang_guess(sf_dir: str):
     )
 
 
+def lang_confusion(sf_dir: str):
+    """(lang, lang_guess, n_docs): the label-vs-classifier CONFUSION
+    MATRIX between the table's lang labels and the marker-word
+    heuristic — the audit every labeled corpus needs before trusting
+    either side (per-cell counts localize WHERE the disagreement
+    lives, which neither accuracy number does). One pass: each batch
+    computes the guess with lang_guess's exact kernel and emits
+    (lang, guess) count partials; a (langs x 2)-sized groupby sums
+    them."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = _TOK.token_lists(_text_col(batch))
+        parents = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        keep = pc.is_in(flat, value_set=pa.array(EN_MARKERS))
+        par = pc.filter(parents, keep)
+        fl = pc.filter(flat, keep)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(fl) > 0:
+            pairs = pa.table({"d": par, "t": fl}).group_by(
+                ["d", "t"]).aggregate([])
+            cnt = (
+                pa.table({"d": pairs["d"]})
+                .group_by("d").aggregate([([], "count_all")])
+            )
+            hits[cnt["d"].to_numpy(zero_copy_only=False)] = cnt[
+                "count_all"].to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "lang": batch["lang"],
+            "lang_guess": pa.array(
+                np.where(hits > 0, "en", "und"), type=pa.string()
+            ),
+        }).group_by(["lang", "lang_guess"]).aggregate([([], "count_all")])
+        return agg_select(g, {
+            "lang": "lang", "lang_guess": "lang_guess",
+            "count_all": "n_partial",
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_guess"])
+        .aggregate(Sum("n_partial", alias_name="n_docs"))
+    )
+
+
+def lang_confusion_sql() -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest({texpr}) AS term FROM documents),
+        hits AS (
+          SELECT doc_id, count(DISTINCT term) AS h
+          FROM t WHERE term IN ({markers}) GROUP BY doc_id)
+        SELECT d.lang,
+               CASE WHEN coalesce(h.h, 0) > 0 THEN 'en' ELSE 'und' END
+                 AS lang_guess,
+               count(*) AS n_docs
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        GROUP BY 1, 2
+    """
+
+
 # ----------------------------------------------------------------- dedup
 
 
