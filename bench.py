@@ -568,11 +568,29 @@ def main():
     probe = host_probe()
     t_total0 = time.perf_counter()
     queries = run_headline(ncpu)
+    ops = {}
     if os.environ.get("SOTOHP_BENCH_MODE") not in ("headline", "buildonly"):
-        queries.update(run_sf_pipelines(sf_dir))
+        ops = run_sf_pipelines(sf_dir)
     total = time.perf_counter() - t_total0
     queries["host_probe_pre"] = probe
     queries["host_probe_post"] = host_probe()  # did the window move?
+    # The final stdout line must stay COMPACT (< ~2 KB): the driver
+    # captures only a tail window of stdout and failed to parse round
+    # 4's record when ~95 per-operator walls lived inline. Headline
+    # fields stay in the line; per-operator walls go to a sidecar
+    # file (path echoed in the line) plus a count/total summary.
+    if ops:
+        ops_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_ops_{os.path.basename(sf_dir.rstrip('/'))}.json",
+        )
+        with open(ops_file, "w") as fh:
+            json.dump(
+                {"sf": sf_dir, "num_cpus": ncpu, "ops": ops}, fh, indent=1
+            )
+        queries["sf_ops_count"] = len(ops)
+        queries["sf_ops_total_sec"] = round(sum(ops.values()), 3)
+        queries["sf_ops_file"] = ops_file
     print(
         json.dumps(
             {

@@ -141,11 +141,12 @@ def bm25_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
 
 
 def _msm_of(query: str) -> int:
-    """minimum_should_match for a query: ceil(0.6 * n) of its distinct
-    analyzed terms, at least 2, capped at n (the ES "60%" convention).
+    """minimum_should_match for a query: floor(0.6 * n) of its distinct
+    analyzed terms, clamped to [1..n] — ES rounds a positive-percentage
+    minimum_should_match DOWN (``"60%"`` of 4 terms = 2, not 3).
     Integer arithmetic — float 0.6*n rounds wrong at n=5."""
     n = len(set(CodeTokenizer().tokens_of(query)))
-    return min(n, max(2, (3 * n + 4) // 5))
+    return min(n, max(1, (3 * n) // 5))
 
 
 def bm25_min_should_match(
@@ -747,6 +748,8 @@ def tfidf_topk(sf_dir: str, queries=DOC_QUERIES, k: int = 10) -> pa.Table:
                 qtf * (1.0 + np.log(f.astype(np.float64)))
                 * np.log(n / df_t) / np.sqrt(dli)
             )
+        if s._tomb is not None:
+            scores[s._tomb] = 0.0  # deleted docs never rank
         nz = np.flatnonzero(scores > 0.0)
         ranked = sorted(
             ((int(eng2orig[d]), round(float(scores[d]), 4)) for d in nz),
@@ -2799,17 +2802,32 @@ def bm25_pinned(
     behavior of synthetic pin scores), then the organic BM25 ranking
     fills the remaining slots with the pinned ids excluded. The
     promoted list is an exact-k curation tool (sponsored results,
-    canonical answers); organic ranking statistics are untouched."""
+    canonical answers); organic ranking statistics are untouched.
+    Only pins that EXIST in the index (and are not tombstoned) are
+    promoted — the ES pinned query cannot surface a document the
+    index does not hold, so absent ids are skipped, not emitted as
+    phantom rows."""
+    from sotohp_ray.pipelines.delete import load_tombstones
     from sotohp_ray.pipelines.query import Searcher
 
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
-    eng2orig = _eng2orig(index_dir, s.space)
-    pin_set = set(int(p) for p in pins)
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "path"]
+    )
+    eng2orig = _eng2orig(index_dir, s.space, dm=dm)
+    eng = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    orig = pc.cast(dm["path"], pa.int64()).to_numpy(zero_copy_only=False)
+    tomb = load_tombstones(index_dir)
+    live_orig = set(
+        (orig[~np.isin(eng, tomb)] if tomb.size else orig).tolist()
+    )
+    live_pins = [int(p) for p in pins if int(p) in live_orig]
+    pin_set = set(live_pins)
     rows = []
     for qi, q in enumerate(queries):
         rank = 0
-        for p in pins:
+        for p in live_pins:
             if rank >= k:
                 break
             rows.append((qi, rank, int(p), None, True))
@@ -2838,13 +2856,18 @@ def bm25_pinned_sql(
     pin_vals = ", ".join(
         f"({i}, {int(p)})" for i, p in enumerate(pins)
     )
-    pin_list = ", ".join(str(int(p)) for p in pins)
-    n_pins = len(pins)
     return f"""
 WITH {_bm25_cte_prefix()},
 q(query_id, term, qtf) AS (VALUES {_q_values(queries)}),
 qids AS (SELECT DISTINCT query_id FROM q),
 pinrows(prank, doc_id) AS (VALUES {pin_vals}),
+-- only pins that exist in the corpus are promoted (ES pinned skips
+-- absent ids); surviving pins keep their configured relative order
+livepins AS (
+  SELECT row_number() OVER (ORDER BY prank) - 1 AS prank, doc_id
+  FROM pinrows p
+  WHERE p.doc_id IN (SELECT doc_id FROM documents)
+),
 scores AS (
   SELECT q.query_id, tf.doc_id, sum({_CONTRIB_EXPR}) AS score
   FROM tf
@@ -2859,13 +2882,14 @@ organic AS (
          row_number() OVER (
            PARTITION BY query_id
            ORDER BY round(score, 4) DESC, doc_id ASC
-         ) - 1 + {n_pins} AS rank
-  FROM scores WHERE doc_id NOT IN ({pin_list})
+         ) - 1 + (SELECT count(*) FROM livepins) AS rank
+  FROM scores
+  WHERE doc_id NOT IN (SELECT doc_id FROM livepins)
 ),
 unioned AS (
   SELECT qids.query_id, p.prank AS rank, p.doc_id,
          NULL::DOUBLE AS score, TRUE AS pinned
-  FROM qids CROSS JOIN pinrows p
+  FROM qids CROSS JOIN livepins p
   UNION ALL
   SELECT query_id, rank, doc_id, score, FALSE AS pinned FROM organic
 )
@@ -3047,14 +3071,22 @@ def docs_mget(sf_dir: str, doc_ids=MGET_DOC_IDS) -> pa.Table:
     projection survives the build byte-for-byte. Absent ids are
     omitted (ES found=false). The docmeta read is predicate-pushdown
     on path (the zero-padded original id) — id-list-sized, never a
-    table scan."""
+    table scan. Tombstoned docs are omitted too (ES _mget reports
+    found=false for deleted documents): the engine doc_id rides along
+    in the fetch and is checked against the tombstone set."""
+    from sotohp_ray.pipelines.delete import load_tombstones
+
     index_dir = documents_index(sf_dir)
     keys = [f"{int(d):010d}" for d in doc_ids]
     t = pq.read_table(
         os.path.join(index_dir, "docmeta"),
-        columns=["path", "lang", "content_sha256", "doc_len"],
+        columns=["doc_id", "path", "lang", "content_sha256", "doc_len"],
         filters=[("path", "in", keys)],
     )
+    tomb = load_tombstones(index_dir)
+    if tomb.size:
+        eng = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = t.filter(pa.array(~np.isin(eng, tomb)))
     ids = pc.cast(t["path"], pa.int64())
     order = pc.sort_indices(ids)
     return pa.table({

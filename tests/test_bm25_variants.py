@@ -250,3 +250,105 @@ def test_rescore_phrase_window_semantics():
     import pytest as _pt
     with _pt.raises(ValueError):
         bm25_rescore_phrase(SF_DIR, queries=(q,), k=30, window=20)
+
+
+# --- round-5 ADVICE regression tests: tombstones/absent-id semantics ---
+
+
+@pytest.fixture(scope="module")
+def tombed_index(tmp_path_factory):
+    """A copy of the sf0.001 documents index with the TOP tfidf hit for
+    'hash join' (and, if distinct, original id 7 for the mget check)
+    tombstoned but NOT compacted — tombstone-respecting readers must
+    hide these docs immediately."""
+    import shutil
+
+    from sotohp_ray.pipelines import fulltext as ft
+    from sotohp_ray.pipelines.delete import delete_docs
+
+    base = ft.documents_index(SF_DIR)
+    top = int(
+        ft.tfidf_topk(SF_DIR, queries=("hash join",), k=1)
+        .to_pandas()["doc_id"].iloc[0]
+    )
+    victims = sorted({top, 7})
+    idx = str(tmp_path_factory.mktemp("idx_tomb"))
+    shutil.rmtree(idx)
+    shutil.copytree(base, idx)
+    assert delete_docs(idx, paths=[f"{i:010d}" for i in victims]) == len(
+        victims
+    )
+    return idx, top
+
+
+def test_tfidf_excludes_tombstoned_doc(tombed_index, monkeypatch):
+    """ADVICE r4: tfidf_topk must zero tombstoned docs like every other
+    scorer — a deleted doc may not appear in TF-IDF results."""
+    from sotohp_ray.pipelines import fulltext as ft
+
+    idx, top = tombed_index
+    monkeypatch.setattr(ft, "documents_index", lambda sf: idx)
+    got = ft.tfidf_topk(SF_DIR, queries=("hash join",), k=10).to_pandas()
+    assert len(got) == 10
+    assert top not in set(got["doc_id"].astype(int))
+    assert 7 not in set(got["doc_id"].astype(int))
+
+
+def test_mget_omits_tombstoned_doc(tombed_index, monkeypatch):
+    """ADVICE r4: _mget reports found=false for deleted docs — the
+    tombstoned id must be omitted, live ids still returned."""
+    from sotohp_ray.pipelines import fulltext as ft
+
+    idx, _ = tombed_index
+    monkeypatch.setattr(ft, "documents_index", lambda sf: idx)
+    got = ft.docs_mget(SF_DIR, doc_ids=(0, 7, 42)).to_pandas()
+    ids = set(got["doc_id"].astype(int))
+    assert 7 not in ids
+    assert {0, 42} <= ids
+
+
+@pytest.fixture(scope="module")
+def duckdb_docs():
+    import duckdb
+
+    from tools.check_oracle import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_pinned_skips_absent_ids(duckdb_docs):
+    """ADVICE r4: pinned promotes only documents that exist — an
+    out-of-corpus pin id must not produce a phantom row, surviving
+    pins keep their order, and organic results fill the freed slots.
+    Oracle SQL agrees on the same pin set."""
+    from sotohp_ray.pipelines import fulltext as ft
+
+    pins = (42, 10**9, 7)  # middle pin absent from the corpus
+    q = ("hash join",)
+    got = ft.bm25_pinned(SF_DIR, queries=q, pins=pins, k=10).to_pandas()
+    assert 10**9 not in set(got["doc_id"].astype(int))
+    byrank = got.sort_values("rank")
+    assert list(byrank["doc_id"].astype(int))[:2] == [42, 7]
+    assert list(byrank["pinned"])[:2] == [True, True]
+    assert len(got) == 10 and not any(byrank["pinned"][2:])
+    sql_df = duckdb_docs.sql(
+        ft.bm25_pinned_sql(queries=q, pins=pins, k=10)
+    ).df()
+    from tools.check_oracle import compare
+
+    assert not compare("bm25_pinned_absent", got, sql_df)
+
+
+def test_msm_rounds_down():
+    """ADVICE r4: positive-percentage minimum_should_match rounds DOWN
+    (ES semantics): 60% of 4 distinct terms is 2, of 5 is 3, of 1 is
+    clamped to 1."""
+    from sotohp_ray.pipelines.fulltext import _msm_of
+
+    assert _msm_of("alpha bravo chi delta") == 2  # floor(2.4)
+    assert _msm_of("alpha bravo chi delta echo") == 3  # exact 3.0
+    assert _msm_of("alpha") == 1  # clamp to >= 1
