@@ -1858,12 +1858,39 @@ def _near_dup_pairs_compute(
     return out if out is not None else empty
 
 
+SETJOIN_TELEMETRY: dict = {}  # last compute's kernel + shipping stats
+
+
+def _setjoin_cache_path(
+    sf_dir: str, threshold: float, shingle_n: int, top_freq: int,
+    max_shingles: int | None,
+) -> str:
+    """Durable verified-pair cache location for the exact join — the
+    same /tmp cache family + stat-keyed discipline as the near-dup
+    band/pair caches: the key covers corpus identity (path+size+mtime)
+    and every SEMANTIC parameter. The kernel choice is deliberately
+    NOT in the key: both kernels compute the identical exact pair set
+    (pytest-gated invariance), so a result computed by either serves
+    every consumer."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"sj{threshold}-{shingle_n}-{top_freq}-{max_shingles}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        "/tmp", "sotohp_ray_cache", f"setjoin-{key}.parquet"
+    )
+
+
 def set_similarity_join(
     sf_dir: str,
     threshold: float = 0.6,
     shingle_n: int = 3,
     top_freq: int = 2048,
     max_shingles: int | None = None,
+    kernel: str = "auto",
 ):
     """EXACT set-similarity self-join with prefix filtering (Vernica,
     Carey & Li, "Efficient Parallel Set-Similarity Joins Using
@@ -1876,52 +1903,153 @@ def set_similarity_join(
     (threshold, shingle_n) the LSH path's output is a SUBSET of this
     one (tested), so this is also the recall oracle for the LSH knobs.
 
-    Shape at 100 TB — two streaming corpus passes + ONE shuffle:
-    (1) shingle document frequencies (per-batch combiner -> small
-        groupby -> per-batch top-K -> tiny driver merge). Only the
-        TOP-K most frequent shingles are broadcast (O(top_freq), never
-        vocabulary-sized): they define the global prefix order with
-        rare-first semantics (rare shingles produce the fewest
-        candidates); shingles outside the top-K order among themselves
-        by hash and before every frequent one — still ONE consistent
-        total order, which is all prefix correctness requires.
-    (2) prefix emission: each doc ships its sorted shingle set once
-        per PREFIX shingle — prefix length L - ceil(t*L) + 1, the
-        Jaccard prefix bound (a pair with J >= t must share a shingle
-        lying in BOTH prefixes) — pre-keyed by a coarse bucket of the
-        prefix hash. Replication factor ~ (1-t)*L + 1 per doc (the
-        Vernica kernel trade: ship sets with prefixes, zero extra
-        joins). APPLICABILITY ENVELOPE: shipping the set with every
-        prefix token costs ~(1-t)*L^2 values per doc, so this kernel
-        targets bounded-L records (dedup shingle sets of typical web
-        docs, titles, URLs, code lines — L up to a few thousand). For
-        heavy-tailed L, either pre-truncate to a capped shingle
-        sample, use the LSH path (``near_dup_pairs``, linear in L),
-        or switch to Vernica's basic kernel (emit doc-ids only, then
-        a second co-partitioned exchange re-fetches sets — one extra
-        shuffle, linear shipping), which this implementation
-        deliberately trades away for the short-record case.
-        ``max_shingles`` implements the capped-sample escape: each
-        doc keeps only its ``max_shingles`` SMALLEST-hash shingles (a
-        bottom-k sketch — hash order is a uniform random order, and
-        Jaccard over bottom-k sets is the classic unbiased estimate
-        of true Jaccard), bounding shipping at (1-t)*k^2 per doc
-        regardless of length. The capped variant is APPROXIMATE, so
-        it has no SQL oracle; the default (None) is the exact,
-        oracle-gated path.
-    (3) groupby(coarse).map_groups verify: docs collapse to one
-        representative per content key; identical-set cliques are
-        emitted exactly once globally by the doc's FIRST-prefix owner
-        group (same set => same prefix order => same owner group —
-        the designated-owner discipline); rep pairs are
-        length-filtered (J >= t forces min >= t*max) and ALL pair
-        intersections are counted in one vectorized lexsort pass —
-        no per-pair Python, no per-pair intersect1d.
+    TWO exact kernels, selected by record-length shape (``kernel``):
+
+    - ``"prefix"`` — Vernica's set-with-prefix kernel: each doc ships
+      its whole sorted shingle set once per prefix shingle (ONE
+      shuffle, zero extra passes). Shipping ~(1-t)*L^2 values per doc
+      — ideal for bounded-L records (titles, URLs, code lines, web
+      docs), quadratic-in-L for heavy-tailed corpora.
+    - ``"basic"`` — Vernica's basic kernel, LINEAR shipping: the
+      prefix pass emits (prefix-bucket, doc_id) rows only (~(1-t)*L
+      rows/doc); candidate rep pairs come out of the bucket groupby;
+      ONE re-fetch exchange then re-shingles ONLY the candidate docs
+      (broadcast id filter) and routes each set once per pair-bucket
+      it participates in, where the same vectorized lexsort verify
+      runs. Costs one extra (filtered) corpus pass + one extra
+      (candidate-sized) exchange; wins whenever L^2 dominates.
+    - ``"auto"`` (default) — a zero-tokenize length probe (byte
+      lengths from Arrow offsets, one cheap column pass) estimates
+      the p95 shingle count; above ``_SETJOIN_L_SWITCH`` the basic
+      kernel is chosen. Both kernels produce the identical exact pair
+      set (pytest-gated), so the choice is pure performance.
+
+    The result is served from a DURABLE pair cache (stat-keyed, like
+    the near-dup family's): the expensive shingle+verify pass runs
+    once per (corpus, threshold, shingle_n, top_freq, max_shingles)
+    and every downstream consumer — ``similarity_components``,
+    repeated join calls — streams the cached table. Shipped-volume
+    telemetry for each compute lands in ``SETJOIN_TELEMETRY`` and the
+    module log.
+
+    ``max_shingles`` keeps only each doc's ``max_shingles``
+    SMALLEST-hash shingles (bottom-k sketch — hash order is a uniform
+    random order, so Jaccard over bottom-k sets is the classic
+    unbiased estimate): APPROXIMATE, hence no SQL oracle; the default
+    (None) is the exact, oracle-gated path.
 
     Reference analog: grouped duplicate detection
     (GoogleTakeoutTooling.scala:49-95), upgraded from exact-key
     equality to threshold similarity."""
-    import pandas as pd
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    cache = _setjoin_cache_path(
+        sf_dir, threshold, shingle_n, top_freq, max_shingles
+    )
+    if os.path.exists(cache):
+        return pq.read_table(cache)
+    out = _set_similarity_join_compute(
+        sf_dir, threshold, shingle_n, top_freq, max_shingles, kernel
+    )
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    # evict caches of PRIOR VERSIONS of this same corpus+params (the
+    # key embeds mtime/size, so a rewritten corpus would otherwise
+    # leave its old pair table on disk forever — the band-cache
+    # eviction discipline, ADVICE r2)
+    import glob
+
+    tag = (
+        f"{os.path.abspath(sf_dir)}|"
+        f"sj{threshold}-{shingle_n}-{top_freq}-{max_shingles}"
+    )
+    for srcf in glob.glob(
+        os.path.join(os.path.dirname(cache), "setjoin-*.src")
+    ):
+        if srcf == cache + ".src":
+            continue
+        try:
+            with open(srcf) as f:
+                if f.read() != tag:
+                    continue
+            os.remove(srcf)
+            os.remove(srcf[: -len(".src")])
+        except OSError:
+            pass
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(cache),
+        prefix=os.path.basename(cache) + ".tmp-",
+    )
+    os.close(fd)
+    try:
+        pq.write_table(out, tmp)
+        with open(cache + ".src", "w") as f:
+            f.write(tag)
+        os.replace(tmp, cache)  # atomic; concurrent builders converge
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return out
+
+
+_SETJOIN_L_SWITCH = 512  # est. p95 shingles above which basic kernel wins
+_SETJOIN_BYTES_PER_SHINGLE = 6.5  # tokens ~ bytes/6.5; shingles ~ tokens
+
+
+def _est_shingle_p95(sf_dir: str, max_shingles: int | None) -> float:
+    """Cheap record-length probe for kernel selection: a log2
+    histogram of text BYTE lengths (Arrow offset arithmetic — no
+    tokenization, no utf8 scan), p95 read off the histogram and
+    converted to an estimated shingle count. Order-of-magnitude is
+    all the kernel switch needs."""
+    def hist_part(batch: pa.Table) -> pa.Table:
+        ln = pc.binary_length(
+            _text_col(batch)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(63, np.log2(ln + 1).astype(np.int64))
+        return pa.table({
+            "b": pa.array(np.arange(64), pa.int64()),
+            "c": pa.array(np.bincount(b, minlength=64), pa.int64()),
+        })
+
+    h = (
+        _docs(sf_dir, ["text"])
+        .map_batches(hist_part, batch_format="pyarrow")
+        .to_pandas()  # 64 rows per block, tiny
+    )
+    hist = h.groupby("b")["c"].sum().reindex(range(64), fill_value=0)
+    total = int(hist.sum())
+    if total == 0:
+        return 0.0
+    cum = hist.cumsum()
+    b95 = int(np.searchsorted(cum.to_numpy(), 0.95 * total) )
+    est = (2.0 ** (b95 + 1)) / _SETJOIN_BYTES_PER_SHINGLE
+    if max_shingles is not None:
+        est = min(est, float(max_shingles))
+    return est
+
+
+def _set_similarity_join_compute(
+    sf_dir: str,
+    threshold: float,
+    shingle_n: int,
+    top_freq: int,
+    max_shingles: int | None,
+    kernel: str = "auto",
+):
+    """Kernel dispatcher + the shared pass 1. Pass 1 computes the
+    top-K most-frequent shingles (per-batch combiner -> small groupby
+    -> per-batch top-K -> tiny driver merge). Only the TOP-K shingles
+    are broadcast (O(top_freq), never vocabulary-sized): they define
+    the global prefix order with rare-first semantics (rare shingles
+    produce the fewest candidates); shingles outside the top-K order
+    among themselves by hash and before every frequent one — still
+    ONE consistent total order, which is all prefix correctness
+    requires."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1976,55 +2104,176 @@ def set_similarity_join(
     look_h, look_rank = hk[srt], rank[srt]
     mapref = ray.put((look_h, look_rank))
 
-    # ---- pass 2: prefix emission ----
-    def emit(batch: pa.Table) -> pa.Table:
-        lk_h, lk_r = ray.get(mapref)
-        n = batch.num_rows
-        offsets, sh_val, ck = _capped_sets(
-            _text_col(batch), shingle_n, max_shingles
+    if kernel == "auto":
+        est = _est_shingle_p95(sf_dir, max_shingles)
+        kernel = "basic" if est > _SETJOIN_L_SWITCH else "prefix"
+        SETJOIN_TELEMETRY["est_p95_shingles"] = est
+    else:
+        SETJOIN_TELEMETRY.pop("est_p95_shingles", None)
+    if kernel == "basic":
+        return _setjoin_basic(
+            sf_dir, threshold, shingle_n, max_shingles, mapref, empty
         )
-        lens = np.diff(offsets)
-        par = np.repeat(np.arange(n, dtype=np.int64), lens)
-        pos = np.searchsorted(lk_h, sh_val)
-        freq = np.zeros(sh_val.size, dtype=bool)
-        inb = pos < lk_h.size
-        freq[inb] = lk_h[pos[inb]] == sh_val[inb]
-        tieb = sh_val.copy()
-        tieb[freq] = lk_r[pos[freq]].astype(np.uint64)
-        # prefix order per doc: (in-top-K flag asc, rank-or-hash asc);
-        # par is the primary lexsort key, so segments stay contiguous
-        # and par[order] == par elementwise
-        order = np.lexsort((tieb, freq, par))
-        pos_in = np.arange(sh_val.size, dtype=np.int64) - np.repeat(
-            offsets[:-1], lens
-        )
-        # alpha = ceil(t*L): the 1e-9 slack only ever LENGTHENS the
-        # prefix — float ceil must never round 0.6*5 =
-        # 3.0000000000000004 up to 4 and silently cut recall
-        alpha = np.ceil(threshold * lens - 1e-9).astype(np.int64)
-        p = np.maximum(lens - alpha + 1, 1)
-        keep = pos_in < p[par]
-        pref_par = par[keep]
-        pref_h = sh_val[order][keep]
-        first = pos_in[keep] == 0
+    return _setjoin_prefix(
+        sf_dir, threshold, shingle_n, max_shingles, mapref, empty
+    )
+
+
+def _setjoin_prefix_rows(batch: pa.Table, mapref, threshold, shingle_n,
+                         max_shingles, with_sets: bool) -> dict:
+    """Shared prefix computation for both kernels: per-doc prefix rows
+    under the broadcast rare-first order. Returns the column dict;
+    ``with_sets`` additionally attaches each row's whole shingle set
+    (the set-with-prefix kernel's payload)."""
+    import ray
+
+    lk_h, lk_r = ray.get(mapref)
+    n = batch.num_rows
+    offsets, sh_val, ck = _capped_sets(
+        _text_col(batch), shingle_n, max_shingles
+    )
+    lens = np.diff(offsets)
+    par = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pos = np.searchsorted(lk_h, sh_val)
+    freq = np.zeros(sh_val.size, dtype=bool)
+    inb = pos < lk_h.size
+    freq[inb] = lk_h[pos[inb]] == sh_val[inb]
+    tieb = sh_val.copy()
+    tieb[freq] = lk_r[pos[freq]].astype(np.uint64)
+    # prefix order per doc: (in-top-K flag asc, rank-or-hash asc);
+    # par is the primary lexsort key, so segments stay contiguous
+    # and par[order] == par elementwise
+    order = np.lexsort((tieb, freq, par))
+    pos_in = np.arange(sh_val.size, dtype=np.int64) - np.repeat(
+        offsets[:-1], lens
+    )
+    # alpha = ceil(t*L): the 1e-9 slack only ever LENGTHENS the
+    # prefix — float ceil must never round 0.6*5 =
+    # 3.0000000000000004 up to 4 and silently cut recall
+    alpha = np.ceil(threshold * lens - 1e-9).astype(np.int64)
+    p = np.maximum(lens - alpha + 1, 1)
+    keep = pos_in < p[par]
+    pref_par = par[keep]
+    pref_h = sh_val[order][keep]
+    first = pos_in[keep] == 0
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    pk = pref_h.view(np.int64)
+    cols = {
+        "coarse": pa.array(pk & 0xFF, pa.int64()),
+        "pkey": pa.array(pk, pa.int64()),
+        "doc_id": pa.array(dids[pref_par], pa.int64()),
+        "n_sh": pa.array(lens[pref_par], pa.int64()),
+        "ckey": pa.array(ck[pref_par], pa.int64()),
+        "is_first": pa.array(first),
+    }
+    if with_sets:
         sets_arr = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()), pa.array(sh_val, pa.uint64())
         )
-        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        pk = pref_h.view(np.int64)
-        return pa.table({
-            "coarse": pa.array(pk & 0xFF, pa.int64()),
-            "pkey": pa.array(pk, pa.int64()),
-            "doc_id": pa.array(dids[pref_par], pa.int64()),
-            "sset": sets_arr.take(pa.array(pref_par, pa.int64())),
-            "n_sh": pa.array(lens[pref_par], pa.int64()),
-            "ckey": pa.array(ck[pref_par], pa.int64()),
-            "is_first": pa.array(first),
-        })
+        cols["sset"] = sets_arr.take(pa.array(pref_par, pa.int64()))
+    return cols
 
-    # ---- pass 3: verify (the only shuffle) ----
+
+def _setjoin_candidates_of_group(g, threshold):
+    """Candidate rep pairs within one coarse group, shared dedup
+    discipline: docs collapse to one representative per content key
+    (min doc_id — global, since equal sets share every prefix
+    bucket); rep pairs come from same-pkey runs, are deduped, and
+    length-filtered (J >= t forces min >= t*max). Returns
+    (rep_docs, rep_lens, msort, starts, lo, hi) — rep metadata plus
+    the surviving candidate index pairs — or None when the group has
+    < 2 distinct content keys."""
+    uniq = g.drop_duplicates("doc_id")
+    dids = uniq["doc_id"].to_numpy().astype(np.int64)
+    cks = uniq["ckey"].to_numpy().astype(np.int64)
+    lens = uniq["n_sh"].to_numpy().astype(np.int64)
+    so = np.argsort(dids, kind="stable")
+    dids, cks, lens = dids[so], cks[so], lens[so]
+    uniq_ck, inv = np.unique(cks, return_inverse=True)
+    R = uniq_ck.size
+    if R < 2:
+        return None
+    morder = np.lexsort((dids, inv))
+    msort = dids[morder]
+    starts = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(np.bincount(inv, minlength=R), out=starts[1:])
+    rep_rows = morder[starts[:-1]]
+    rlens = lens[rep_rows]
+    rdocs = dids[rep_rows]
+    # candidate rep pairs: reps sharing a prefix shingle
+    rowdoc = g["doc_id"].to_numpy().astype(np.int64)
+    rowpk = g["pkey"].to_numpy().astype(np.int64)
+    rrep = inv[np.searchsorted(dids, rowdoc)]
+    o2 = np.lexsort((rrep, rowpk))
+    pk_s, rp_s = rowpk[o2], rrep[o2]
+    dup = np.ones(pk_s.size, dtype=bool)
+    dup[1:] = (np.diff(pk_s) != 0) | (np.diff(rp_s) != 0)
+    pk_s, rp_s = pk_s[dup], rp_s[dup]
+    bnd = np.flatnonzero(np.diff(pk_s)) + 1
+    rstarts = np.concatenate(([0], bnd))
+    rl = np.diff(np.concatenate((rstarts, [pk_s.size])))
+    key_parts = []
+    for L in np.unique(rl):
+        if L < 2:
+            continue
+        S = rstarts[rl == L]
+        iu, ju = _tri_pair_indices(int(L))
+        A = rp_s[(S[:, None] + iu[None, :]).ravel()]
+        B = rp_s[(S[:, None] + ju[None, :]).ravel()]
+        key_parts.append(np.minimum(A, B) * R + np.maximum(A, B))
+    if not key_parts:
+        return None
+    uk = np.unique(np.concatenate(key_parts))
+    lo, hi = uk // R, uk % R
+    ne = lo != hi  # same-ckey pairs belong to the clique path
+    lo, hi = lo[ne], hi[ne]
+    la, lb = rlens[lo], rlens[hi]
+    okl = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
+    lo, hi = lo[okl], hi[okl]
+    if not lo.size:
+        return None
+    return rdocs, rlens, msort, starts, rep_rows, lo, hi
+
+
+def _jaccard_of_pairs(flat_vals, seg_len, threshold):
+    """Vectorized Jaccard for P pairs whose two (distinct-valued,
+    per-side) sets are concatenated in ``flat_vals`` with per-segment
+    lengths ``seg_len`` (2P segments, pair p owns segments 2p/2p+1):
+    ONE lexsort pass — a value adjacent-equal within a pair appears
+    on both sides = one shared shingle. Returns (jaccard, mask>=t)."""
+    P = seg_len.size // 2
+    pid = np.repeat(np.arange(2 * P, dtype=np.int64) // 2, seg_len)
+    o3 = np.lexsort((flat_vals, pid))
+    v_s, p_s = flat_vals[o3], pid[o3]
+    eqm = np.zeros(v_s.size, dtype=bool)
+    if v_s.size > 1:
+        eqm[1:] = (np.diff(p_s) == 0) & (v_s[1:] == v_s[:-1])
+    inter = np.bincount(p_s[eqm], minlength=P)
+    sizes = seg_len[0::2] + seg_len[1::2]
+    jac = inter / (sizes - inter)
+    return jac, jac >= threshold
+
+
+def _setjoin_prefix(
+    sf_dir, threshold, shingle_n, max_shingles, mapref, empty
+):
+    """Set-with-prefix kernel (ONE shuffle): each doc's sorted set
+    rides with every prefix row; the coarse-bucket groupby verifies
+    locally. Identical-set cliques are emitted exactly once globally
+    by the doc's FIRST-prefix owner group (same set => same prefix
+    order => same owner group — the designated-owner discipline)."""
+    import logging
+
+    import pandas as pd
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table(_setjoin_prefix_rows(
+            batch, mapref, threshold, shingle_n, max_shingles,
+            with_sets=True,
+        ))
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         empty_df = pd.DataFrame({
             "doc_a": pd.Series(dtype="int64"),
@@ -2049,98 +2298,45 @@ def set_similarity_join(
                 parts_b.append(cb)
                 parts_j.append(np.ones(ca.size, dtype=np.float64))
 
-        uniq = g.drop_duplicates("doc_id")
-        dids = uniq["doc_id"].to_numpy().astype(np.int64)
-        shs = uniq["sset"].to_numpy()
-        cks = uniq["ckey"].to_numpy().astype(np.int64)
-        lens = uniq["n_sh"].to_numpy().astype(np.int64)
-        so = np.argsort(dids, kind="stable")
-        dids, shs, cks, lens = dids[so], shs[so], cks[so], lens[so]
-        uniq_ck, inv = np.unique(cks, return_inverse=True)
-        R = uniq_ck.size
-        if R >= 2:
-            morder = np.lexsort((dids, inv))
-            msort = dids[morder]
-            starts = np.zeros(R + 1, dtype=np.int64)
-            np.cumsum(np.bincount(inv, minlength=R), out=starts[1:])
-            rep_rows = morder[starts[:-1]]
-            rlens = lens[rep_rows]
-            # candidate rep pairs: reps sharing a prefix shingle
-            rowdoc = g["doc_id"].to_numpy().astype(np.int64)
-            rowpk = g["pkey"].to_numpy().astype(np.int64)
-            rrep = inv[np.searchsorted(dids, rowdoc)]
-            o2 = np.lexsort((rrep, rowpk))
-            pk_s, rp_s = rowpk[o2], rrep[o2]
-            dup = np.ones(pk_s.size, dtype=bool)
-            dup[1:] = (np.diff(pk_s) != 0) | (np.diff(rp_s) != 0)
-            pk_s, rp_s = pk_s[dup], rp_s[dup]
-            bnd = np.flatnonzero(np.diff(pk_s)) + 1
-            rstarts = np.concatenate(([0], bnd))
-            rl = np.diff(np.concatenate((rstarts, [pk_s.size])))
-            key_parts = []
-            for L in np.unique(rl):
-                if L < 2:
-                    continue
-                S = rstarts[rl == L]
-                iu, ju = _tri_pair_indices(int(L))
-                A = rp_s[(S[:, None] + iu[None, :]).ravel()]
-                B = rp_s[(S[:, None] + ju[None, :]).ravel()]
-                key_parts.append(
-                    np.minimum(A, B) * R + np.maximum(A, B)
-                )
-            if key_parts:
-                uk = np.unique(np.concatenate(key_parts))
-                lo, hi = uk // R, uk % R
-                ne = lo != hi  # same-ckey pairs belong to the clique path
-                lo, hi = lo[ne], hi[ne]
-                la, lb = rlens[lo], rlens[hi]
-                okl = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
-                lo, hi, la, lb = lo[okl], hi[okl], la[okl], lb[okl]
-                P = lo.size
-                if P:
-                    # ALL pair intersections in one lexsort pass: each
-                    # pair's two (distinct, per-side) sets concatenate
-                    # under one pair id; a value adjacent-equal within
-                    # a pair appears on both sides = one shared shingle
-                    flat = np.concatenate(
-                        [np.asarray(shs[r], dtype=np.uint64)
-                         for r in rep_rows]
-                    )
-                    roff = np.zeros(R + 1, dtype=np.int64)
-                    np.cumsum(rlens, out=roff[1:])
-                    seg_rep = np.empty(2 * P, dtype=np.int64)
-                    seg_rep[0::2] = lo
-                    seg_rep[1::2] = hi
-                    seg_len = rlens[seg_rep]
-                    seg_start = np.cumsum(seg_len) - seg_len
-                    total = int(seg_len.sum())
-                    pos2 = np.arange(total, dtype=np.int64) - np.repeat(
-                        seg_start, seg_len
-                    )
-                    src = pos2 + np.repeat(roff[seg_rep], seg_len)
-                    vals = flat[src]
-                    pid = np.repeat(
-                        np.arange(2 * P, dtype=np.int64) // 2, seg_len
-                    )
-                    o3 = np.lexsort((vals, pid))
-                    v_s, p_s = vals[o3], pid[o3]
-                    eqm = np.zeros(v_s.size, dtype=bool)
-                    if v_s.size > 1:
-                        eqm[1:] = (np.diff(p_s) == 0) & (
-                            v_s[1:] == v_s[:-1]
-                        )
-                    inter = np.bincount(p_s[eqm], minlength=P)
-                    jac = inter / (la + lb - inter)
-                    okj = jac >= threshold
-                    # member expansion, once per passing rep pair
-                    for a_r, b_r, j in zip(lo[okj], hi[okj], jac[okj]):
-                        ma = msort[starts[a_r]:starts[a_r + 1]]
-                        mb = msort[starts[b_r]:starts[b_r + 1]]
-                        A = np.repeat(ma, mb.size)
-                        B = np.tile(mb, ma.size)
-                        parts_a.append(np.minimum(A, B))
-                        parts_b.append(np.maximum(A, B))
-                        parts_j.append(np.full(A.size, float(j)))
+        cres = _setjoin_candidates_of_group(g, threshold)
+        if cres is not None:
+            rdocs, rlens, msort, starts, rep_rows, lo, hi = cres
+            uniq = g.drop_duplicates("doc_id")
+            udids = uniq["doc_id"].to_numpy().astype(np.int64)
+            so = np.argsort(udids, kind="stable")
+            shs = uniq["sset"].to_numpy()[so]
+            P = lo.size
+            # ALL pair intersections in one lexsort pass
+            flat = np.concatenate(
+                [np.asarray(shs[r], dtype=np.uint64) for r in rep_rows]
+            )
+            R = rep_rows.size
+            rlens_all = np.array(
+                [len(shs[r]) for r in rep_rows], dtype=np.int64
+            )
+            roff = np.zeros(R + 1, dtype=np.int64)
+            np.cumsum(rlens_all, out=roff[1:])
+            seg_rep = np.empty(2 * P, dtype=np.int64)
+            seg_rep[0::2] = lo
+            seg_rep[1::2] = hi
+            seg_len = rlens_all[seg_rep]
+            seg_start = np.cumsum(seg_len) - seg_len
+            total = int(seg_len.sum())
+            pos2 = np.arange(total, dtype=np.int64) - np.repeat(
+                seg_start, seg_len
+            )
+            src = pos2 + np.repeat(roff[seg_rep], seg_len)
+            vals = flat[src]
+            jac, okj = _jaccard_of_pairs(vals, seg_len, threshold)
+            # member expansion, once per passing rep pair
+            for a_r, b_r, j in zip(lo[okj], hi[okj], jac[okj]):
+                ma = msort[starts[a_r]:starts[a_r + 1]]
+                mb = msort[starts[b_r]:starts[b_r + 1]]
+                A = np.repeat(ma, mb.size)
+                B = np.tile(mb, ma.size)
+                parts_a.append(np.minimum(A, B))
+                parts_b.append(np.maximum(A, B))
+                parts_j.append(np.full(A.size, float(j)))
         if not parts_a:
             return empty_df
         out = pd.DataFrame({
@@ -2157,7 +2353,347 @@ def set_similarity_join(
         verify, batch_format="pandas"
     )
     out = _finalize_pairs(pairs, [], [], [])
+    SETJOIN_TELEMETRY.update(kernel="prefix")
+    logging.getLogger(__name__).info(
+        "set_similarity_join prefix kernel done (%d pairs)",
+        out.num_rows if out is not None else 0,
+    )
     return out if out is not None else empty
+
+
+def _setjoin_basic(
+    sf_dir, threshold, shingle_n, max_shingles, mapref, empty
+):
+    """Vernica basic kernel — linear shipping for heavy-tailed L:
+
+    (a) prefix pass emits (prefix-bucket, doc_id, n_sh, ckey) ROWS
+        ONLY (~(1-t)*L+1 fixed-width rows per doc, no sets);
+    (b) the coarse-bucket groupby yields candidate REP pairs (content
+        keys collapse docs to representatives; cliques and clique
+        membership are emitted once globally by the first-prefix
+        owner group), globally deduped driver-side — candidate-sized,
+        the same class of driver work as the family's components/
+        finalize steps;
+    (c) ONE re-fetch exchange: candidate doc ids broadcast as a
+        filter, candidate docs re-shingled (one filtered corpus
+        pass), each set routed ONCE per pair-bucket it participates
+        in; the vectorized lexsort verify runs per bucket.
+
+    Shipping is Sum(prefix rows) + Sum_over_pair_participations(L) —
+    linear in L — vs the set-with-prefix kernel's ~(1-t)*L^2 values
+    per doc. Exact-output-identical to the prefix kernel (pytest)."""
+    import logging
+
+    import pandas as pd
+    import ray
+
+    log = logging.getLogger(__name__)
+
+    def emit_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(_setjoin_prefix_rows(
+            batch, mapref, threshold, shingle_n, max_shingles,
+            with_sets=False,
+        ))
+
+    def candgen(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("kind", "a", "b", "la", "lb")
+        empty_df = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in cols}
+        )
+        if not len(g):
+            return empty_df
+        kk, aa, bb, ll_a, ll_b = [], [], [], [], []
+
+        def add(kind, a, b, la=None, lb=None):
+            kk.append(np.full(a.size, kind, dtype=np.int64))
+            aa.append(a.astype(np.int64))
+            bb.append(b.astype(np.int64))
+            ll_a.append(
+                np.zeros(a.size, np.int64) if la is None
+                else la.astype(np.int64)
+            )
+            ll_b.append(
+                np.zeros(a.size, np.int64) if lb is None
+                else lb.astype(np.int64)
+            )
+
+        # kind=3 stats row: a = this group's prefix rows (basic-kernel
+        # shipping), b = Sum n_sh over rows (the values the
+        # set-with-prefix kernel would have shipped here) — exact
+        # telemetry for the kernel A/B, essentially free
+        add(
+            3,
+            np.array([len(g)]),
+            np.array([int(g["n_sh"].to_numpy().sum())]),
+        )
+        # identical-set cliques + their membership, once globally via
+        # the first-prefix owner group
+        fr = g[g["is_first"]]
+        if len(fr):
+            fk = fr["ckey"].to_numpy().astype(np.int64)
+            fd = fr["doc_id"].to_numpy().astype(np.int64)
+            ca, cb = _clique_pairs(fk, fd)
+            if ca.size:
+                add(1, ca, cb)
+            # membership rows (rep=min doc, member) for cliques >= 2
+            o = np.lexsort((fd, fk))
+            k_s, v_s = fk[o], fd[o]
+            gs = np.concatenate(([0], np.flatnonzero(np.diff(k_s)) + 1))
+            gl = np.diff(np.concatenate((gs, [k_s.size])))
+            rep_of_row = np.repeat(v_s[gs], gl)
+            big = np.repeat(gl, gl) >= 2
+            if big.any():
+                add(2, rep_of_row[big], v_s[big])
+        cres = _setjoin_candidates_of_group(g, threshold)
+        if cres is not None:
+            rdocs, rlens, _msort, _starts, _rep_rows, lo, hi = cres
+            A, B = rdocs[lo], rdocs[hi]
+            la, lb = rlens[lo], rlens[hi]
+            swap = A > B
+            A2 = np.where(swap, B, A)
+            B2 = np.where(swap, A, B)
+            la2 = np.where(swap, lb, la)
+            lb2 = np.where(swap, la, lb)
+            add(0, A2, B2, la2, lb2)
+        return pd.DataFrame({
+            "kind": np.concatenate(kk),
+            "a": np.concatenate(aa),
+            "b": np.concatenate(bb),
+            "la": np.concatenate(ll_a),
+            "lb": np.concatenate(ll_b),
+        })
+
+    cg = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_ids, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(candgen, batch_format="pandas")
+    )
+    kinds, a_l, b_l, la_l, lb_l = [], [], [], [], []
+    for blk in cg.iter_batches(batch_format="numpy", batch_size=None):
+        if blk["kind"].size:
+            kinds.append(np.asarray(blk["kind"], dtype=np.int64))
+            a_l.append(np.asarray(blk["a"], dtype=np.int64))
+            b_l.append(np.asarray(blk["b"], dtype=np.int64))
+            la_l.append(np.asarray(blk["la"], dtype=np.int64))
+            lb_l.append(np.asarray(blk["lb"], dtype=np.int64))
+    if not kinds:
+        SETJOIN_TELEMETRY.update(
+            kernel="basic", prefix_rows=0, would_prefix_values=0,
+            candidate_pairs=0, refetch_values=0,
+        )
+        return empty
+    kind = np.concatenate(kinds)
+    a = np.concatenate(a_l)
+    b = np.concatenate(b_l)
+    la = np.concatenate(la_l)
+    lb = np.concatenate(lb_l)
+    prefix_rows = int(a[kind == 3].sum())
+    would_values = int(b[kind == 3].sum())
+    cl_a, cl_b = a[kind == 1], b[kind == 1]
+    # rep -> member lists (sorted by rep for slice lookup)
+    m_rep, m_mem = a[kind == 2], b[kind == 2]
+    mo = np.lexsort((m_mem, m_rep))
+    m_rep, m_mem = m_rep[mo], m_mem[mo]
+    # global candidate dedup (the same rep pair can surface from
+    # several prefix buckets)
+    ca, cb, cla, clb = a[kind == 0], b[kind == 0], la[kind == 0], \
+        lb[kind == 0]
+    if ca.size:
+        o = np.lexsort((cb, ca))
+        ca, cb, cla, clb = ca[o], cb[o], cla[o], clb[o]
+        keep = np.ones(ca.size, dtype=bool)
+        keep[1:] = (np.diff(ca) != 0) | (np.diff(cb) != 0)
+        ca, cb, cla, clb = ca[keep], cb[keep], cla[keep], clb[keep]
+    P = ca.size
+    parts_a = [cl_a] if cl_a.size else []
+    parts_b = [cl_b] if cl_b.size else []
+    parts_j = [np.ones(cl_a.size, np.float64)] if cl_a.size else []
+    refetch_values = 0
+    if P:
+        NB = 64
+        C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+        pb = (
+            (ca.astype(np.uint64) * C1) ^ (cb.astype(np.uint64) * C2)
+        ) % np.uint64(NB)
+        pb = pb.astype(np.int64)
+        # doc -> unique buckets (CSR), for set routing
+        d2 = np.concatenate((ca, cb))
+        k2 = np.concatenate((pb, pb))
+        l2 = np.concatenate((cla, clb))
+        o = np.lexsort((k2, d2))
+        d2, k2, l2 = d2[o], k2[o], l2[o]
+        u = np.ones(d2.size, dtype=bool)
+        u[1:] = (np.diff(d2) != 0) | (np.diff(k2) != 0)
+        d2, k2, l2 = d2[u], k2[u], l2[u]
+        refetch_values = int(l2.sum())
+        cd_sorted = np.unique(d2)
+        csr_off = np.zeros(cd_sorted.size + 1, dtype=np.int64)
+        np.cumsum(
+            np.bincount(
+                np.searchsorted(cd_sorted, d2),
+                minlength=cd_sorted.size,
+            ),
+            out=csr_off[1:],
+        )
+        routeref = ray.put((cd_sorted, csr_off, k2))
+        # pairs grouped by bucket for the verify stage
+        po = np.argsort(pb, kind="stable")
+        pb_s, pa_s, pbb_s = pb[po], ca[po], cb[po]
+        sz_s = (cla + clb)[po]
+        poff = np.searchsorted(pb_s, np.arange(NB + 1))
+        pairsref = ray.put((poff, pa_s, pbb_s, sz_s))
+
+        def refetch(batch: pa.Table) -> pa.Table:
+            cd, coff, cbk = ray.get(routeref)
+            dids = batch["doc_id"].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            pos = np.searchsorted(cd, dids)
+            hit = pos < cd.size
+            hit[hit] = cd[pos[hit]] == dids[hit]
+            sel = np.flatnonzero(hit)
+            if not sel.size:
+                return pa.table({
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sset": pa.array(
+                        [], pa.large_list(pa.uint64())
+                    ),
+                })
+            texts = _text_col(batch).take(pa.array(sel, pa.int64()))
+            offsets, sh_val, _ck = _capped_sets(
+                texts, shingle_n, max_shingles
+            )
+            sets_arr = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(sh_val, pa.uint64()),
+            )
+            rows = pos[sel]
+            cnt = coff[rows + 1] - coff[rows]
+            rep = np.repeat(np.arange(sel.size, dtype=np.int64), cnt)
+            # gather each selected doc's bucket slice
+            flat_pos = (
+                np.arange(int(cnt.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                + np.repeat(coff[rows], cnt)
+            )
+            return pa.table({
+                "bucket": pa.array(cbk[flat_pos], pa.int64()),
+                "doc_id": pa.array(
+                    dids[sel][rep], pa.int64()
+                ),
+                "sset": sets_arr.take(pa.array(rep, pa.int64())),
+            })
+
+        def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+            empty_df = pd.DataFrame({
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            })
+            if not len(g):
+                return empty_df
+            bkt = int(g["bucket"].iloc[0])
+            poff_, pa_, pb_, _sz = ray.get(pairsref)
+            s, e = int(poff_[bkt]), int(poff_[bkt + 1])
+            if s == e:
+                return empty_df
+            qa, qb = pa_[s:e], pb_[s:e]
+            dloc = g["doc_id"].to_numpy().astype(np.int64)
+            sloc = g["sset"].to_numpy()
+            so = np.argsort(dloc, kind="stable")
+            dloc, sloc = dloc[so], sloc[so]
+            ra = np.searchsorted(dloc, qa)
+            rb = np.searchsorted(dloc, qb)
+            Pq = qa.size
+            seg_rows = np.empty(2 * Pq, dtype=np.int64)
+            seg_rows[0::2] = ra
+            seg_rows[1::2] = rb
+            seg_sets = [
+                np.asarray(sloc[r], dtype=np.uint64) for r in seg_rows
+            ]
+            seg_len = np.array(
+                [sv.size for sv in seg_sets], dtype=np.int64
+            )
+            flat = (
+                np.concatenate(seg_sets) if seg_sets
+                else np.zeros(0, np.uint64)
+            )
+            jac, okj = _jaccard_of_pairs(flat, seg_len, threshold)
+            if not okj.any():
+                return empty_df
+            return pd.DataFrame({
+                "doc_a": qa[okj].astype("int64"),
+                "doc_b": qb[okj].astype("int64"),
+                "jaccard": jac[okj],
+            })
+
+        verified = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(refetch, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_verify, batch_format="pandas")
+        )
+        va, vb, vj = [], [], []
+        for blk in verified.iter_batches(
+            batch_format="numpy", batch_size=None
+        ):
+            if blk["doc_a"].size:
+                va.append(np.asarray(blk["doc_a"], dtype=np.int64))
+                vb.append(np.asarray(blk["doc_b"], dtype=np.int64))
+                vj.append(np.asarray(blk["jaccard"], dtype=np.float64))
+        if va:
+            va = np.concatenate(va)
+            vb = np.concatenate(vb)
+            vj = np.concatenate(vj)
+            # expand verified rep pairs to clique members (members
+            # share the rep's exact set, so the jaccard carries over)
+            ms = np.searchsorted(m_rep, va, side="left")
+            me = np.searchsorted(m_rep, va, side="right")
+            ns = np.searchsorted(m_rep, vb, side="left")
+            ne_ = np.searchsorted(m_rep, vb, side="right")
+            for i in range(va.size):
+                ma = (
+                    m_mem[ms[i]:me[i]] if me[i] > ms[i]
+                    else va[i:i + 1]
+                )
+                mb = (
+                    m_mem[ns[i]:ne_[i]] if ne_[i] > ns[i]
+                    else vb[i:i + 1]
+                )
+                A = np.repeat(ma, mb.size)
+                B = np.tile(mb, ma.size)
+                parts_a.append(np.minimum(A, B))
+                parts_b.append(np.maximum(A, B))
+                parts_j.append(np.full(A.size, float(vj[i])))
+    SETJOIN_TELEMETRY.update(
+        kernel="basic",
+        prefix_rows=prefix_rows,
+        would_prefix_values=would_values,
+        candidate_pairs=int(P),
+        refetch_values=refetch_values,
+    )
+    log.info(
+        "set_similarity_join basic kernel: %d prefix rows + %d "
+        "refetch values shipped for %d candidate pairs "
+        "(set-with-prefix kernel would ship %d values)",
+        prefix_rows, refetch_values, int(P), would_values,
+    )
+    if not parts_a:
+        return empty
+    da = np.concatenate(parts_a)
+    db = np.concatenate(parts_b)
+    jj = np.concatenate(parts_j)
+    order = np.lexsort((db, da))
+    da, db, jj = da[order], db[order], jj[order]
+    keep = np.ones(da.size, dtype=bool)
+    keep[1:] = (np.diff(da) != 0) | (np.diff(db) != 0)
+    return pa.table({
+        "doc_a": pa.array(da[keep], pa.int64()),
+        "doc_b": pa.array(db[keep], pa.int64()),
+        "jaccard": pa.array(jj[keep], pa.float64()),
+    })
 
 
 def set_similarity_join_sql(

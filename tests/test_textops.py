@@ -1472,3 +1472,115 @@ def test_ann_ivfpq_fullrerank_identity_and_recall(tmp_path):
         b = set(brute[brute.query_id == q].vec_id)
         a = set(approx[approx.query_id == q].vec_id)
         assert len(a & b) / len(b) >= 0.9, q
+
+
+# --- round-5: Vernica basic kernel (linear shipping) + durable cache ---
+
+
+def _longdoc_fixture(tmp_path, n_long=6, n_short=8, seed=11):
+    """Heavy-tailed corpus: a few multi-thousand-shingle docs (with a
+    planted near-dup and an exact clique among them) over a bed of
+    short docs — the corpus shape the basic kernel exists for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(4000)]
+    texts = []
+    base = " ".join(rng.choice(vocab, size=3000))
+    texts.append(base)
+    toks = base.split()
+    near = list(toks)
+    for posn in rng.integers(0, len(toks), size=30):
+        near[int(posn)] = "mut"
+    texts.append(" ".join(near))  # near-dup of 0
+    texts.append(base)  # exact clique with 0
+    for _ in range(n_long - 3):
+        texts.append(" ".join(rng.choice(vocab, size=2500)))
+    for _ in range(n_short):
+        s = " ".join(rng.choice(vocab, size=int(rng.integers(5, 25))))
+        texts.append(s)
+        texts.append(s)  # short clique pairs
+    d = tmp_path / "sflong"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+    return d
+
+
+def test_setjoin_kernel_invariance(tmp_path):
+    """The basic (linear-shipping) and set-with-prefix kernels compute
+    the IDENTICAL exact pair set — pairs, jaccards, cliques — on a
+    heavy-tailed planted corpus. Kernel choice is pure performance."""
+    from sotohp_ray.pipelines import textops as t
+
+    d = _longdoc_fixture(tmp_path)
+    p = t._set_similarity_join_compute(
+        str(d), 0.6, 3, 2048, None, kernel="prefix"
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = t._set_similarity_join_compute(
+        str(d), 0.6, 3, 2048, None, kernel="basic"
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(p) and p.equals(b)
+    # planted structure survived: near-dup pair + clique at jaccard 1
+    keys = set(zip(p["doc_a"].astype(int), p["doc_b"].astype(int)))
+    assert (0, 1) in keys and (0, 2) in keys and (1, 2) in keys
+    byk = dict(zip(zip(p["doc_a"].astype(int), p["doc_b"].astype(int)),
+                   p["jaccard"]))
+    assert byk[(0, 2)] == 1.0 and byk[(0, 1)] < 1.0
+
+
+def test_setjoin_basic_kernel_ships_superlinearly_less(tmp_path):
+    """The VERDICT-r4 scale-killer, measured: on heavy-tailed L the
+    basic kernel's shipped volume (prefix rows + re-fetch values) must
+    drop SUPERLINEARLY below the set-with-prefix kernel's ~(1-t)L^2
+    envelope — both numbers exact, from the same run's telemetry."""
+    from sotohp_ray.pipelines import textops as t
+
+    d = _longdoc_fixture(tmp_path)
+    t._set_similarity_join_compute(
+        str(d), 0.6, 3, 2048, None, kernel="basic"
+    )
+    tel = dict(t.SETJOIN_TELEMETRY)
+    assert tel["kernel"] == "basic"
+    shipped_basic = tel["prefix_rows"] + tel["refetch_values"]
+    assert tel["would_prefix_values"] > 10 * shipped_basic, tel
+
+
+def test_setjoin_auto_selects_basic_on_long_docs(tmp_path):
+    """kernel="auto" must pick the basic kernel once the estimated
+    p95 shingle count crosses the switch — and the prefix kernel on a
+    short-doc corpus."""
+    from sotohp_ray.pipelines import textops as t
+
+    d = _longdoc_fixture(tmp_path)
+    t._set_similarity_join_compute(str(d), 0.6, 3, 2048, None, "auto")
+    assert t.SETJOIN_TELEMETRY["kernel"] == "basic"
+    assert t.SETJOIN_TELEMETRY["est_p95_shingles"] > t._SETJOIN_L_SWITCH
+    d2, _ = _simjoin_fixture(tmp_path, seed=3)
+    t._set_similarity_join_compute(str(d2), 0.6, 3, 2048, None, "auto")
+    assert t.SETJOIN_TELEMETRY["kernel"] == "prefix"
+
+
+def test_setjoin_pair_cache_reused(tmp_path, monkeypatch):
+    """Second consumer of the exact join (similarity_components,
+    repeated join calls) must serve from the durable pair cache —
+    ZERO shingle/verify work — and see identical pairs (the
+    near-dup-family cache discipline extended to the exact join,
+    VERDICT-r4 ask #3)."""
+    from sotohp_ray.pipelines import textops as t
+
+    d, _texts = _simjoin_fixture(tmp_path, seed=7)
+    first = t.set_similarity_join(str(d), threshold=0.6)
+
+    def boom(*a, **k):
+        raise AssertionError("exact join recomputed despite cache")
+
+    monkeypatch.setattr(t, "_set_similarity_join_compute", boom)
+    again = t.set_similarity_join(str(d), threshold=0.6)
+    assert again.equals(first)
+    # components run entirely off the cache too
+    comp = t.similarity_components(str(d), threshold=0.6)
+    assert comp.num_rows >= 1
