@@ -3324,41 +3324,70 @@ class _ShardSearcher:
         self.eng2orig = ray.get(mapref) if mapref is not None else None
         self.mode = mode
 
+    def _serve_batch(self, batch: pa.Table) -> pa.Table:
+        """Production serving path: adaptive block-max WAND, top-k
+        only. Query-syntax routing: "quoted" -> phrase; a NEAR/3 b ->
+        proximity; else free terms (Lucene-ish surface). Plain term
+        queries are BATCHED through the fan-out's two-RPC-rounds-per-
+        batch protocol (``search_wand_many``) when the backing
+        searcher is sharded — fan-out RPC latency amortizes across
+        the batch instead of repeating per query."""
+        q_ids, doc_ids, scores = [], [], []
+        qis = batch["query_id"].to_pylist()
+        qs = batch["query"].to_pylist()
+        hits_of: list = [None] * len(qs)
+        plain: list[int] = []
+        for r, q in enumerate(qs):
+            if q.startswith('"') and q.endswith('"') and len(q) > 2:
+                hits_of[r] = self.searcher.search_phrase(q[1:-1], self.k)
+            elif " NEAR/" in q:
+                try:
+                    left, rest = q.split(" NEAR/", 1)
+                    w, right = rest.split(" ", 1)
+                    hits_of[r] = self.searcher.search_proximity(
+                        left.strip(), right.strip(), window=int(w),
+                        k=self.k,
+                    )
+                except ValueError:
+                    # malformed NEAR syntax must not kill the serving
+                    # actor — degrade to term search
+                    plain.append(r)
+            else:
+                plain.append(r)
+        if plain:
+            many = getattr(self.searcher, "search_wand_many", None)
+            if many is not None:
+                for r, h in zip(
+                    plain, many([qs[r] for r in plain], self.k)
+                ):
+                    hits_of[r] = h
+            else:
+                for r in plain:
+                    hits_of[r] = self.searcher.search_wand(qs[r], self.k)
+        for qi, hits in zip(qis, hits_of):
+            for d, sc in hits:
+                q_ids.append(qi)
+                doc_ids.append(
+                    int(self.eng2orig[d])
+                    if self.eng2orig is not None
+                    else int(d)
+                )
+                scores.append(sc)
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         q_ids, doc_ids, scores = [], [], []
+        if self.mode == "serve":
+            return self._serve_batch(batch)
         for qi, q in zip(
             batch["query_id"].to_pylist(), batch["query"].to_pylist()
         ):
-            if self.mode == "serve":
-                # production path: adaptive block-max WAND, top-k only.
-                # Query-syntax routing: "quoted" -> phrase; a NEAR/3 b
-                # -> proximity; else free terms (Lucene-ish surface).
-                hits = None
-                if q.startswith('"') and q.endswith('"') and len(q) > 2:
-                    hits = self.searcher.search_phrase(q[1:-1], self.k)
-                elif " NEAR/" in q:
-                    try:
-                        left, rest = q.split(" NEAR/", 1)
-                        w, right = rest.split(" ", 1)
-                        hits = self.searcher.search_proximity(
-                            left.strip(), right.strip(), window=int(w),
-                            k=self.k,
-                        )
-                    except ValueError:
-                        # malformed NEAR syntax must not kill the
-                        # serving actor — degrade to term search
-                        hits = None
-                if hits is None:
-                    hits = self.searcher.search_wand(q, self.k)
-                for d, sc in hits:
-                    q_ids.append(qi)
-                    doc_ids.append(
-                        int(self.eng2orig[d])
-                        if self.eng2orig is not None
-                        else int(d)
-                    )
-                    scores.append(sc)
-                continue
             # oracle path: exact scores over all matches, then the
             # rounding contract (round(score,4) desc, doc_id asc) —
             # identical ranking rule to the SQL oracle

@@ -1287,3 +1287,24 @@ def test_fanout_group_count_invariance(small_index):
                 n_groups, q)
             assert f.search_min_should_match(q, 2, 10) == \
                 baselines[q]["msm2"], (n_groups, q)
+
+
+def test_fanout_wand_many_bit_identical(small_index):
+    """The batched serve protocol (two RPC rounds per BATCH,
+    wand_bootstrap_many/survivor_contribs_many) must return
+    bit-identical hits to the one-query-at-a-time search_wand for a
+    mixed batch — including queries with absent terms ([]), hot
+    single terms and multi-term queries — and to the single
+    Searcher's WAND."""
+    from sotohp_ray.pipelines.query import FanoutSearcher
+
+    _, index_dir, _, _ = small_index
+    s = Searcher(index_dir)
+    f = FanoutSearcher(index_dir, n_groups=4)
+    qs = [q["q"] for q in reference_queries(small_index[0])]
+    qs += ["zzznotfound", "", qs[0]]  # misses + a duplicate
+    batched = f.search_wand_many(qs, 10)
+    assert len(batched) == len(qs)
+    for q, hits in zip(qs, batched):
+        assert hits == f.search_wand(q, 10), q
+        assert hits == s.search_wand(q, 10), q
