@@ -44,6 +44,115 @@ def _text_col(batch: pa.Table) -> pa.Array:
     return t.cast(pa.large_string())
 
 
+# ---- shared analyzed-tokens artifact (one tokenize pass per corpus) --
+
+
+def _tokens_cache_dir(sf_dir: str) -> str:
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"tok{_TOK.rules.version_hash()}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp", "sotohp_ray_cache", f"tokens-{key}")
+
+
+def _docs_tokens(sf_dir: str):
+    """Dataset (doc_id, lang, toks:large_list<string>, n_tokens)
+    served from the fingerprinted analyzed-tokens sidecar: the corpus
+    is tokenized ONCE per (corpus, tokenizer version_hash) and every
+    token-based operator streams the analyzed lists instead of
+    re-running the regex chain per pass — ~40 operators shared 2-3
+    tokenize passes EACH before this artifact existed (VERDICT-r4 ask
+    #6). The key covers corpus identity AND the tokenizer config hash
+    (M8 discipline: a config change invalidates, never silently mixes
+    two tokenizations); sidecars of a rewritten corpus are evicted by
+    the .src-tag rule the other /tmp caches use. Written partitioned
+    by Ray (one file per block), read back streaming — never a driver
+    materialization."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    d = _tokens_cache_dir(sf_dir)
+    if not os.path.isdir(d):
+        def tok_batch(batch: pa.Table) -> pa.Table:
+            lists = _TOK.token_lists(_text_col(batch))
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "toks": lists,
+                "n_tokens": pc.list_value_length(lists).cast(pa.int64()),
+            })
+
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        tag = (
+            f"{os.path.abspath(sf_dir)}|tok{_TOK.rules.version_hash()}"
+        )
+        for srcf in glob.glob(
+            os.path.join(os.path.dirname(d), "tokens-*.src")
+        ):
+            if srcf == d + ".src":
+                continue
+            try:
+                with open(srcf) as f:
+                    if f.read() != tag:
+                        continue
+                shutil.rmtree(srcf[: -len(".src")], ignore_errors=True)
+                os.remove(srcf)
+            except OSError:
+                pass
+        tmp = tempfile.mkdtemp(
+            dir=os.path.dirname(d), prefix=os.path.basename(d) + ".tmp-"
+        )
+        try:
+            _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+                tok_batch, batch_format="pyarrow"
+            ).write_parquet(tmp)
+            with open(d + ".src", "w") as f:
+                f.write(tag)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        try:
+            os.rename(tmp, d)
+        except OSError:  # concurrent builder won
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ray.data.read_parquet(d)
+
+
+def _toklists_of(batch: pa.Table) -> pa.Array:
+    t = batch["toks"]
+    return t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+
+
+def _exploded_of(batch: pa.Table):
+    """(parent_row_index, term) from a tokens-sidecar batch — the
+    zero-regex twin of ``CodeTokenizer.exploded``; row order within a
+    doc is the analyzed token order (positional consumers rely on
+    it)."""
+    lists = _toklists_of(batch)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return pc.list_parent_indices(lists), flat.cast(pa.large_string())
+
+
+def _term_freqs_of(batch: pa.Table) -> pa.Table:
+    """(row_idx, term, tf) within-batch combiner from a tokens-sidecar
+    batch — the zero-regex twin of ``CodeTokenizer.term_frequencies``."""
+    parents, flat = _exploded_of(batch)
+    t = pa.table({"row_idx": parents, "term": flat})
+    g = t.group_by(["row_idx", "term"]).aggregate([("term", "count")])
+    return agg_select(
+        g, {"row_idx": "row_idx", "term": "term", "term_count": "tf"}
+    )
+
+
 # ---------------------------------------------------------------- sha256
 
 
@@ -130,7 +239,7 @@ def term_df(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        tf = _TOK.term_frequencies(_text_col(batch))
+        tf = _term_freqs_of(batch)
         g = (
             pa.table({"term": tf["term"]})
             .group_by("term")
@@ -138,7 +247,7 @@ def term_df(sf_dir: str):
         )
         return agg_select(g, {"term": "term", "count_all": "df_partial"})
 
-    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    ds = _docs_tokens(sf_dir).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby("term").aggregate(Sum("df_partial", alias_name="df"))
     return out
 
@@ -217,11 +326,11 @@ def doc_keywords(sf_dir: str, top_n: int = 5):
 
     from sotohp_ray.functions.hashing import token_hash_array
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
+    docs = _docs_tokens(sf_dir)
     n_docs = float(docs.count())  # parquet metadata count, no scan
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        tf = _TOK.term_frequencies(_text_col(batch))
+        tf = _term_freqs_of(batch)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         doc = ids[tf["row_idx"].to_numpy(zero_copy_only=False)]
         coarse = (token_hash_array(tf["term"]) & np.uint64(0xFF)).astype(
@@ -3254,13 +3363,13 @@ def bigram_counts(sf_dir: str, min_count: int = 5):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        parents, flat = _TOK.exploded(_text_col(batch))
+        parents, flat = _exploded_of(batch)
         pn = parents.to_numpy(zero_copy_only=False)
         nt = len(flat)
         if nt < 2:
             return pa.table({
-                "t1": pa.array([], pa.string()),
-                "t2": pa.array([], pa.string()),
+                "t1": pa.array([], pa.large_string()),
+                "t2": pa.array([], pa.large_string()),
                 "n_partial": pa.array([], pa.int64()),
             })
         same_doc = pn[:-1] == pn[1:]
@@ -3274,7 +3383,7 @@ def bigram_counts(sf_dir: str, min_count: int = 5):
         )
 
     agg = (
-        _docs(sf_dir, ["doc_id", "text"])
+        _docs_tokens(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["t1", "t2"])
         .aggregate(Sum("n_partial", alias_name="n"))
@@ -3312,7 +3421,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5):
 
     def partial(batch: pa.Table) -> pa.Table:
         needed = ray.get(nref)
-        parents, flat = _TOK.exploded(_text_col(batch))
+        parents, flat = _exploded_of(batch)
         pn = parents.to_numpy(zero_copy_only=False)
         nt = len(flat)
         # totals: N tokens; M adjacent same-doc pairs
@@ -3334,7 +3443,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5):
     from ray.data.aggregate import Sum
 
     counts = (
-        _docs(sf_dir, ["doc_id", "text"])
+        _docs_tokens(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("c_partial", alias_name="c"))

@@ -27,7 +27,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from sotohp_ray.functions.tokenizer import sql_token_expr
-from sotohp_ray.pipelines.textops import _TOK, _docs, _text_col
+from sotohp_ray.pipelines.textops import (
+    _TOK, _docs, _docs_tokens, _text_col, _toklists_of,
+)
 
 _MIX_MUL = 2654435761  # Knuth multiplicative hash (public constant)
 _MIX_BUCKETS = 4096  # priority-hash buckets for the budget threshold
@@ -73,15 +75,15 @@ def token_budget_mixture(sf_dir: str, budget: int = MIX_BUDGET_TOKENS):
     from ray.data.aggregate import Sum
 
     def tok_batch(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
-        n = pc.list_value_length(lists).cast(pa.int64())
+        # token counts come straight off the analyzed-tokens sidecar —
+        # this operator's three passes used to re-tokenize each time
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         pr = (ids * np.uint64(_MIX_MUL)) % np.uint64(1 << 32)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang": batch["lang"],
-                "n_tokens": n,
+                "n_tokens": batch["n_tokens"],
                 "pr": pa.array(pr, pa.uint64()),
                 "bucket": pa.array(
                     (pr >> np.uint64(20)).astype(np.int64), pa.int64()
@@ -90,7 +92,7 @@ def token_budget_mixture(sf_dir: str, budget: int = MIX_BUDGET_TOKENS):
         )
 
     def tokens_ds():
-        return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        return _docs_tokens(sf_dir).map_batches(
             tok_batch, batch_format="pyarrow"
         )
 
@@ -269,12 +271,7 @@ def doc_chunks(
     stride = chunk - overlap
 
     def f(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
-        lists = (
-            lists.combine_chunks()
-            if isinstance(lists, pa.ChunkedArray)
-            else lists
-        )
+        lists = _toklists_of(batch)
         n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
         n = n.astype(np.int64)
         flat = pc.list_flatten(lists)
@@ -324,7 +321,7 @@ def doc_chunks(
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _docs_tokens(sf_dir).map_batches(
         f, batch_format="pyarrow"
     )
 
@@ -377,7 +374,7 @@ def doc_oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE):
     from ray.data.aggregate import Sum
 
     def counts(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
+        lists = _toklists_of(batch)
         flat = pc.list_flatten(lists)
         vc = flat.value_counts()
         return pa.table(
@@ -388,7 +385,7 @@ def doc_oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE):
         )
 
     top = (
-        _docs(sf_dir, ["text"])
+        _docs_tokens(sf_dir)
         .map_batches(counts, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("cnt", alias_name="cf"))
@@ -399,7 +396,7 @@ def doc_oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE):
     vocab = pa.array(top["term"].tolist(), pa.large_string())
 
     def score(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
+        lists = _toklists_of(batch)
         n = pc.list_value_length(lists).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
@@ -427,7 +424,7 @@ def doc_oov_rate(sf_dir: str, vocab_size: int = OOV_VOCAB_SIZE):
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _docs_tokens(sf_dir).map_batches(
         score, batch_format="pyarrow"
     )
 
@@ -520,15 +517,13 @@ def doc_packing(
     import pandas as pd
 
     def assign(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
-        n = pc.list_value_length(lists).cast(pa.int64())
         ids = batch["doc_id"].to_numpy(
             zero_copy_only=False
         ).astype(np.uint64)
         pr = (ids * np.uint64(_MIX_MUL)) % np.uint64(1 << 32)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "n_tokens": n,
+            "n_tokens": batch["n_tokens"],
             "shard_id": pa.array(
                 (pr % np.uint64(n_shards)).astype(np.int64), pa.int64()
             ),
@@ -563,7 +558,7 @@ def doc_packing(
         return out
 
     return (
-        _docs(sf_dir, ["doc_id", "text"])
+        _docs_tokens(sf_dir)
         .map_batches(assign, batch_format="pyarrow")
         .groupby("shard_id")
         .map_groups(pack, batch_format="pandas")
@@ -774,7 +769,7 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
     from ray.data.aggregate import Sum
 
     def counts(batch: pa.Table) -> pa.Table:
-        lists = _TOK.token_lists(_text_col(batch))
+        lists = _toklists_of(batch)
         vc = pc.list_flatten(lists).value_counts()
         return pa.table({
             "term": vc.field("values").cast(pa.string()),
@@ -782,7 +777,7 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
         })
 
     top = (
-        _docs(sf_dir, ["text"])
+        _docs_tokens(sf_dir)
         .map_batches(counts, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("cnt", alias_name="cf"))
@@ -796,7 +791,7 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
     def _adj_ids(batch: pa.Table):
         """(parents, ids): per-token doc row index and vocab id
         (v = <unk>) for the batch's flattened analyzed tokens."""
-        lists = _TOK.token_lists(_text_col(batch))
+        lists = _toklists_of(batch)
         flat = pc.list_flatten(lists)
         parents = pc.list_parent_indices(lists).to_numpy(
             zero_copy_only=False
@@ -822,7 +817,7 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
         })
 
     model = (
-        _docs(sf_dir, ["doc_id", "text"])
+        _docs_tokens(sf_dir)
         .map_batches(bpartial, batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum("n_partial", alias_name="n"))
@@ -859,7 +854,7 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
             ),
         })
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _docs_tokens(sf_dir).map_batches(
         score, batch_format="pyarrow"
     )
 

@@ -359,3 +359,73 @@ def test_doc_packing_matches_bruteforce(tmp_path):
     # every sequence respects capacity unless it holds one oversized doc
     for (_, _), g in got.groupby(["shard_id", "seq_id"]):
         assert g["n_tokens"].sum() <= L or len(g) == 1
+
+
+def test_tokens_sidecar_skips_tokenization(tmp_path, monkeypatch):
+    """VERDICT-r4 ask #6: once the analyzed-tokens sidecar exists for a
+    (corpus, tokenizer-config) pair, token-based operators must do ZERO
+    regex/tokenizer work — guarded by making the tokenizer explode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines import textops, training
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "lang": pa.array(["py", "py", "go"]),
+        "text": pa.array([
+            "def fooBar(x): return x + 1",
+            "spark sort merge join",
+            "",
+        ]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    first = textops.term_df(str(d)).to_pandas()  # builds the sidecar
+
+    def boom(*a, **k):
+        raise AssertionError("tokenizer ran despite tokens sidecar")
+
+    monkeypatch.setattr(CodeTokenizer, "token_lists", boom)
+    monkeypatch.setattr(CodeTokenizer, "exploded", boom)
+    again = textops.term_df(str(d)).to_pandas()
+    assert sorted(again["term"]) == sorted(first["term"])
+    # a DIFFERENT token op rides the same sidecar with zero tokenizing
+    oov = training.doc_oov_rate(str(d)).take_all()
+    assert len(oov) == 3
+    lm = training.doc_lm_score(str(d)).take_all()
+    assert len(lm) >= 1
+
+
+def test_tokens_sidecar_invalidated_by_tokenizer_config(tmp_path):
+    """The sidecar key covers the tokenizer version_hash: a config
+    change must produce a DIFFERENT sidecar path (never silently mix
+    two tokenizations — the M8/M11 lineage discipline)."""
+    from sotohp_ray.config import TokenizerRules
+    from sotohp_ray.pipelines import textops
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "lang": pa.array(["py"]),
+        "text": pa.array(["alpha beta"]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    p1 = textops._tokens_cache_dir(str(d))
+    old_tok = textops._TOK
+
+    class _Tok2:
+        rules = TokenizerRules(stopwords=frozenset({"alpha"}))
+
+    try:
+        textops._TOK = _Tok2()
+        p2 = textops._tokens_cache_dir(str(d))
+    finally:
+        textops._TOK = old_tok
+    assert p1 != p2
