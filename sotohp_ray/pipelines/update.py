@@ -266,7 +266,7 @@ def _repair_interrupted(
         for r in lin.read_records(index_dir)
         if r.get("status") == "done"
     }
-    reindexed = False
+    reindexed = _finish_consolidation(index_dir, config)
     if os.path.isdir(inc_dir):
         for name in sorted(os.listdir(inc_dir)):
             if not (name.startswith("partition-") and name.endswith(".json")):
@@ -313,7 +313,10 @@ def _repair_interrupted(
             m.get("config") == _config_fingerprint(config)
             and m.get("lineage") == lineage_fp
         )
-    if pending_tombs and compact:
+    if pending_tombs and compact is True:
+        # under compact='auto', pending tombstones are a NORMAL
+        # deferred state, not an interrupted run — the policy in the
+        # sync body decides when they get applied
         compact_index(index_dir)
         return True
     if reindexed or stale:
@@ -322,10 +325,208 @@ def _repair_interrupted(
     return False
 
 
+AUTO_COMPACT_MAX_INCREMENTS = 8
+AUTO_COMPACT_TOMBSTONE_FRAC = 0.10
+
+
+def _done_increment_intents(index_dir: str) -> list[dict]:
+    """Sorted (by pid) increment intents whose partition has a 'done'
+    lineage record — the consolidation-eligible backlog."""
+    inc_dir = _increments_dir(index_dir)
+    if not os.path.isdir(inc_dir):
+        return []
+    done = {
+        r["partition_id"]
+        for r in lin.read_records(index_dir)
+        if r.get("status") == "done"
+    }
+    out = []
+    for name in sorted(os.listdir(inc_dir)):
+        if not (
+            name.startswith("partition-") and name.endswith(".json")
+        ):
+            continue
+        with open(os.path.join(inc_dir, name)) as f:
+            intent = json.load(f)
+        if int(intent["pid"]) in done:
+            out.append(intent)
+    return sorted(out, key=lambda r: int(r["pid"]))
+
+
+def _auto_compact_due(index_dir: str) -> bool:
+    """The compact='auto' trigger: the increment backlog crossed
+    AUTO_COMPACT_MAX_INCREMENTS partitions, or pending tombstones
+    crossed AUTO_COMPACT_TOMBSTONE_FRAC of the live corpus. Until the
+    trigger fires, syncs pay only the cheap merge — tombstones filter
+    results immediately, surviving docs keep pre-compaction scores
+    (the standard deferred-delete trade, same as Lucene's deleted
+    docs affecting stats until a forced merge)."""
+    from sotohp_ray.pipelines.delete import load_tombstones
+
+    if len(_done_increment_intents(index_dir)) >= (
+        AUTO_COMPACT_MAX_INCREMENTS
+    ):
+        return True
+    stats = _read_stats(index_dir)
+    n_docs = int(stats.get("n_docs", 0))
+    tombs = int(load_tombstones(index_dir).size)
+    return tombs > 0 and tombs >= AUTO_COMPACT_TOMBSTONE_FRAC * max(
+        n_docs, 1
+    )
+
+
+def _remove_partition_artifacts(index_dir: str, pid: int) -> None:
+    """Idempotently retire one partition: increment intent first (so
+    the generic crash replay can never re-index it), then the
+    increment input, lineage record, docmeta and partials dirs."""
+    import shutil
+
+    inc_dir = _increments_dir(index_dir)
+    for p in (
+        os.path.join(inc_dir, f"partition-{pid:05d}.json"),
+        os.path.join(inc_dir, f"partition-{pid:05d}.parquet"),
+        os.path.join(
+            index_dir, "lineage", f"partition-{pid:05d}.json"
+        ),
+    ):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    for d in (
+        os.path.join(index_dir, "docmeta", f"partition-{pid:05d}"),
+        os.path.join(index_dir, "partials", f"partition-{pid:05d}"),
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _finish_consolidation(index_dir: str, config: IndexConfig) -> bool:
+    """Forward-only replay of an increment consolidation whose
+    ``consolidate.json`` record is on disk: the consolidated input
+    parquet is durable BEFORE the record is written, so repair always
+    rolls FORWARD — finish retiring the old increments, index the
+    consolidated partition if its lineage record is missing, adjust
+    doc_id_space, drop the record. Every step is idempotent."""
+    from sotohp_ray.pipelines.build_index import (
+        PartitionIndexer,
+        _config_to_kwargs,
+    )
+
+    cpath = os.path.join(_increments_dir(index_dir), "consolidate.json")
+    if not os.path.exists(cpath):
+        return False
+    with open(cpath) as f:
+        c = json.load(f)
+    for pid in c["old_pids"]:
+        _remove_partition_artifacts(index_dir, int(pid))
+    new_pid = int(c["pid"])
+    done = {
+        r["partition_id"]
+        for r in lin.read_records(index_dir)
+        if r.get("status") == "done"
+    }
+    inc_path = os.path.join(
+        _increments_dir(index_dir), f"partition-{new_pid:05d}.parquet"
+    )
+    if new_pid not in done:
+        lin.write_json(
+            os.path.join(
+                _increments_dir(index_dir),
+                f"partition-{new_pid:05d}.json",
+            ),
+            {"pid": new_pid, "base": c["base"], "rows": c["rows"]},
+        )
+        ix = PartitionIndexer(_config_to_kwargs(config), index_dir)
+        ix._index_one(new_pid, inc_path, int(c["base"]))
+    stats = _read_stats(index_dir)
+    stats["doc_id_space"] = int(c["space"])
+    _write_stats(index_dir, stats)
+    os.remove(cpath)
+    return True
+
+
+def _consolidate_increments(
+    index_dir: str, config: IndexConfig
+) -> bool:
+    """Fold the whole increment backlog into ONE partition (the
+    auto-compaction policy's partition-count bound, VERDICT-r4 ask
+    #7). Preconditions: >= 2 done increments, contiguous id ranges
+    (increments stack at the top of the id space by construction) and
+    NO pending tombstones — the caller runs ``compact_index`` first,
+    which also clears the backlog's dead rows from docmeta, so "live
+    rows of each increment" is exactly its docmeta partition.
+
+    Engine ids of the consolidated docs are REASSIGNED (dense from
+    the first increment's base, the fresh-build rule over the
+    surviving rows); result-level equality is unaffected because
+    every pipeline maps engine ids to original ids through docmeta
+    before ranking — the same sparse-vs-dense freedom compaction
+    already established. Crash safety is the staged-record discipline
+    of ``_finish_consolidation``: the consolidated input parquet is
+    durable before the record, the record before any destruction."""
+    from sotohp_ray.functions.hashing import doc_uuid_column
+    from sotohp_ray.pipelines.delete import load_tombstones
+
+    if load_tombstones(index_dir).size:
+        return False  # caller must compact first
+    intents = _done_increment_intents(index_dir)
+    if len(intents) < 2:
+        return False
+    for a, b in zip(intents, intents[1:]):
+        if int(a["base"]) + int(a["rows"]) != int(b["base"]):
+            return False  # non-contiguous: never consolidate a gap
+    stats = _read_stats(index_dir)
+    space = int(stats.get("doc_id_space", stats["n_docs"]))
+    last = intents[-1]
+    if int(last["base"]) + int(last["rows"]) != space:
+        return False  # backlog is not the top of the id space
+    inc_dir = _increments_dir(index_dir)
+    parts = []
+    for intent in intents:
+        pid = int(intent["pid"])
+        t = pq.read_table(
+            os.path.join(inc_dir, f"partition-{pid:05d}.parquet")
+        )
+        dm_path = os.path.join(
+            index_dir, "docmeta", f"partition-{pid:05d}", "data.parquet"
+        )
+        live = set(
+            pq.read_table(dm_path, columns=["doc_uuid"])
+            ["doc_uuid"].to_pylist()
+        ) if os.path.exists(dm_path) else set()
+        uu = doc_uuid_column(t["repo"], t["path"], t["commit"])
+        keep = pc.is_in(
+            uu, value_set=pa.array(sorted(live), type=pa.string())
+        )
+        parts.append(t.filter(keep))
+    cat = pa.concat_tables(parts)
+    base = int(intents[0]["base"])
+    new_pid = (max(_existing_partition_ids(index_dir), default=-1)) + 1
+    inc_path = os.path.join(
+        inc_dir, f"partition-{new_pid:05d}.parquet"
+    )
+    # durable order: consolidated input FIRST, then the record (the
+    # point of no return — repair rolls forward from here), then the
+    # retire+index replay shared with crash recovery
+    lin.atomic_write_table(cat, inc_path)
+    lin.write_json(
+        os.path.join(inc_dir, "consolidate.json"),
+        {
+            "old_pids": [int(i["pid"]) for i in intents],
+            "pid": new_pid,
+            "base": base,
+            "rows": cat.num_rows,
+            "space": base + cat.num_rows,
+        },
+    )
+    _finish_consolidation(index_dir, config)
+    return True
+
+
 def sync_changed_docs(
     index_dir: str,
     incoming: pa.Table,
-    compact: bool = True,
+    compact: bool | str = True,
     remove_missing: bool = False,
 ) -> dict:
     """Re-index exactly the incoming rows whose content changed (plus
@@ -334,7 +535,20 @@ def sync_changed_docs(
     pass it when ``incoming`` IS the complete current corpus).
     Idempotent: a second sync with the same rows is a no-op; a retry
     after a crash repairs the interrupted run first. Returns counts +
-    the new stats."""
+    the new stats.
+
+    ``compact`` policies: ``True`` (default) compacts whenever this
+    sync tombstoned anything — scores always equal a fresh build;
+    ``False`` defers forever (caller owns compaction); ``"auto"``
+    defers until the increment backlog reaches
+    AUTO_COMPACT_MAX_INCREMENTS partitions or pending tombstones reach
+    AUTO_COMPACT_TOMBSTONE_FRAC of the corpus, then runs
+    ``compact_index`` AND folds the whole increment backlog into ONE
+    partition (``_consolidate_increments``) — N repeated syncs keep
+    the serving-side partition count and tombstone load BOUNDED
+    instead of growing per sync, with the crash-safety contract
+    preserved (staged ``consolidate.json`` record, forward-only
+    replay)."""
     from sotohp_ray.pipelines.build_index import (
         PartitionIndexer,
         _config_to_kwargs,
@@ -389,7 +603,18 @@ def sync_changed_docs(
         ix = PartitionIndexer(_config_to_kwargs(config), index_dir)
         ix._index_one(pid, inc_path, base)
 
-    if compact and dead:
+    if compact == "auto":
+        if _auto_compact_due(index_dir):
+            from sotohp_ray.pipelines.delete import (
+                compact_index as _ci,
+            )
+
+            _ci(index_dir)  # applies + clears tombstones (and merges)
+            _consolidate_increments(index_dir, config)
+        # always finish with the stats+merge recompute: it is a no-op
+        # when the marker matches, and the consolidation path needs it
+        new_stats = _finish_merge(index_dir, config)
+    elif compact is True and dead:
         new_stats = compact_index(index_dir)
     else:
         # pure additions (or caller defers compaction): recompute the

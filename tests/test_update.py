@@ -265,3 +265,121 @@ def test_detect_changes_ignores_unchanged(
     )
     assert det["changed_rows"] == [] and det["new_rows"] == []
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def _pure_add_rows(t, n, tag):
+    return pa.table({
+        "repo": pa.array([t["repo"][0].as_py()] * n),
+        "path": pa.array([f"zz_{tag}_{i}.py" for i in range(n)]),
+        "commit": pa.array([t["commit"][0].as_py()] * n),
+        "lang": pa.array(["py"] * n),
+        "content": pa.array(
+            [f"def {tag}_{i}(): return {i}  # changedmarker sentinel"
+             for i in range(n)],
+            t.schema.field("content").type),
+    })
+
+
+def test_auto_compaction_bounds_increments(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """compact='auto' (VERDICT-r4 ask #7): ten successive syncs keep
+    the increment-partition count and pending-tombstone load BOUNDED —
+    at the threshold the backlog compacts and folds into ONE
+    consolidated partition — and after the final compaction the index
+    equals a fresh build over the final corpus."""
+    from sotohp_ray.pipelines.delete import compact_index, load_tombstones
+    from sotohp_ray.pipelines.update import (
+        AUTO_COMPACT_MAX_INCREMENTS,
+        _done_increment_intents,
+        sync_changed_docs,
+    )
+
+    corpus_dir, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("idx_auto"))
+    build_index(corpus_dir, idx, config=IndexConfig())
+    t, _ = _corpus_table(corpus_dir)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    incoming = t.select(cols)
+    paths = sorted(incoming["path"].to_pylist())
+    texts = dict(zip(incoming["path"].to_pylist(),
+                     incoming["content"].to_pylist()))
+    max_backlog, max_tombs = 0, 0
+    consolidated = False
+    for i in range(10):
+        texts[paths[i]] = texts[paths[i]] + f"\nsyncmarker round{i}"
+        cur = pa.table({
+            "repo": incoming["repo"],
+            "path": incoming["path"],
+            "commit": incoming["commit"],
+            "lang": incoming["lang"],
+            "content": pa.array(
+                [texts[p] for p in incoming["path"].to_pylist()],
+                incoming.schema.field("content").type),
+        })
+        r = sync_changed_docs(idx, cur, compact="auto")
+        assert r["changed"] == 1 and r["new"] == 0
+        backlog = len(_done_increment_intents(idx))
+        max_backlog = max(max_backlog, backlog)
+        max_tombs = max(max_tombs, int(load_tombstones(idx).size))
+        if backlog == 1 and i >= 2:
+            consolidated = True  # the fold visibly happened mid-run
+        # every sync's results remain tombstone-correct: the changed
+        # doc's new content is findable, at most one hit per path
+        s = Searcher(idx)
+        hits = s.search_exact(f"syncmarker round{i}", k=10)
+        assert len(hits) >= 1
+    assert consolidated, "backlog never folded"
+    assert max_backlog <= AUTO_COMPACT_MAX_INCREMENTS
+    assert max_tombs <= AUTO_COMPACT_MAX_INCREMENTS
+    # final compaction -> fresh-build equality (the existing contract)
+    compact_index(idx)
+    fresh_corpus = str(tmp_path_factory.mktemp("corpus_auto_fresh"))
+    pq.write_table(cur, os.path.join(fresh_corpus, "part-00000.parquet"))
+    fresh_idx = str(tmp_path_factory.mktemp("idx_auto_fresh"))
+    build_index(fresh_corpus, fresh_idx, config=IndexConfig())
+    assert _results_by_path(idx) == _results_by_path(fresh_idx)
+
+
+def test_consolidation_crash_replays_forward(
+    ray_session, tiny_corpus, tmp_path_factory, monkeypatch
+):
+    """A crash right after the consolidate.json record is durable (but
+    before any retire/index work) must roll FORWARD on the next sync:
+    the backlog still folds into one partition and results are
+    unchanged."""
+    from sotohp_ray.pipelines import update
+
+    corpus_dir, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("idx_crash"))
+    build_index(corpus_dir, idx, config=IndexConfig())
+    t, _ = _corpus_table(corpus_dir)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    base = t.select(cols)
+    # three pure-ADD syncs build a tombstone-free backlog
+    grown = base
+    for i in range(3):
+        grown = pa.concat_tables(
+            [grown, _pure_add_rows(t, 2, f"auto{i}")]
+        )
+        update.sync_changed_docs(idx, grown, compact=False)
+    assert len(update._done_increment_intents(idx)) == 3
+    before = _results_by_path(idx)
+    with open(os.path.join(idx, "config.json")) as f:
+        config = IndexConfig.from_json(f.read())
+    # "crash": the record is written, nothing destructive ran yet
+    monkeypatch.setattr(
+        update, "_finish_consolidation", lambda *a, **k: False
+    )
+    assert update._consolidate_increments(idx, config)
+    monkeypatch.undo()
+    assert os.path.exists(
+        os.path.join(idx, "increments", "consolidate.json")
+    )
+    # next sync repairs forward before doing its own work
+    update.sync_changed_docs(idx, grown, compact="auto")
+    assert not os.path.exists(
+        os.path.join(idx, "increments", "consolidate.json")
+    )
+    assert len(update._done_increment_intents(idx)) == 1
+    assert _results_by_path(idx) == before
