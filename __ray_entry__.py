@@ -128,6 +128,30 @@ _KNN_COSINE_SQL = """
 """
 
 
+_KNN_MMR_LAMBDA1_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(
+               e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) - 1 AS rank
+      FROM s
+    )
+    SELECT query_id, rank, vec_id, score, score AS mmr
+    FROM ranked WHERE rank < 10
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline: build the inverted index over the sf0.001
     documents table through the full engine (SPIMI map_batches actor
@@ -244,6 +268,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
         "ann_lsh_search": ann.ann_lsh_search,               # rows-only
+        # zero hyperplanes = one universal bucket = every row is a
+        # candidate, so the LSH path degenerates to exact brute force
+        # and earns an oracle-gated row (the IVF-fullprobe trick)
+        "ann_lsh_fullprobe": lambda sf: ann.ann_lsh_search(
+            sf, n_planes=0, n_tables=1
+        ),
         "ann_ivf_search": ann.ann_ivf_search,               # rows-only
         # full probe (n_probe == n_centroids) IS exact brute force, so
         # the IVF path earns an oracle-gated row, not just recall tests
@@ -251,6 +281,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, n_centroids=32, n_probe=32
         ),
         "ann_ivf_buckets": ann.ann_ivf_buckets,             # rows-only
+        # lambda=1 MMR is pure relevance: the greedy argmax visits the
+        # candidates in (score desc, vec_id asc) order, i.e. the exact
+        # top-k — the diversified path earns an oracle-gated row while
+        # the diversification semantics stay pytest-gated
+        "knn_mmr_lambda1": lambda sf: ann.knn_mmr(sf, lam=1.0),
         "knn_cosine_quantized": ann.knn_cosine_quantized,   # rows-only
         # full re-rank (depth >= corpus) == exact brute force, so the
         # quantized path gets an oracle-gated row too
@@ -439,6 +474,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_filtered_fullprobe": ann.knn_cosine_filtered_sql(),
         # full-probe IVF == brute-force kNN, same oracle
         "ann_ivf_fullprobe": _KNN_COSINE_SQL,
+        # zero-plane LSH == brute-force kNN, same oracle
+        "ann_lsh_fullprobe": _KNN_COSINE_SQL,
+        # lambda=1 MMR == relevance-ranked top-k with rank + mmr=score
+        "knn_mmr_lambda1": _KNN_MMR_LAMBDA1_SQL,
         # full-re-rank quantized search == brute-force kNN, same oracle
         "knn_cosine_quantized_fullrerank": _KNN_COSINE_SQL,
         "knn_cosine_pq_fullrerank": _KNN_COSINE_SQL,
