@@ -39,33 +39,58 @@ _K1, _B = 1.2, 0.75
 
 
 def _corpus_from_documents(sf_dir: str, corpus_dir: str, n_parts: int = 4):
-    """Map documents -> the engine's corpus shape. path is the
-    zero-padded doc_id so (repo,path,commit) order == doc_id order and
-    partition files hold sorted, disjoint key ranges (the generator's
-    monotone-key contract)."""
-    t = pq.read_table(f"{sf_dir}/documents.parquet")
-    idx = pa.compute.sort_indices(t["doc_id"])
-    t = t.take(idx)
-    n = t.num_rows
+    """Map documents -> the engine's corpus shape, STREAMING: rows
+    range-partition by doc_id directly (no global sort, no driver-side
+    table read — the round-1..4 version pulled and sorted the whole
+    documents table on the driver); each partition's writer task sorts
+    only its own slice. path is the zero-padded doc_id so
+    (repo,path,commit) order == doc_id order and partition files hold
+    sorted, disjoint key ranges (the generator's monotone-key
+    contract). The only wide op is the n_parts-way range exchange."""
+    import pandas as pd
+    import ray.data
+
+    from sotohp_ray.state import lineage as lin
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "text"],
+    )
     os.makedirs(corpus_dir, exist_ok=True)
-    step = (n + n_parts - 1) // n_parts
-    for p in range(n_parts):
-        lo, hi = p * step, min(n, (p + 1) * step)
-        if lo >= hi:
-            break
-        sl = t.slice(lo, hi - lo)
-        out = pa.table(
-            {
-                "repo": pa.array(["docs"] * (hi - lo)),
-                "path": pa.array(
-                    [f"{d:010d}" for d in sl["doc_id"].to_pylist()]
-                ),
-                "commit": pa.array(["0"] * (hi - lo)),
-                "lang": sl["lang"].combine_chunks().cast(pa.string()),
-                "content": sl["text"].combine_chunks().cast(pa.large_string()),
-            }
+    if ds.count() == 0:
+        return
+    space = int(ds.max("doc_id")) + 1
+    step = max(1, (space + n_parts - 1) // n_parts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(ids // step, pa.int64())
         )
-        pq.write_table(out, os.path.join(corpus_dir, f"part-{p:05d}.parquet"))
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        p = int(g["part"].iloc[0])
+        out = pa.table({
+            "repo": pa.array(["docs"] * len(g)),
+            "path": pa.array([f"{d:010d}" for d in g["doc_id"]]),
+            "commit": pa.array(["0"] * len(g)),
+            "lang": pa.array(g["lang"].astype(str), pa.string()),
+            "content": pa.array(
+                g["text"].astype(str), pa.large_string()
+            ),
+        })
+        lin.atomic_write_table(
+            out, os.path.join(corpus_dir, f"part-{p:05d}.parquet")
+        )
+        return pd.DataFrame({"part": [p], "rows": [len(g)]})
+
+    (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(write_part, batch_format="pandas")
+        .materialize()  # parts-count-sized stats, not the corpus
+    )
 
 
 def _cache_dir(sf_dir: str) -> str:
