@@ -244,7 +244,14 @@ def run_sf_pipelines(sf_dir: str) -> dict:
             r.materialize()
         out[name] = round(time.perf_counter() - t0, 3)
 
-    shutil.rmtree(_cache_dir(sf_dir), ignore_errors=True)  # fresh build
+    # ALL durable /tmp caches cold (index, band/pair, setjoin, tokens):
+    # every bench run measures the same cold->warm story — first
+    # consumer pays the build, second consumers show the cache wins
+    # (near_dup_dedup, similarity_components) inside the same record
+    shutil.rmtree("/tmp/sotohp_ray_cache", ignore_errors=True)
+    # the analyzed-tokens sidecar timed as its own entry so the ~10
+    # token ops that ride it get clean attribution
+    timed("tokens_sidecar_build", lambda: textops._docs_tokens(sf_dir))
     timed("bm25_topk_documents", lambda: bm25_topk(sf_dir))
     timed("term_df", lambda: textops.term_df(sf_dir))
     timed("dedup_exact", lambda: textops.dedup_exact(sf_dir))
@@ -409,6 +416,12 @@ def run_sf_pipelines(sf_dir: str) -> dict:
 
     timed("bm25_pinned", lambda: bm25_pinned(sf_dir))
     timed("events_funnel", lambda: relational.events_funnel(sf_dir))
+    # round-5: exact-twin oracles + durable-cache second consumer
+    timed("ann_lsh_fullprobe",
+          lambda: ann.ann_lsh_search(sf_dir, n_planes=0, n_tables=1))
+    timed("knn_mmr_lambda1", lambda: ann.knn_mmr(sf_dir, lam=1.0))
+    timed("set_similarity_join_cached",
+          lambda: textops.set_similarity_join(sf_dir))
     return out
 
 
