@@ -213,6 +213,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / quality ---
         "quality_stats": textops.quality_stats,
         "doc_repetition": textops.doc_repetition,
+        "doc_entropy": textops.doc_entropy,
+        "doc_compress_ratio": textops.doc_compress_ratio,   # rows-only
+        # supervised NB language model: the trained model's scores are
+        # the oracle-gated surface; argmax predictions are rows-only
+        # (sub-1e-6 knife edges could flip between engines)
+        "nb_lang_scores": textops.nb_lang_scores,
+        "nb_lang_predictions": textops.nb_lang_predictions,  # rows-only
         "doc_dup_grams": textops.doc_dup_grams,
         "decontaminate": textops.decontaminate,
         "doc_quality_signals": textops.doc_quality_signals,
@@ -390,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "corpus_quality_filter": textops.corpus_quality_filter_sql(),
         "doc_repetition": textops.doc_repetition_sql(),
+        "doc_entropy": textops.doc_entropy_sql(),
+        "nb_lang_scores": textops.nb_lang_scores_sql(),
         "doc_dup_grams": textops.doc_dup_grams_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "doc_quality_signals": textops.doc_quality_signals_sql(),

@@ -422,6 +422,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("knn_mmr_lambda1", lambda: ann.knn_mmr(sf_dir, lam=1.0))
     timed("set_similarity_join_cached",
           lambda: textops.set_similarity_join(sf_dir))
+    timed("doc_entropy", lambda: textops.doc_entropy(sf_dir))
+    timed("nb_lang_scores", lambda: textops.nb_lang_scores(sf_dir))
+    timed("doc_compress_ratio",
+          lambda: textops.doc_compress_ratio(sf_dir))
     return out
 
 

@@ -617,6 +617,103 @@ ORDER BY d.doc_id
 """
 
 
+def doc_entropy(sf_dir: str):
+    """(doc_id, n_tokens, entropy): Shannon entropy (nats) of each
+    document's OWN unigram token distribution — the classic
+    repetitiveness/boilerplate quality signal (low entropy = a few
+    tokens dominate; high = diverse vocabulary). Complements
+    doc_repetition (which measures n-gram repetition) with a
+    distribution-level measure. Zero-token docs are excluded (no
+    distribution to measure — the same rows the oracle's join drops).
+
+    One streaming pass over the analyzed-tokens sidecar: per-batch
+    term frequencies (vectorized groupby), p = tf/n, entropy summed
+    per row with one bincount. Round-6 like the other per-doc float
+    aggregates (doc_lm_score precedent)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        tf = _term_freqs_of(batch)
+        row = tf["row_idx"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = tf["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        h = np.zeros(batch.num_rows, dtype=np.float64)
+        if row.size:
+            p = c / n[row]
+            h = np.bincount(
+                row, weights=-p * np.log(p), minlength=batch.num_rows
+            )
+        keep = n > 0
+        return pa.table({
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            ),
+            "n_tokens": pa.array(n[keep].astype(np.int64), pa.int64()),
+            "entropy": pa.array(np.round(h[keep], 6), pa.float64()),
+        })
+
+    return _docs_tokens(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def doc_entropy_sql() -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       CAST(n.n AS BIGINT) AS n_tokens,
+       round(-sum((c / n.n) * ln(c / n.n)), 6) AS entropy
+FROM tf JOIN n ON n.doc_id = tf.doc_id
+GROUP BY 1, 2
+"""
+
+
+def doc_compress_ratio(sf_dir: str, level: int = 6):
+    """(doc_id, n_bytes, n_compressed, ratio): zlib (deflate level 6)
+    compression ratio of the raw text — the classic cheap
+    boilerplate/repetition quality signal (highly compressible text is
+    templated or repeated content; the Gopher/MassiveText-family rule
+    input). Deterministic (zlib is), but not SQL-expressible:
+    rows-only with a direct-zlib pytest. The per-row loop is
+    unavoidable (zlib has no columnar kernel) but each call is C code
+    over the row's bytes — the accepted binary-codec pattern
+    (media_codec); the stage streams as a plain task pool. ``ratio``
+    is n_compressed / max(n_bytes, 1), round 6."""
+    import zlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = _text_col(batch)
+        raw = pc.binary_length(texts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        comp = np.fromiter(
+            (len(zlib.compress(t.as_py().encode(), level))
+             for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(raw, pa.int64()),
+            "n_compressed": pa.array(comp, pa.int64()),
+            "ratio": pa.array(
+                np.round(comp / np.maximum(raw, 1), 6), pa.float64()
+            ),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def doc_repetition_sql() -> str:
     from sotohp_ray.functions.tokenizer import sql_token_expr
 
@@ -1066,6 +1163,212 @@ def lang_confusion_sql() -> str:
 
 
 # ----------------------------------------------------------------- dedup
+
+
+NB_VOCAB_SIZE = 2048
+
+
+def nb_lang_scores(sf_dir: str, vocab_size: int = NB_VOCAB_SIZE):
+    """(doc_id, lang, score): add-one-smoothed multinomial Naive Bayes
+    log-posterior (unnormalized) of every document under EACH language
+    class, trained on the corpus itself (the ``lang`` column as
+    labels): score(d,l) = ln P(l) + sum_t tf_dt * ln((c(l,t)+1) /
+    (c(l,.)+V)) over the corpus top-``vocab_size`` vocabulary
+    (out-of-vocabulary tokens are skipped — the bounded-model rule of
+    ``doc_lm_score``). This is supervised MODEL TRAINING expressed as
+    pure counting, which makes the trained model itself — not just a
+    prediction accuracy — SQL-expressible and oracle-gated. Round 6
+    (the per-doc float-aggregate precedent).
+
+    Three bounded passes over the analyzed-tokens sidecar: (1) top-V
+    vocabulary (A1 partial+final count); (2) (lang, term) counts —
+    per-batch combiner then a <= L*V-row groupby — plus the L-row
+    prior counts; (3) scoring with the dense (V, L) log-prob matrix
+    broadcast once via ray.put, one gather + one np.add.at per batch.
+    At fleet scale every exchange is model-sized (L*V), never
+    corpus-sized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # ---- pass 1: top-V vocabulary by collection frequency ----
+    def counts(batch: pa.Table) -> pa.Table:
+        _p, flat = _exploded_of(batch)
+        vc = flat.value_counts()
+        return pa.table({
+            "term": vc.field("values").cast(pa.string()),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    top = (
+        _docs_tokens(sf_dir)
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cf"))
+        .to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True])
+        .head(vocab_size)
+    )
+    vocab = np.sort(top["term"].to_numpy().astype("O"))
+    v = len(vocab)
+    vref = ray.put(pa.array(vocab.tolist(), pa.large_string()))
+
+    # ---- pass 2: priors + per-language term counts ----
+    def lt_partial(batch: pa.Table) -> pa.Table:
+        parents, flat = _exploded_of(batch)
+        pn = parents.to_numpy(zero_copy_only=False)
+        lg = batch["lang"].to_numpy(zero_copy_only=False).astype("O")
+        keep = pc.is_in(
+            flat, value_set=ray.get(vref).cast(flat.type)
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "lang": pa.array(lg[pn[keep]]),
+            "term": pc.filter(flat, pa.array(keep)).cast(pa.string()),
+        })
+        g = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return agg_select(
+            g, {"lang": "lang", "term": "term", "count_all": "c_partial"}
+        )
+
+    lt = (
+        _docs_tokens(sf_dir)
+        .map_batches(lt_partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("c_partial", alias_name="c"))
+        .to_pandas()
+    )
+    priors = (
+        _docs_tokens(sf_dir)
+        .groupby("lang")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "nd"})
+    )
+    langs = np.sort(priors["lang"].to_numpy().astype("O"))
+    lrow = {g: i for i, g in enumerate(langs)}
+    n_total = float(priors["nd"].sum())
+    prior = np.zeros(langs.size, dtype=np.float64)
+    prior[[lrow[g] for g in priors["lang"]]] = np.log(
+        priors["nd"].to_numpy(np.float64) / n_total
+    )
+    C = np.zeros((v, langs.size), dtype=np.float64)
+    if len(lt):
+        ti = np.searchsorted(vocab, lt["term"].to_numpy().astype("O"))
+        li = np.array([lrow[g] for g in lt["lang"]], dtype=np.int64)
+        C[ti, li] = lt["c"].to_numpy(np.float64)
+    ct = C.sum(axis=0)  # c(l, .)
+    logp = np.log((C + 1.0) / (ct + v)[None, :])  # (V, L)
+    mref = ray.put((logp, prior, langs))
+
+    # ---- pass 3: score every doc under every class ----
+    def score(batch: pa.Table) -> pa.Table:
+        lp, pr, lgs = ray.get(mref)
+        parents, flat = _exploded_of(batch)
+        pn = parents.to_numpy(zero_copy_only=False)
+        vid = pc.fill_null(
+            pc.index_in(flat, value_set=ray.get(vref).cast(flat.type)),
+            -1,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        inv = vid >= 0
+        s = np.tile(pr, (batch.num_rows, 1))
+        if inv.any():
+            np.add.at(s, pn[inv], lp[vid[inv]])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        L = lgs.size
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, L), pa.int64()),
+            "lang": pa.array(np.tile(lgs, ids.size).astype("O")),
+            "score": pa.array(
+                np.round(s.ravel(), 6), pa.float64()
+            ),
+        })
+
+    return _docs_tokens(sf_dir).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def nb_lang_scores_sql(vocab_size: int = NB_VOCAB_SIZE) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT d.doc_id, d.lang, unnest({texpr}) AS term FROM documents d
+),
+vocab AS (
+  SELECT term FROM toks GROUP BY term
+  ORDER BY count(*) DESC, term ASC LIMIT {vocab_size}
+),
+vsize AS (SELECT count(*) AS v FROM vocab),
+vtoks AS (SELECT t.* FROM toks t JOIN vocab USING (term)),
+langs AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+total AS (SELECT count(*) AS n FROM documents),
+counts AS (SELECT lang, term, count(*) AS c FROM vtoks GROUP BY 1, 2),
+ltot AS (SELECT lang, sum(c) AS ct FROM counts GROUP BY 1),
+dt AS (SELECT doc_id, term, count(*) AS tf FROM vtoks GROUP BY 1, 2),
+pairs AS (
+  SELECT d.doc_id, l.lang, l.nd, coalesce(lt.ct, 0) AS ct
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN langs l
+  LEFT JOIN ltot lt ON lt.lang = l.lang
+)
+SELECT p.doc_id, p.lang,
+       round(
+         ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM total))
+         + coalesce(sum(
+             dt.tf * ln((coalesce(c.c, 0) + 1.0)
+                        / (p.ct + (SELECT v FROM vsize)))
+           ), 0.0),
+         6) AS score
+FROM pairs p
+LEFT JOIN dt ON dt.doc_id = p.doc_id
+LEFT JOIN counts c ON c.lang = p.lang AND c.term = dt.term
+GROUP BY p.doc_id, p.lang, p.nd, p.ct
+"""
+
+
+def nb_lang_predictions(sf_dir: str, vocab_size: int = NB_VOCAB_SIZE):
+    """(doc_id, lang_true, lang_pred): argmax over the oracle-gated
+    ``nb_lang_scores`` table (score desc, lang asc tie) joined back to
+    the label — the classify side. Rows-only BY DESIGN: the argmax of
+    round-6 scores can flip on sub-1e-6 knife edges between engines,
+    so exactness lives in the SCORES oracle while predictions are
+    pytest-gated (disjoint-vocabulary planted corpus = 100% accuracy;
+    consistency with the scores argmax)."""
+    import pandas as pd
+
+    scores = nb_lang_scores(sf_dir, vocab_size)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "lang"],
+                          ascending=[True, False, True])
+        top = g.groupby("doc_id", sort=False).head(1)
+        return top[["doc_id", "lang"]].rename(
+            columns={"lang": "lang_pred"}
+        )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "b", pa.array(ids & 0x3F, pa.int64())
+        )
+
+    pred = (
+        scores.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(pick, batch_format="pandas")
+    ).to_pandas()
+    truth = _docs(sf_dir, ["doc_id", "lang"]).to_pandas().rename(
+        columns={"lang": "lang_true"}
+    )
+    out = truth.merge(pred, on="doc_id").sort_values("doc_id")
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+        "lang_true": pa.array(out["lang_true"].astype(str)),
+        "lang_pred": pa.array(out["lang_pred"].astype(str)),
+    })
 
 
 def _sha_hex_np(text: pa.Array | pa.ChunkedArray) -> np.ndarray:

@@ -1584,3 +1584,82 @@ def test_setjoin_pair_cache_reused(tmp_path, monkeypatch):
     # components run entirely off the cache too
     comp = t.similarity_components(str(d), threshold=0.6)
     assert comp.num_rows >= 1
+
+
+# --- round-5: entropy / NB language model / compression-ratio ops ---
+
+
+def test_nb_lang_classifier_planted_disjoint_vocab(tmp_path):
+    """On a corpus whose languages use DISJOINT vocabularies the NB
+    classifier must be 100% accurate, and predictions must equal the
+    argmax (score desc, lang asc) of the oracle-gated scores table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines import textops
+
+    rng = np.random.default_rng(3)
+    langs = {"aa": [f"alpha{i}" for i in range(30)],
+             "bb": [f"beta{i}" for i in range(30)],
+             "cc": [f"gamma{i}" for i in range(30)]}
+    rows_lang, rows_text = [], []
+    for lg, vocab in langs.items():
+        for _ in range(8):
+            rows_lang.append(lg)
+            rows_text.append(
+                " ".join(rng.choice(vocab, size=int(rng.integers(8, 25))))
+            )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(rows_lang))), pa.int64()),
+        "lang": pa.array(rows_lang),
+        "text": pa.array(rows_text),
+    }), str(d / "documents.parquet"))
+    pred = textops.nb_lang_predictions(str(d)).to_pandas()
+    assert len(pred) == len(rows_lang)
+    assert (pred["lang_true"] == pred["lang_pred"]).all()
+    # consistency: predictions ARE the argmax of the scores table
+    sc = textops.nb_lang_scores(str(d)).to_pandas()
+    top = (sc.sort_values(["doc_id", "score", "lang"],
+                          ascending=[True, False, True])
+             .groupby("doc_id").head(1))
+    want = dict(zip(top["doc_id"].astype(int), top["lang"]))
+    got = dict(zip(pred["doc_id"].astype(int), pred["lang_pred"]))
+    assert got == want
+
+
+def test_doc_compress_ratio_matches_zlib_and_orders_repetition(tmp_path):
+    """Engine values equal direct zlib on every row; a highly
+    repetitive doc compresses strictly better than a high-entropy
+    one."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines import textops
+
+    rng = np.random.default_rng(9)
+    texts = [
+        "spam ham " * 200,                       # repetitive
+        " ".join(str(rng.integers(10**9)) for _ in range(300)),
+        "",                                      # empty edge
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+    out = textops.doc_compress_ratio(str(d)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        raw = len(t.encode())
+        comp = len(zlib.compress(t.encode(), 6))
+        assert out["n_bytes"][i] == raw
+        assert out["n_compressed"][i] == comp
+        assert out["ratio"][i] == pytest.approx(
+            round(comp / max(raw, 1), 6)
+        )
+    assert out["ratio"][0] < out["ratio"][1]
