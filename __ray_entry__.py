@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redacted": training.docs_pii_redacted,
         "doc_chunks": training.doc_chunks,
         "doc_oov_rate": training.doc_oov_rate,
+        # BPE subword induction (Sennrich 2016): iterative greedy
+        # argmax -> rows-only, reference-equality pytest
+        "bpe_train": training.bpe_train,                    # rows-only
+        "bpe_token_count": training.bpe_token_count,        # rows-only
         "doc_lm_score": training.doc_lm_score,
         "training_shards": training.training_shards,
         "doc_packing": training.doc_packing,

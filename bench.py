@@ -426,6 +426,9 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("nb_lang_scores", lambda: textops.nb_lang_scores(sf_dir))
     timed("doc_compress_ratio",
           lambda: textops.doc_compress_ratio(sf_dir))
+    timed("bpe_train", lambda: training.bpe_train(sf_dir))
+    timed("bpe_token_count",
+          lambda: training.bpe_token_count(sf_dir))
     return out
 
 

@@ -913,3 +913,194 @@ def doc_oov_rate_sql(vocab_size: int = OOV_VOCAB_SIZE) -> str:
                  AS oov_rate
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+# ----------------------------------------------------- BPE induction
+
+BPE_MERGES = 64
+BPE_MAX_WORDS = 65536
+
+
+def _bpe_word_counts(sf_dir: str, max_words: int):
+    """(word, cf) collection-frequency table, capped at the top
+    ``max_words`` by (cf desc, word asc) — the word HISTOGRAM is the
+    whole training input of word-level BPE (Sennrich et al. 2016):
+    one corpus pass, then everything downstream is histogram-sized.
+    The cap bounds driver state the way doc_lm_score's top-V does;
+    at 100 TB you'd raise it, not remove it."""
+    from ray.data.aggregate import Sum
+
+    from sotohp_ray.pipelines.textops import _docs_tokens, _exploded_of
+
+    def counts(batch):
+        _p, flat = _exploded_of(batch)
+        vc = flat.value_counts()
+        return pa.table({
+            "word": vc.field("values").cast(pa.string()),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    top = (
+        _docs_tokens(sf_dir)
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cf"))
+        .to_pandas()
+        .sort_values(["cf", "word"], ascending=[False, True])
+        .head(max_words)
+    )
+    return (
+        top["word"].to_numpy().astype("O"),
+        top["cf"].to_numpy().astype(np.int64),
+    )
+
+
+def _bpe_merge_table(words, freqs, n_merges: int):
+    """Greedy BPE merge induction over a word histogram. Exact greedy
+    semantics, deterministic: per round, the (count desc, pair
+    lexicographic asc) argmax of position-weighted adjacent-pair
+    counts; stops early when the best pair's count < 2 (merging
+    singletons never helps). Symbols start as the word's characters
+    (no end-of-word marker — the simplest of the standard variants,
+    pinned by the reference-equality pytest)."""
+    from collections import Counter
+
+    seqs = [list(w) for w in words]
+    merges: list[tuple[str, str, int]] = []
+    for _rank in range(n_merges):
+        pc_ = Counter()
+        for s, f in zip(seqs, freqs):
+            for i in range(len(s) - 1):
+                pc_[(s[i], s[i + 1])] += int(f)
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < 2:
+            break
+        merges.append((l, r, int(c)))
+        lr = l + r
+        for si, s in enumerate(seqs):
+            if len(s) < 2:
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[si] = out
+    return merges, seqs
+
+
+def bpe_train(
+    sf_dir: str, n_merges: int = BPE_MERGES,
+    max_words: int = BPE_MAX_WORDS,
+):
+    """(rank, left, right, count): BPE tokenizer induction over the
+    analyzed corpus (Sennrich, Haddow & Birch, ACL 2016) — the
+    subword-vocabulary training step of an LLM data pipeline. The
+    distributed part is the ONE histogram pass (word collection
+    frequencies via the A1 partial+final aggregate over the tokens
+    sidecar); the merge loop then runs over the bounded histogram —
+    BPE's training input is the word histogram, never the corpus, so
+    corpus scale only affects the already-distributed pass. Iterative
+    greedy argmax is not SQL-expressible: rows-only, pinned by an
+    exact-equality pytest against an independent reference
+    implementation."""
+    words, freqs = _bpe_word_counts(sf_dir, max_words)
+    merges, _seqs = _bpe_merge_table(words, freqs, n_merges)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
+class _BPECounter:
+    """Actor-pool stage: the learned merge ranks load once per actor;
+    per batch, only NEW distinct words pay the encode loop (per-actor
+    memo — the same hot-path discipline as the model-in-init
+    stages). Word encode applies merges in rank order (the standard
+    deterministic BPE encoder)."""
+
+    def __init__(self, mref):
+        import ray
+
+        words, lens, merges = ray.get(mref)
+        self.known = dict(zip(words, lens.tolist()))
+        self.rank = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+
+    def _encode_len(self, w: str) -> int:
+        s = list(w)
+        if len(s) < 2:
+            return len(s)
+        while True:
+            best, bi = None, -1
+            for i in range(len(s) - 1):
+                rk = self.rank.get((s[i], s[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best, bi = rk, i
+            if best is None:
+                return len(s)
+            s[bi:bi + 2] = [s[bi] + s[bi + 1]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sotohp_ray.pipelines.textops import _exploded_of
+
+        parents, flat = _exploded_of(batch)
+        pn = parents.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(
+            np.asarray(flat.to_pylist(), dtype=object),
+            return_inverse=True,
+        ) if len(flat) else (np.zeros(0, dtype=object),
+                             np.zeros(0, dtype=np.int64))
+        lens = np.empty(uniq.size, dtype=np.int64)
+        for i, w in enumerate(uniq):
+            got = self.known.get(w)
+            if got is None:
+                got = self._encode_len(w)
+                self.known[w] = got
+            lens[i] = got
+        nb = np.zeros(batch.num_rows, dtype=np.int64)
+        if pn.size:
+            nb = np.bincount(
+                pn, weights=lens[inv], minlength=batch.num_rows
+            ).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": batch["n_tokens"],
+            "n_bpe_tokens": pa.array(nb, pa.int64()),
+        })
+
+
+def bpe_token_count(
+    sf_dir: str, n_merges: int = BPE_MERGES,
+    max_words: int = BPE_MAX_WORDS,
+):
+    """(doc_id, n_words, n_bpe_tokens): corpus token counts under the
+    ``bpe_train``-induced subword vocabulary — the budget number an
+    LLM pipeline actually plans with (docs cost subwords, not words).
+    Top-``max_words`` words ship with their PRE-COMPUTED subword
+    lengths (training already holds their final segmentations); tail
+    words are encoded on demand in the actor with a per-actor memo.
+    Rows-only (inherits bpe_train's iterative core); pinned by the
+    reference-equality pytest."""
+    import ray
+
+    from sotohp_ray.pipelines.textops import _docs_tokens
+
+    words, freqs = _bpe_word_counts(sf_dir, max_words)
+    merges, seqs = _bpe_merge_table(words, freqs, n_merges)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    mref = ray.put((words.tolist(), lens, merges))
+    return _docs_tokens(sf_dir).map_batches(
+        _BPECounter,
+        fn_constructor_kwargs={"mref": mref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )

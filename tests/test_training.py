@@ -429,3 +429,101 @@ def test_tokens_sidecar_invalidated_by_tokenizer_config(tmp_path):
     finally:
         textops._TOK = old_tok
     assert p1 != p2
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Independent reference BPE (Sennrich 2016 greedy): symbols =
+    chars, position-weighted pair counts, (count desc, pair asc)
+    argmax, left-to-right non-overlapping replace, stop below count
+    2. Returns (merge list, final segmentation dict)."""
+    from collections import Counter
+
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        pc_ = Counter()
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc_[(s[i], s[i + 1])] += f
+        if not pc_:
+            break
+        (l, r), c = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((l, r, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_train_matches_reference_and_counts(tmp_path):
+    """bpe_train's merge table equals an independent greedy-BPE
+    reference bit-for-bit on a planted corpus, and bpe_token_count's
+    per-doc subword counts equal summing each word's final reference
+    segmentation. The actor's rank-order encoder must reproduce the
+    training segmentation for every training word (the classic BPE
+    encode/train consistency property)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+    from sotohp_ray.pipelines import training
+
+    texts = [
+        "lowest lower low lowly newest newer new widest wider wide",
+        "lowest newest widest lowest newest lowest slow slowest",
+        "renew renewed renewal lowland newlow",
+        "single",
+        "",
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "lang": pa.array(["en"] * len(texts)),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+
+    tok = CodeTokenizer()
+    from collections import Counter
+
+    wf = Counter()
+    doc_words = []
+    for t in texts:
+        ws = tok.tokens_of(t)
+        doc_words.append(ws)
+        wf.update(ws)
+
+    n_merges = 12
+    ref_merges, ref_seqs = _ref_bpe(dict(wf), n_merges)
+    got = training.bpe_train(str(d), n_merges=n_merges).to_pandas()
+    eng = list(zip(got["left"], got["right"], got["count"].astype(int)))
+    assert eng == ref_merges
+
+    counts = training.bpe_token_count(
+        str(d), n_merges=n_merges
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, ws in enumerate(doc_words):
+        want = sum(len(ref_seqs[w]) for w in ws)
+        assert int(counts["n_bpe_tokens"][i]) == want, (i, ws)
+        assert int(counts["n_words"][i]) == len(ws)
+
+    # encode/train consistency: the rank-order encoder reproduces the
+    # training segmentation length for every training word
+    import ray as _ray
+
+    words = sorted(wf)
+    lens = np.array([0] * 0, dtype=np.int64)
+    mref = _ray.put(([], lens, ref_merges))  # no precomputed words
+    enc = training._BPECounter(mref)
+    for w in words:
+        assert enc._encode_len(w) == len(ref_seqs[w]), w
