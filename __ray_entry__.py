@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": textops.doc_repetition,
         "doc_entropy": textops.doc_entropy,
         "doc_compress_ratio": textops.doc_compress_ratio,   # rows-only
+        # the composed end-to-end cleaning pipeline (exact dedup x
+        # exact near-dedup x quality x decontamination), one operator
+        # with one composed oracle
+        "corpus_prepare": textops.corpus_prepare,
         # supervised NB language model: the trained model's scores are
         # the oracle-gated surface; argmax predictions are rows-only
         # (sub-1e-6 knife edges could flip between engines)
@@ -402,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_filter": textops.corpus_quality_filter_sql(),
         "doc_repetition": textops.doc_repetition_sql(),
         "doc_entropy": textops.doc_entropy_sql(),
+        "corpus_prepare": textops.corpus_prepare_sql(),
         "nb_lang_scores": textops.nb_lang_scores_sql(),
         "doc_dup_grams": textops.doc_dup_grams_sql(),
         "decontaminate": textops.decontaminate_sql(),

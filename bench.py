@@ -429,6 +429,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("bpe_train", lambda: training.bpe_train(sf_dir))
     timed("bpe_token_count",
           lambda: training.bpe_token_count(sf_dir))
+    timed("corpus_prepare", lambda: textops.corpus_prepare(sf_dir))
     return out
 
 

@@ -1501,6 +1501,169 @@ def near_keep_mask(sf_dir: str, threshold: float = 0.6):
     return mask_of
 
 
+
+def exact_drop_ids(sf_dir: str) -> np.ndarray:
+    """Sorted doc_ids DROPPED by exact dedup (every dup-cluster member
+    except its keeper) — dup-cluster-sized, computed by one streaming
+    hash pass that emits only the dropped ids."""
+    mask_of = exact_keep_mask(sf_dir)
+
+    def dropped(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = mask_of(ids, batch)
+        return pa.table({"doc_id": pa.array(ids[~m], pa.int64())})
+
+    out = []
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dropped, batch_format="pyarrow"
+    )
+    for blk in ds.iter_batches(batch_format="numpy", batch_size=None):
+        if blk["doc_id"].size:
+            out.append(np.asarray(blk["doc_id"], dtype=np.int64))
+    return (
+        np.sort(np.concatenate(out)) if out
+        else np.zeros(0, dtype=np.int64)
+    )
+
+
+def corpus_prepare(
+    sf_dir: str,
+    threshold: float = 0.6,
+    min_tokens: int = QF_MIN_TOKENS,
+    max_tokens: int = QF_MAX_TOKENS,
+    min_distinct_pct: int = QF_MIN_DISTINCT_PCT,
+    n_bench: int = DECON_BENCH_DOCS,
+    L: int = DUP_GRAM_L,
+):
+    """(doc_id, n_tokens): the end-to-end CLEANED TRAINING CORPUS —
+    the composition a real data pipeline runs before tokenizer/shard
+    export, as ONE operator with ONE composed SQL oracle. A document
+    survives iff it passes ALL FOUR independent keep predicates, each
+    evaluated on the RAW corpus:
+
+    1. exact-dedup keeper (sha cluster min-id rule, D1);
+    2. near-dedup keeper — canonical of the EXACT set-similarity
+       components (the oracle-friendly guaranteed-recall twin of the
+       MinHash path; same clustering contract as near_dup_dedup);
+    3. heuristic quality gate (token count in [min, max], distinct
+       ratio >= pct — corpus_quality_filter's integer-exact rule);
+    4. decontamination: not a benchmark doc (doc_id < n_bench) and
+       ZERO benchmark character-L-gram overlap (GPT-3 appendix C).
+
+    Intersection-of-independent-predicates semantics are deliberately
+    ORDER-FREE — that is what keeps the whole composition
+    SQL-expressible (sequential filtering would make each stage's
+    input depend on the previous stage's output and the oracle would
+    have to replicate the exact staging).
+
+    Cost shape: quality_stats' streaming pass carries the survivors;
+    the three drop sets broadcast output-sized (dup members, near-dup
+    members, contaminated ids); the near-dup components come from the
+    DURABLE setjoin pair cache, so a session that already ran the
+    join pays nothing."""
+    import ray
+
+    comp = similarity_components(sf_dir, threshold).to_pandas()
+    near_drop = comp.loc[
+        comp["doc_id"] != comp["canonical_id"], "doc_id"
+    ].to_numpy().astype(np.int64)
+    cont = decontaminate(sf_dir, n_bench, L).to_pandas()
+    cont_ids = cont.loc[
+        cont["n_contaminated"] > 0, "doc_id"
+    ].to_numpy().astype(np.int64)
+    drops = np.unique(np.concatenate((
+        exact_drop_ids(sf_dir), near_drop, cont_ids
+    )))
+    dref = ray.put(drops)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dr = ray.get(dref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        nd = batch["n_distinct_terms"].to_numpy(zero_copy_only=False)
+        m = (
+            (ids >= n_bench)
+            & (nt >= min_tokens) & (nt <= max_tokens)
+            & (nd * 100 >= min_distinct_pct * nt)
+            & ~np.isin(ids, dr, kind="sort")
+        )
+        out = batch.filter(pa.array(m))
+        return out.select(["doc_id", "n_tokens"])
+
+    return quality_stats(sf_dir).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def corpus_prepare_sql(
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    min_tokens: int = QF_MIN_TOKENS,
+    max_tokens: int = QF_MAX_TOKENS,
+    min_distinct_pct: int = QF_MIN_DISTINCT_PCT,
+    n_bench: int = DECON_BENCH_DOCS,
+    L: int = DUP_GRAM_L,
+) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    pair_sql = set_similarity_join_sql(threshold, shingle_n)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+simedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT a, a FROM simedges
+  UNION
+  SELECT e.a, r.lbl FROM simedges e JOIN reach r ON r.doc_id = e.b
+),
+comp AS (SELECT doc_id, min(lbl) AS canonical_id FROM reach
+         GROUP BY doc_id),
+near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id),
+exact_keep AS (
+  SELECT doc_id FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY sha256(text) ORDER BY doc_id
+  ) = 1
+),
+qtoks AS (SELECT doc_id, unnest({texpr}) AS term FROM documents),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(DISTINCT term) AS nd
+  FROM qtoks GROUP BY doc_id
+),
+bg AS (
+  SELECT DISTINCT
+         substr(text, unnest(generate_series(1, length(text) - {L - 1})),
+                {L}) AS g
+  FROM documents WHERE doc_id < {n_bench}
+),
+grams AS (
+  SELECT doc_id,
+         substr(text, unnest(generate_series(1, length(text) - {L - 1})),
+                {L}) AS g
+  FROM documents WHERE doc_id >= {n_bench}
+),
+cont AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
+SELECT a.doc_id AS doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens
+FROM agg a
+JOIN exact_keep ek ON ek.doc_id = a.doc_id
+WHERE a.doc_id >= {n_bench}
+  AND a.n_tokens BETWEEN {min_tokens} AND {max_tokens}
+  AND a.nd * 100 >= {min_distinct_pct} * a.n_tokens
+  AND a.doc_id NOT IN (SELECT doc_id FROM near_drop)
+  AND a.doc_id NOT IN (SELECT doc_id FROM cont)
+ORDER BY a.doc_id
+"""
+
+
 class MinHashStage:
     """LSH band emission. Runs as a TASK-pool ``map_batches`` stage
     with per-worker cached state (``for_worker``): the permutation
