@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_max": relational.events_rolling_max,
         "events_distinct_users": relational.events_distinct_users,
         "orders_with_segment": relational.orders_with_segment,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume":
+            relational.q5_local_supplier_volume,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
@@ -471,6 +474,9 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": relational.events_funnel_sql(),
         "customer_geotile_grid": relational.customer_geotile_grid_sql(),
         "orders_with_segment": relational.orders_with_segment_sql(),
+        "q3_shipping_priority": relational.q3_shipping_priority_sql(),
+        "q5_local_supplier_volume":
+            relational.q5_local_supplier_volume_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

@@ -430,6 +430,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("bpe_token_count",
           lambda: training.bpe_token_count(sf_dir))
     timed("corpus_prepare", lambda: textops.corpus_prepare(sf_dir))
+    timed("q3_shipping_priority",
+          lambda: relational.q3_shipping_priority(sf_dir))
+    timed("q5_local_supplier_volume",
+          lambda: relational.q5_local_supplier_volume(sf_dir))
     return out
 
 

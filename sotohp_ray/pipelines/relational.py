@@ -1742,3 +1742,317 @@ def parts_per_brand(sf_dir: str):
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# -------------------------------------------- TPC-H-style join suites
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = np.datetime64("1998-06-15")
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """(l_orderkey, revenue_cents, o_orderdate, o_orderpriority): the
+    TPC-H Q3 shape — revenue of unshipped-as-of-cutoff lineitems for
+    one market segment's orders, top-``k`` by revenue. Exercises the
+    three-table join pyramid with the right tool per edge: customer is
+    DIM-sized -> the segment's custkeys broadcast once (J1 rule);
+    orders x lineitem is BIG x BIG -> both sides shuffle ONCE on the
+    shared coarse orderkey hash (the orders_with_segment kernel) with
+    lineitem pre-aggregated per batch BEFORE the exchange (partial
+    revenue per orderkey — the A1 combiner), so the wide exchange
+    carries per-(batch, orderkey) partials, not raw lineitems.
+    Revenue in CENTS (round-at-end, the q1 float-free-hash rule);
+    ranking (cents desc, orderkey asc) with per-group top-k partials
+    and a tiny driver merge."""
+    import ray
+
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["c_mktsegment"], Q3_SEGMENT)
+        return pa.table({
+            "c_custkey": batch.filter(m)["c_custkey"].cast(pa.int64())
+        })
+
+    ck = np.sort(np.concatenate([
+        np.asarray(b["c_custkey"], dtype=np.int64) for b in
+        cust.map_batches(seg_keys, batch_format="pyarrow")
+        .iter_batches(batch_format="numpy", batch_size=None)
+    ] + [np.zeros(0, dtype=np.int64)]))
+    ckref = ray.put(ck)
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ckref)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        m = (od < Q3_CUTOFF) & np.isin(oc, keys, kind="sort")
+        b = batch.filter(pa.array(m))
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey.astype(np.int64)),
+            "cents": pa.array(np.zeros(len(b), np.float64)),
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"].cast(pa.string()),
+            "is_build": pa.array(np.ones(len(b), bool)),
+        })
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(sd > Q3_CUTOFF))
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        uk, inv = np.unique(okey, return_inverse=True)
+        part = np.zeros(uk.size, dtype=np.float64)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "ukey": _ukey(uk),
+            "okey": pa.array(uk),
+            "cents": pa.array(part, pa.float64()),
+            "o_orderdate": pa.nulls(
+                uk.size, pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.nulls(uk.size, pa.string()),
+            "is_build": pa.array(np.zeros(uk.size, bool)),
+        })
+
+    both = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate",
+               "o_orderpriority"])
+        .map_batches(tag_orders, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"])
+            .map_batches(li_partial, batch_format="pyarrow")
+        )
+    )
+
+    def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "l_orderkey": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series(dtype="object"),
+        })
+        build = g["is_build"].to_numpy()
+        if not build.any():
+            return empty
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk = bk[o]
+        bdate = g["o_orderdate"].to_numpy()[build][o]
+        bprio = g["o_orderpriority"].to_numpy()[build][o]
+        pk = g["okey"].to_numpy()[~build]
+        pv = g["cents"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (pos < bk.size) & (bk[np.minimum(pos, bk.size - 1)] == pk)
+        pos, pv = pos[ok], pv[ok]
+        if not pos.size:
+            return empty
+        rev = np.zeros(bk.size, dtype=np.float64)
+        np.add.at(rev, pos, pv)
+        hit = np.flatnonzero(rev != 0.0)
+        cents = np.round(rev[hit] * 100.0).astype(np.int64)
+        top = np.lexsort((bk[hit], -cents))[: min(len(hit), 10**9)]
+        return pd.DataFrame({
+            "l_orderkey": bk[hit][top].astype("int64"),
+            "revenue_cents": cents[top],
+            "o_orderdate": bdate[hit][top],
+            "o_orderpriority": bprio[hit][top],
+        }).head(max(k, 1))
+
+    parts = both.groupby("ukey").map_groups(
+        join_topk, batch_format="pandas"
+    ).to_pandas()  # <= k rows per coarse group: tiny driver merge
+    parts = parts.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True]
+    ).head(k)
+    return pa.table({
+        "l_orderkey": pa.array(
+            parts["l_orderkey"].to_numpy(np.int64)),
+        "revenue_cents": pa.array(
+            parts["revenue_cents"].to_numpy(np.int64)),
+        "o_orderdate": pa.array(parts["o_orderdate"]),
+        "o_orderpriority": pa.array(
+            parts["o_orderpriority"].astype(str)),
+    })
+
+
+def q3_shipping_priority_sql(k: int = 10) -> str:
+    return f"""
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
+            AS BIGINT) AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT {k}
+"""
+
+
+Q5_REGION = "ASIA"
+Q5_LO = np.datetime64("1996-01-01")
+Q5_HI = np.datetime64("1997-01-01")
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """(n_name, revenue_cents): the TPC-H Q5 shape — revenue where
+    customer and supplier share a nation inside one region, for one
+    order-date year. The join pyramid splits by size: region, nation
+    and supplier are TINY dims (broadcast once, J1); customer is
+    dim-sized (custkey -> nationkey broadcast, documented assumption —
+    at 10^9 customers this edge becomes a second co-partitioned
+    exchange); orders x lineitem is the BIG x BIG edge and shuffles
+    ONCE on the coarse orderkey hash. Each join group emits
+    nation-keyed PARTIAL sums, so the final exchange is
+    nations-sized. Revenue in cents, round-at-end (q1 rule)."""
+    import ray
+
+    import pandas as pd
+
+    reg = _read(sf_dir, "region").to_pandas()
+    nat = _read(sf_dir, "nation").to_pandas()
+    rk = set(
+        reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"].astype(int)
+    )
+    nat_in = nat[nat["n_regionkey"].isin(rk)]
+    n_name_of = dict(
+        zip(nat_in["n_nationkey"].astype(int), nat_in["n_name"])
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sup_df = sup.to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_df = cust.to_pandas()
+    s_sorted = np.sort(sup_df["s_suppkey"].to_numpy(np.int64))
+    s_nat = sup_df.sort_values("s_suppkey")["s_nationkey"].to_numpy(
+        np.int64
+    )
+    c_sorted = np.sort(cust_df["c_custkey"].to_numpy(np.int64))
+    c_nat = cust_df.sort_values("c_custkey")["c_nationkey"].to_numpy(
+        np.int64
+    )
+    dimref = ray.put((s_sorted, s_nat, c_sorted, c_nat, n_name_of))
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((od >= Q5_LO) & (od < Q5_HI)))
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey.astype(np.int64)),
+            "aux": b["o_custkey"].cast(pa.int64()),
+            "rev": pa.array(np.zeros(len(b), np.float64)),
+            "is_build": pa.array(np.ones(len(b), bool)),
+        })
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rev = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "aux": batch["l_suppkey"].cast(pa.int64()),
+            "rev": pa.array(rev, pa.float64()),
+            "is_build": pa.array(np.zeros(len(batch), bool)),
+        })
+
+    both = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(tag_orders, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(tag_li, batch_format="pyarrow")
+        )
+    )
+
+    def join_partial(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_name": pd.Series(dtype="object"),
+            "rev_partial": pd.Series(dtype="float64"),
+        })
+        s_s, s_n, c_s, c_n, names = ray.get(dimref)
+        build = g["is_build"].to_numpy()
+        if not build.any():
+            return empty
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk = bk[o]
+        bcust = g["aux"].to_numpy()[build][o]
+        pk = g["okey"].to_numpy()[~build]
+        psupp = g["aux"].to_numpy()[~build]
+        prev = g["rev"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (pos < bk.size) & (bk[np.minimum(pos, bk.size - 1)] == pk)
+        if not ok.any():
+            return empty
+        cnat = c_n[np.searchsorted(c_s, bcust[pos[ok]])]
+        snat = s_n[np.searchsorted(s_s, psupp[ok])]
+        same = cnat == snat
+        cnat, rev = cnat[same], prev[ok][same]
+        keep = np.isin(
+            cnat, np.fromiter(names, dtype=np.int64, count=len(names))
+        )
+        cnat, rev = cnat[keep], rev[keep]
+        if not cnat.size:
+            return empty
+        uk, inv = np.unique(cnat, return_inverse=True)
+        tot = np.zeros(uk.size, dtype=np.float64)
+        np.add.at(tot, inv, rev)
+        return pd.DataFrame({
+            "n_name": [names[int(x)] for x in uk],
+            "rev_partial": tot,
+        })
+
+    parts = both.groupby("ukey").map_groups(
+        join_partial, batch_format="pandas"
+    ).to_pandas()  # nations x groups rows: tiny
+    agg = parts.groupby("n_name", sort=True)["rev_partial"].sum()
+    return pa.table({
+        "n_name": pa.array(agg.index.astype(str)),
+        "revenue_cents": pa.array(
+            np.round(agg.to_numpy() * 100.0).astype(np.int64)
+        ),
+    })
+
+
+def q5_local_supplier_volume_sql() -> str:
+    return f"""
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
+            AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+             AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
