@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_scores": textops.nb_lang_scores,
         "nb_lang_predictions": textops.nb_lang_predictions,  # rows-only
         "doc_dup_grams": textops.doc_dup_grams,
+        "doc_dup_spans": textops.doc_dup_spans,
+        "corpus_dedup_substrings": textops.corpus_dedup_substrings,  # rows-only
         "decontaminate": textops.decontaminate,
         "doc_quality_signals": textops.doc_quality_signals,
         "corpus_quality_filter": textops.corpus_quality_filter,
@@ -412,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prepare": textops.corpus_prepare_sql(),
         "nb_lang_scores": textops.nb_lang_scores_sql(),
         "doc_dup_grams": textops.doc_dup_grams_sql(),
+        "doc_dup_spans": textops.doc_dup_spans_sql(),
         "decontaminate": textops.decontaminate_sql(),
         "doc_quality_signals": textops.doc_quality_signals_sql(),
         "percolate": textops.percolate_sql(),

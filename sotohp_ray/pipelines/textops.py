@@ -784,16 +784,18 @@ def _codepoints_flat(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def _gram_hashes(
     flat: np.ndarray, lens: np.ndarray, L: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Two windowed 64-bit polynomial hashes (natural uint64
     wraparound) over the flat codepoint stream — L vectorized
     multiply-adds for the whole batch, no per-doc loop — masked to
     windows that do not cross doc boundaries. Returns (h1, h2,
-    doc_index) per valid gram instance."""
+    doc_index, char_pos_in_doc) per valid gram instance; positions
+    are 0-based codepoint offsets (== SQL substr position - 1)."""
     n_pos = flat.size - L + 1
     if n_pos <= 0:
         z = np.zeros(0, np.uint64)
-        return z, z, np.zeros(0, np.int64)
+        zi = np.zeros(0, np.int64)
+        return z, z, zi, zi
     h1 = np.zeros(n_pos, np.uint64)
     h2 = np.zeros(n_pos, np.uint64)
     for i in range(L):
@@ -803,8 +805,9 @@ def _gram_hashes(
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     p = np.arange(n_pos)
     did = np.searchsorted(starts, p, side="right") - 1
-    valid = (p - starts[did]) <= (lens[did] - L)
-    return h1[valid], h2[valid], did[valid]
+    pos = p - starts[did]
+    valid = pos <= (lens[did] - L)
+    return h1[valid], h2[valid], did[valid], pos[valid]
 
 
 def doc_dup_grams(sf_dir: str, L: int = DUP_GRAM_L):
@@ -833,7 +836,7 @@ def doc_dup_grams(sf_dir: str, L: int = DUP_GRAM_L):
     def gram_rows(batch: pa.Table) -> pa.Table:
         text = _text_col(batch)
         flat, lens = _codepoints_flat(text)
-        h1, h2, did = _gram_hashes(flat, lens, L)
+        h1, h2, did, _gpos = _gram_hashes(flat, lens, L)
         if h1.size == 0:
             return pa.table({
                 "coarse": pa.array([], pa.int64()),
@@ -971,7 +974,7 @@ def decontaminate(
     )
     btext = bench["text"].combine_chunks().cast(pa.large_string())
     bflat, blens = _codepoints_flat(btext)
-    bh1, bh2, _ = _gram_hashes(bflat, blens, L)
+    bh1, bh2, _, _bp = _gram_hashes(bflat, blens, L)
     bset = np.unique(_pair_struct(bh1, bh2))
     bref = ray.put(bset)
 
@@ -979,7 +982,7 @@ def decontaminate(
         bs = ray.get(bref)
         text = _text_col(batch)
         flat, lens = _codepoints_flat(text)
-        h1, h2, did = _gram_hashes(flat, lens, L)
+        h1, h2, did, _gpos = _gram_hashes(flat, lens, L)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
             np.int64
         )
@@ -1054,6 +1057,247 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN perdoc p USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def _dup_gram_hits(sf_dir: str, L: int):
+    """Shared pass for the exact-substring (ExactSubstr) family:
+    positions of every gram instance whose L-gram occurs >= 2 times
+    corpus-wide. One map pass emits (coarse, h1, h2, doc_id, pos) per
+    gram instance — positions cannot pre-aggregate, so unlike
+    doc_dup_grams this ships ~one fixed-width row per corpus
+    CHARACTER; that is the honest cost of exact-substring detection
+    (Lee et al. 2021 pay the same via suffix arrays) and the coarse
+    width (_DG_COARSE) is the knob that keeps per-bucket size =
+    corpus_chars / width bounded at fleet scale. The gram-hash
+    groupby keeps only instances of globally-duplicated grams —
+    output is dup-mass-sized, typically a tiny fraction of input."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        flat, lens = _codepoints_flat(text)
+        h1, h2, did, pos = _gram_hashes(flat, lens, L)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "coarse": pa.array(
+                (h1 & np.uint64(_DG_COARSE - 1)).astype(np.int64)
+            ),
+            "h1": pa.array(h1, pa.uint64()),
+            "h2": pa.array(h2, pa.uint64()),
+            "doc_id": pa.array(
+                ids[did] if did.size else np.zeros(0, np.int64),
+                pa.int64(),
+            ),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    def dup_instances(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = g["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if h1.size == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table({
+                "dcoarse": pa.array(z), "doc_id": pa.array(z),
+                "pos": pa.array(z),
+            })
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new = np.empty(h1s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        seg = np.cumsum(new) - 1
+        totals = np.bincount(seg)
+        dup = order[totals[seg] >= 2]
+        return pa.table({
+            "dcoarse": pa.array(doc[dup] & (_DG_DCOARSE - 1), pa.int64()),
+            "doc_id": pa.array(doc[dup], pa.int64()),
+            "pos": pa.array(pos[dup], pa.int64()),
+        })
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gram_rows, batch_format="pyarrow"
+    )
+    return rows.groupby("coarse").map_groups(
+        dup_instances, batch_format="pyarrow"
+    )
+
+
+def _merged_spans(doc: np.ndarray, pos: np.ndarray, L: int):
+    """Vectorized interval merge of [pos, pos+L) per doc over a
+    (doc, pos)-lexsorted stream: returns (span_doc, span_start,
+    span_end) for the maximal merged duplicated spans. Adjacent-or-
+    overlapping windows chain (break when the gap exceeds L), the
+    gaps-and-islands rule the SQL oracle mirrors with lag()."""
+    if doc.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    order = np.lexsort((pos, doc))
+    d, p = doc[order], pos[order]
+    brk = np.empty(d.size, dtype=bool)
+    brk[0] = True
+    brk[1:] = (d[1:] != d[:-1]) | ((p[1:] - p[:-1]) > L)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], d.size) - 1
+    return d[starts], p[starts], p[ends] + L
+
+
+def doc_dup_spans(sf_dir: str, L: int = DUP_GRAM_L):
+    """(doc_id, n_dup_spans, n_chars_removed): per doc, the maximal
+    merged spans of characters covered by corpus-duplicated L-grams —
+    the spans ExactSubstr deduplication (Lee et al. 2021 §4.1) cuts —
+    and their total character mass. Every doc is emitted (0/0 when
+    clean). Reference analog: duplicate detection by content digest
+    (D2, Statistics.scala:77-81) sharpened from whole docs to the
+    duplicated substrings themselves.
+
+    Shape: the shared ``_dup_gram_hits`` gram-hash shuffle (see its
+    scale note), then ONE doc-keyed exchange of the dup-mass-sized
+    hit stream unioned with a doc spine; per-group interval merge is
+    a single lexsort + flag diff. Counts are integers, so the SQL
+    oracle hash is exact."""
+    import pandas as pd
+
+    hits = _dup_gram_hits(sf_dir, L)
+
+    def spine(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "dcoarse": pa.array(ids & (_DG_DCOARSE - 1), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.full(ids.size, -1, np.int64)),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        real = pos >= 0
+        sd, ss, se = _merged_spans(doc[real], pos[real], L)
+        all_ids = np.unique(doc)
+        n_spans = np.zeros(all_ids.size, np.int64)
+        n_chars = np.zeros(all_ids.size, np.int64)
+        if sd.size:
+            di = np.searchsorted(all_ids, sd)
+            np.add.at(n_spans, di, 1)
+            np.add.at(n_chars, di, se - ss)
+        return pd.DataFrame({
+            "doc_id": all_ids,
+            "n_dup_spans": n_spans,
+            "n_chars_removed": n_chars,
+        })
+
+    sp = _docs(sf_dir, ["doc_id"]).map_batches(
+        spine, batch_format="pyarrow"
+    )
+    return sp.union(hits).groupby("dcoarse").map_groups(
+        finalize, batch_format="pandas"
+    )
+
+
+def doc_dup_spans_sql(L: int = DUP_GRAM_L) -> str:
+    return f"""
+WITH posn AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {L - 1})) AS p
+  FROM documents
+),
+grams AS (SELECT doc_id, p, substr(text, p, {L}) AS g FROM posn),
+tot AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+hits AS (
+  SELECT gr.doc_id, gr.p FROM grams gr JOIN tot USING (g)
+  WHERE tot.c >= 2
+),
+flags AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {L} THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, isl_id, min(p) AS s, max(p) + {L} AS e
+  FROM isl GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(per.chars, 0)::BIGINT AS n_chars_removed
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def corpus_dedup_substrings(sf_dir: str, L: int = DUP_GRAM_L):
+    """(doc_id, text): the corpus with every duplicated span CUT —
+    ExactSubstr deduplication proper (Lee et al. 2021 §4.1: remove
+    all copies of any substring of >= L chars that appears more than
+    once corpus-wide). Rows-only BY DESIGN (multi-span string surgery
+    is not reasonably SQL-expressible); exactness is carried by the
+    ``doc_dup_spans`` oracle plus the pytest invariant
+    len(text) - n_chars_removed == len(cleaned) per doc and a
+    planted-shared-span fixture.
+
+    Shape: the shared ``_dup_gram_hits`` stream unioned with a
+    text-carrying doc spine, ONE doc-keyed exchange (the text ships
+    once — it is the op's output anyway), per-group span merge then
+    per-doc segment splice (string surgery is inherently per-doc;
+    the span math above it is vectorized)."""
+    import pandas as pd
+
+    hits = _dup_gram_hits(sf_dir, L)
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text", pa.array([None] * batch.num_rows, pa.large_string())
+        )
+
+    def spine(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "dcoarse": pa.array(ids & (_DG_DCOARSE - 1), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.full(ids.size, -1, np.int64)),
+            "text": _text_col(batch),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        real = pos >= 0
+        sd, ss, se = _merged_spans(doc[real], pos[real], L)
+        texts = g[~real].sort_values("doc_id")
+        ids = texts["doc_id"].to_numpy(np.int64)
+        out = texts["text"].to_numpy(object).copy()
+        lo = np.searchsorted(sd, ids, side="left")
+        hi = np.searchsorted(sd, ids, side="right")
+        for i in np.flatnonzero(hi > lo):
+            s = out[i]
+            parts, at = [], 0
+            for a, b in zip(ss[lo[i]:hi[i]], se[lo[i]:hi[i]]):
+                parts.append(s[at:a])
+                at = b
+            parts.append(s[at:])
+            out[i] = "".join(parts)
+        return pd.DataFrame({"doc_id": ids, "text": out})
+
+    sp = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        spine, batch_format="pyarrow"
+    )
+    return sp.union(hits.map_batches(hit_rows, batch_format="pyarrow")) \
+        .groupby("dcoarse").map_groups(finalize, batch_format="pandas")
 
 
 def lang_guess(sf_dir: str):

@@ -1663,3 +1663,90 @@ def test_doc_compress_ratio_matches_zlib_and_orders_repetition(tmp_path):
             round(comp / max(raw, 1), 6)
         )
     assert out["ratio"][0] < out["ratio"][1]
+
+
+def test_doc_dup_spans_planted(tmp_path):
+    """ExactSubstr span math on a planted fixture: a cross-doc shared
+    span is cut from BOTH copies (Lee et al. 2021 remove every copy),
+    a within-doc repeat is cut twice, and a fully-unique doc reports
+    0/0 — counts match the merged-interval rule exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import doc_dup_spans
+
+    shared = "THE-SHARED-DUPLICATED-SPAN-0123456789-XX"  # 40 chars
+    rep = "repeat-me-block-2048"                         # 20 chars
+    u0a, u0b = "abcdefghijklmnopqrstuvwxyz", "0123456789!@#$%^&*()"
+    u1 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    u2 = "zyxwvutsrqponmlkjihgfedcba9876543210"
+    u3a, u3b, u3c = "[first-filler-1]", "{mid_filler_002}", "(last.filler.3)"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            u0a + shared + u0b,
+            u1 + shared,
+            u2,
+            u3a + rep + u3b + rep + u3c,
+        ]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = (
+        doc_dup_spans(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    assert list(out["n_dup_spans"]) == [1, 1, 0, 2]
+    assert list(out["n_chars_removed"]) == [
+        len(shared), len(shared), 0, 2 * len(rep)
+    ]
+
+
+def test_corpus_dedup_substrings_planted(tmp_path):
+    """The cleaned corpus cuts exactly the planted spans (string-level
+    check) and satisfies len(orig) - n_chars_removed == len(clean)
+    for every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import (
+        corpus_dedup_substrings, doc_dup_spans,
+    )
+
+    shared = "THE-SHARED-DUPLICATED-SPAN-0123456789-XX"
+    rep = "repeat-me-block-2048"
+    u0a, u0b = "abcdefghijklmnopqrstuvwxyz", "0123456789!@#$%^&*()"
+    u1 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    u2 = "zyxwvutsrqponmlkjihgfedcba9876543210"
+    u3a, u3b, u3c = "[first-filler-1]", "{mid_filler_002}", "(last.filler.3)"
+    texts = [
+        u0a + shared + u0b,
+        u1 + shared,
+        u2,
+        u3a + rep + u3b + rep + u3c,
+    ]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    clean = (
+        corpus_dedup_substrings(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(clean["text"]) == [
+        u0a + u0b, u1, u2, u3a + u3b + u3c,
+    ]
+    spans = (
+        doc_dup_spans(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    for i in range(4):
+        assert (
+            len(texts[i]) - int(spans["n_chars_removed"][i])
+            == len(clean["text"][i])
+        )
