@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume":
             relational.q5_local_supplier_volume,
+        "q10_returned_items": relational.q10_returned_items,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
@@ -480,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": relational.q3_shipping_priority_sql(),
         "q5_local_supplier_volume":
             relational.q5_local_supplier_volume_sql(),
+        "q10_returned_items": relational.q10_returned_items_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

@@ -2056,3 +2056,165 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+Q10_LO = np.datetime64("1997-01-01")
+Q10_HI = np.datetime64("1998-01-01")
+
+
+def q10_returned_items(sf_dir: str, k: int = 20):
+    """(c_custkey, c_name, revenue_cents, c_acctbal, n_name): the
+    TPC-H Q10 shape — lost-revenue ranking of customers who returned
+    items (l_returnflag = 'R') against orders in a one-year window,
+    top-``k`` by revenue. Same sized-tool discipline as Q3/Q5:
+    orders x lineitem is BIG x BIG -> ONE shared coarse-orderkey
+    exchange with lineitem pre-aggregated per batch (A1 combiner);
+    the per-group hash join emits (custkey, cents) partials, a SECOND
+    custkey-coarse exchange totals customers that span orderkey
+    groups and keeps per-group top-k partials (O6 rule); the <= 64*k
+    survivors merge on the driver and only the k winners hydrate
+    name/balance/nation via an output-sized filtered read of the
+    DIM-sized customer and nation tables (J1 rule). Revenue in CENTS,
+    rounded once at the end (q1 float-free-hash rule); total order
+    (cents desc, custkey asc) so the limit boundary is deterministic."""
+    import ray  # noqa: F401  (parallel read path)
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((od >= Q10_LO) & (od < Q10_HI)))
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "ckey": b["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(np.zeros(len(b), np.float64)),
+            "is_build": pa.array(np.ones(len(b), bool)),
+        })
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        uk, inv = np.unique(okey, return_inverse=True)
+        part = np.zeros(uk.size, dtype=np.float64)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "ukey": _ukey(uk),
+            "okey": pa.array(uk),
+            "ckey": pa.array(np.zeros(uk.size, np.int64)),
+            "cents": pa.array(part, pa.float64()),
+            "is_build": pa.array(np.zeros(uk.size, bool)),
+        })
+
+    def join_custkey(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "ccoarse": pd.Series(dtype="int64"),
+            "c_custkey": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="float64"),
+        })
+        build = g["is_build"].to_numpy()
+        if not build.any() or build.all():
+            return empty
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk = bk[o]
+        bc = g["ckey"].to_numpy()[build][o]
+        pk = g["okey"].to_numpy()[~build]
+        pv = g["cents"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (pos < bk.size) & (bk[np.minimum(pos, bk.size - 1)] == pk)
+        if not ok.any():
+            return empty
+        ck = bc[pos[ok]]
+        uc, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(uc.size, dtype=np.float64)
+        np.add.at(s, inv, pv[ok])
+        return pd.DataFrame({
+            "ccoarse": uc & _COARSE_MASK,
+            "c_custkey": uc,
+            "cents": s,
+        })
+
+    def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("c_custkey", sort=True)["cents"].sum()
+        cents = np.round(a.to_numpy() * 100.0).astype(np.int64)
+        keys = a.index.to_numpy(np.int64)
+        top = np.lexsort((keys, -cents))[:k]
+        return pd.DataFrame({
+            "c_custkey": keys[top],
+            "revenue_cents": cents[top],
+        })
+
+    parts = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(tag_orders, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_returnflag"])
+            .map_batches(li_partial, batch_format="pyarrow")
+        )
+        .groupby("ukey").map_groups(join_custkey, batch_format="pandas")
+        .groupby("ccoarse").map_groups(
+            topk_partial, batch_format="pandas"
+        )
+        .to_pandas()  # <= 64*k rows: tiny driver merge
+    )
+    win = parts.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).head(k)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        filters=pads.field("c_custkey").isin(
+            win["c_custkey"].tolist()
+        ),
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = (
+        win.merge(cust, on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .sort_values(["revenue_cents", "c_custkey"],
+                     ascending=[False, True])
+    )
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+        "c_name": pa.array(out["c_name"].astype(str)),
+        "revenue_cents": pa.array(
+            out["revenue_cents"].to_numpy(np.int64)),
+        "c_acctbal": pa.array(out["c_acctbal"].to_numpy(np.float64)),
+        "n_name": pa.array(out["n_name"].astype(str)),
+    })
+
+
+def q10_returned_items_sql(k: int = 20) -> str:
+    return f"""
+SELECT c_custkey, c_name,
+       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
+            AS BIGINT) AS revenue_cents,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT {k}
+"""
