@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_page": relational.events_page,
         "events_cursor_nav": relational.events_cursor_nav,
         "customer_geo_distance": relational.customer_geo_distance,
+        "customer_geo_bbox": relational.customer_geo_bbox,
+        "customer_geo_ring": relational.customer_geo_ring,
         "parts_per_brand": relational.parts_per_brand,
     }
 
@@ -497,6 +499,8 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": multimodal.media_frame_sample_sql(),
         "events_cursor_nav": relational.events_cursor_nav_sql(),
         "customer_geo_distance": relational.customer_geo_distance_sql(),
+        "customer_geo_bbox": relational.customer_geo_bbox_sql(),
+        "customer_geo_ring": relational.customer_geo_ring_sql(),
         "knn_range_search": ann.knn_range_search_sql(),
         "knn_cosine": _KNN_COSINE_SQL,
         "knn_cosine_filtered": ann.knn_cosine_filtered_sql(),

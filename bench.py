@@ -434,6 +434,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.q3_shipping_priority(sf_dir))
     timed("q5_local_supplier_volume",
           lambda: relational.q5_local_supplier_volume(sf_dir))
+    timed("customer_geo_bbox",
+          lambda: relational.customer_geo_bbox(sf_dir))
+    timed("customer_geo_ring",
+          lambda: relational.customer_geo_ring(sf_dir))
     timed("q10_returned_items",
           lambda: relational.q10_returned_items(sf_dir))
     timed("doc_dup_spans", lambda: textops.doc_dup_spans(sf_dir))

@@ -1704,6 +1704,97 @@ def customer_geo_distance_sql(k: int = 20) -> str:
     """
 
 
+GEO_BBOX = (-80.0, -45.0, -170.0, -80.0)  # lat_lo, lat_hi, lon_lo, lon_hi
+GEO_RING_KM = 14000.0
+
+
+def customer_geo_bbox(sf_dir: str):
+    """(c_custkey, lat, lon): customers whose derived point falls in
+    a fixed bounding box — the ES geo_bounding_box filter analog
+    (M15 geo family; same custkey-derived coordinates and rounding as
+    customer_geo_distance so all geo ops share one derivation). Pure
+    per-batch predicate: zero shuffle at any scale."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lat = ((keys * 37) % 18000) / 100.0 - 90.0
+        lon = ((keys * 91) % 36000) / 100.0 - 180.0
+        lat_lo, lat_hi, lon_lo, lon_hi = GEO_BBOX
+        m = (lat >= lat_lo) & (lat <= lat_hi) \
+            & (lon >= lon_lo) & (lon <= lon_hi)
+        return pa.table({
+            "c_custkey": pa.array(keys[m], pa.int64()),
+            "lat": pa.array(lat[m], pa.float64()),
+            "lon": pa.array(lon[m], pa.float64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def customer_geo_bbox_sql() -> str:
+    lat_lo, lat_hi, lon_lo, lon_hi = GEO_BBOX
+    return f"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                 ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+          FROM customer
+        )
+        SELECT c_custkey, lat, lon FROM pts
+        WHERE lat BETWEEN {lat_lo} AND {lat_hi}
+          AND lon BETWEEN {lon_lo} AND {lon_hi}
+        ORDER BY c_custkey
+    """
+
+
+def customer_geo_ring(sf_dir: str, radius_km: float = GEO_RING_KM):
+    """(c_custkey, dist_km): customers within ``radius_km`` of the
+    reference point — the ES geo_distance filter analog. Same
+    vectorized haversine kernel as customer_geo_distance; per-batch
+    predicate, zero shuffle."""
+    from sotohp_ray.functions.geo import haversine_km
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lat = ((keys * 37) % 18000) / 100.0 - 90.0
+        lon = ((keys * 91) % 36000) / 100.0 - 180.0
+        d = np.round(haversine_km(lat, lon, GEO_REF_LAT, GEO_REF_LON), 2)
+        m = d <= radius_km
+        return pa.table({
+            "c_custkey": pa.array(keys[m], pa.int64()),
+            "dist_km": pa.array(d[m], pa.float64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def customer_geo_ring_sql(radius_km: float = GEO_RING_KM) -> str:
+    return f"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                 ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+          FROM customer
+        ),
+        d AS (
+          SELECT c_custkey,
+                 round(2 * 6371.0 * asin(sqrt(
+                   sin(radians({GEO_REF_LAT} - lat) / 2) ^ 2
+                   + cos(radians(lat)) * cos(radians({GEO_REF_LAT}))
+                     * sin(radians({GEO_REF_LON} - lon) / 2) ^ 2
+                 )), 2) AS dist_km
+          FROM pts
+        )
+        SELECT c_custkey, dist_km FROM d
+        WHERE dist_km <= {radius_km}
+        ORDER BY c_custkey
+    """
+
+
 def parts_per_brand(sf_dir: str):
     """(p_brand, n_parts, avg_retail): grouped stats with rounding."""
     from ray.data.aggregate import Sum
