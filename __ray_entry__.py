@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),
         "term_df": textops.term_df,
+        "rare_terms": textops.rare_terms,
+        "term_heavy_hitters": textops.term_heavy_hitters,
+        "term_heavy_hitters_cms": textops.term_heavy_hitters_cms,  # rows-only (sketch; exact twin above)
         "token_counts": textops.token_counts,
         "token_estimate": textops.token_estimate,
         "doc_sha256": textops.doc_sha256,
@@ -401,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_lang_stats": bm25_lang_stats_sql(),
         "keyword_search_indexed": textops.keyword_search_sql(),
         "keyword_search_excluding": keyword_search_excluding_sql(),
+        "rare_terms": textops.rare_terms_sql(),
+        "term_heavy_hitters": textops.term_heavy_hitters_sql(),
         "term_df": f"""
             SELECT term, count(*) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({toks}))

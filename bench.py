@@ -440,6 +440,11 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.customer_geo_ring(sf_dir))
     timed("q10_returned_items",
           lambda: relational.q10_returned_items(sf_dir))
+    timed("rare_terms", lambda: textops.rare_terms(sf_dir))
+    timed("term_heavy_hitters",
+          lambda: textops.term_heavy_hitters(sf_dir))
+    timed("term_heavy_hitters_cms",
+          lambda: textops.term_heavy_hitters_cms(sf_dir))
     timed("doc_dup_spans", lambda: textops.doc_dup_spans(sf_dir))
     timed("corpus_dedup_substrings",
           lambda: textops.corpus_dedup_substrings(sf_dir))

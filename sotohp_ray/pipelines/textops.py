@@ -252,6 +252,223 @@ def term_df(sf_dir: str):
     return out
 
 
+RARE_TERMS_K = 10
+
+
+def rare_terms(sf_dir: str, k: int = RARE_TERMS_K):
+    """(term, df): the ES rare_terms aggregation analog — the ``k``
+    LONGEST-TAIL terms by document frequency (df asc, term asc; ES
+    rare_terms is likewise df-ascending). Rank-based rather than an
+    absolute max_doc_count cutoff so the op is meaningful at every
+    corpus scale. The term_df partial+final pipeline, then per-block
+    bottom-k partials (O6 rule) and a tiny driver merge."""
+    import pandas as pd
+
+    def bottomk_partial(batch: pa.Table) -> pa.Table:
+        t = batch["term"].to_numpy(zero_copy_only=False).astype("O")
+        d = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.lexsort((t, d))[: min(k, t.size)]
+        return pa.table({
+            "term": pa.array(t[top].tolist(), pa.string()),
+            "df": pa.array(d[top], pa.int64()),
+        })
+
+    parts = (
+        term_df(sf_dir)
+        .map_batches(bottomk_partial, batch_format="pyarrow")
+        .to_pandas()  # <= k per block: tiny driver merge
+    )
+    parts = parts.sort_values(["df", "term"]).head(k)
+    return pa.table({
+        "term": pa.array(parts["term"].astype(str)),
+        "df": pa.array(parts["df"].to_numpy(np.int64)),
+    })
+
+
+def rare_terms_sql(k: int = RARE_TERMS_K) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term FROM documents
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks GROUP BY term
+ORDER BY df ASC, term ASC
+LIMIT {k}
+"""
+
+
+HH_K = 50
+_CMS_WIDTH = 8192
+_CMS_DEPTH = 4
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def term_heavy_hitters(sf_dir: str, k: int = HH_K):
+    """(term, cf): top-``k`` terms by COLLECTION frequency (total
+    occurrences), total order (cf desc, term asc) — the exact twin
+    that oracle-gates the Count-Min variant below (the HLL/KLL
+    exact-twin discipline). Per-batch value_counts combiner, one
+    vocab-keyed groupby, per-block top-k partials (O6 rule), tiny
+    driver merge."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _p, flat = _exploded_of(batch)
+        vc = flat.value_counts()
+        return pa.table({
+            "term": vc.field("values").cast(pa.large_string()),
+            "cf_partial": vc.field("counts").cast(pa.int64()),
+        })
+
+    cf = (
+        _docs_tokens(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf_partial", alias_name="cf"))
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        t = batch["term"].to_numpy(zero_copy_only=False).astype("O")
+        c = batch["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.lexsort((t, -c))[: min(k, t.size)]
+        return pa.table({
+            "term": pa.array(t[top].tolist(), pa.string()),
+            "cf": pa.array(c[top], pa.int64()),
+        })
+
+    parts = cf.map_batches(topk_partial, batch_format="pyarrow") \
+        .to_pandas()  # <= k per block: tiny driver merge
+    parts = parts.sort_values(
+        ["cf", "term"], ascending=[False, True]
+    ).head(k)
+    return pa.table({
+        "term": pa.array(parts["term"].astype(str)),
+        "cf": pa.array(parts["cf"].to_numpy(np.int64)),
+    })
+
+
+def term_heavy_hitters_sql(k: int = HH_K) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT unnest({texpr}) AS term FROM documents
+)
+SELECT term, count(*)::BIGINT AS cf
+FROM toks GROUP BY term
+ORDER BY cf DESC, term ASC
+LIMIT {k}
+"""
+
+
+def _cms_slots(terms: pa.Array, width: int, depth: int) -> np.ndarray:
+    """(depth, n_terms) CMS column per hash row — fmix64-finalized
+    FNV with per-row seed XOR, the standard independent-row trick."""
+    from sotohp_ray.functions.hashing import _fmix64, fnv1a64_array
+
+    h = fnv1a64_array(terms)
+    return np.stack([
+        (_fmix64(h ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        for d in range(depth)
+    ])
+
+
+def term_heavy_hitters_cms(
+    sf_dir: str, k: int = HH_K,
+    width: int = _CMS_WIDTH, depth: int = _CMS_DEPTH,
+):
+    """(term, est_cf): the top-``k`` heavy hitters ESTIMATED from a
+    Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+    sketch-family member for frequency: like the HLL/KLL entries its
+    exchange cost is SKETCH-sized (<= depth*width count rows summed
+    by slot), independent of vocabulary size, and its exact twin
+    ``term_heavy_hitters`` carries the SQL oracle. Rows-only BY
+    DESIGN (estimates); pytests pin the one-sided guarantee
+    (est >= true cf, always) and top-k recall vs the exact twin.
+
+    Shape: per batch, ONE value_counts + depth vectorized hash rows
+    folded into a dense local sketch (np.add.at), emitted as nonzero
+    (slot, cnt) rows; candidates are per-batch local top-4k terms.
+    One slot-keyed groupby merges sketches (CMS is mergeable by
+    addition); candidates dedup through a term groupby; both streams
+    are sketch-/candidate-sized at any corpus scale."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cand_m = 4 * k
+
+    def sketch_rows(batch: pa.Table) -> pa.Table:
+        _p, flat = _exploded_of(batch)
+        vc = flat.value_counts()
+        terms = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(terms) == 0:
+            return pa.table({
+                "slot": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        cols = _cms_slots(terms, width, depth)  # (depth, n)
+        dense = np.zeros(depth * width, dtype=np.int64)
+        for d in range(depth):
+            np.add.at(dense, d * width + cols[d], cnts)
+        nz = np.flatnonzero(dense)
+        return pa.table({
+            "slot": pa.array(nz.astype(np.int64)),
+            "cnt": pa.array(dense[nz]),
+        })
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        _p, flat = _exploded_of(batch)
+        vc = flat.value_counts()
+        t = vc.field("values").to_numpy(zero_copy_only=False).astype("O")
+        c = vc.field("counts").to_numpy(zero_copy_only=False)
+        top = np.lexsort((t, -c))[: min(cand_m, t.size)]
+        return pa.table({"term": pa.array(t[top].tolist(), pa.string())})
+
+    toks = _docs_tokens(sf_dir)
+    cms = (
+        toks.map_batches(sketch_rows, batch_format="pyarrow")
+        .groupby("slot")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= depth*width rows: sketch-sized by definition
+    )
+    dense = np.zeros(depth * width, dtype=np.int64)
+    if len(cms):
+        dense[cms["slot"].to_numpy(np.int64)] = cms["cnt"].to_numpy(
+            np.int64
+        )
+    table = dense.reshape(depth, width)
+    cands = (
+        toks.map_batches(cand_rows, batch_format="pyarrow")
+        .groupby("term").count().to_pandas()  # candidate-sized dedup
+    )
+    terms = cands["term"].to_numpy().astype("O")
+    if terms.size == 0:
+        return pa.table({
+            "term": pa.array([], pa.string()),
+            "est_cf": pa.array([], pa.int64()),
+        })
+    cols = _cms_slots(pa.array(terms.tolist(), pa.string()), width, depth)
+    est = np.min(
+        np.stack([table[d, cols[d]] for d in range(depth)]), axis=0
+    )
+    top = np.lexsort((terms, -est))[: min(k, terms.size)]
+    return pa.table({
+        "term": pa.array(terms[top].tolist(), pa.string()),
+        "est_cf": pa.array(est[top].astype(np.int64)),
+    })
+
+
 def vocabulary_stats(sf_dir: str):
     """One-row vocabulary summary — n_terms (distinct), n_postings
     (distinct doc,term pairs), max_df, singleton_terms (df=1): the

@@ -1750,3 +1750,72 @@ def test_corpus_dedup_substrings_planted(tmp_path):
             len(texts[i]) - int(spans["n_chars_removed"][i])
             == len(clean["text"][i])
         )
+
+
+def test_cms_heavy_hitters_guarantees(tmp_path):
+    """Count-Min sketch invariants on a planted skewed corpus: the
+    estimate NEVER undercounts (one-sided CMS error), and the top-k
+    recall vs the exact twin is perfect when the vocabulary is far
+    smaller than the sketch width."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import (
+        term_heavy_hitters, term_heavy_hitters_cms,
+    )
+
+    # zipf-ish: term_i appears ~ 600/i times across docs
+    texts = []
+    for d in range(40):
+        toks = []
+        for i in range(1, 30):
+            reps = max(600 // i // 40, 1) if i % 3 != d % 3 else 0
+            toks += [f"term{i:02d}"] * reps
+        texts.append(" ".join(toks))
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 40),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    exact = term_heavy_hitters(str(d), k=10).to_pandas()
+    cms = term_heavy_hitters_cms(str(d), k=10).to_pandas()
+    true_cf = dict(zip(
+        term_heavy_hitters(str(d), k=10**9).to_pandas()["term"],
+        term_heavy_hitters(str(d), k=10**9).to_pandas()["cf"],
+    ))
+    for term, est in zip(cms["term"], cms["est_cf"]):
+        assert est >= true_cf.get(term, 0), (term, est, true_cf.get(term))
+    assert set(cms["term"]) == set(exact["term"])
+
+
+def test_rare_terms_is_bottom_k_of_term_df(tmp_path):
+    """rare_terms == the df-ascending head of term_df (rank-based ES
+    rare_terms semantics) on a fixture with distinct df levels."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import rare_terms, term_df
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma",
+        "alpha beta",
+        "alpha",
+    ]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = rare_terms(str(d), k=2).to_pandas()
+    assert list(out["term"]) == ["delta", "gamma"]
+    assert list(out["df"]) == [1, 2]
+    df = term_df(str(d)).to_pandas().sort_values(["df", "term"]).head(2)
+    assert list(df["term"]) == list(out["term"])
