@@ -440,6 +440,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.customer_geo_ring(sf_dir))
     timed("q10_returned_items",
           lambda: relational.q10_returned_items(sf_dir))
+    from sotohp_ray.pipelines.fulltext import search_sort_by_length
+
+    timed("search_sort_by_length",
+          lambda: search_sort_by_length(sf_dir))
     timed("rare_terms", lambda: textops.rare_terms(sf_dir))
     timed("term_heavy_hitters",
           lambda: textops.term_heavy_hitters(sf_dir))

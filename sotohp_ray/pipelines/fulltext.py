@@ -2136,6 +2136,95 @@ def bm25_length_facets(
     })
 
 
+SORT_FIELD_K = 30
+
+
+def search_sort_by_length(
+    sf_dir: str, query: str = DOC_QUERIES[0], k: int = SORT_FIELD_K
+) -> pa.Table:
+    """(doc_id, n_chars): the ES field-sort search — a query's match
+    set ordered by a DOC FIELD (n_chars desc, doc_id asc tiebreak)
+    instead of relevance, top-``k`` (the ES ``sort`` clause, where
+    _score is skipped entirely). Match = any analyzed query term
+    present (the bm25_facets match-set convention).
+
+    Shape: the match-id array (posting-sized, sorted) broadcasts
+    once; each documents batch keeps its members and emits a per-batch
+    top-k partial on (n_chars desc, doc_id asc) — the O6 rule — and
+    the <= k-per-block survivors merge on the driver. No score math,
+    no corpus-sized sort."""
+    import ray
+    import ray.data
+
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    ids = s.search_boolean(query, mode="or")
+    if not ids.size:
+        return empty
+    eng2orig = _eng2orig(index_dir, s.space)
+    match = np.sort(eng2orig[ids].astype(np.int64))
+    mref = ray.put(match)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = ray.get(mref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        p = np.searchsorted(arr, ids)
+        inb = p < arr.size
+        mask = np.zeros(ids.size, dtype=bool)
+        mask[inb] = arr[p[inb]] == ids[inb]
+        if not mask.any():
+            return empty
+        mi, mn = ids[mask], nch[mask]
+        top = np.lexsort((mi, -mn))[: min(k, mi.size)]
+        return pa.table({
+            "doc_id": pa.array(mi[top], pa.int64()),
+            "n_chars": pa.array(mn[top], pa.int64()),
+        })
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # <= k per block: tiny driver merge
+    )
+    if not len(parts):
+        return empty
+    parts = parts.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).head(k)
+    return pa.table({
+        "doc_id": pa.array(parts["doc_id"].to_numpy(np.int64)),
+        "n_chars": pa.array(parts["n_chars"].to_numpy(np.int64)),
+    })
+
+
+def search_sort_by_length_sql(
+    query: str = DOC_QUERIES[0], k: int = SORT_FIELD_K
+) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    lst = ", ".join(f"'{_sql_lit(t)}'" for t in query.split())
+    return (
+        f"SELECT doc_id, n_chars FROM documents "
+        f"WHERE list_has_any({texpr}, [{lst}]) "
+        f"ORDER BY n_chars DESC, doc_id ASC LIMIT {k}"
+    )
+
+
 def bm25_length_facets_sql(
     queries=DOC_QUERIES, bucket: int = FACET_BUCKET
 ) -> str:
