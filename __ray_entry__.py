@@ -38,6 +38,8 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_length_facets_sql,
     search_sort_by_length,
     search_sort_by_length_sql,
+    term_vectors,
+    term_vectors_sql,
     bm25_lang_stats,
     bm25_lang_stats_sql,
     keyword_search_excluding,
@@ -206,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_per_lang": lambda sf: bm25_top_per_lang(sf),
         "bm25_length_facets": lambda sf: bm25_length_facets(sf),
         "search_sort_by_length": lambda sf: search_sort_by_length(sf),
+        "term_vectors": lambda sf: term_vectors(sf),
         "bm25_lang_stats": lambda sf: bm25_lang_stats(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),
@@ -405,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top_per_lang": bm25_top_per_lang_sql(),
         "bm25_length_facets": bm25_length_facets_sql(),
         "search_sort_by_length": search_sort_by_length_sql(),
+        "term_vectors": term_vectors_sql(),
         "bm25_lang_stats": bm25_lang_stats_sql(),
         "keyword_search_indexed": textops.keyword_search_sql(),
         "keyword_search_excluding": keyword_search_excluding_sql(),

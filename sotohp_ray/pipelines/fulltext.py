@@ -658,6 +658,66 @@ def analyze_texts_sql(probes=ANALYZE_PROBES) -> str:
     """
 
 
+TERMVEC_DOC_IDS = (3, 7, 11)
+
+
+def term_vectors(sf_dir: str, doc_ids=TERMVEC_DOC_IDS) -> pa.Table:
+    """(doc_id, term, tf, first_pos): the ES ``_termvectors`` API —
+    per requested doc, its analyzed term frequencies and first
+    position. Like mget this is a BY-ID point read: a filtered
+    (row-group-pruned) read of just the requested docs, analyzed with
+    the engine tokenizer — document-sized work, zero shuffle; the SQL
+    oracle re-derives the same vectors from the shared analyzer
+    expression, extending analyze_texts' parity surface from probe
+    strings to corpus docs."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=pads.field("doc_id").isin(list(doc_ids)),
+    )
+    tok = CodeTokenizer()
+    out_d, out_t, out_f, out_p = [], [], [], []
+    for did, text in zip(
+        tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        tf: dict[str, int] = {}
+        first: dict[str, int] = {}
+        for pos, t in enumerate(tok.tokens_of(text or "")):
+            tf[t] = tf.get(t, 0) + 1
+            first.setdefault(t, pos)
+        for t in sorted(tf):
+            out_d.append(did)
+            out_t.append(t)
+            out_f.append(tf[t])
+            out_p.append(first[t])
+    return pa.table({
+        "doc_id": pa.array(out_d, pa.int64()),
+        "term": pa.array(out_t, pa.string()),
+        "tf": pa.array(out_f, pa.int64()),
+        "first_pos": pa.array(out_p, pa.int64()),
+    })
+
+
+def term_vectors_sql(doc_ids=TERMVEC_DOC_IDS) -> str:
+    texpr = sql_token_expr("text")
+    ids = ", ".join(str(i) for i in doc_ids)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 generate_subscripts({texpr}, 1) - 1 AS pos,
+                 unnest({texpr}) AS term
+          FROM documents WHERE doc_id IN ({ids})
+        )
+        SELECT doc_id, term, count(*)::BIGINT AS tf,
+               min(pos)::BIGINT AS first_pos
+        FROM toks GROUP BY doc_id, term
+        ORDER BY doc_id, term
+    """
+
+
 # query-time synonym groups (ES synonym_graph filter): every member
 # of a group expands to the whole group at the ORIGINAL term's query
 # weight. "large" is deliberately outside the corpus vocabulary — an
