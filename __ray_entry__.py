@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": training.bpe_train,                    # rows-only
         "bpe_token_count": training.bpe_token_count,        # rows-only
         "doc_lm_score": training.doc_lm_score,
+        "dsir_weights": training.dsir_weights,
         "training_shards": training.training_shards,
         "doc_packing": training.doc_packing,
         "training_curriculum": training.training_curriculum,
@@ -439,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": training.doc_chunks_sql(),
         "doc_oov_rate": training.doc_oov_rate_sql(),
         "doc_lm_score": training.doc_lm_score_sql(),
+        "dsir_weights": training.dsir_weights_sql(),
         "training_shards": training.training_shards_sql(),
         "doc_packing": training.doc_packing_sql(),
         "training_curriculum": training.training_curriculum_sql(),

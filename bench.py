@@ -444,6 +444,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
 
     timed("search_sort_by_length",
           lambda: search_sort_by_length(sf_dir))
+    timed("dsir_weights", lambda: training.dsir_weights(sf_dir))
     timed("rare_terms", lambda: textops.rare_terms(sf_dir))
     timed("term_heavy_hitters",
           lambda: textops.term_heavy_hitters(sf_dir))

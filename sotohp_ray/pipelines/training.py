@@ -915,6 +915,164 @@ def doc_oov_rate_sql(vocab_size: int = OOV_VOCAB_SIZE) -> str:
     """
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    sf_dir: str,
+    target_lang: str = DSIR_TARGET_LANG,
+    vocab_size: int = LM_VOCAB_SIZE,
+):
+    """(doc_id, n_tokens, log_ratio): DSIR importance weights (Xie et
+    al. 2023, 'Data Selection for Language Models via Importance
+    Resampling') — per doc, the sum over token instances of
+    ln p_target(w) - ln p_raw(w) under two add-one-smoothed unigram
+    bag-of-words models sharing the corpus top-``vocab_size``
+    vocabulary (+ <unk>): target = the docs labeled ``target_lang``
+    (the in-repo stand-in for a target-domain sample), raw = the
+    whole corpus. High weight = target-like; DSIR's selection step is
+    then a weighted sample by these weights. Every doc is emitted
+    (0 / 0.0 for token-less docs). Round-6 float aggregate (the
+    nb_lang_scores precedent), so the SQL oracle hash is exact.
+
+    Three streaming passes, zero wide shuffles beyond tiny
+    aggregates: (1) top-V vocabulary (A1 partial+final); (2) ONE pass
+    emitting per-batch (vocab_id -> raw_count, target_count) partials
+    — two bincounts — merged by a (V+1)-row groupby; (3) the dense
+    log-ratio vector ((V+1) float64s) broadcast via ray.put, each
+    batch scores itself with one gather + one bincount."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sotohp_ray.pipelines.textops import _exploded_of
+
+    # ---- pass 1: top-V vocabulary by collection frequency ----
+    def counts(batch: pa.Table) -> pa.Table:
+        _p, flat = _exploded_of(batch)
+        vc = flat.value_counts()
+        return pa.table({
+            "term": vc.field("values").cast(pa.string()),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    top = (
+        _docs_tokens(sf_dir)
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cf"))
+        .to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True])
+        .head(vocab_size)
+    )
+    v = len(top)
+    vref = ray.put(pa.array(top["term"].tolist(), pa.large_string()))
+
+    def _ids_of(batch: pa.Table):
+        parents, flat = _exploded_of(batch)
+        ids = pc.fill_null(
+            pc.index_in(flat, value_set=ray.get(vref)), v
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return parents.to_numpy(zero_copy_only=False), ids
+
+    # ---- pass 2: raw + target unigram counts in one pass ----
+    def upartial(batch: pa.Table) -> pa.Table:
+        parents, ids = _ids_of(batch)
+        lg = batch["lang"].to_numpy(zero_copy_only=False).astype("O")
+        c_raw = np.bincount(ids, minlength=v + 1).astype(np.int64)
+        tgt = lg[parents] == target_lang
+        c_tgt = np.bincount(
+            ids[tgt], minlength=v + 1
+        ).astype(np.int64)
+        nz = np.flatnonzero(c_raw)
+        return pa.table({
+            "vid": pa.array(nz.astype(np.int64)),
+            "c_raw": pa.array(c_raw[nz]),
+            "c_tgt": pa.array(c_tgt[nz]),
+        })
+
+    model = (
+        _docs_tokens(sf_dir)
+        .map_batches(upartial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(
+            Sum("c_raw", alias_name="c_raw"),
+            Sum("c_tgt", alias_name="c_tgt"),
+        )
+        .to_pandas()  # <= V+1 rows: model-sized by construction
+    )
+    cr = np.zeros(v + 1, dtype=np.float64)
+    ct = np.zeros(v + 1, dtype=np.float64)
+    if len(model):
+        cr[model["vid"].to_numpy(np.int64)] = model["c_raw"].to_numpy()
+        ct[model["vid"].to_numpy(np.int64)] = model["c_tgt"].to_numpy()
+    n_raw, n_tgt = cr.sum(), ct.sum()
+    logr = (
+        np.log((ct + 1.0) / (n_tgt + v + 1.0))
+        - np.log((cr + 1.0) / (n_raw + v + 1.0))
+    )
+    lref = ray.put(logr)
+
+    # ---- pass 3: per-doc weight ----
+    def score(batch: pa.Table) -> pa.Table:
+        lr = ray.get(lref)
+        parents, ids = _ids_of(batch)
+        n = np.bincount(parents, minlength=batch.num_rows)
+        s = np.bincount(
+            parents, weights=lr[ids], minlength=batch.num_rows
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(n.astype(np.int64)),
+            "log_ratio": pa.array(np.round(s, 6), pa.float64()),
+        })
+
+    return _docs_tokens(sf_dir).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def dsir_weights_sql(
+    target_lang: str = DSIR_TARGET_LANG,
+    vocab_size: int = LM_VOCAB_SIZE,
+) -> str:
+    texpr = sql_token_expr("text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({texpr}) AS term FROM documents),
+        vocab AS (
+          SELECT term FROM toks GROUP BY term
+          ORDER BY count(*) DESC, term LIMIT {vocab_size}),
+        nv AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+        m AS (
+          SELECT t.doc_id,
+                 CASE WHEN v.term IS NULL THEN chr(0) ELSE t.term END
+                   AS term
+          FROM toks t LEFT JOIN vocab v USING (term)),
+        tgt AS (SELECT doc_id FROM documents
+                WHERE lang = '{target_lang}'),
+        craw AS (SELECT term, count(*)::DOUBLE AS c FROM m GROUP BY 1),
+        ctgt AS (SELECT term, count(*)::DOUBLE AS c
+                 FROM m JOIN tgt USING (doc_id) GROUP BY 1),
+        nraw AS (SELECT sum(c) AS n FROM craw),
+        ntgt AS (SELECT coalesce(sum(c), 0) AS n FROM ctgt),
+        lr AS (
+          SELECT m.doc_id,
+                 ln((coalesce(ct.c, 0) + 1.0)
+                    / ((SELECT n FROM ntgt) + nv.v + 1.0))
+               - ln((cr.c + 1.0)
+                    / ((SELECT n FROM nraw) + nv.v + 1.0)) AS l
+          FROM m
+          JOIN craw cr USING (term)
+          LEFT JOIN ctgt ct USING (term)
+          CROSS JOIN nv)
+        SELECT d.doc_id,
+               count(l)::BIGINT AS n_tokens,
+               round(coalesce(sum(l), 0.0), 6) AS log_ratio
+        FROM documents d LEFT JOIN lr USING (doc_id)
+        GROUP BY d.doc_id
+    """
+
+
 # ----------------------------------------------------- BPE induction
 
 BPE_MERGES = 64

@@ -527,3 +527,39 @@ def test_bpe_train_matches_reference_and_counts(tmp_path):
     enc = training._BPECounter(mref)
     for w in words:
         assert enc._encode_len(w) == len(ref_seqs[w]), w
+
+
+def test_dsir_weights_target_skew(tmp_path):
+    """DSIR sanity on a planted two-domain corpus: docs made of
+    target-domain tokens get strictly positive importance weights,
+    off-domain docs strictly negative, and a doc with no tokens is
+    emitted as (0, 0.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.training import dsir_weights
+
+    texts = [
+        "alpha beta gamma alpha beta",      # en (target-ish tokens)
+        "alpha gamma beta beta alpha",      # en
+        "uno dos tres cuatro uno dos",      # es
+        "dos tres uno cuatro tres",         # es
+        "",                                  # empty edge
+    ]
+    langs = ["en", "en", "es", "es", "en"]
+    t = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = (
+        dsir_weights(str(d), target_lang="en").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4]
+    assert out["log_ratio"][0] > 0 and out["log_ratio"][1] > 0
+    assert out["log_ratio"][2] < 0 and out["log_ratio"][3] < 0
+    assert out["n_tokens"][4] == 0 and out["log_ratio"][4] == 0.0
