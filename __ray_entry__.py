@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume":
             relational.q5_local_supplier_volume,
         "q10_returned_items": relational.q10_returned_items,
+        "q4_order_priority": relational.q4_order_priority,
+        "events_retention": relational.events_retention,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
@@ -499,6 +501,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume":
             relational.q5_local_supplier_volume_sql(),
         "q10_returned_items": relational.q10_returned_items_sql(),
+        "q4_order_priority": relational.q4_order_priority_sql(),
+        "events_retention": relational.events_retention_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

@@ -440,6 +440,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.customer_geo_ring(sf_dir))
     timed("q10_returned_items",
           lambda: relational.q10_returned_items(sf_dir))
+    timed("q4_order_priority",
+          lambda: relational.q4_order_priority(sf_dir))
+    timed("events_retention",
+          lambda: relational.events_retention(sf_dir))
     from sotohp_ray.pipelines.fulltext import search_sort_by_length
 
     timed("search_sort_by_length",

@@ -2292,6 +2292,217 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     })
 
 
+def events_retention(sf_dir: str):
+    """(cohort, offset_h, n_users): hour-cohort retention — users
+    grouped by the hour of their FIRST event (the cohort), counted
+    once per later hour-offset they were active in (the classic
+    product-analytics retention triangle; ES/Kibana cohort chart).
+    Shape: ONE user-co-partitioned exchange (the sessionize
+    discipline — a user's whole history lands in one group), per-group
+    vectorized first-event + distinct-(cohort, offset) fold, then the
+    (cohort x offset)-sized partial counts sum in a tiny second
+    groupby. No broadcast, no global sort; the wide exchange carries
+    (user, hour) rows pre-deduplicated per batch."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        hr = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "hour": hr,
+            "ukey": _ukey(u),
+        })
+        # per-batch (user, hour) dedup shrinks the exchange
+        return t.group_by(["ukey", "user_id", "hour"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        h = g["hour"].to_numpy()  # datetime64, resolution-agnostic
+        order = np.lexsort((h, u))
+        u, h = u[order], h[order]
+        if not u.size:
+            return pd.DataFrame({
+                "cohort": pd.Series(dtype="datetime64[us]"),
+                "offset_h": pd.Series(dtype="int64"),
+                "n_partial": pd.Series(dtype="int64"),
+            })
+        # the per-batch dedup only collapses within a batch — the
+        # same (user, hour) can arrive from two batches, so dedup
+        # again post-sort (one boolean diff)
+        uniq = np.ones(u.size, dtype=bool)
+        uniq[1:] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        u, h = u[uniq], h[uniq]
+        first = np.ones(u.size, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        t0 = h[starts][seg]  # each user's first-event hour
+        # rows are now distinct (user, hour), so size() on
+        # (cohort, offset) counts each active user exactly once
+        off = ((h - t0) // np.timedelta64(1, "h")).astype(np.int64)
+        df = pd.DataFrame({
+            "cohort": t0.astype("datetime64[us]"), "offset_h": off,
+        })
+        return (
+            df.groupby(["cohort", "offset_h"]).size()
+            .rename("n_partial").reset_index()
+        )
+
+    parts = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # (cohort x offset)-sized partials
+    )
+    agg = (
+        parts.groupby(["cohort", "offset_h"], as_index=False)[
+            "n_partial"
+        ].sum().sort_values(["cohort", "offset_h"])
+    )
+    return pa.table({
+        "cohort": pa.array(agg["cohort"], pa.timestamp("us")),
+        "offset_h": pa.array(agg["offset_h"].to_numpy(np.int64)),
+        "n_users": pa.array(agg["n_partial"].to_numpy(np.int64)),
+    })
+
+
+def events_retention_sql() -> str:
+    return """
+WITH f AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0
+  FROM events GROUP BY user_id
+),
+e AS (
+  SELECT DISTINCT e.user_id, f.t0 AS cohort,
+         date_diff('hour', f.t0, date_trunc('hour', e.ts)) AS offset_h
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cohort, offset_h, count(*)::BIGINT AS n_users
+FROM e GROUP BY cohort, offset_h
+ORDER BY cohort, offset_h
+"""
+
+
+Q4_LO = np.datetime64("1997-01-01")
+Q4_HI = np.datetime64("1997-07-01")
+
+
+def q4_order_priority(sf_dir: str):
+    """(o_orderpriority, n_orders): the TPC-H Q4 shape — orders in a
+    window counted per priority, keeping only orders where AT LEAST
+    ONE lineitem shipped after the order date (EXISTS semi-join; the
+    reference tables carry no commit/receipt dates, so late =
+    l_shipdate > o_orderdate — documented analog). The positive twin
+    of customers_without_big_orders' anti-join: orders ship (okey,
+    priority, orderdate), lineitem pre-aggregates to per-batch MAX
+    shipdate per okey (EXISTS only needs the max — the A1 combiner
+    collapses the fact side before the exchange), ONE shared
+    coarse-key groupby joins them, per-group priority counts are
+    output-sized partials summed on the driver."""
+    import pandas as pd
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((od >= Q4_LO) & (od < Q4_HI)))
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "odate": b["o_orderdate"],
+            "prio": b["o_orderpriority"].cast(pa.string()),
+            "is_build": pa.array(np.ones(len(b), bool)),
+        })
+
+    def li_maxship(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(okey, return_inverse=True)
+        mx = np.full(uk.size, np.datetime64("1970-01-01", "us"))
+        np.maximum.at(mx, inv, sd.astype("datetime64[us]"))
+        return pa.table({
+            "ukey": _ukey(uk),
+            "okey": pa.array(uk),
+            "odate": pa.array(mx, pa.timestamp("us")),
+            "prio": pa.nulls(uk.size, pa.string()),
+            "is_build": pa.array(np.zeros(uk.size, bool)),
+        })
+
+    def count_exists(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        if not build.any():
+            return pd.DataFrame({
+                "prio": pd.Series(dtype="object"),
+                "n_partial": pd.Series(dtype="int64"),
+            })
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk = bk[o]
+        bdate = g["odate"].to_numpy()[build][o]
+        bprio = g["prio"].to_numpy()[build][o]
+        pk = g["okey"].to_numpy()[~build]
+        pmax = g["odate"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (pos < bk.size) & (bk[np.minimum(pos, bk.size - 1)] == pk)
+        late = np.zeros(bk.size, dtype=bool)
+        hit = pos[ok][pmax[ok] > bdate[pos[ok]]]
+        late[hit] = True
+        if not late.any():
+            return pd.DataFrame({
+                "prio": pd.Series(dtype="object"),
+                "n_partial": pd.Series(dtype="int64"),
+            })
+        return (
+            pd.DataFrame({"prio": bprio[late]})
+            .groupby("prio").size().rename("n_partial").reset_index()
+        )
+
+    parts = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(tag_orders, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+            .map_batches(li_maxship, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(count_exists, batch_format="pandas")
+        .to_pandas()  # <= n_priorities per group: output-sized
+    )
+    agg = (
+        parts.groupby("prio")["n_partial"].sum().sort_index()
+        if len(parts) else pd.Series(dtype="int64")
+    )
+    return pa.table({
+        "o_orderpriority": pa.array(
+            [str(p) for p in agg.index], pa.string()),
+        "n_orders": pa.array(
+            agg.to_numpy(np.int64) if len(agg)
+            else np.zeros(0, np.int64)),
+    })
+
+
+def q4_order_priority_sql() -> str:
+    return """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q10_returned_items_sql(k: int = 20) -> str:
     return f"""
 SELECT c_custkey, c_name,
