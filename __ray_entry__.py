@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_grams": textops.doc_dup_grams,
         "doc_dup_spans": textops.doc_dup_spans,
         "corpus_dedup_substrings": textops.corpus_dedup_substrings,  # rows-only
+        "similarity_pagerank": textops.similarity_pagerank,  # rows-only (iterative)
         "decontaminate": textops.decontaminate,
         "doc_quality_signals": textops.doc_quality_signals,
         "corpus_quality_filter": textops.corpus_quality_filter,

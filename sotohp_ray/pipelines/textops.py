@@ -3858,6 +3858,71 @@ SELECT doc_id, min(lbl) AS canonical_id FROM reach GROUP BY doc_id
 """
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 30
+
+
+def similarity_pagerank(
+    sf_dir: str,
+    threshold: float = 0.6,
+    d: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+):
+    """(doc_id, rank): PageRank (Brin & Page 1998) over the UNDIRECTED
+    exact set-similarity graph — the iterative-algorithm member of the
+    dedup family: within a near-dup cluster the highest-rank doc is
+    the most central copy (a keep-policy signal richer than min-id),
+    and across the corpus rank mass localizes boilerplate hubs.
+    Standard damped formulation with uniform teleport and dangling
+    (isolated-doc) mass redistribution; ``iters`` fixed power-iteration
+    rounds, round-6 output, fully deterministic. Rows-only BY DESIGN
+    (fixed-point iteration is not reasonably SQL-expressible); pytest
+    verifies against an independent dense-matrix power iteration plus
+    the mass-conservation and symmetry invariants.
+
+    Shape: edges come from the DURABLE pair cache (``set_similarity_
+    join`` — warm second consumers do zero shingle work, the
+    components discipline), and the iteration is edge-set + node-
+    vector-sized vectorized driver work (np.add.at gather-scatter per
+    round), the `_components` precedent. At fleet scale the same
+    update is the bucketed SpMV: edges hash-partitioned by src bucket,
+    rank partitions co-located, one (dst, contrib) exchange per round
+    — swap the driver fold for that groupby when the node vector
+    outgrows one machine."""
+    pairs = set_similarity_join(sf_dir, threshold)
+    ids = (
+        _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    ids = np.sort(ids)
+    n = ids.size
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64()),
+        })
+    a = np.searchsorted(ids, pairs["doc_a"].to_numpy())
+    b = np.searchsorted(ids, pairs["doc_b"].to_numpy())
+    # undirected: each edge contributes both ways
+    src = np.concatenate((a, b))
+    dst = np.concatenate((b, a))
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    dangling = deg == 0.0
+    inv_deg = np.zeros(n, dtype=np.float64)
+    inv_deg[~dangling] = 1.0 / deg[~dangling]
+    r = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(iters):
+        contrib = r * inv_deg
+        nxt = np.zeros(n, dtype=np.float64)
+        np.add.at(nxt, dst, contrib[src])
+        dangle_mass = float(r[dangling].sum())
+        r = (1.0 - d) / n + d * (nxt + dangle_mass / n)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "rank": pa.array(np.round(r, 6), pa.float64()),
+    })
+
+
 def _simhash_sig_batch(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
     """(doc_id column, uint64 sig array) for one batch — vectorized:
     FNV-1a over the UNIQUE-token dictionary (``fnv1a64_array``: one

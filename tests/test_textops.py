@@ -1819,3 +1819,71 @@ def test_rare_terms_is_bottom_k_of_term_df(tmp_path):
     assert list(out["df"]) == [1, 2]
     df = term_df(str(d)).to_pandas().sort_values(["df", "term"]).head(2)
     assert list(df["term"]) == list(out["term"])
+
+
+def test_similarity_pagerank_matches_dense_power_iteration(tmp_path):
+    """PageRank over a planted similarity graph equals an independent
+    dense-matrix power iteration, conserves rank mass, and ranks the
+    hub of a star cluster above its leaves (the keep-policy signal)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.textops import (
+        PR_DAMPING, PR_ITERS, similarity_pagerank,
+    )
+
+    # hub doc 0 shares a long phrase with 1/2/3 (star); 4 and 5 are a
+    # pair; 6 is isolated (dangling) — shingle_n=3 token shingles
+    hub = "alpha beta gamma delta epsilon zeta eta theta"
+    pair = "uno dos tres cuatro cinco seis siete ocho nueve"
+    texts = [
+        hub + " hubextra0",
+        hub + " leafone11",
+        hub + " leaftwo22",
+        hub + " leafthr33",
+        pair + " paira",
+        pair + " pairb",
+        "totally different isolated text goes here now",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(list(range(7)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 7),
+    })
+    dd = tmp_path / "sf"
+    dd.mkdir()
+    pq.write_table(t, str(dd / "documents.parquet"))
+
+    out = (
+        similarity_pagerank(str(dd)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == list(range(7))
+    assert abs(out["rank"].sum() - 1.0) < 1e-4  # mass conserved
+
+    # independent dense reference from the SAME edge set
+    from sotohp_ray.pipelines.textops import set_similarity_join
+
+    pairs = set_similarity_join(str(dd)).to_pandas()
+    n = 7
+    A = np.zeros((n, n))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        A[a, b] = A[b, a] = 1.0
+    deg = A.sum(axis=1)
+    P = np.zeros((n, n))
+    nz = deg > 0
+    P[nz] = A[nz] / deg[nz, None]
+    r = np.full(n, 1.0 / n)
+    dmp = PR_DAMPING
+    for _ in range(PR_ITERS):
+        dangle = r[~nz].sum()
+        r = (1 - dmp) / n + dmp * (P.T @ r + dangle / n)
+    assert np.allclose(out["rank"].to_numpy(), np.round(r, 6), atol=2e-6)
+
+    # docs 0-3 share the hub phrase pairwise -> a 4-clique: equal
+    # ranks by symmetry, all above the isolated (teleport-only) doc;
+    # the 2-pair is likewise symmetric
+    ranks = out["rank"].to_numpy()
+    assert np.allclose(ranks[:4], ranks[0])
+    assert np.allclose(ranks[4], ranks[5])
+    assert ranks[0] > ranks[6]
