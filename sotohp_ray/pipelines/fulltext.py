@@ -3465,6 +3465,49 @@ def bm25_topk_deleted(
     )
 
 
+DELETE_QUERY = "hash join"
+
+
+def bm25_topk_delete_by_query(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    delete_query: str = DELETE_QUERY,
+) -> pa.Table:
+    """(query_id, doc_id, score): the ES _delete_by_query API — docs
+    matching ALL analyzed terms of ``delete_query`` are tombstoned and
+    compacted, then the standard BM25 suite runs over the survivors
+    (statistics fully recomputed, same contract as bm25_topk_deleted).
+    The delete set comes from the index itself (search_boolean
+    mode=and, posting-set-intersection cost), composing S5's
+    tombstone+compact path with J6's boolean retrieval; the oracle
+    excludes via the same all-terms match on the analyzed token list."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    base = documents_index(sf_dir)
+    s0 = Searcher(base)
+    hits = s0.search_boolean(delete_query, mode="and")
+    e2o = _eng2orig(base, s0.space)
+    del_ids = tuple(sorted(int(i) for i in e2o[hits]))
+    index_dir = deleted_documents_index(sf_dir, del_ids)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        ranked = sorted(
+            ((int(eng2orig[d]), round(sc, 4)) for d, sc in full),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 class _ShardSearcher:
     """Actor-pool batch-query stage: the Searcher (dictionary shard
     group + doc lengths) is loaded ONCE per actor in ``__init__`` — the
@@ -3720,7 +3763,7 @@ def bm25_topk_updated(
 def bm25_oracle_sql(
     queries=DOC_QUERIES, k: int = 10, exclude_ids=None,
     update_ids=None, update_suffix=UPDATE_SUFFIX, filter_lang=None,
-    boost_nchars: float | None = None,
+    boost_nchars: float | None = None, exclude_match_terms=None,
 ) -> str:
     """DuckDB SQL computing the same BM25 top-k on ``documents``.
     Query tokenization happens here in Python (same tokenizer), emitted
@@ -3740,7 +3783,15 @@ def bm25_oracle_sql(
             vals.append(f"({qi}, '{term}', {qtf})")
     values_sql = ", ".join(vals)
     texpr = sql_token_expr("text")
-    if exclude_ids:
+    if exclude_match_terms:
+        # delete_by_query: the collection minus docs matching ALL the
+        # analyzed terms (the engine deletes search_boolean(mode=and))
+        lst = ", ".join(f"'{_sql_lit(t)}'" for t in exclude_match_terms)
+        src = (
+            f"(SELECT * FROM documents "
+            f"WHERE NOT list_has_all({texpr}, [{lst}]))"
+        )
+    elif exclude_ids:
         lst = ", ".join(str(int(i)) for i in exclude_ids)
         src = f"(SELECT * FROM documents WHERE doc_id NOT IN ({lst}))"
     elif update_ids:
