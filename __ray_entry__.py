@@ -49,6 +49,8 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_topk,
     bm25_topk_deleted,
     bm25_topk_delete_by_query,
+    bm25_topk_update_by_query,
+    UPDATE_QUERY,
     DELETE_QUERY,
     bm25_topk_distributed,
     bm25_topk_filtered,
@@ -174,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": lambda sf: bm25_topk_deleted(sf),
         "bm25_topk_delete_by_query":
             lambda sf: bm25_topk_delete_by_query(sf),
+        "bm25_topk_update_by_query":
+            lambda sf: bm25_topk_update_by_query(sf),
         "bm25_topk_updated": lambda sf: bm25_topk_updated(sf),
         "bm25_topk_filtered": lambda sf: bm25_topk_filtered(sf),
         "bm25_topk_paged": lambda sf: bm25_topk_paged(sf),
@@ -380,6 +384,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_deleted": bm25_oracle_sql(exclude_ids=DELETED_DOC_IDS),
         "bm25_topk_delete_by_query": bm25_oracle_sql(
             exclude_match_terms=tuple(DELETE_QUERY.split())),
+        "bm25_topk_update_by_query": bm25_oracle_sql(
+            update_match_terms=tuple(UPDATE_QUERY.split())),
         "bm25_topk_updated": bm25_oracle_sql(update_ids=UPDATED_DOC_IDS),
         "bm25_topk_filtered": bm25_oracle_sql(filter_lang=FILTER_LANG),
         "bm25_topk_paged": bm25_paged_sql(),

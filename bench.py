@@ -450,6 +450,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
 
     timed("bm25_topk_delete_by_query",
           lambda: bm25_topk_delete_by_query(sf_dir))
+    from sotohp_ray.pipelines.fulltext import bm25_topk_update_by_query
+
+    timed("bm25_topk_update_by_query",
+          lambda: bm25_topk_update_by_query(sf_dir))
     from sotohp_ray.pipelines.fulltext import search_sort_by_length
 
     timed("search_sort_by_length",

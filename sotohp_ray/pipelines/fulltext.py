@@ -3466,8 +3466,6 @@ def bm25_topk_deleted(
 
 
 DELETE_QUERY = "hash join"
-
-
 def bm25_topk_delete_by_query(
     sf_dir: str, queries=DOC_QUERIES, k: int = 10,
     delete_query: str = DELETE_QUERY,
@@ -3760,10 +3758,37 @@ def bm25_topk_updated(
     )
 
 
+UPDATE_QUERY = "query data filter"
+
+
+def bm25_topk_update_by_query(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    update_query: str = UPDATE_QUERY, suffix: str = UPDATE_SUFFIX,
+) -> pa.Table:
+    """(query_id, doc_id, score): the ES _update_by_query API — every
+    doc matching ALL analyzed terms of ``update_query`` gets its text
+    rewritten (suffix append) through the per-doc SYNC path
+    (hash-diff detect, tombstone, increment, compact — the
+    bm25_topk_updated machinery), then the BM25 suite re-scores with
+    fully recomputed statistics. The update set comes from the index
+    (boolean AND retrieval); the oracle rewrites via the same
+    all-terms match on the analyzed token list."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    base = documents_index(sf_dir)
+    s0 = Searcher(base)
+    hits = s0.search_boolean(update_query, mode="and")
+    ids = tuple(sorted(int(i) for i in _eng2orig(base, s0.space)[hits]))
+    return bm25_topk_updated(
+        sf_dir, queries, k, updated_ids=ids, suffix=suffix
+    )
+
+
 def bm25_oracle_sql(
     queries=DOC_QUERIES, k: int = 10, exclude_ids=None,
     update_ids=None, update_suffix=UPDATE_SUFFIX, filter_lang=None,
     boost_nchars: float | None = None, exclude_match_terms=None,
+    update_match_terms=None,
 ) -> str:
     """DuckDB SQL computing the same BM25 top-k on ``documents``.
     Query tokenization happens here in Python (same tokenizer), emitted
@@ -3794,6 +3819,15 @@ def bm25_oracle_sql(
     elif exclude_ids:
         lst = ", ".join(str(int(i)) for i in exclude_ids)
         src = f"(SELECT * FROM documents WHERE doc_id NOT IN ({lst}))"
+    elif update_match_terms:
+        # update_by_query: append the suffix to every doc matching
+        # ALL the analyzed terms (engine updates search_boolean and)
+        lst = ", ".join(f"'{_sql_lit(t)}'" for t in update_match_terms)
+        sfx = update_suffix.replace("'", "''")
+        src = (
+            f"(SELECT doc_id, CASE WHEN list_has_all({texpr}, [{lst}]) "
+            f"THEN text || '{sfx}' ELSE text END AS text FROM documents)"
+        )
     elif update_ids:
         lst = ", ".join(str(int(i)) for i in update_ids)
         sfx = update_suffix.replace("'", "''")
