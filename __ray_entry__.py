@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": relational.q10_returned_items,
         "q4_order_priority": relational.q4_order_priority,
         "events_retention": relational.events_retention,
+        "events_props_stats": relational.events_props_stats,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": relational.q10_returned_items_sql(),
         "q4_order_priority": relational.q4_order_priority_sql(),
         "events_retention": relational.events_retention_sql(),
+        "events_props_stats": relational.events_props_stats_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

@@ -2292,6 +2292,78 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     })
 
 
+PROPS_BUCKET = 10
+
+
+def events_props_stats(sf_dir: str, bucket: int = PROPS_BUCKET):
+    """(k_bucket, n_events, sum_value): aggregate over a field parsed
+    OUT OF THE SEMI-STRUCTURED ``props`` JSON string column — the ES
+    runtime-field / Spark get_json_object shape (the reference's
+    metadata JSON parse, M1 family, applied to a query). The integer
+    ``k`` is pulled with ONE vectorized RE2 ``pc.extract_regex`` per
+    batch — both engines embed RE2 and the oracle uses DuckDB's
+    ``regexp_extract`` with the SAME pattern, so parse behavior
+    (including malformed rows -> dropped) is identical by
+    construction rather than by JSON-library agreement. A1
+    partial+final aggregation; rows whose props does not match the
+    pattern are skipped (error-carrying stream discipline, S2)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["props", "value"])
+    pat = r'"k": (?P<k>-?\d+)'  # Arrow extract_regex needs named groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pat)
+        ok = pc.is_valid(ext)
+        ks = pc.cast(
+            pc.struct_field(pc.filter(ext, ok), "k"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        vals = batch.filter(ok)["value"].to_numpy(zero_copy_only=False)
+        kb = (ks // bucket) * bucket
+        ub, inv = np.unique(kb, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sm = np.zeros(ub.size, dtype=np.float64)
+        np.add.at(sm, inv, vals)
+        return pa.table({
+            "k_bucket": pa.array(ub, pa.int64()),
+            "n_events": pa.array(cnt),
+            "value_sum": pa.array(sm, pa.float64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_sum", alias_name="sum_value"),
+        )
+    )
+
+    def round_col(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(
+            i, "sum_value", pc.round(batch["sum_value"], 2)
+        )
+
+    return out.map_batches(round_col, batch_format="pyarrow")
+
+
+def events_props_stats_sql(bucket: int = PROPS_BUCKET) -> str:
+    return f"""
+WITH e AS (
+  SELECT CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)
+           AS k,
+         value
+  FROM events
+  WHERE regexp_extract(props, '"k": (-?\\d+)', 1) <> ''
+)
+SELECT (k // {bucket}) * {bucket} AS k_bucket,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_retention(sf_dir: str):
     """(cohort, offset_h, n_users): hour-cohort retention — users
     grouped by the hour of their FIRST event (the cohort), counted
