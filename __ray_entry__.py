@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relational.q4_order_priority,
         "events_retention": relational.events_retention,
         "events_props_stats": relational.events_props_stats,
+        "events_value_outliers": relational.events_value_outliers,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
@@ -518,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": relational.q4_order_priority_sql(),
         "events_retention": relational.events_retention_sql(),
         "events_props_stats": relational.events_props_stats_sql(),
+        "events_value_outliers":
+            relational.events_value_outliers_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

@@ -2292,6 +2292,96 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     })
 
 
+ZSCORE_CUTOFF = 3.0
+
+
+def events_value_outliers(sf_dir: str, cutoff: float = ZSCORE_CUTOFF):
+    """(event_id, event_type, zscore): events whose value sits more
+    than ``cutoff`` population standard deviations from their TYPE's
+    mean — the classic streaming anomaly-detection shape. Two bounded
+    passes: (1) per-type (n, sum, sumsq) moment partials (the A2
+    decomposition — mean/std are NOT directly combinable, moments
+    are) merged by a types-sized groupby; (2) the tiny moment table
+    broadcasts and each batch flags its outliers vectorized. Round-6
+    z-scores; population (ddof=0) std, matching the SQL oracle's
+    stddev_pop."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(batch), np.int64)),
+            "s": batch["value"].cast(pa.float64()),
+            "s2": pa.array(v * v, pa.float64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+        return agg_select(g, {
+            "event_type": "event_type", "n_sum": "n",
+            "s_sum": "s", "s2_sum": "s2",
+        })
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()  # types-sized
+    )
+    types = m["event_type"].to_numpy().astype("O")
+    n = m["n"].to_numpy(np.float64)
+    mean = m["s"].to_numpy() / n
+    var = np.maximum(m["s2"].to_numpy() / n - mean * mean, 0.0)
+    std = np.sqrt(var)
+    stats = {
+        t: (mu, sd) for t, mu, sd in zip(types, mean, std)
+    }
+    sref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False).astype(
+            "O"
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        mu = np.array([st[t][0] for t in et])
+        sd = np.array([st[t][1] for t in et])
+        ok = sd > 0
+        z = np.zeros(v.size, dtype=np.float64)
+        z[ok] = (v[ok] - mu[ok]) / sd[ok]
+        keep = np.abs(z) > cutoff
+        return pa.table({
+            "event_id": batch["event_id"].filter(
+                pa.array(keep)).cast(pa.int64()),
+            "event_type": pa.array(et[keep].tolist(), pa.string()),
+            "zscore": pa.array(np.round(z[keep], 6), pa.float64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def events_value_outliers_sql(cutoff: float = ZSCORE_CUTOFF) -> str:
+    return f"""
+WITH st AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - st.mu) / st.sd, 6) AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE st.sd > 0 AND abs((e.value - st.mu) / st.sd) > {cutoff}
+ORDER BY e.event_id
+"""
+
+
 PROPS_BUCKET = 10
 
 
