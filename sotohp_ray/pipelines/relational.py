@@ -2292,6 +2292,126 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     })
 
 
+BASKET_MIN_SUPPORT = 2
+BASKET_K = 25
+
+
+def basket_part_pairs(
+    sf_dir: str, min_support: int = BASKET_MIN_SUPPORT,
+    k: int = BASKET_K,
+):
+    """(part_a, part_b, n_orders): the top-``k`` part pairs by basket
+    co-occurrence — A-Priori 2-itemset counting (Agrawal & Srikant
+    1994, market-basket mining), each pair counted once per order.
+    Total order (count desc, part_a asc, part_b asc) so heavy tie
+    plateaus stay deterministic.
+
+    Shape: ONE coarse-orderkey exchange of per-batch-DISTINCT
+    (order, part) rows; per-group VECTORIZED triangular pair
+    expansion (segment-offset arithmetic — no per-order Python loop)
+    with within-group pair pre-counts; a pair-keyed groupby sums
+    supports; per-block top-k partials after the support filter
+    (O6 rule) and a tiny driver merge. Pair volume is
+    sum_orders L(L-1)/2 ~ a small multiple of lineitem — the
+    classic a-priori bound, not all-parts quadratic."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "okey": batch["l_orderkey"].cast(pa.int64()),
+            "part": batch["l_partkey"].cast(pa.int64()),
+        }).group_by(["okey", "part"]).aggregate([])
+        ok = t["okey"].to_numpy(zero_copy_only=False)
+        return t.append_column("ukey", _ukey(ok))
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["okey"].to_numpy(np.int64)
+        pt = g["part"].to_numpy(np.int64)
+        order = np.lexsort((pt, ok))
+        ok, pt = ok[order], pt[order]
+        # cross-batch dedup of (order, part) (retention discipline)
+        uniq = np.ones(ok.size, dtype=bool)
+        uniq[1:] = (ok[1:] != ok[:-1]) | (pt[1:] != pt[:-1])
+        ok, pt = ok[uniq], pt[uniq]
+        empty = pd.DataFrame({
+            "part_a": pd.Series(dtype="int64"),
+            "part_b": pd.Series(dtype="int64"),
+            "n_partial": pd.Series(dtype="int64"),
+        })
+        if ok.size < 2:
+            return empty
+        # vectorized triangular expansion: row r of an order segment
+        # pairs with the (len - 1 - local_r) rows after it
+        new = np.ones(ok.size, dtype=bool)
+        new[1:] = ok[1:] != ok[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, ok.size))
+        local = np.arange(ok.size) - starts[seg]
+        reps = lens[seg] - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        first = np.repeat(np.arange(ok.size), reps)
+        base = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        second = first + (np.arange(total) - np.repeat(base, reps)) + 1
+        pa_, pb_ = pt[first], pt[second]
+        swap = pa_ > pb_
+        pa_[swap], pb_[swap] = pb_[swap], pa_[swap].copy()
+        df = pd.DataFrame({"part_a": pa_, "part_b": pb_})
+        out = df.groupby(["part_a", "part_b"]).size() \
+            .rename("n_partial").reset_index()
+        return out
+
+    def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["n_orders"] >= min_support]
+        if not len(g):
+            return g[["part_a", "part_b", "n_orders"]]
+        g = g.sort_values(
+            ["n_orders", "part_a", "part_b"],
+            ascending=[False, True, True],
+        ).head(k)
+        return g[["part_a", "part_b", "n_orders"]]
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(pairs_of, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_partial", alias_name="n_orders"))
+        .map_batches(topk_partial, batch_format="pandas")
+        .to_pandas()  # <= k per block: tiny driver merge
+    )
+    win = parts.sort_values(
+        ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
+    ).head(k)
+    return pa.table({
+        "part_a": pa.array(win["part_a"].to_numpy(np.int64)),
+        "part_b": pa.array(win["part_b"].to_numpy(np.int64)),
+        "n_orders": pa.array(win["n_orders"].to_numpy(np.int64)),
+    })
+
+
+def basket_part_pairs_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = BASKET_K
+) -> str:
+    return f"""
+WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM parts a JOIN parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*)::BIGINT AS n_orders
+FROM pairs GROUP BY 1, 2
+HAVING count(*) >= {min_support}
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT {k}
+"""
+
+
 ZSCORE_CUTOFF = 3.0
 
 
