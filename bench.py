@@ -450,6 +450,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_value_outliers(sf_dir))
     timed("basket_part_pairs",
           lambda: relational.basket_part_pairs(sf_dir))
+    timed("customers_rfm",
+          lambda: relational.customers_rfm(sf_dir))
     timed("similarity_pagerank",
           lambda: textops.similarity_pagerank(sf_dir))
     from sotohp_ray.pipelines.fulltext import bm25_topk_delete_by_query

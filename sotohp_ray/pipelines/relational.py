@@ -2292,6 +2292,163 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     })
 
 
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def customers_rfm(sf_dir: str, qs=RFM_QS):
+    """(c_custkey, n_orders, monetary_cents, r_score, f_score,
+    m_score): RFM customer segmentation — recency (last order date),
+    frequency (order count), monetary (lifetime spend in cents), each
+    scored 1-5 by exact quintile cuts over the customer population
+    (score = 1 + #cuts strictly below the value, the
+    training_curriculum searchsorted == SQL COUNT rule, so quintile
+    ties are deterministic on both engines). Customers with no orders
+    are absent (inner-join semantics, matching the oracle).
+
+    Shape: per-batch (custkey -> max date, count, sum) combiner, ONE
+    custkey groupby (customer-sized); quintile cuts via the
+    doc_length_quantiles discipline — per-batch value histograms per
+    metric, one (metric, value)-keyed groupby, driver-side cumsum
+    rank arithmetic (ceil(q*N), percentile_disc semantics) — never a
+    distributed sort; cuts broadcast once and every batch scores
+    itself vectorized."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        mx = np.full(uk.size, np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, od)
+        cnt = np.bincount(inv).astype(np.int64)
+        sm = np.zeros(uk.size, dtype=np.float64)
+        np.add.at(sm, inv, tp)
+        return pa.table({
+            "c_custkey": pa.array(uk),
+            "last_us": pa.array(mx),
+            "n_orders": pa.array(cnt),
+            "spend": pa.array(sm, pa.float64()),
+        })
+
+    rfm = (
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("spend", alias_name="spend"),
+        )
+    )
+
+    def to_metrics(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["spend"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "last_us": batch["last_us"].cast(pa.int64()),
+            "n_orders": batch["n_orders"].cast(pa.int64()),
+            "monetary_cents": pa.array(cents),
+        })
+
+    metrics = rfm.map_batches(to_metrics, batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        ms, vs, ns = [], [], []
+        for mi, col in enumerate(
+            ("last_us", "n_orders", "monetary_cents")
+        ):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            uv, cnt = np.unique(v, return_counts=True)
+            ms.append(np.full(uv.size, mi, np.int64))
+            vs.append(uv.astype(np.int64))
+            ns.append(cnt.astype(np.int64))
+        return pa.table({
+            "metric": pa.array(np.concatenate(ms)),
+            "value": pa.array(np.concatenate(vs)),
+            "n_partial": pa.array(np.concatenate(ns)),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    hist = (
+        metrics.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["metric", "value"])
+        .aggregate(_Sum("n_partial", alias_name="n"))
+        .to_pandas()  # distinct-values-sized
+    )
+    cuts = {}
+    for mi in range(3):
+        h = hist[hist["metric"] == mi].sort_values("value")
+        vals = h["value"].to_numpy(np.int64)
+        cum = h["n"].to_numpy(np.int64).cumsum()
+        total = int(cum[-1]) if len(cum) else 0
+        cs = []
+        for q in qs:
+            if not total:
+                continue
+            rank = max(int(np.ceil(np.float64(q) * total)), 1)
+            cs.append(int(vals[int(np.searchsorted(cum, rank))]))
+        cuts[mi] = np.array(cs, dtype=np.int64)
+    cref = ray.put(cuts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+
+        def sc(col, mi):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            return pa.array(
+                1 + np.searchsorted(c[mi], v, side="left"), pa.int64()
+            )
+
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "n_orders": batch["n_orders"],
+            "monetary_cents": batch["monetary_cents"],
+            "r_score": sc("last_us", 0),
+            "f_score": sc("n_orders", 1),
+            "m_score": sc("monetary_cents", 2),
+        })
+
+    return metrics.map_batches(score, batch_format="pyarrow")
+
+
+def customers_rfm_sql(qs=RFM_QS) -> str:
+    qlist = ", ".join(str(q) for q in qs)
+    return f"""
+WITH rfm AS (
+  SELECT o_custkey AS c_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         CAST(round(sum(o_totalprice) * 100.0) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+),
+cuts AS (
+  SELECT quantile_disc(last_order, [{qlist}]) AS rc,
+         quantile_disc(n_orders, [{qlist}]) AS fc,
+         quantile_disc(monetary_cents, [{qlist}]) AS mc
+  FROM rfm
+)
+SELECT r.c_custkey, r.n_orders, r.monetary_cents,
+       CAST(1 + len(list_filter(c.rc, x -> x < r.last_order))
+            AS BIGINT) AS r_score,
+       CAST(1 + len(list_filter(c.fc, x -> x < r.n_orders))
+            AS BIGINT) AS f_score,
+       CAST(1 + len(list_filter(c.mc, x -> x < r.monetary_cents))
+            AS BIGINT) AS m_score
+FROM rfm r CROSS JOIN cuts c
+ORDER BY c_custkey
+"""
+
+
 BASKET_MIN_SUPPORT = 2
 BASKET_K = 25
 
