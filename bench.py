@@ -452,6 +452,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.basket_part_pairs(sf_dir))
     timed("customers_rfm",
           lambda: relational.customers_rfm(sf_dir))
+    timed("events_range_join",
+          lambda: relational.events_range_join(sf_dir))
     timed("similarity_pagerank",
           lambda: textops.similarity_pagerank(sf_dir))
     from sotohp_ray.pipelines.fulltext import bm25_topk_delete_by_query

@@ -2292,6 +2292,86 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     })
 
 
+RANGE_BAND_US = 3_600_000_000  # 1 hour
+
+
+def events_range_join(sf_dir: str, band_us: int = RANGE_BAND_US):
+    """(event_id, n_prior_in_band): RANGE (banded interval) SELF
+    join — for each event, how many of the SAME user's OTHER events
+    fall in [ts - band, ts] (burst detection). The one-to-MANY
+    sibling of the as-of join (J4): where as-of picks the single
+    nearest predecessor, a range join matches every row in the
+    window — the shape Ray Data has no native operator for (the
+    brief's named custom-operator case). Every event is emitted
+    (0 when alone in its window — LEFT-join contract, NULL-free).
+
+    Shape: ONE coarse-key co-partitioning groupby (the as-of/
+    sessionize discipline); inside a group the stream lexsorts once
+    by (key, ts) into a 128-bit structured array and EVERY event
+    resolves its band with two vectorized searchsorted calls
+    (lo: ts - band left, hi: ts right), minus one for itself —
+    no broadcast, no per-user loop, group cost = sort + two binary
+    searches per row. Partitioning assumption: a user's whole
+    history fits one group. Exactly-equal timestamps of DIFFERENT
+    events count (matching the SQL BETWEEN semantics)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch["user_id"].cast(pa.int64()),
+            "ukey": _ukey(u),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"].cast(pa.timestamp("us")),
+        })
+
+    def _kt(keys: np.ndarray, ts: np.ndarray) -> np.ndarray:
+        out = np.empty(keys.size, dtype=[("k", np.int64),
+                                         ("t", np.int64)])
+        out["k"], out["t"] = keys, ts
+        return out
+
+    def band_count(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["key"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        eids = g["event_id"].to_numpy(np.int64)
+        o = np.lexsort((ts, keys))
+        side = _kt(keys[o], ts[o])
+        lo = np.searchsorted(side, _kt(keys, ts - band_us),
+                             side="left")
+        hi = np.searchsorted(side, _kt(keys, ts), side="right")
+        return pd.DataFrame({
+            "event_id": eids,
+            # hi - lo always includes the event itself (its own ts is
+            # inside its own band): subtract it, never goes negative
+            "n_prior_in_band": (hi - lo - 1).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(band_count, batch_format="pandas")
+    )
+
+
+def events_range_join_sql(band_us: int = RANGE_BAND_US) -> str:
+    return f"""
+SELECT e.event_id,
+       count(o.event_id)::BIGINT AS n_prior_in_band
+FROM events e
+LEFT JOIN events o
+  ON o.user_id = e.user_id AND o.event_id <> e.event_id
+ AND o.ts BETWEEN
+       e.ts - INTERVAL {band_us // 1_000_000} SECOND AND e.ts
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
 RFM_QS = (0.2, 0.4, 0.6, 0.8)
 
 
