@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": textops.bigram_counts,
         "bigram_pmi": textops.bigram_pmi,
         "sample_stratified": textops.sample_stratified,
+        "sample_weighted": textops.sample_weighted,
         "sample_random": textops.sample_random,
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_length_quantiles": textops.doc_length_quantiles,
@@ -502,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": textops.bigram_counts_sql(),
         "bigram_pmi": textops.bigram_pmi_sql(),
         "sample_stratified": textops.sample_stratified_sql(),
+        "sample_weighted": textops.sample_weighted_sql(),
         "sample_random": textops.sample_random_sql(),
         "doc_length_histogram": textops.doc_length_histogram_sql(),
         "doc_length_quantiles": textops.doc_length_quantiles_sql(),

@@ -4652,6 +4652,69 @@ def sample_random_sql(rate_ppm: int = SAMPLE_RATE_PPM) -> str:
     """
 
 
+SAMPLE_W_K = 50
+_SW_MUL = 2654435761  # Knuth multiplicative hash (public constant)
+
+
+def sample_weighted(sf_dir: str, k: int = SAMPLE_W_K):
+    """(doc_id, n_chars): deterministic WEIGHTED sample without
+    replacement — Efraimidis & Spirakis (2006) A-Res: each doc draws
+    a pseudo-uniform u from a multiplicative doc_id hash (no RNG
+    state, the sample_stratified reproducibility rule) and the k
+    largest ln(u)/weight keys win; weight = n_chars, so longer docs
+    are proportionally likelier (quality-weighted data selection).
+    The IDENTICAL IEEE expression runs on both engines, so the SQL
+    oracle agrees exactly.
+
+    Per-batch top-k combiner over a 2-column read, tiny driver merge
+    — never a global sort."""
+    import pandas as pd
+
+    def key_of(ids: np.ndarray, nch: np.ndarray) -> np.ndarray:
+        u = ((ids * _SW_MUL) % 4294967296 + 1) / 4294967297.0
+        return np.log(u) / np.maximum(nch, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        kk = key_of(ids, nch)
+        top = np.lexsort((ids, -kk))[: min(k, ids.size)]
+        return pa.table({
+            "doc_id": pa.array(ids[top]),
+            "n_chars": pa.array(nch[top]),
+        })
+
+    cand = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # <= k rows per block
+    )
+    ids = cand["doc_id"].to_numpy(np.int64)
+    nch = cand["n_chars"].to_numpy(np.int64)
+    kk = key_of(ids, nch)
+    top = np.lexsort((ids, -kk))[: min(k, ids.size)]
+    return pa.table({
+        "doc_id": pa.array(ids[top]),
+        "n_chars": pa.array(nch[top]),
+    })
+
+
+def sample_weighted_sql(k: int = SAMPLE_W_K) -> str:
+    return f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((((doc_id * {_SW_MUL}) % 4294967296) + 1)
+            / 4294967297.0) / greatest(n_chars, 1) AS kk
+  FROM documents)
+ORDER BY kk DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def sample_stratified(sf_dir: str, per_group: int = 20):
     """(doc_id, lang): deterministic stratified sample — the first
     ``per_group`` doc_ids of each lang (O5 random-select made
