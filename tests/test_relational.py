@@ -84,3 +84,116 @@ def test_events_funnel_strictly_later(tmp_path):
     d = _write_events(tmp_path, rows)
     got = events_funnel(d).to_pandas().sort_values("step_idx")
     assert list(got["n_users"]) == [2, 1, 0]
+
+
+def test_basket_pairs_triangular_expansion(tmp_path):
+    """Pair counting on a crafted basket set: per-order distinct
+    parts, unordered pairs, once per order, support filter and total
+    tie order all verified against hand-computed truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.relational import basket_part_pairs
+
+    # order 1: parts {1,2,3} -> (1,2),(1,3),(2,3)
+    # order 2: parts {1,2}   -> (1,2)            (dup l_partkey rows!)
+    # order 3: parts {2,1}   -> (1,2)  (reversed input order)
+    # order 4: part {5}      -> no pairs
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 2),
+        (3, 2), (3, 1),
+        (4, 5),
+    ]
+    t = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    out = basket_part_pairs(str(d), min_support=1, k=10).to_pandas()
+    got = list(zip(out["part_a"], out["part_b"], out["n_orders"]))
+    assert got == [(1, 2, 3), (1, 3, 1), (2, 3, 1)]
+    # support filter drops the singletons
+    out2 = basket_part_pairs(str(d), min_support=2, k=10).to_pandas()
+    assert list(zip(out2["part_a"], out2["part_b"],
+                    out2["n_orders"])) == [(1, 2, 3)]
+
+
+def test_events_range_join_boundaries(tmp_path):
+    """Band inclusivity at both ends, self-exclusion, equal-ts
+    twins, and cross-user isolation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.relational import events_range_join
+
+    H = 3_600_000_000  # 1h in us
+    base = np.datetime64("2024-01-01T12:00:00", "us").astype(np.int64)
+    rows = [
+        # user 1: e0 at t, e1 exactly 1h before (inclusive lower),
+        # e2 just over 1h before (excluded), e3 equal ts twin
+        (0, 1, base),
+        (1, 1, base - H),
+        (2, 1, base - H - 1),
+        (3, 1, base),
+        # user 2 inside user 1's window: must not count
+        (4, 2, base - 60),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(
+            np.array([r[2] for r in rows], dtype="datetime64[us]")
+        ),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = (
+        events_range_join(str(d)).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    # e0: e1 (exactly 1h back, inclusive lower bound) + e3 (equal-ts
+    # twin) = 2; e2 (1us beyond the band) and e4 (other user) do NOT
+    # count. e1 sees e2 (1us earlier, inside ITS band) = 1.
+    assert list(out["n_prior_in_band"]) == [2, 1, 0, 2, 0]
+
+
+def test_customers_rfm_quintile_ties(tmp_path):
+    """Quintile scoring on a hand-built orders table: score = 1 +
+    #cuts strictly below, so a value EQUAL to a cut does not advance
+    (the deterministic tie rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.relational import customers_rfm
+
+    # 5 customers with distinct monetary levels 100..500 and equal
+    # everything else (same order date, one order each)
+    d0 = np.datetime64("1997-01-01", "us")
+    t = pa.table({
+        "o_orderkey": pa.array(list(range(5)), pa.int64()),
+        "o_custkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "o_orderdate": pa.array(np.array([d0] * 5)),
+        "o_totalprice": pa.array(
+            [100.0, 200.0, 300.0, 400.0, 500.0], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "orders.parquet"))
+    out = (
+        customers_rfm(str(d)).to_pandas()
+        .sort_values("c_custkey").reset_index(drop=True)
+    )
+    # cuts over [10000..50000] cents at q=.2/.4/.6/.8 (n=5, rank
+    # ceil(q*5) -> 1,2,3,4) = 10000,20000,30000,40000; score = 1 +
+    # #cuts strictly below -> 1,2,3,4,5
+    assert list(out["m_score"]) == [1, 2, 3, 4, 5]
+    # identical recency/frequency everywhere -> all score 1 (equal to
+    # every cut, never strictly above)
+    assert list(out["r_score"]) == [1] * 5
+    assert list(out["f_score"]) == [1] * 5
