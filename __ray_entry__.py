@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_part_pairs": relational.basket_part_pairs,
         "customers_rfm": relational.customers_rfm,
         "events_range_join": relational.events_range_join,
+        "events_user_pivot": relational.events_user_pivot,
         "events_user_hll": relational.events_user_hll,  # rows-only (sketch)
         "events_value_percentile_ranks":
             relational.events_value_percentile_ranks,
@@ -529,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_part_pairs": relational.basket_part_pairs_sql(),
         "customers_rfm": relational.customers_rfm_sql(),
         "events_range_join": relational.events_range_join_sql(),
+        "events_user_pivot": relational.events_user_pivot_sql(),
         "customers_without_big_orders":
             relational.customers_without_big_orders_sql(),
         "doc_keywords": textops.doc_keywords_sql(),

@@ -455,6 +455,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("events_range_join",
           lambda: relational.events_range_join(sf_dir))
     timed("sample_weighted", lambda: textops.sample_weighted(sf_dir))
+    timed("events_user_pivot",
+          lambda: relational.events_user_pivot(sf_dir))
     timed("similarity_pagerank",
           lambda: textops.similarity_pagerank(sf_dir))
     from sotohp_ray.pipelines.fulltext import bm25_topk_delete_by_query

@@ -2292,6 +2292,57 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     })
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_pivot(sf_dir: str, types=PIVOT_TYPES):
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view):
+    PIVOT — per-user event counts spread into one column per event
+    type (long -> wide conditional aggregation, the SQL PIVOT /
+    pandas pivot_table shape; the per-user feature vector a churn
+    model trains on). Unknown types are ignored (fixed output
+    schema). Per-batch (user x type) count combiner, ONE user-keyed
+    groupby of width-|types| partial rows — the exchange carries
+    combined counts, never raw events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = batch["event_type"].to_numpy(
+            zero_copy_only=False
+        ).astype("O")
+        uu, inv = np.unique(u, return_inverse=True)
+        out = {"user_id": pa.array(uu)}
+        for t, c in zip(types, cols):
+            m = et == t
+            cnt = np.bincount(inv[m], minlength=uu.size)
+            out[c] = pa.array(cnt.astype(np.int64))
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+def events_user_pivot_sql(types=PIVOT_TYPES) -> str:
+    sel = ",\n       ".join(
+        f"count(*) FILTER (event_type = '{t}')::BIGINT AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT user_id,
+       {sel}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 RANGE_BAND_US = 3_600_000_000  # 1 hour
 
 
