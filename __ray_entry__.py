@@ -40,6 +40,7 @@ from sotohp_ray.pipelines.fulltext import (
     search_sort_by_length_sql,
     term_vectors,
     term_vectors_sql,
+    index_disk_usage,
     bm25_lang_stats,
     bm25_lang_stats_sql,
     keyword_search_excluding,
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_length_facets": lambda sf: bm25_length_facets(sf),
         "search_sort_by_length": lambda sf: search_sort_by_length(sf),
         "term_vectors": lambda sf: term_vectors(sf),
+        "index_disk_usage": lambda sf: index_disk_usage(sf),  # rows-only (fs stat)
         "bm25_lang_stats": lambda sf: bm25_lang_stats(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),

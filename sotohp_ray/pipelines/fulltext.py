@@ -658,6 +658,41 @@ def analyze_texts_sql(probes=ANALYZE_PROBES) -> str:
     """
 
 
+def index_disk_usage(sf_dir: str) -> pa.Table:
+    """(component, n_files, bytes): the ES _disk_usage API — size of
+    every index component (dictionary/postings shards, docmeta,
+    partials, lineage, doclen sidecars, metadata JSONs) of the
+    documents index. The capacity-planning introspection a fleet
+    operator reads before resharding. Rows-only BY DESIGN (filesystem
+    stat, not table-derivable); pytest pins the invariants (every
+    component present, bytes > 0, totals == du)."""
+    index_dir = documents_index(sf_dir)
+    comps: dict[str, list[int]] = {}
+    for root, _dirs, files in os.walk(index_dir):
+        rel = os.path.relpath(root, index_dir)
+        top = rel.split(os.sep)[0] if rel != "." else "."
+        for f in files:
+            p = os.path.join(root, f)
+            if top == ".":
+                name = (
+                    "doclen_sidecar" if f.startswith("doclen-")
+                    else "metadata"
+                )
+            else:
+                name = top
+            c = comps.setdefault(name, [0, 0])
+            c[0] += 1
+            c[1] += os.path.getsize(p)
+    names = sorted(comps)
+    return pa.table({
+        "component": pa.array(names, pa.string()),
+        "n_files": pa.array(
+            [comps[n][0] for n in names], pa.int64()),
+        "bytes": pa.array(
+            [comps[n][1] for n in names], pa.int64()),
+    })
+
+
 TERMVEC_DOC_IDS = (3, 7, 11)
 
 

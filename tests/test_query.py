@@ -1308,3 +1308,43 @@ def test_fanout_wand_many_bit_identical(small_index):
     for q, hits in zip(qs, batched):
         assert hits == f.search_wand(q, 10), q
         assert hits == s.search_wand(q, 10), q
+
+
+def test_index_disk_usage_invariants(tmp_path, ray_session):
+    """_disk_usage analog: every expected component reported, sizes
+    positive, and the component total equals a direct walk."""
+    import os
+
+    from sotohp_ray.pipelines.build_index import build_index
+    from sotohp_ray.pipelines.fulltext import index_disk_usage
+    from sotohp_ray.sources.corpus import generate_corpus
+
+    import pyarrow.parquet as pq
+
+    # index_disk_usage keys the cached documents index off sf_dir;
+    # point it at a fresh corpus dir with a documents.parquet
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    import numpy as np
+    import pyarrow as pa
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+        "text": pa.array([f"alpha beta doc{i} gamma" for i in range(30)]),
+        "lang": pa.array(["en"] * 30),
+        "n_chars": pa.array(np.full(30, 22, np.int64)),
+    }), str(corpus / "documents.parquet"))
+    out = index_disk_usage(str(corpus)).to_pandas()
+    comps = set(out["component"])
+    for want in ("dictionary", "docmeta", "lineage", "metadata"):
+        assert want in comps, (want, comps)
+    assert (out["bytes"] > 0).all() and (out["n_files"] > 0).all()
+
+    from sotohp_ray.pipelines.fulltext import documents_index
+
+    idx = documents_index(str(corpus))
+    du = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(idx) for f in fs
+    )
+    assert int(out["bytes"].sum()) == du
