@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q5_local_supplier_volume,
         "q10_returned_items": relational.q10_returned_items,
         "q4_order_priority": relational.q4_order_priority,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
         "events_retention": relational.events_retention,
         "events_props_stats": relational.events_props_stats,
         "events_value_outliers": relational.events_value_outliers,
@@ -525,6 +528,10 @@ def oracle_sql() -> dict[str, str]:
             relational.q5_local_supplier_volume_sql(),
         "q10_returned_items": relational.q10_returned_items_sql(),
         "q4_order_priority": relational.q4_order_priority_sql(),
+        "q6_forecast_revenue": relational.q6_forecast_revenue_sql(),
+        "q14_promo_revenue": relational.q14_promo_revenue_sql(),
+        "q19_discounted_revenue":
+            relational.q19_discounted_revenue_sql(),
         "events_retention": relational.events_retention_sql(),
         "events_props_stats": relational.events_props_stats_sql(),
         "events_value_outliers":

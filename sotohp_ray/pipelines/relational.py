@@ -3090,3 +3090,219 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue_cents DESC, c_custkey ASC
 LIMIT {k}
 """
+
+# --- TPC-H scan-aggregate analogs (Q6 / Q14 / Q19) -------------------
+# Reference analog: the reference's aggregate passes are per-record
+# LMDB fold loops (modules/service/.../MediaServiceLive.scala) — here
+# each is one pruned-column streaming scan with per-batch vectorized
+# partials and an output-sized (single-row) driver fold.
+
+Q6_LO = np.datetime64("1996-01-01")
+Q6_HI = np.datetime64("1997-01-01")
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24.0
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """(revenue_cents): the TPC-H Q6 shape — revenue delta from
+    eliminating a discount band in a shipdate year, quantity-capped.
+    The canonical scan-filter-aggregate: FOUR pruned columns leave
+    storage, every predicate and the product are vectorized numpy over
+    each batch, each block contributes ONE partial row, and the driver
+    fold is a single scalar sum. Discount-band literals are compared
+    with the exact same double constants the SQL oracle uses (no
+    epsilon), so band membership is bit-identical on both sides;
+    cents rounding happens once, at the end (the q1 rule)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (
+            (sd >= Q6_LO) & (sd < Q6_HI)
+            & (d >= Q6_DISC_LO) & (d <= Q6_DISC_HI)
+            & (q < Q6_QTY_MAX)
+        )
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rev": pa.array([float(np.sum(ep[m] * d[m]))], pa.float64())
+        })
+
+    tot = li.map_batches(partial, batch_format="pyarrow").sum("rev")
+    return pa.table({
+        "revenue_cents": pa.array(
+            [int(round(float(tot) * 100.0))], pa.int64()
+        )
+    })
+
+
+def q6_forecast_revenue_sql() -> str:
+    return f"""
+SELECT CAST(round(sum(l_extendedprice * l_discount) * 100.0) AS BIGINT)
+       AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_MAX}
+"""
+
+
+Q14_LO = np.datetime64("1996-09-01")
+Q14_HI = np.datetime64("1996-10-01")
+
+
+def q14_promo_revenue(sf_dir: str):
+    """(promo_revenue_pct): the TPC-H Q14 shape — percentage of a
+    month's revenue carried by promotional parts. part is DIM-sized
+    (J1 rule): the PROMO partkey set broadcasts ONCE via ``ray.put``
+    and each lineitem batch answers membership with one sorted
+    ``np.isin``; the scan produces (promo, total) two-scalar partials
+    per block and the ratio is computed once on the driver. Rounded to
+    6 dp — the ratio's summation-order error is ~1e-12 relative, five
+    orders below the rounding grid (events_value_outliers precedent)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    promo = np.sort(np.concatenate([
+        np.asarray(b["p_partkey"], dtype=np.int64)[
+            np.asarray(b["p_type"]) == "PROMO"
+        ]
+        for b in part.iter_batches(batch_format="numpy", batch_size=None)
+    ] + [np.zeros(0, dtype=np.int64)]))
+    pref = ray.put(promo)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (sd >= Q14_LO) & (sd < Q14_HI)
+        b = batch.filter(pa.array(m))
+        rev = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        isp = np.isin(pk, ray.get(pref), kind="sort")
+        return pa.table({
+            "promo": pa.array([float(np.sum(rev[isp]))], pa.float64()),
+            "total": pa.array([float(np.sum(rev))], pa.float64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_partkey", "l_extendedprice",
+                "l_discount"])
+    import pandas as pd
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_rev = float(parts["promo"].sum())
+    total_rev = float(parts["total"].sum())
+    pct = 100.0 * promo_rev / total_rev if total_rev else 0.0
+    return pa.table({
+        "promo_revenue_pct": pa.array([round(pct, 6)], pa.float64())
+    })
+
+
+def q14_promo_revenue_sql() -> str:
+    return """
+SELECT round(
+    100.0 * sum(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice * (1.0 - l_discount)
+                ELSE 0.0 END)
+    / sum(l_extendedprice * (1.0 - l_discount)), 6)
+    AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — Q19's OR-of-ANDs bands,
+# adapted to this part table's (p_brand, p_size) domain.
+Q19_BANDS = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#20", 1, 10, 10.0, 20.0),
+    ("Brand#3", 1, 15, 20.0, 30.0),
+)
+
+
+def q19_discounted_revenue(sf_dir: str, bands=Q19_BANDS):
+    """(revenue_cents): the TPC-H Q19 shape — revenue from an
+    OR-of-ANDs predicate spanning BOTH join sides (part attributes x
+    lineitem quantity). part is DIM-sized: partkey->(brand_id, size)
+    broadcasts once as two sorted-aligned arrays; each lineitem batch
+    resolves its part attributes with ONE searchsorted and evaluates
+    all bands as stacked boolean masks — the disjunction never
+    materializes a join, rows matching no band are dropped inside the
+    batch. Single-scalar partials per block, cents at the end."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    pk, pb, psz = [], [], []
+    brand_ids = {b[0]: i for i, b in enumerate(bands)}
+    for b in part.iter_batches(batch_format="pyarrow", batch_size=None):
+        pk.append(np.asarray(b["p_partkey"], dtype=np.int64))
+        pb.append(np.array(
+            [brand_ids.get(x, -1) for x in b["p_brand"].to_pylist()],
+            dtype=np.int64,
+        ))
+        psz.append(np.asarray(b["p_size"], dtype=np.int64))
+    pk = np.concatenate(pk + [np.zeros(0, np.int64)])
+    order = np.argsort(pk)
+    side = ray.put((
+        pk[order],
+        np.concatenate(pb + [np.zeros(0, np.int64)])[order],
+        np.concatenate(psz + [np.zeros(0, np.int64)])[order],
+    ))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, brands, sizes = ray.get(side)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lk)
+        pos = np.minimum(pos, max(keys.size - 1, 0))
+        ok = keys.size > 0
+        hit = (keys[pos] == lk) if ok else np.zeros(lk.size, bool)
+        bid = np.where(hit, brands[pos], -1)
+        sz = np.where(hit, sizes[pos], -1)
+        m = np.zeros(lk.size, dtype=bool)
+        for i, (_, s_lo, s_hi, q_lo, q_hi) in enumerate(bands):
+            m |= (
+                (bid == i) & (sz >= s_lo) & (sz <= s_hi)
+                & (q >= q_lo) & (q <= q_hi)
+            )
+        rev = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+        )
+        return pa.table({
+            "rev": pa.array([float(np.sum(rev))], pa.float64())
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    tot = li.map_batches(partial, batch_format="pyarrow").sum("rev")
+    return pa.table({
+        "revenue_cents": pa.array(
+            [int(round(float(tot) * 100.0))], pa.int64()
+        )
+    })
+
+
+def q19_discounted_revenue_sql(bands=Q19_BANDS) -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        for b, s_lo, s_hi, q_lo, q_hi in bands
+    )
+    return f"""
+SELECT CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
