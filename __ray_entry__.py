@@ -357,6 +357,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q13_customer_distribution":
+            relational.q13_customer_distribution,
+        "q18_large_volume_customers":
+            relational.q18_large_volume_customers,
+        "q22_sales_opportunity": relational.q22_sales_opportunity,
         "events_retention": relational.events_retention,
         "events_props_stats": relational.events_props_stats,
         "events_value_outliers": relational.events_value_outliers,
@@ -532,6 +537,11 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": relational.q14_promo_revenue_sql(),
         "q19_discounted_revenue":
             relational.q19_discounted_revenue_sql(),
+        "q13_customer_distribution":
+            relational.q13_customer_distribution_sql(),
+        "q18_large_volume_customers":
+            relational.q18_large_volume_customers_sql(),
+        "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
         "events_retention": relational.events_retention_sql(),
         "events_props_stats": relational.events_props_stats_sql(),
         "events_value_outliers":

@@ -3306,3 +3306,329 @@ SELECT CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE {ors}
 """
+
+
+def q13_customer_distribution(sf_dir: str):
+    """(c_count, custdist): the TPC-H Q13 shape — the distribution of
+    per-customer order counts INCLUDING zero-order customers, i.e. a
+    LEFT OUTER join aggregated twice. customer x orders is BIG x BIG:
+    both sides shuffle ONCE on the shared coarse custkey hash, orders
+    pre-collapsed per batch to (custkey, n) count partials (the A1
+    combiner — the exchange carries per-(batch, custkey) counts, not
+    raw orders). Each coarse group aligns order-count partials to its
+    customer keys with ONE searchsorted (customers missing from the
+    probe side keep count 0 — the OUTER part), then emits its LOCAL
+    histogram (c_count, ncust): the second aggregate's exchange is
+    histogram-sized, and the driver merge is output-sized (distinct
+    count values x 64 groups)."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def tag_c(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "ukey": _ukey(k),
+            "key": pa.array(k),
+            "cnt": pa.array(np.zeros(k.size, np.int64)),
+            "is_cust": pa.array(np.ones(k.size, bool)),
+        })
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table({
+            "ukey": _ukey(uk),
+            "key": pa.array(uk),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "is_cust": pa.array(np.zeros(uk.size, bool)),
+        })
+
+    both = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        isc = g["is_cust"].to_numpy()
+        keys = g["key"].to_numpy()
+        ck = np.unique(keys[isc])
+        counts = np.zeros(ck.size, dtype=np.int64)
+        pk = keys[~isc]
+        pv = g["cnt"].to_numpy()[~isc]
+        pos = np.searchsorted(ck, pk)
+        ok = (pos < ck.size) & (ck[np.minimum(pos, ck.size - 1)] == pk)
+        np.add.at(counts, pos[ok], pv[ok])
+        c_count, ncust = np.unique(counts, return_counts=True)
+        return pd.DataFrame({
+            "c_count": c_count.astype("int64"),
+            "ncust": ncust.astype("int64"),
+        })
+
+    parts = both.groupby("ukey").map_groups(
+        hist, batch_format="pandas"
+    ).to_pandas()  # histogram-sized partials: tiny driver merge
+    out = (
+        parts.groupby("c_count", as_index=False)["ncust"].sum()
+        .rename(columns={"ncust": "custdist"})
+        .sort_values(["custdist", "c_count"], ascending=[False, False])
+    )
+    return pa.table({
+        "c_count": pa.array(out["c_count"].to_numpy(np.int64)),
+        "custdist": pa.array(out["custdist"].to_numpy(np.int64)),
+    })
+
+
+def q13_customer_distribution_sql() -> str:
+    return """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+Q18_QTY_MIN = 300.0
+
+
+def q18_large_volume_customers(
+    sf_dir: str, qty_min: float = Q18_QTY_MIN, k: int = 20
+):
+    """(c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty): the TPC-H Q18 shape — orders whose total lineitem
+    quantity crosses a threshold, hydrated with their customer, top-k
+    by order value. Three passes, each the sized tool: (1) lineitem
+    collapses per batch to (orderkey, qty) partials before ONE coarse
+    orderkey exchange whose groups emit only threshold-crossing orders
+    (HAVING applied where the group lives — the exchange output is
+    qualifying-set-sized, 46 rows at sf0.01); (2) the qualifying set
+    broadcasts once and the orders scan keeps matches via sorted
+    searchsorted (winners-only — no orders shuffle at all); (3) winner
+    custkeys (<= k after the driver's output-sized top-k merge) fetch
+    their names via one predicate-pushdown dim read. Quantities are
+    integral doubles; sums are exact in float64 and rounded to 2 dp on
+    both sides anyway."""
+    import ray
+
+    import pandas as pd
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(okey, return_inverse=True)
+        part = np.zeros(uk.size, dtype=np.float64)
+        np.add.at(part, inv, q)
+        return pa.table({
+            "ukey": _ukey(uk),
+            "key": pa.array(uk),
+            "qty": pa.array(part, pa.float64()),
+        })
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["key"].to_numpy()
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.zeros(uk.size, dtype=np.float64)
+        np.add.at(tot, inv, g["qty"].to_numpy())
+        keep = tot > qty_min
+        return pd.DataFrame({
+            "o_orderkey": uk[keep].astype("int64"),
+            "sum_qty": tot[keep],
+        })
+
+    qual = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()  # qualifying-set-sized
+    )
+    qk = np.sort(qual["o_orderkey"].to_numpy(np.int64))
+    qv = qual.set_index("o_orderkey")["sum_qty"].reindex(qk).to_numpy()
+    side = ray.put((qk, qv))
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        keys, qty = ray.get(side)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = np.searchsorted(keys, ok)
+        hit = (pos < keys.size) & (
+            keys[np.minimum(pos, max(keys.size - 1, 0))] == ok
+        ) if keys.size else np.zeros(ok.size, bool)
+        b = batch.filter(pa.array(hit))
+        return b.append_column(
+            "sum_qty", pa.array(qty[pos[hit]] if keys.size else
+                                np.zeros(0), pa.float64())
+        )
+
+    won = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(pick_orders, batch_format="pyarrow")
+        .to_pandas()  # qualifying-set-sized
+        .sort_values(["o_totalprice", "o_orderkey"],
+                     ascending=[False, True])
+        .head(k)
+    )
+    import pyarrow.parquet as _pq
+
+    names = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in",
+                  won["o_custkey"].astype("int64").tolist())],
+    ).to_pandas()
+    won = won.merge(
+        names, left_on="o_custkey", right_on="c_custkey", how="left"
+    )
+    return pa.table({
+        "c_name": pa.array(won["c_name"].astype(str)),
+        "c_custkey": pa.array(won["o_custkey"].to_numpy(np.int64)),
+        "o_orderkey": pa.array(won["o_orderkey"].to_numpy(np.int64)),
+        "o_orderdate": pa.array(won["o_orderdate"]),
+        "o_totalprice": pa.array(won["o_totalprice"].to_numpy(np.float64)),
+        "sum_qty": pa.array(
+            np.round(won["sum_qty"].to_numpy(np.float64), 2)
+        ),
+    })
+
+
+def q18_large_volume_customers_sql(
+    qty_min: float = Q18_QTY_MIN, k: int = 20
+) -> str:
+    return f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sq.s, 2) AS sum_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS s FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > {qty_min}
+) sq ON sq.l_orderkey = o_orderkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {k}
+"""
+
+
+Q22_SINCE = np.datetime64("1999-01-01")
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """(cntrycode, numcust, totacctbal_cents): the TPC-H Q22 shape —
+    above-average-balance customers with NO recent order, grouped by
+    country (nationkey stands in for the phone prefix). Composes three
+    sized tools: (1) the scalar subquery is a one-pass two-scalar
+    partial fold whose cutoff broadcasts by closure; (2) the NOT IN is
+    the co-partitioned hash ANTI-join (customers_without_big_orders
+    kernel — the probe side collapses to per-batch DISTINCT recent
+    custkeys before the ONE coarse exchange; no small-side assumption);
+    (3) each anti group emits (nationkey, n, bal) partials so the final
+    aggregate's exchange is nations-sized. Balances are 2-dp decimals:
+    the exact group sum is an integer cents value, so cents rounding is
+    ulp-proof. The cutoff comparison's summation-order sensitivity is
+    measured in a pytest (gap between nearest balance and cutoff vs
+    float error), the events_value_outliers precedent."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        b = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0.0]
+        return pa.table({
+            "s": pa.array([float(np.sum(pos))], pa.float64()),
+            "n": pa.array([int(pos.size)], pa.int64()),
+        })
+
+    parts = cust.map_batches(
+        avg_partial, batch_format="pyarrow"
+    ).to_pandas()
+    cutoff = float(parts["s"].sum()) / max(int(parts["n"].sum()), 1)
+
+    def tag_c(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(bal > cutoff))
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ukey": _ukey(k),
+            "key": pa.array(k),
+            "nat": b["c_nationkey"].cast(pa.int64()),
+            "bal": b["c_acctbal"].cast(pa.float64()),
+            "is_probe": pa.array(np.zeros(k.size, bool)),
+        })
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        k = np.unique(ck[od >= Q22_SINCE]).astype(np.int64)
+        return pa.table({
+            "ukey": _ukey(k),
+            "key": pa.array(k),
+            "nat": pa.array(np.zeros(k.size, np.int64)),
+            "bal": pa.array(np.zeros(k.size), pa.float64()),
+            "is_probe": pa.array(np.ones(k.size, bool)),
+        })
+
+    both = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def anti_partial(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g["is_probe"].to_numpy()
+        keys = g["key"].to_numpy()
+        seen = np.unique(keys[probe])
+        keep = ~probe & ~np.isin(keys, seen)
+        nat = g["nat"].to_numpy()[keep]
+        bal = g["bal"].to_numpy()[keep]
+        un, inv = np.unique(nat, return_inverse=True)
+        n = np.bincount(inv, minlength=un.size).astype(np.int64)
+        s = np.zeros(un.size, dtype=np.float64)
+        np.add.at(s, inv, bal)
+        return pd.DataFrame({
+            "cntrycode": un.astype("int64"), "n": n, "bal": s,
+        })
+
+    parts = both.groupby("ukey").map_groups(
+        anti_partial, batch_format="pandas"
+    ).to_pandas()  # nations x 64 partials: tiny driver merge
+    out = (
+        parts.groupby("cntrycode", as_index=False)
+        .agg(numcust=("n", "sum"), bal=("bal", "sum"))
+        .sort_values("cntrycode")
+    )
+    return pa.table({
+        "cntrycode": pa.array(out["cntrycode"].to_numpy(np.int64)),
+        "numcust": pa.array(out["numcust"].to_numpy(np.int64)),
+        "totacctbal_cents": pa.array(
+            np.round(out["bal"].to_numpy() * 100.0).astype(np.int64)
+        ),
+    })
+
+
+def q22_sales_opportunity_sql() -> str:
+    return """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(round(sum(c_acctbal) * 100.0) AS BIGINT)
+       AS totacctbal_cents
+FROM customer
+WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+)
+AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+)
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""

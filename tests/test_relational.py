@@ -197,3 +197,76 @@ def test_customers_rfm_quintile_ties(tmp_path):
     # every cut, never strictly above)
     assert list(out["r_score"]) == [1] * 5
     assert list(out["f_score"]) == [1] * 5
+
+
+def test_q13_zero_order_customers_counted(tmp_path):
+    """The LEFT OUTER part: customers with NO orders must land in the
+    c_count=0 bucket — the sf tables never exercise it (every customer
+    has orders there), so a dropped outer side would stay green in the
+    oracle run until the data changed."""
+    from sotohp_ray.pipelines.relational import q13_customer_distribution
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+    }), str(d / "customer.parquet"))
+    # customer 1: 2 orders; customer 2: 1; customers 3, 4: none
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+    }), str(d / "orders.parquet"))
+    out = q13_customer_distribution(str(d)).to_pandas()
+    got = dict(zip(out["c_count"], out["custdist"]))
+    assert got == {0: 2, 1: 1, 2: 1}
+    # ordered custdist DESC, c_count DESC
+    assert list(out["c_count"]) == [0, 2, 1]
+
+
+def test_q18_threshold_strictly_greater(tmp_path):
+    """HAVING sum(qty) > T is strict: an order summing exactly to T
+    must NOT qualify; quantities arriving split across batches must
+    still total per order (the partial-combine path)."""
+    from sotohp_ray.pipelines.relational import q18_large_volume_customers
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 20, 20, 30], pa.int64()),
+        "l_quantity": pa.array([6.0, 4.0, 5.0, 5.0, 11.0], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+        "o_custkey": pa.array([7, 8, 9], pa.int64()),
+        "o_orderdate": pa.array(
+            [pd.Timestamp("1996-01-01")] * 3, pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 200.0, 300.0], pa.float64()),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([7, 8, 9], pa.int64()),
+        "c_name": pa.array(["ann", "bob", "cee"], pa.string()),
+    }), str(d / "customer.parquet"))
+    out = q18_large_volume_customers(str(d), qty_min=10.0).to_pandas()
+    # orders 10 and 20 sum exactly to 10.0 -> excluded; 30 sums to 11
+    assert list(out["o_orderkey"]) == [30]
+    assert list(out["c_name"]) == ["cee"]
+    assert list(out["sum_qty"]) == [11.0]
+
+
+def test_q22_cutoff_gap_dominates_float_error():
+    """q22's only cross-engine float hazard: the avg-balance cutoff is
+    computed by two different summation orders (engine partials vs
+    DuckDB). Selection flips only if some balance sits within the
+    summation error (~|sum| * n * eps) of the cutoff — measure the
+    actual gap on the real table and require 6+ orders of headroom
+    (the events_value_outliers precedent)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_acctbal"]
+    )
+    bal = t["c_acctbal"].to_numpy()
+    pos = bal[bal > 0.0]
+    cutoff = float(np.sum(pos)) / pos.size
+    err = abs(np.sum(pos)) * pos.size * np.finfo(np.float64).eps
+    gap = np.min(np.abs(bal - cutoff))
+    assert gap > 1e6 * err, (gap, err)
