@@ -68,6 +68,10 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_fuzzy_topk_sql,
     bm25_pinned,
     bm25_pinned_sql,
+    bm25_decay,
+    bm25_decay_sql,
+    bm25_random_score,
+    bm25_random_score_sql,
     phrase_oracle_sql,
     phrase_topk,
     phrase_prefix_topk,
@@ -200,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": lambda sf: fuzzy_search(sf),
         "bm25_fuzzy_topk": lambda sf: bm25_fuzzy_topk(sf),
         "bm25_pinned": lambda sf: bm25_pinned(sf),
+        "bm25_decay": lambda sf: bm25_decay(sf),
+        "bm25_random_score": lambda sf: bm25_random_score(sf),
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
@@ -362,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers":
             relational.q18_large_volume_customers,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
+        "events_matrix_stats": relational.events_matrix_stats,
+        "customer_geo_centroid": relational.customer_geo_centroid,
+        "customer_geo_bounds": relational.customer_geo_bounds,
         "events_retention": relational.events_retention,
         "events_props_stats": relational.events_props_stats,
         "events_value_outliers": relational.events_value_outliers,
@@ -424,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": fuzzy_search_sql(),
         "bm25_fuzzy_topk": bm25_fuzzy_topk_sql(),
         "bm25_pinned": bm25_pinned_sql(),
+        "bm25_decay": bm25_decay_sql(),
+        "bm25_random_score": bm25_random_score_sql(),
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),
         "phrase_topk": phrase_oracle_sql(),
@@ -542,6 +553,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers":
             relational.q18_large_volume_customers_sql(),
         "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
+        "events_matrix_stats": relational.events_matrix_stats_sql(),
+        "customer_geo_centroid": relational.customer_geo_centroid_sql(),
+        "customer_geo_bounds": relational.customer_geo_bounds_sql(),
         "events_retention": relational.events_retention_sql(),
         "events_props_stats": relational.events_props_stats_sql(),
         "events_value_outliers":

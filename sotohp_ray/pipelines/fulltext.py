@@ -293,6 +293,185 @@ def bm25_topk_boosted(
     })
 
 
+# ES linear-decay parameters over n_chars: pivot = scale/(1-decay)
+DECAY_ORIGIN = 300.0
+DECAY_OFFSET = 50.0
+DECAY_SCALE = 150.0
+DECAY_RATE = 0.5
+
+
+def bm25_decay(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    origin: float = DECAY_ORIGIN, offset: float = DECAY_OFFSET,
+    scale: float = DECAY_SCALE, decay: float = DECAY_RATE,
+) -> pa.Table:
+    """(query_id, doc_id, score): BM25 top-k re-ranked by an ES
+    function_score LINEAR decay on document length — the
+    recency/proximity decay family (gauss/exp/linear) applied to a
+    numeric doc field: mult = max(0, (s - d)/s) with
+    d = max(0, |n_chars - origin| - offset) and pivot
+    s = scale/(1 - decay), so a doc ``scale`` beyond the offset edge
+    scores exactly ``decay``x. Linear (not gauss) is the oracle-gated
+    variant deliberately: its multiplier is pure rational arithmetic,
+    bit-identical between numpy and DuckDB, where exp()'s libm ulps
+    could flip a round-to-4 boundary. Same broadcast-factor shape as
+    bm25_topk_boosted (factor table is doc-metadata-sized)."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    nch = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ids = nch["doc_id"].to_numpy(zero_copy_only=False)
+    pivot = scale / (1.0 - decay)
+    dist = np.maximum(
+        np.abs(
+            nch["n_chars"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ) - origin
+        ) - offset,
+        0.0,
+    )
+    factor = np.zeros(int(ids.max()) + 1, dtype=np.float64)
+    factor[ids] = np.maximum((pivot - dist) / pivot, 0.0)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        ranked = sorted(
+            (
+                (int(eng2orig[d]), round(sc * factor[int(eng2orig[d])], 4))
+                for d, sc in full
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def bm25_decay_sql(
+    queries=DOC_QUERIES, k: int = 10,
+    origin: float = DECAY_ORIGIN, offset: float = DECAY_OFFSET,
+    scale: float = DECAY_SCALE, decay: float = DECAY_RATE,
+) -> str:
+    tok = CodeTokenizer()
+    vals = []
+    for qi, q in enumerate(queries):
+        from collections import Counter
+
+        for term, qtf in sorted(Counter(tok.tokens_of(q)).items()):
+            vals.append(f"({qi}, '{term}', {qtf})")
+    values_sql = ", ".join(vals)
+    pivot = scale / (1.0 - decay)
+    mult = (
+        f"greatest(({pivot} - greatest(abs(md.n_chars - {origin})"
+        f" - {offset}, 0.0)) / {pivot}, 0.0)"
+    )
+    return f"""
+WITH {_bm25_cte_prefix()},
+q(query_id, term, qtf) AS (VALUES {values_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({_CONTRIB_EXPR}) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, s.doc_id AS doc_id,
+       round(score * {mult}, 4) AS score
+FROM scores s
+JOIN documents md ON md.doc_id = s.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY round(score * {mult}, 4) DESC, s.doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
+RANDOM_SEED_MULT = 2654435761  # Knuth multiplicative hash
+
+
+def bm25_random_score(
+    sf_dir: str, queries=DOC_QUERIES, k: int = 10,
+    seed: int = 42,
+) -> pa.Table:
+    """(query_id, doc_id, score): the ES function_score random_score
+    analog — a SEEDED, reproducible pseudo-random ordering of each
+    query's match set (sampling hits for relevance labelling / A-B
+    exposure). score = hash(doc_id, seed)/2^32 via the Knuth
+    multiplicative hash in exact BIGINT arithmetic, so the 'random'
+    number is the same double on any engine — determinism IS the ES
+    contract (same seed + same doc => same score across shards and
+    replicas). Match set from the index's boolean OR retrieval;
+    scores carry no relevance signal by construction."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    eng2orig = _eng2orig(index_dir, s.space)
+    rows = []
+    for qi, q in enumerate(queries):
+        full = s.search_exact(q, k=s.space)
+        ranked = sorted(
+            (
+                (
+                    int(eng2orig[d]),
+                    ((int(eng2orig[d]) + seed) * RANDOM_SEED_MULT)
+                    % 4294967296 / 4294967296.0,
+                )
+                for d, _ in full
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for d, sc in ranked:
+            rows.append((qi, d, sc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def bm25_random_score_sql(
+    queries=DOC_QUERIES, k: int = 10, seed: int = 42,
+) -> str:
+    tok = CodeTokenizer()
+    texpr = sql_token_expr("text")
+    vals = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(tok.tokens_of(q)))
+        lst = ", ".join(f"'{t}'" for t in terms)
+        vals.append(f"({qi}, [{lst}])")
+    values_sql = ", ".join(vals)
+    score = (
+        f"((d.doc_id + {seed}) * {RANDOM_SEED_MULT}) % 4294967296"
+        f" / 4294967296.0"
+    )
+    return f"""
+WITH q(query_id, terms) AS (VALUES {values_sql}),
+hits AS (
+  SELECT q.query_id, d.doc_id, {score} AS score
+  FROM documents d CROSS JOIN q
+  WHERE len(list_intersect({texpr}, q.terms)) > 0
+)
+SELECT query_id, doc_id, score FROM hits
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+) <= {k}
+ORDER BY query_id, doc_id
+"""
+
+
 def _bm25_cte_prefix() -> str:
     """The shared DuckDB CTE chain computing per-(doc, term) tf, doc
     lengths, corpus stats and df over ``documents`` — the scoring

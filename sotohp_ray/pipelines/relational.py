@@ -3632,3 +3632,217 @@ AND c_custkey NOT IN (
 GROUP BY c_nationkey
 ORDER BY cntrycode
 """
+
+
+def events_matrix_stats(sf_dir: str):
+    """(n, mean_value, mean_hour, var_value, var_hour, covariance,
+    correlation): the ES ``matrix_stats`` aggregation analog over two
+    numeric event fields (value x hour-of-day) — one streaming pass of
+    six-scalar moment partials per batch (n, Sx, Sy, Sxx, Syy, Sxy);
+    moments COMBINE across blocks where means and correlations don't
+    (the events_value_outliers rule), so the exchange is six doubles
+    per block at any scale. Population variance/covariance, rounded to
+    6 dp: the naive-moment summation error here is ~1e-8 absolute
+    (means dominate the second moments — no catastrophic cancellation
+    on this data shape, asserted in a pytest) vs the 5e-7 grid."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        y = ((ts.astype("datetime64[h]").astype(np.int64)) % 24).astype(
+            np.float64
+        )
+        return pa.table({
+            "n": pa.array([x.size], pa.int64()),
+            "sx": pa.array([float(np.sum(x))], pa.float64()),
+            "sy": pa.array([float(np.sum(y))], pa.float64()),
+            "sxx": pa.array([float(np.sum(x * x))], pa.float64()),
+            "syy": pa.array([float(np.sum(y * y))], pa.float64()),
+            "sxy": pa.array([float(np.sum(x * y))], pa.float64()),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxx, syy = float(p["sxx"].sum()), float(p["syy"].sum())
+    sxy = float(p["sxy"].sum())
+    mx, my = sx / n, sy / n
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    cov = sxy / n - mx * my
+    corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mean_value": pa.array([round(mx, 6)], pa.float64()),
+        "mean_hour": pa.array([round(my, 6)], pa.float64()),
+        "var_value": pa.array([round(vx, 6)], pa.float64()),
+        "var_hour": pa.array([round(vy, 6)], pa.float64()),
+        "covariance": pa.array([round(cov, 6)], pa.float64()),
+        "correlation": pa.array([round(corr, 6)], pa.float64()),
+    })
+
+
+def events_matrix_stats_sql() -> str:
+    # var_pop/covar_pop/corr recomputed from raw moments so BOTH sides
+    # use the same estimator (DuckDB's var_pop is Welford-style and
+    # differs in the last ulps; the rounded grid hides that, but the
+    # moment form keeps the comparison estimator-identical too)
+    return """
+WITH xy AS (
+  SELECT value AS x,
+         CAST(extract(hour FROM ts) AS DOUBLE) AS y
+  FROM events
+),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT n,
+       round(sx / n, 6) AS mean_value,
+       round(sy / n, 6) AS mean_hour,
+       round(sxx / n - (sx / n) * (sx / n), 6) AS var_value,
+       round(syy / n - (sy / n) * (sy / n), 6) AS var_hour,
+       round(sxy / n - (sx / n) * (sy / n), 6) AS covariance,
+       round((sxy / n - (sx / n) * (sy / n))
+             / sqrt((sxx / n - (sx / n) * (sx / n))
+                    * (syy / n - (sy / n) * (sy / n))), 6)
+       AS correlation
+FROM m
+"""
+
+
+def customer_geo_centroid(sf_dir: str):
+    """(c_nationkey, n, lat_centroid, lon_centroid): the ES
+    ``geo_centroid`` aggregation analog — per-nation centroid of the
+    shared custkey-derived coordinates. Per-batch (nation, n, sum_lat,
+    sum_lon) partials via one bincount-style fold, nations-sized
+    exchange. The coordinates are 2-dp decimals, so the sums are kept
+    as EXACT centi-degree int64s and the centroid is ONE division of
+    identical integers on both sides — bit-identical doubles with no
+    rounding contract (a 6-dp round here actually FAILED: sf0.01
+    lands a centroid exactly on the x.xxxxxx5 boundary, where numpy
+    rounds half-even and DuckDB half-away)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lat100 = ((keys * 37) % 18000) - 9000
+        lon100 = ((keys * 91) % 36000) - 18000
+        un, inv = np.unique(nat, return_inverse=True)
+        n = np.bincount(inv, minlength=un.size).astype(np.int64)
+        slat = np.zeros(un.size, dtype=np.int64)
+        slon = np.zeros(un.size, dtype=np.int64)
+        np.add.at(slat, inv, lat100)
+        np.add.at(slon, inv, lon100)
+        return pa.table({
+            "c_nationkey": pa.array(un),
+            "n": pa.array(n),
+            "slat": pa.array(slat, pa.int64()),
+            "slon": pa.array(slon, pa.int64()),
+        })
+
+    p = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # nations x blocks: tiny driver merge
+        .groupby("c_nationkey", as_index=False)
+        .agg(n=("n", "sum"), slat=("slat", "sum"), slon=("slon", "sum"))
+        .sort_values("c_nationkey")
+    )
+    return pa.table({
+        "c_nationkey": pa.array(p["c_nationkey"].to_numpy(np.int64)),
+        "n": pa.array(p["n"].to_numpy(np.int64)),
+        "lat_centroid": pa.array(
+            p["slat"].to_numpy(np.int64)
+            / (100.0 * p["n"].to_numpy(np.int64))
+        ),
+        "lon_centroid": pa.array(
+            p["slon"].to_numpy(np.int64)
+            / (100.0 * p["n"].to_numpy(np.int64))
+        ),
+    })
+
+
+def customer_geo_centroid_sql() -> str:
+    return """
+WITH pts AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         (c_custkey * 37) % 18000 - 9000 AS lat100,
+         (c_custkey * 91) % 36000 - 18000 AS lon100
+  FROM customer
+)
+SELECT c_nationkey, count(*) AS n,
+       sum(lat100)::DOUBLE / (100.0 * count(*)) AS lat_centroid,
+       sum(lon100)::DOUBLE / (100.0 * count(*)) AS lon_centroid
+FROM pts GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def customer_geo_bounds(sf_dir: str):
+    """(c_nationkey, lat_min, lat_max, lon_min, lon_max): the ES
+    ``geo_bounds`` aggregation analog — per-nation bounding box of the
+    derived coordinates. min/max partials per batch (exact: no
+    rounding contract needed — the coordinates are 2-dp decimals and
+    min/max never mixes them), nations-sized exchange."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lat = ((keys * 37) % 18000) / 100.0 - 90.0
+        lon = ((keys * 91) % 36000) / 100.0 - 180.0
+        un, inv = np.unique(nat, return_inverse=True)
+        out = {
+            "c_nationkey": pa.array(un),
+        }
+        for name, arr, fn, init in (
+            ("lat_min", lat, np.minimum, np.inf),
+            ("lat_max", lat, np.maximum, -np.inf),
+            ("lon_min", lon, np.minimum, np.inf),
+            ("lon_max", lon, np.maximum, -np.inf),
+        ):
+            acc = np.full(un.size, init)
+            fn.at(acc, inv, arr)
+            out[name] = pa.array(acc, pa.float64())
+        return pa.table(out)
+
+    p = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # nations x blocks: tiny driver merge
+        .groupby("c_nationkey", as_index=False)
+        .agg(lat_min=("lat_min", "min"), lat_max=("lat_max", "max"),
+             lon_min=("lon_min", "min"), lon_max=("lon_max", "max"))
+        .sort_values("c_nationkey")
+    )
+    return pa.table({
+        "c_nationkey": pa.array(p["c_nationkey"].to_numpy(np.int64)),
+        "lat_min": pa.array(p["lat_min"].to_numpy(np.float64)),
+        "lat_max": pa.array(p["lat_max"].to_numpy(np.float64)),
+        "lon_min": pa.array(p["lon_min"].to_numpy(np.float64)),
+        "lon_max": pa.array(p["lon_max"].to_numpy(np.float64)),
+    })
+
+
+def customer_geo_bounds_sql() -> str:
+    return """
+WITH pts AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_nationkey,
+       min(lat) AS lat_min, max(lat) AS lat_max,
+       min(lon) AS lon_min, max(lon) AS lon_max
+FROM pts GROUP BY c_nationkey ORDER BY c_nationkey
+"""

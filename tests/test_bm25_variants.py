@@ -352,3 +352,62 @@ def test_msm_rounds_down():
     assert _msm_of("alpha bravo chi delta") == 2  # floor(2.4)
     assert _msm_of("alpha bravo chi delta echo") == 3  # exact 3.0
     assert _msm_of("alpha") == 1  # clamp to >= 1
+
+
+def test_decay_identity_inside_offset_and_decay_at_pivot():
+    """Linear-decay semantics: a doc whose n_chars sits within
+    ``offset`` of the origin keeps its plain BM25 score (mult = 1);
+    one exactly ``scale`` beyond the offset edge scores exactly
+    ``decay``x plain; far docs floor at 0 — checked by reconstructing
+    every multiplier from the plain ranking."""
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.fulltext import bm25_decay, bm25_topk
+
+    q = "hash join"
+    plain = _by_query(bm25_topk(SF_DIR, queries=(q,), k=500))
+    decayed = _by_query(bm25_decay(
+        SF_DIR, queries=(q,), k=500,
+        origin=300.0, offset=50.0, scale=150.0, decay=0.5,
+    ))
+    nch = dict(zip(
+        *pq.read_table(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "n_chars"],
+        ).to_pandas()[["doc_id", "n_chars"]].T.values
+    ))
+    pl = {int(d): s for d, s in plain[0]}
+    pivot = 150.0 / 0.5
+    seen_identity = seen_partial = False
+    for d, s in decayed[0]:
+        dist = max(abs(nch[int(d)] - 300.0) - 50.0, 0.0)
+        mult = max((pivot - dist) / pivot, 0.0)
+        # pl is itself 4-dp rounded, so reconstruction can sit one
+        # grid step off the engine's round(true * mult, 4)
+        assert abs(s - round(pl[int(d)] * mult, 4)) < 1.01e-4
+        if dist == 0.0:
+            seen_identity = True
+            assert s == round(pl[int(d)], 4)
+        if 0.0 < mult < 1.0:
+            seen_partial = True
+    assert seen_identity and seen_partial
+
+
+def test_random_score_seeded_and_relevance_free():
+    """random_score must be reproducible for the same seed, reorder
+    under a different seed, and contain scores determined by doc_id
+    alone (the ES same-seed-same-shard contract)."""
+    from sotohp_ray.pipelines.fulltext import (
+        RANDOM_SEED_MULT,
+        bm25_random_score,
+    )
+
+    q = "hash join"
+    a = _by_query(bm25_random_score(SF_DIR, queries=(q,), seed=42))
+    b = _by_query(bm25_random_score(SF_DIR, queries=(q,), seed=42))
+    np.testing.assert_array_equal(a[0], b[0])
+    for d, s in a[0]:
+        expect = ((int(d) + 42) * RANDOM_SEED_MULT) % 2**32 / 2**32
+        assert s == expect
+    c = _by_query(bm25_random_score(SF_DIR, queries=(q,), seed=7))
+    assert set(map(tuple, c[0])) != set(map(tuple, a[0]))
