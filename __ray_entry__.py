@@ -70,6 +70,8 @@ from sotohp_ray.pipelines.fulltext import (
     bm25_pinned_sql,
     bm25_decay,
     bm25_decay_sql,
+    terms_set_search,
+    terms_set_search_sql,
     bm25_random_score,
     bm25_random_score_sql,
     phrase_oracle_sql,
@@ -206,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pinned": lambda sf: bm25_pinned(sf),
         "bm25_decay": lambda sf: bm25_decay(sf),
         "bm25_random_score": lambda sf: bm25_random_score(sf),
+        "terms_set_search": lambda sf: terms_set_search(sf),
         "search_snippets": lambda sf: search_snippets(sf),
         "similar_docs": lambda sf: similar_docs(sf),
         "phrase_topk": lambda sf: phrase_topk(sf),
@@ -369,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q18_large_volume_customers,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
         "events_matrix_stats": relational.events_matrix_stats,
+        "events_moving_avg": relational.events_moving_avg,
+        "knn_hard_negatives": ann.knn_hard_negatives,
         "customer_geo_centroid": relational.customer_geo_centroid,
         "customer_geo_bounds": relational.customer_geo_bounds,
         "events_retention": relational.events_retention,
@@ -435,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_pinned": bm25_pinned_sql(),
         "bm25_decay": bm25_decay_sql(),
         "bm25_random_score": bm25_random_score_sql(),
+        "terms_set_search": terms_set_search_sql(),
         "search_snippets": search_snippets_sql(),
         "similar_docs": similar_docs_sql(),
         "phrase_topk": phrase_oracle_sql(),
@@ -554,6 +560,8 @@ def oracle_sql() -> dict[str, str]:
             relational.q18_large_volume_customers_sql(),
         "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
         "events_matrix_stats": relational.events_matrix_stats_sql(),
+        "events_moving_avg": relational.events_moving_avg_sql(),
+        "knn_hard_negatives": ann.knn_hard_negatives_sql(),
         "customer_geo_centroid": relational.customer_geo_centroid_sql(),
         "customer_geo_bounds": relational.customer_geo_bounds_sql(),
         "events_retention": relational.events_retention_sql(),

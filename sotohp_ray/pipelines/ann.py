@@ -1274,3 +1274,100 @@ def embedding_near_dup_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
               >= {threshold}
     """
+
+
+class _HardNegScorer:
+    """Actor-pool stage for hard-negative mining: query matrix AND
+    query labels fetched once per actor; each batch contributes only
+    vectors whose label DIFFERS from the query's."""
+
+    def __init__(self, qref, k: int):
+        import ray
+
+        self.q_ids, self.Q, self.q_labels = ray.get(qref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        Xn = _normalize(X)
+        S = Xn @ self.Q.T  # (batch, m)
+        out_q, out_v, out_s = [], [], []
+        for j in range(self.q_ids.size):
+            mask = (labels != self.q_labels[j]) & (ids != self.q_ids[j])
+            cand_ids = ids[mask]
+            cand_s = np.round(S[mask, j], 5)
+            take = min(self.k, cand_ids.size)
+            order = np.lexsort((cand_ids, -cand_s))[:take]
+            out_q.extend([int(self.q_ids[j])] * take)
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(cand_s[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_hard_negatives(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10
+):
+    """(query_id, vec_id, score): HARD-NEGATIVE MINING for contrastive
+    / metric-learning training data — each query's top-k most-similar
+    vectors whose label DIFFERS from the query's own (the highest-loss
+    negatives; random negatives are mostly easy and carry no
+    gradient). Same broadcast + actor-pool + per-batch-top-k shape as
+    knn_cosine; the label condition is per-QUERY (not a global
+    predicate like knn_cosine_filtered), so the mask is built inside
+    the kernel from the broadcast (q_ids, q_labels)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "in", list(query_ids))],
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    Q = _normalize(
+        col.flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(len(ids), dim)
+    )
+    q_labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qref = ray.put((ids, Q, q_labels))
+    ds = _emb(sf_dir).map_batches(
+        _HardNegScorer,
+        fn_constructor_kwargs={"qref": qref, "k": k},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(ds, k)
+
+
+def knn_hard_negatives_sql(
+    query_ids=DEFAULT_QUERY_IDS, k: int = 10
+) -> str:
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(
+               e.embedding::DOUBLE[], q.qe::DOUBLE[]), 5) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.ql
+    )
+    SELECT query_id, vec_id, score FROM s
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+    ) <= {k}
+"""

@@ -4096,3 +4096,68 @@ QUALIFY row_number() OVER (
 ) <= {k}
 ORDER BY query_id, doc_id
 """
+
+
+TERMS_SET = ("hash", "join", "index", "sort")
+
+
+def terms_set_search(sf_dir: str, terms=TERMS_SET) -> pa.Table:
+    """(doc_id, matched, required): the ES ``terms_set`` query —
+    boolean OR where the minimum number of matching terms is NOT a
+    query constant but a PER-DOCUMENT value
+    (minimum_should_match_field; here derived as 1 + doc_id % 3, the
+    same expression on both sides). Answered from the inverted index:
+    one posting decode per term (cost bounded by the terms' df), a
+    doc-multiplicity count over the distinct-term posting union, and a
+    vectorized per-doc threshold compare — never a corpus scan. The
+    same analyzer-literal guard as keyword_search_indexed: a term the
+    analyzer would rewrite can never match the SQL side's literal
+    intersect, so it contributes nothing on either side."""
+    from sotohp_ray.pipelines.query import Searcher
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    live = [
+        t for t in dict.fromkeys(terms)
+        if s.tok.tokens_of(t) == [t] and t in s._row
+    ]
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "matched": pa.array([], pa.int64()),
+        "required": pa.array([], pa.int64()),
+    })
+    if not live:
+        return empty
+    docs = np.concatenate(
+        [s._decode_full(t)[0].astype(np.int64) for t in live]
+    )
+    ud, matched = np.unique(docs, return_counts=True)
+    if ud.size:
+        alive = s._live_mask(ud)
+        ud, matched = ud[alive], matched[alive]
+    if not ud.size:
+        return empty
+    eng2orig = _eng2orig(index_dir, s.space)
+    orig = eng2orig[ud]
+    required = 1 + orig % 3
+    keep = matched >= required
+    order = np.argsort(orig[keep])
+    return pa.table({
+        "doc_id": pa.array(orig[keep][order], pa.int64()),
+        "matched": pa.array(
+            matched[keep][order].astype(np.int64), pa.int64()),
+        "required": pa.array(required[keep][order], pa.int64()),
+    })
+
+
+def terms_set_search_sql(terms=TERMS_SET) -> str:
+    texpr = sql_token_expr("text")
+    lst = ", ".join(f"'{t}'" for t in dict.fromkeys(terms))
+    return f"""
+SELECT doc_id,
+       CAST(len(list_intersect({texpr}, [{lst}])) AS BIGINT) AS matched,
+       1 + doc_id % 3 AS required
+FROM documents
+WHERE len(list_intersect({texpr}, [{lst}])) >= 1 + doc_id % 3
+ORDER BY doc_id
+"""

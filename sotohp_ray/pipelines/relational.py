@@ -3846,3 +3846,83 @@ SELECT c_nationkey,
        min(lon) AS lon_min, max(lon) AS lon_max
 FROM pts GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+MAVG_W = 3  # trailing window (current + 2 preceding buckets)
+
+
+def events_moving_avg(sf_dir: str, w: int = MAVG_W):
+    """(hour, n, mavg, delta): the ES pipeline-aggregation family over
+    a date_histogram — ``moving_fn`` (trailing mean over ``w``
+    buckets, partial at the series head like ROWS BETWEEN w-1
+    PRECEDING) and ``derivative`` (first difference, NULL at the
+    head) over the DENSE hourly series (empty hours count 0, ES
+    min_doc_count=0). Distribution: per-batch (hour, n) count
+    partials -> hours-sized exchange; the window math runs on the
+    series itself (output-sized driver fold, the events_hourly rule).
+    mavg = (exact int sum)/count — one division of identical operands
+    on both sides, no rounding contract."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        h = ts.astype("datetime64[h]").astype(np.int64)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uh),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    p = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # hours x blocks: tiny driver merge
+        .groupby("h", as_index=False)["n"].sum()
+    )
+    lo, hi = int(p["h"].min()), int(p["h"].max())
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    n = np.zeros(hours.size, dtype=np.int64)
+    n[p["h"].to_numpy(np.int64) - lo] = p["n"].to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(n)])
+    start = np.maximum(np.arange(hours.size) - (w - 1), 0)
+    wsum = csum[np.arange(1, hours.size + 1)] - csum[start]
+    wlen = np.arange(1, hours.size + 1) - start
+    mavg = wsum / wlen.astype(np.float64)
+    delta = np.empty(hours.size, dtype=np.float64)
+    delta[0] = np.nan
+    delta[1:] = (n[1:] - n[:-1]).astype(np.float64)
+    return pa.table({
+        "hour": pa.array(
+            hours.astype("datetime64[h]").astype("datetime64[us]")
+        ),
+        "n": pa.array(n),
+        "mavg": pa.array(mavg, pa.float64()),
+        "delta": pa.array(
+            [None if np.isnan(d) else d for d in delta], pa.float64()
+        ),
+    })
+
+
+def events_moving_avg_sql(w: int = MAVG_W) -> str:
+    return f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT unnest(generate_series(
+    (SELECT min(h) FROM c), (SELECT max(h) FROM c),
+    INTERVAL 1 HOUR)) AS h
+),
+d AS (
+  SELECT span.h, coalesce(c.n, 0)::BIGINT AS n
+  FROM span LEFT JOIN c ON c.h = span.h
+)
+SELECT h AS hour, n,
+       avg(n) OVER (ORDER BY h
+                    ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+         AS mavg,
+       CAST(n - lag(n) OVER (ORDER BY h) AS DOUBLE) AS delta
+FROM d ORDER BY hour
+"""

@@ -1887,3 +1887,32 @@ def test_similarity_pagerank_matches_dense_power_iteration(tmp_path):
     assert np.allclose(ranks[:4], ranks[0])
     assert np.allclose(ranks[4], ranks[5])
     assert ranks[0] > ranks[6]
+
+
+def test_knn_hard_negatives_labels_and_ordering():
+    """Every mined negative must carry a label different from its
+    query's; within a query the scores are non-increasing; and each
+    negative's score can't beat knn_cosine's same-rank UNRESTRICTED
+    neighbor (hard negatives are a label-masked subset of the same
+    candidate order)."""
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.ann import knn_cosine, knn_hard_negatives
+
+    neg = knn_hard_negatives(SF).to_pandas()
+    pos = knn_cosine(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "label"])
+    lab = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    assert len(neg)
+    for qid, g in neg.groupby("query_id"):
+        ql = lab[int(qid)]
+        assert all(lab[int(v)] != ql for v in g["vec_id"])
+        s = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True])["score"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+        p = pos[pos["query_id"] == qid].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )["score"].to_numpy()
+        n = min(len(s), len(p))
+        assert (s[:n] <= p[:n] + 1e-12).all()
