@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_sales_opportunity": relational.q22_sales_opportunity,
         "events_matrix_stats": relational.events_matrix_stats,
         "events_moving_avg": relational.events_moving_avg,
+        "events_running_total": relational.events_running_total,
+        "lang_ctfidf": textops.lang_ctfidf,
         "knn_hard_negatives": ann.knn_hard_negatives,
         "customer_geo_centroid": relational.customer_geo_centroid,
         "customer_geo_bounds": relational.customer_geo_bounds,
@@ -561,6 +563,8 @@ def oracle_sql() -> dict[str, str]:
         "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
         "events_matrix_stats": relational.events_matrix_stats_sql(),
         "events_moving_avg": relational.events_moving_avg_sql(),
+        "events_running_total": relational.events_running_total_sql(),
+        "lang_ctfidf": textops.lang_ctfidf_sql(),
         "knn_hard_negatives": ann.knn_hard_negatives_sql(),
         "customer_geo_centroid": relational.customer_geo_centroid_sql(),
         "customer_geo_bounds": relational.customer_geo_bounds_sql(),

@@ -480,6 +480,41 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("doc_dup_spans", lambda: textops.doc_dup_spans(sf_dir))
     timed("corpus_dedup_substrings",
           lambda: textops.corpus_dedup_substrings(sf_dir))
+    # round-5 session-3 additions
+    timed("q6_forecast_revenue",
+          lambda: relational.q6_forecast_revenue(sf_dir))
+    timed("q14_promo_revenue",
+          lambda: relational.q14_promo_revenue(sf_dir))
+    timed("q19_discounted_revenue",
+          lambda: relational.q19_discounted_revenue(sf_dir))
+    timed("q13_customer_distribution",
+          lambda: relational.q13_customer_distribution(sf_dir))
+    timed("q18_large_volume_customers",
+          lambda: relational.q18_large_volume_customers(sf_dir))
+    timed("q22_sales_opportunity",
+          lambda: relational.q22_sales_opportunity(sf_dir))
+    timed("events_matrix_stats",
+          lambda: relational.events_matrix_stats(sf_dir))
+    timed("events_moving_avg",
+          lambda: relational.events_moving_avg(sf_dir))
+    timed("customer_geo_centroid",
+          lambda: relational.customer_geo_centroid(sf_dir))
+    timed("customer_geo_bounds",
+          lambda: relational.customer_geo_bounds(sf_dir))
+    timed("knn_hard_negatives",
+          lambda: ann.knn_hard_negatives(sf_dir))
+    from sotohp_ray.pipelines.fulltext import (
+        bm25_decay,
+        bm25_random_score,
+        terms_set_search,
+    )
+
+    timed("bm25_decay", lambda: bm25_decay(sf_dir))
+    timed("bm25_random_score", lambda: bm25_random_score(sf_dir))
+    timed("terms_set_search", lambda: terms_set_search(sf_dir))
+    timed("events_running_total",
+          lambda: relational.events_running_total(sf_dir))
+    timed("lang_ctfidf", lambda: textops.lang_ctfidf(sf_dir))
     return out
 
 

@@ -3926,3 +3926,65 @@ SELECT h AS hour, n,
        CAST(n - lag(n) OVER (ORDER BY h) AS DOUBLE) AS delta
 FROM d ORDER BY hour
 """
+
+
+def events_running_total(sf_dir: str):
+    """(event_id, user_id, running): per-user CUMULATIVE value sum in
+    (ts, event_id) order — the unbounded-preceding window frame the
+    rolling/hopping family doesn't cover (account-balance / lifetime-
+    value scans). ONE coarse user-hash exchange; each group lexsorts
+    once into (user, ts, event_id) order and computes every user's
+    running sum with one vectorized segmented cumsum (global cumsum
+    minus the value carried in from the previous segment). Rounded to
+    2 dp: values are 2-dp decimals so the exact running sums are cent
+    multiples, and cumulative float error (~1e-10) is five orders
+    below the grid — this also absorbs DuckDB's segment-tree window
+    summation order differing from the engine's sequential cumsum."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(u),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "value": batch["value"].cast(pa.float64()),
+        })
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        e = g["event_id"].to_numpy()
+        v = g["value"].to_numpy()
+        order = np.lexsort((e, ts, u))
+        u, e, v = u[order], e[order], v[order]
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(np.diff(u, prepend=u[0] - 1))
+        lengths = np.diff(np.append(starts, u.size))
+        # subtract each segment's carried-in prefix from every row
+        # (repeat-based, sign-agnostic)
+        running = cs - np.repeat(cs[starts] - v[starts], lengths)
+        return pd.DataFrame({
+            "event_id": e.astype("int64"),
+            "user_id": u.astype("int64"),
+            "running": np.round(running, 2),
+        })
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def events_running_total_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running
+FROM events
+"""

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from sotohp_ray.functions.hashing import minhash_params
-from sotohp_ray.functions.tokenizer import CodeTokenizer
+from sotohp_ray.functions.tokenizer import CodeTokenizer, sql_token_expr
 from sotohp_ray.utils import agg_select
 
 _TOK = CodeTokenizer()
@@ -4758,3 +4758,109 @@ def sample_stratified_sql(per_group: int = 20) -> str:
         QUALIFY row_number() OVER (
           PARTITION BY lang ORDER BY doc_id) <= {per_group}
     """
+
+
+CTFIDF_K = 10
+
+
+def lang_ctfidf(sf_dir: str, k: int = CTFIDF_K):
+    """(lang, term, score): per-language DISTINCTIVE terms by
+    class-TF-IDF (the BERTopic c-TF-IDF shape, Grootendorst 2022:
+    treat each group's concatenated docs as one document; score =
+    group collection frequency x ln(n_groups / groups_containing)).
+    Distribution: per-batch (lang, term) count partials from the
+    analyzed-tokens sidecar -> ONE term-keyed exchange whose groups
+    hold every language's partials for that term (so gdf and the
+    per-lang totals are computed where the term lives) -> vocab-sized
+    score rows -> per-block top-k partials keyed by lang (O6) and an
+    output-sized driver merge. n_groups is a scalar read from the
+    lang dictionary column, broadcast by closure."""
+    import pandas as pd
+
+    import pyarrow.parquet as _pq
+
+    n_groups = len(
+        _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["lang"]
+        )["lang"].unique()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = batch["toks"]
+        lists = (
+            lists.combine_chunks()
+            if isinstance(lists, pa.ChunkedArray) else lists
+        )
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        rep = pa.array(np.repeat(lang, n))
+        g = (
+            pa.table({"lang": rep, "term": lists.flatten()})
+            .group_by(["lang", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return agg_select(g, {
+            "lang": "lang", "term": "term", "count_all": "cnt",
+        })
+
+    def score_term(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("lang", as_index=False)["cnt"].sum()
+        gdf = len(tot)
+        score = np.round(
+            tot["cnt"].to_numpy(np.float64) * np.log(n_groups / gdf), 4
+        )
+        return pd.DataFrame({
+            "lang": tot["lang"],
+            "term": g["term"].iloc[0],
+            "score": score,
+        })
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["score", "term"], ascending=[False, True])
+            .groupby("lang", as_index=False)
+            .head(k),
+            preserve_index=False,
+        )
+
+    parts = (
+        _docs_tokens(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(score_term, batch_format="pandas")
+        .map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()  # <= k rows per (block, lang): output-sized
+    )
+    out = (
+        parts.sort_values(["score", "term"], ascending=[False, True])
+        .groupby("lang", as_index=False)
+        .head(k)
+        .sort_values(["lang", "term"])
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str)),
+        "term": pa.array(out["term"].astype(str)),
+        "score": pa.array(out["score"].to_numpy(np.float64)),
+    })
+
+
+def lang_ctfidf_sql(k: int = CTFIDF_K) -> str:
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({texpr}) AS term FROM documents
+),
+ct AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+gdf AS (SELECT term, count(DISTINCT lang) AS g FROM ct GROUP BY 1),
+n AS (SELECT count(DISTINCT lang) AS n FROM documents)
+SELECT ct.lang, ct.term,
+       round(ct.cnt * ln(n.n / CAST(gdf.g AS DOUBLE)), 4) AS score
+FROM ct JOIN gdf ON gdf.term = ct.term CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY ct.lang
+  ORDER BY round(ct.cnt * ln(n.n / CAST(gdf.g AS DOUBLE)), 4) DESC,
+           ct.term ASC
+) <= {k}
+ORDER BY lang, ct.term
+"""
