@@ -41,6 +41,7 @@ from sotohp_ray.pipelines.fulltext import (
     term_vectors,
     term_vectors_sql,
     index_disk_usage,
+    index_snapshot,
     bm25_lang_stats,
     bm25_lang_stats_sql,
     keyword_search_excluding,
@@ -228,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sort_by_length": lambda sf: search_sort_by_length(sf),
         "term_vectors": lambda sf: term_vectors(sf),
         "index_disk_usage": lambda sf: index_disk_usage(sf),  # rows-only (fs stat)
+        "index_snapshot": lambda sf: index_snapshot(sf),  # rows-only (fs state machine)
         "bm25_lang_stats": lambda sf: bm25_lang_stats(sf),
         "keyword_search_indexed": lambda sf: keyword_search_indexed(sf),
         "keyword_search_excluding": lambda sf: keyword_search_excluding(sf),

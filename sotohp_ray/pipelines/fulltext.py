@@ -872,6 +872,49 @@ def index_disk_usage(sf_dir: str) -> pa.Table:
     })
 
 
+def index_snapshot(sf_dir: str) -> pa.Table:
+    """(snapshot, n_files, n_new_blobs, bytes_total, bytes_copied,
+    restored_files): the ES _snapshot API surfaced as a query — takes
+    TWO successive snapshots of the documents index into a fresh /tmp
+    content-addressed repository and restores the second, reporting
+    the incrementality telemetry (the second snapshot of an unchanged
+    index ships ZERO new blobs) and the restore file count. Rows-only
+    BY DESIGN (filesystem state machine, not table-derivable);
+    tests/test_snapshot.py pins the point-in-time and atomic-swap
+    contracts against real mutations."""
+    import shutil
+    import tempfile
+
+    from sotohp_ray.pipelines.snapshot import (
+        create_snapshot,
+        restore_snapshot,
+    )
+
+    index_dir = documents_index(sf_dir)
+    repo = tempfile.mkdtemp(prefix="snap-repo-")
+    try:
+        s1 = create_snapshot(index_dir, repo, "s1")
+        s2 = create_snapshot(index_dir, repo, "s2")  # unchanged: 0 new
+        dest = os.path.join(repo, "restored")
+        n_restored = restore_snapshot(repo, "s2", dest)
+        rows = [("s1", s1, 0), ("s2", s2, n_restored)]
+        return pa.table({
+            "snapshot": pa.array([r[0] for r in rows], pa.string()),
+            "n_files": pa.array(
+                [r[1]["n_files"] for r in rows], pa.int64()),
+            "n_new_blobs": pa.array(
+                [r[1]["n_new_blobs"] for r in rows], pa.int64()),
+            "bytes_total": pa.array(
+                [r[1]["bytes_total"] for r in rows], pa.int64()),
+            "bytes_copied": pa.array(
+                [r[1]["bytes_copied"] for r in rows], pa.int64()),
+            "restored_files": pa.array(
+                [r[2] for r in rows], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(repo, ignore_errors=True)
+
+
 TERMVEC_DOC_IDS = (3, 7, 11)
 
 
