@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": training.doc_lm_score,
         "dsir_weights": training.dsir_weights,
         "training_shards": training.training_shards,
+        "doc_span_corruption": training.doc_span_corruption,
         "doc_packing": training.doc_packing,
         "training_curriculum": training.training_curriculum,
         "lang_guess": textops.lang_guess,
@@ -373,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers":
             relational.q18_large_volume_customers,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
+        "q7_volume_shipping": relational.q7_volume_shipping,
         "events_matrix_stats": relational.events_matrix_stats,
         "events_moving_avg": relational.events_moving_avg,
         "events_running_total": relational.events_running_total,
@@ -495,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": training.doc_lm_score_sql(),
         "dsir_weights": training.dsir_weights_sql(),
         "training_shards": training.training_shards_sql(),
+        "doc_span_corruption": training.doc_span_corruption_sql(),
         "doc_packing": training.doc_packing_sql(),
         "training_curriculum": training.training_curriculum_sql(),
         "quality_stats": f"""
@@ -563,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers":
             relational.q18_large_volume_customers_sql(),
         "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
+        "q7_volume_shipping": relational.q7_volume_shipping_sql(),
         "events_matrix_stats": relational.events_matrix_stats_sql(),
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_running_total": relational.events_running_total_sql(),

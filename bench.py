@@ -515,6 +515,13 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("events_running_total",
           lambda: relational.events_running_total(sf_dir))
     timed("lang_ctfidf", lambda: textops.lang_ctfidf(sf_dir))
+    timed("q7_volume_shipping",
+          lambda: relational.q7_volume_shipping(sf_dir))
+    timed("doc_span_corruption",
+          lambda: training.doc_span_corruption(sf_dir))
+    from sotohp_ray.pipelines.fulltext import index_snapshot
+
+    timed("index_snapshot", lambda: index_snapshot(sf_dir))
     return out
 
 

@@ -3988,3 +3988,225 @@ SELECT event_id, user_id,
        ), 2) AS running
 FROM events
 """
+
+
+# Q7 "trade blocs": nationkeys [0,8) and [8,16) stand in for the two
+# named nations so the analog has volume at every test scale
+Q7_LO = np.datetime64("1996-01-01")
+Q7_HI = np.datetime64("1998-01-01")
+Q7_BLOC = 8
+
+
+def q7_volume_shipping(sf_dir: str):
+    """(supp_nation, cust_nation, yr, revenue_cents): the TPC-H Q7
+    shape — bilateral shipping volume between two trade blocs by
+    year. The one §2 join pyramid needing TWO SEQUENTIAL exchanges on
+    DIFFERENT keys: customer x orders is BIG x BIG on the coarse
+    CUSTKEY hash (orders leave tagged with their customer's nation —
+    the probe side never broadcasts, customers don't fit a worker at
+    100 TB), and that tagged stream unions with per-batch
+    (orderkey, supp_nation, yr) volume partials into the coarse
+    ORDERKEY exchange. supplier IS dim-sized (J1): suppkey->nation
+    broadcasts once. The bloc-pair predicate needs both nations, so
+    each side prefilters to bloc members and the exact directional
+    test runs where the pair first co-exists; final aggregate is
+    (25 x 25 x years)-bounded partials, cents at the end."""
+    import ray
+
+    import pandas as pd
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk, sn = [], []
+    for b in sup.iter_batches(batch_format="numpy", batch_size=None):
+        sk.append(np.asarray(b["s_suppkey"], dtype=np.int64))
+        sn.append(np.asarray(b["s_nationkey"], dtype=np.int64))
+    sk = np.concatenate(sk + [np.zeros(0, np.int64)])
+    sn = np.concatenate(sn + [np.zeros(0, np.int64)])
+    order = np.argsort(sk)
+    side = ray.put((sk[order], sn[order]))
+
+    # ---- exchange 1: orders tagged with cust_nation (custkey hash)
+    def tag_c(batch: pa.Table) -> pa.Table:
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = batch.filter(pa.array(nat < 2 * Q7_BLOC))
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ukey": _ukey(k),
+            "key": pa.array(k),
+            "val": b["c_nationkey"].cast(pa.int64()),
+            "is_build": pa.array(np.ones(k.size, bool)),
+        })
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "ukey": _ukey(k),
+            "key": pa.array(k),
+            "val": batch["o_orderkey"].cast(pa.int64()),
+            "is_build": pa.array(np.zeros(k.size, bool)),
+        })
+
+    def attach_nation(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        keys = g["key"].to_numpy()
+        bk = keys[build]
+        o = np.argsort(bk, kind="stable")
+        bk, bn = bk[o], g["val"].to_numpy()[build][o]
+        pk = keys[~build]
+        okey = g["val"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (
+            (pos < bk.size) & (bk[np.minimum(pos, max(bk.size - 1, 0))]
+                               == pk)
+        ) if bk.size else np.zeros(pk.size, bool)
+        return pd.DataFrame({
+            "okey": okey[ok].astype("int64"),
+            "cust_nation": bn[pos[ok]].astype("int64"),
+        })
+
+    tagged = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(tag_c, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+            .map_batches(tag_o, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(attach_nation, batch_format="pandas")
+    )
+
+    # ---- exchange 2: tagged orders x lineitem partials (okey hash)
+    def order_side(batch: pa.Table) -> pa.Table:
+        okey = batch["okey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "nat": batch["cust_nation"],
+            "yr": pa.array(np.zeros(okey.size, np.int64)),
+            "vol": pa.array(np.zeros(okey.size), pa.float64()),
+            "is_build": pa.array(np.ones(okey.size, bool)),
+        })
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (sd >= Q7_LO) & (sd < Q7_HI)
+        b = batch.filter(pa.array(m))
+        keys, nats = ray.get(side)
+        lk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = np.searchsorted(keys, lk)
+        pos = np.minimum(pos, max(keys.size - 1, 0))
+        supp_nat = np.where(
+            keys.size > 0, nats[pos], -1
+        ) if keys.size else np.full(lk.size, -1)
+        bloc = supp_nat < 2 * Q7_BLOC
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[bloc]
+        supp_nat = supp_nat[bloc]
+        yr = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)[bloc]
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        vol = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[bloc]
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)[bloc])
+        )
+        key = (okey << 16) | (supp_nat << 11) | (yr - 1990)
+        uk, inv = np.unique(key, return_inverse=True)
+        part = np.zeros(uk.size)
+        np.add.at(part, inv, vol)
+        return pa.table({
+            "ukey": _ukey(uk >> 16),
+            "okey": pa.array((uk >> 16).astype(np.int64)),
+            "nat": pa.array(((uk >> 11) & 0x1F).astype(np.int64)),
+            "yr": pa.array((uk & 0x7FF).astype(np.int64) + 1990),
+            "vol": pa.array(part, pa.float64()),
+            "is_build": pa.array(np.zeros(uk.size, bool)),
+        })
+
+    def join_fold(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk, bnat = bk[o], g["nat"].to_numpy()[build][o]
+        pk = g["okey"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (
+            (pos < bk.size) & (bk[np.minimum(pos, max(bk.size - 1, 0))]
+                               == pk)
+        ) if bk.size else np.zeros(pk.size, bool)
+        supp = g["nat"].to_numpy()[~build][ok]
+        cust = bnat[pos[ok]]
+        # the exact directional bloc-pair predicate, where the pair
+        # first co-exists
+        keep = ((supp < Q7_BLOC) & (cust >= Q7_BLOC)
+                & (cust < 2 * Q7_BLOC)) | (
+            (cust < Q7_BLOC) & (supp >= Q7_BLOC) & (supp < 2 * Q7_BLOC)
+        )
+        supp, cust = supp[keep], cust[keep]
+        yr = g["yr"].to_numpy()[~build][ok][keep]
+        vol = g["vol"].to_numpy()[~build][ok][keep]
+        key = (supp << 16) | (cust << 11) | (yr - 1990)
+        uk, inv = np.unique(key, return_inverse=True)
+        part = np.zeros(uk.size)
+        np.add.at(part, inv, vol)
+        return pd.DataFrame({
+            "supp_nation": (uk >> 16).astype("int64"),
+            "cust_nation": ((uk >> 11) & 0x1F).astype("int64"),
+            "yr": (uk & 0x7FF).astype("int64") + 1990,
+            "vol": part,
+        })
+
+    parts = (
+        tagged.map_batches(order_side, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"])
+            .map_batches(li_partial, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(join_fold, batch_format="pandas")
+        .to_pandas()  # (nations^2 x years) x 64 partials: tiny
+    )
+    out = (
+        parts.groupby(["supp_nation", "cust_nation", "yr"],
+                      as_index=False)["vol"].sum()
+        .sort_values(["supp_nation", "cust_nation", "yr"])
+    )
+    return pa.table({
+        "supp_nation": pa.array(out["supp_nation"].to_numpy(np.int64)),
+        "cust_nation": pa.array(out["cust_nation"].to_numpy(np.int64)),
+        "yr": pa.array(out["yr"].to_numpy(np.int64)),
+        "revenue_cents": pa.array(
+            np.round(out["vol"].to_numpy() * 100.0).astype(np.int64)
+        ),
+    })
+
+
+def q7_volume_shipping_sql() -> str:
+    b = Q7_BLOC
+    return f"""
+SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
+            AS BIGINT) AS revenue_cents
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE ((s_nationkey < {b} AND c_nationkey >= {b}
+        AND c_nationkey < {2 * b})
+    OR (c_nationkey < {b} AND s_nationkey >= {b}
+        AND s_nationkey < {2 * b}))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

@@ -1262,3 +1262,101 @@ def bpe_token_count(
         batch_format="pyarrow",
         concurrency=2,
     )
+
+
+# T5-style span corruption (Raffel et al. 2020 §3.1.4): block-aligned
+# deterministic span selection so the mask is pure integer arithmetic
+# on both engine and oracle sides.
+SPAN_BLOCK = 3  # mean corrupted-span length
+SPAN_MOD = 2147483647  # Lehmer MINSTD modulus (2^31 - 1)
+SPAN_MULT = 48271
+SPAN_NOISE = 0.15
+SPAN_THRESH = int(SPAN_NOISE * SPAN_MOD)  # 322122547
+
+
+def doc_span_corruption(sf_dir: str, block: int = SPAN_BLOCK):
+    """(doc_id, sentinel_id, span_start, span_len): the T5 span-
+    corruption schedule — ~15% of each document's tokens masked in
+    ``block``-aligned spans, each masked span numbered by its sentinel
+    ordinal (<extra_id_k>). Emits span METADATA, not assembled text
+    (the doc_chunks discipline: offsets pin the exact schedule against
+    the SQL oracle; a shard exporter slices the same offsets — the
+    input sequence is the unmasked gaps, the target is the spans in
+    sentinel order, and together they reconstruct the document by
+    construction since spans are disjoint and sorted). Span selection
+    is a two-step Lehmer hash of (doc_id, block) in exact int64
+    arithmetic — bit-identical in numpy and DuckDB, no float noise
+    schedule to disagree over. Fully vectorized per batch (repeat /
+    arange / segmented-cumsum offset math, no per-doc loop)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = _toklists_of(batch)
+        n = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_blocks = -(-n // block)
+        rows = np.flatnonzero(n_blocks)
+        rep = n_blocks[rows]
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "sentinel_id": pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_len": pa.array([], pa.int64()),
+        })
+        if not rows.size:
+            return empty
+        doc_sel = np.repeat(rows, rep)
+        seg_off = np.zeros(rows.size, dtype=np.int64)
+        np.cumsum(rep[:-1], out=seg_off[1:])
+        b = np.arange(rep.sum(), dtype=np.int64) - np.repeat(seg_off, rep)
+        h = (ids[doc_sel] * 1000003 + b) % SPAN_MOD
+        h = (h * SPAN_MULT) % SPAN_MOD
+        masked = h < SPAN_THRESH
+        if not masked.any():
+            return empty
+        # sentinel ordinal within each doc: segmented cumsum of the
+        # mask (global cumsum minus the carry at each doc's start)
+        cs = np.cumsum(masked)
+        carry = np.repeat(cs[seg_off] - masked[seg_off], rep)
+        sentinel = (cs - carry - 1)[masked]
+        start = (b * block)[masked]
+        length = np.minimum(block, n[doc_sel][masked] - start)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_sel][masked], pa.int64()),
+            "sentinel_id": pa.array(sentinel.astype(np.int64)),
+            "span_start": pa.array(start, pa.int64()),
+            "span_len": pa.array(length, pa.int64()),
+        })
+
+    return _docs_tokens(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def doc_span_corruption_sql(block: int = SPAN_BLOCK) -> str:
+    texpr = sql_token_expr("text")
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(coalesce(len({texpr}), 0) AS BIGINT) AS n
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, n,
+         unnest(generate_series(
+           0, CAST(ceil(n / {block}.0) AS BIGINT) - 1)) AS b
+  FROM dl WHERE n > 0
+),
+masked AS (
+  SELECT doc_id, n, b FROM blocks
+  WHERE ((doc_id * 1000003 + b) % {SPAN_MOD}) * {SPAN_MULT}
+        % {SPAN_MOD} < {SPAN_THRESH}
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1
+         AS sentinel_id,
+       b * {block} AS span_start,
+       least({block}, n - b * {block}) AS span_len
+FROM masked
+ORDER BY doc_id, span_start
+"""

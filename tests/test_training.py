@@ -563,3 +563,48 @@ def test_dsir_weights_target_skew(tmp_path):
     assert out["log_ratio"][0] > 0 and out["log_ratio"][1] > 0
     assert out["log_ratio"][2] < 0 and out["log_ratio"][3] < 0
     assert out["n_tokens"][4] == 0 and out["log_ratio"][4] == 0.0
+
+
+def test_span_corruption_schedule_invariants():
+    """Spans are block-aligned, disjoint, in-bounds and ~15% of
+    blocks; sentinel ids are dense per doc in span order; the
+    schedule is deterministic across calls — together with the
+    SQL-oracle parity this pins the full T5 schedule."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.training import (
+        SPAN_BLOCK,
+        SPAN_NOISE,
+        doc_span_corruption,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = doc_span_corruption(sf).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    b = doc_span_corruption(sf).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    assert a.equals(b)  # deterministic
+    assert len(a)
+    assert (a["span_start"] % SPAN_BLOCK == 0).all()
+    assert (a["span_len"] > 0).all() and (
+        a["span_len"] <= SPAN_BLOCK).all()
+    from sotohp_ray.functions.tokenizer import CodeTokenizer
+
+    tok = CodeTokenizer()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    n_of = {
+        int(d): len(tok.tokens_of(t))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    total_blocks = sum(-(-n // SPAN_BLOCK) for n in n_of.values())
+    frac = len(a) / total_blocks
+    assert abs(frac - SPAN_NOISE) < 0.03  # ~15% of blocks masked
+    for doc, g in a.groupby("doc_id"):
+        s = g["span_start"].to_numpy()
+        ln = g["span_len"].to_numpy()
+        assert (s + ln <= n_of[int(doc)]).all()  # in bounds
+        assert (s[1:] >= s[:-1] + ln[:-1]).all()  # disjoint, sorted
+        assert list(g["sentinel_id"]) == list(range(len(g)))
