@@ -375,6 +375,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q18_large_volume_customers,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
         "q7_volume_shipping": relational.q7_volume_shipping,
+        "q9_product_type_profit": relational.q9_product_type_profit,
+        "q12_shipmode_priority": relational.q12_shipmode_priority,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue":
+            relational.q17_small_quantity_revenue,
         "events_matrix_stats": relational.events_matrix_stats,
         "events_moving_avg": relational.events_moving_avg,
         "events_running_total": relational.events_running_total,
@@ -567,6 +572,13 @@ def oracle_sql() -> dict[str, str]:
             relational.q18_large_volume_customers_sql(),
         "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
         "q7_volume_shipping": relational.q7_volume_shipping_sql(),
+        "q9_product_type_profit":
+            relational.q9_product_type_profit_sql(),
+        "q12_shipmode_priority":
+            relational.q12_shipmode_priority_sql(),
+        "q15_top_supplier": relational.q15_top_supplier_sql(),
+        "q17_small_quantity_revenue":
+            relational.q17_small_quantity_revenue_sql(),
         "events_matrix_stats": relational.events_matrix_stats_sql(),
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_running_total": relational.events_running_total_sql(),

@@ -522,6 +522,14 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     from sotohp_ray.pipelines.fulltext import index_snapshot
 
     timed("index_snapshot", lambda: index_snapshot(sf_dir))
+    timed("q9_product_type_profit",
+          lambda: relational.q9_product_type_profit(sf_dir))
+    timed("q12_shipmode_priority",
+          lambda: relational.q12_shipmode_priority(sf_dir))
+    timed("q15_top_supplier",
+          lambda: relational.q15_top_supplier(sf_dir))
+    timed("q17_small_quantity_revenue",
+          lambda: relational.q17_small_quantity_revenue(sf_dir))
     return out
 
 

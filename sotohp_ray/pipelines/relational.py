@@ -4210,3 +4210,499 @@ WHERE ((s_nationkey < {b} AND c_nationkey >= {b}
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# --- TPC-H Q9 / Q12 / Q15 / Q17 analogs ------------------------------
+
+Q9_PRODUCT = "widget"
+Q9_COST_FRAC = 0.6  # retailprice fraction standing in for supplycost
+
+
+def q9_product_type_profit(sf_dir: str):
+    """(supp_nation, yr, profit_e4): the TPC-H Q9 shape — profit on
+    one product line by supplier nation and order year, with
+    ``Q9_COST_FRAC * p_retailprice`` standing in for the absent
+    partsupp supplycost. part and supplier are both DIM-sized: the
+    widget partkey->retailprice map and suppkey->nation map broadcast
+    once (sorted-aligned arrays, ONE searchsorted each per batch); the
+    year lives on orders, so lineitem profit partials
+    (orderkey, supp_nation) meet orders (orderkey, year) on the ONE
+    coarse orderkey exchange; final fold is (nations x years)-bounded.
+    Cents at the end."""
+    import ray
+
+    import pandas as pd
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    pk, pr = [], []
+    for b in part.iter_batches(batch_format="pyarrow", batch_size=None):
+        m = pc.match_substring(b["p_name"], Q9_PRODUCT).to_numpy(
+            zero_copy_only=False
+        )
+        pk.append(
+            b["p_partkey"].to_numpy(zero_copy_only=False)[m].astype(
+                np.int64
+            )
+        )
+        pr.append(b["p_retailprice"].to_numpy(zero_copy_only=False)[m])
+    pk = np.concatenate(pk + [np.zeros(0, np.int64)])
+    pr = np.concatenate(pr + [np.zeros(0)])
+    o = np.argsort(pk)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk, sn = [], []
+    for b in sup.iter_batches(batch_format="numpy", batch_size=None):
+        sk.append(np.asarray(b["s_suppkey"], dtype=np.int64))
+        sn.append(np.asarray(b["s_nationkey"], dtype=np.int64))
+    sk = np.concatenate(sk + [np.zeros(0, np.int64)])
+    sn = np.concatenate(sn + [np.zeros(0, np.int64)])
+    so = np.argsort(sk)
+    side = ray.put((pk[o], pr[o], sk[so], sn[so]))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys, price, skeys, snat = ray.get(side)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = np.searchsorted(keys, lk)
+        pos = np.minimum(pos, max(keys.size - 1, 0))
+        hit = (keys[pos] == lk) if keys.size else np.zeros(lk.size, bool)
+        b = batch.filter(pa.array(hit))
+        if not len(b):
+            return pa.table({
+                "ukey": pa.array([], pa.int64()),
+                "okey": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "profit": pa.array([], pa.int64()),
+                "is_build": pa.array([], pa.bool_()),
+            })
+        cost = price[pos[hit]]
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        spos = np.minimum(np.searchsorted(skeys, lsk),
+                          max(skeys.size - 1, 0))
+        nat = snat[spos]
+        # per-item profit is an EXACT 4-decimal value (2dp x 2dp and
+        # 0.6 x 2dp x int), so round to int64 e-4 units per ITEM: all
+        # downstream sums are integer-exact and the group totals can
+        # never land on a rounding half-boundary (one did at sf0.001)
+        profit = np.round((
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            - Q9_COST_FRAC * cost
+            * b["l_quantity"].to_numpy(zero_copy_only=False)
+        ) * 10000.0).astype(np.int64)
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        key = (okey << 5) | nat
+        uk, inv = np.unique(key, return_inverse=True)
+        partial = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(partial, inv, profit)
+        return pa.table({
+            "ukey": _ukey(uk >> 5),
+            "okey": pa.array((uk >> 5).astype(np.int64)),
+            "nat": pa.array((uk & 0x1F).astype(np.int64)),
+            "yr": pa.array(np.zeros(uk.size, np.int64)),
+            "profit": pa.array(partial, pa.int64()),
+            "is_build": pa.array(np.zeros(uk.size, bool)),
+        })
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        yr = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "nat": pa.array(np.zeros(okey.size, np.int64)),
+            "yr": pa.array(yr),
+            "profit": pa.array(np.zeros(okey.size, np.int64)),
+            "is_build": pa.array(np.ones(okey.size, bool)),
+        })
+
+    def join_fold(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk, byr = bk[o], g["yr"].to_numpy()[build][o]
+        pk = g["okey"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (
+            (pos < bk.size) & (bk[np.minimum(pos, max(bk.size - 1, 0))]
+                               == pk)
+        ) if bk.size else np.zeros(pk.size, bool)
+        nat = g["nat"].to_numpy()[~build][ok]
+        yr = byr[pos[ok]]
+        pr = g["profit"].to_numpy()[~build][ok]
+        key = (nat << 11) | (yr - 1990)
+        uk, inv = np.unique(key, return_inverse=True)
+        partial = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(partial, inv, pr)
+        return pd.DataFrame({
+            "supp_nation": (uk >> 11).astype("int64"),
+            "yr": (uk & 0x7FF).astype("int64") + 1990,
+            "profit": partial,
+        })
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+            .map_batches(o_side, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(join_fold, batch_format="pandas")
+        .to_pandas()  # (nations x years) x 64 partials
+    )
+    out = (
+        parts.groupby(["supp_nation", "yr"], as_index=False)["profit"]
+        .sum().sort_values(["supp_nation", "yr"])
+    )
+    return pa.table({
+        "supp_nation": pa.array(out["supp_nation"].to_numpy(np.int64)),
+        "yr": pa.array(out["yr"].to_numpy(np.int64)),
+        "profit_e4": pa.array(
+            out["profit"].to_numpy(np.int64)
+        ),
+    })
+
+
+def q9_product_type_profit_sql() -> str:
+    return f"""
+SELECT s_nationkey AS supp_nation,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+                      - {Q9_COST_FRAC} * p_retailprice * l_quantity)
+                  * 10000.0) AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%{Q9_PRODUCT}%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q12_LO_DATE = np.datetime64("1996-01-01")
+Q12_HI_DATE = np.datetime64("1997-01-01")
+
+
+def q12_shipmode_priority(sf_dir: str):
+    """(l_returnflag, high_line_count, low_line_count): the TPC-H Q12
+    shape — per ship-class (returnflag standing in for the absent
+    l_shipmode) counts of lineitems belonging to high- vs low-priority
+    orders, over a shipdate year. orders x lineitem BIG x BIG on the
+    ONE coarse orderkey exchange; lineitem collapses per batch to
+    (orderkey, flag, n) count partials, orders ship one boolean per
+    row; per-group fold emits (flag, high, low) partials and the final
+    exchange is flag-domain-sized. Pure integer counts — no rounding
+    contract at all."""
+    import pandas as pd
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        hi = pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(Q12_HIGH),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "flag": pa.nulls(okey.size, pa.string()),
+            "n": pa.array(hi.astype(np.int64)),  # 1 = high priority
+            "is_build": pa.array(np.ones(okey.size, bool)),
+        })
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((sd >= Q12_LO_DATE) & (sd < Q12_HI_DATE)))
+        g = (
+            pa.table({
+                "okey": b["l_orderkey"].cast(pa.int64()),
+                "flag": b["l_returnflag"].cast(pa.string()),
+            })
+            .group_by(["okey", "flag"])
+            .aggregate([([], "count_all")])
+        )
+        g = agg_select(g, {
+            "okey": "okey", "flag": "flag", "count_all": "n",
+        })
+        okey = g["okey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": g["okey"],
+            "flag": g["flag"],
+            "n": g["n"].cast(pa.int64()),
+            "is_build": pa.array(np.zeros(len(g), bool)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk, bhi = bk[o], g["n"].to_numpy()[build][o].astype(bool)
+        pk = g["okey"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (
+            (pos < bk.size) & (bk[np.minimum(pos, max(bk.size - 1, 0))]
+                               == pk)
+        ) if bk.size else np.zeros(pk.size, bool)
+        hi = bhi[pos[ok]]
+        n = g["n"].to_numpy()[~build][ok]
+        flags = g["flag"].to_numpy()[~build][ok]
+        df = pd.DataFrame({"flag": flags, "hi": hi, "n": n})
+        out = df.groupby("flag", as_index=False).apply(
+            lambda x: pd.Series({
+                "high": int(x["n"][x["hi"]].sum()),
+                "low": int(x["n"][~x["hi"]].sum()),
+            }), include_groups=False,
+        )
+        return out.rename(columns={"flag": "l_returnflag"})
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(o_side, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_shipdate"])
+            .map_batches(li_partial, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # flags x 64 partials
+    )
+    out = (
+        parts.groupby("l_returnflag", as_index=False)
+        .agg(high_line_count=("high", "sum"),
+             low_line_count=("low", "sum"))
+        .sort_values("l_returnflag")
+    )
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"].astype(str)),
+        "high_line_count": pa.array(
+            out["high_line_count"].to_numpy(np.int64)),
+        "low_line_count": pa.array(
+            out["low_line_count"].to_numpy(np.int64)),
+    })
+
+
+def q12_shipmode_priority_sql() -> str:
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+SELECT l_returnflag,
+       count(*) FILTER (o_orderpriority IN ({hi}))
+         AS high_line_count,
+       count(*) FILTER (o_orderpriority NOT IN ({hi}))
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+Q15_LO = np.datetime64("1996-01-01")
+Q15_HI = np.datetime64("1996-04-01")
+
+
+def q15_top_supplier(sf_dir: str):
+    """(s_suppkey, s_name, total_revenue_cents): the TPC-H Q15 shape —
+    the supplier(s) achieving MAX quarterly revenue (the view +
+    correlated-max query; ties all returned). Per-batch (suppkey,
+    revenue) partials -> ONE suppkey-keyed groupby; the argmax-with-
+    ties runs on the supplier-sized revenue table (output-sized) and
+    revenue is rounded to CENTS BEFORE the max compare on BOTH sides,
+    so tie membership is integer-exact; winner names come from one
+    predicate-pushdown dim read."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((sd >= Q15_LO) & (sd < Q15_HI)))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        uk, inv = np.unique(sk, return_inverse=True)
+        part = np.zeros(uk.size)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "s_suppkey": pa.array(uk),
+            "rev": pa.array(part, pa.float64()),
+        })
+
+    rev = (
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice",
+               "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()  # supplier-sized
+    )
+    cents = np.round(rev["rev"].to_numpy() * 100.0).astype(np.int64)
+    top = cents.max() if cents.size else 0
+    win = rev["s_suppkey"].to_numpy(np.int64)[cents == top]
+    wc = cents[cents == top]
+    names = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", win.tolist())],
+    ).to_pandas().set_index("s_suppkey")["s_name"]
+    order = np.argsort(win)
+    return pa.table({
+        "s_suppkey": pa.array(win[order], pa.int64()),
+        "s_name": pa.array(
+            [names[int(s)] for s in win[order]], pa.string()),
+        "total_revenue_cents": pa.array(wc[order], pa.int64()),
+    })
+
+
+def q15_top_supplier_sql() -> str:
+    return """
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0)
+              AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, r.total_revenue_cents
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue_cents = (
+  SELECT max(total_revenue_cents) FROM revenue
+)
+ORDER BY r.s_suppkey
+"""
+
+
+Q17_BRANDS = ("Brand#5", "Brand#15")
+Q17_QTY_FRAC = 0.2
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """(n_lineitems, revenue_cents): the TPC-H Q17 shape — revenue
+    from small-quantity orders of selected brands, where 'small' is a
+    CORRELATED per-part threshold (qty < 0.2 x that part's average
+    quantity). Three sized steps: brand partkeys broadcast (DIM);
+    pass 1 folds (partkey, sum_qty, n) partials on a partkey-keyed
+    groupby bounded by the brand subset; the per-part thresholds
+    (filtered-part-sized) broadcast back and pass 2 is a pure
+    streaming filter+sum. The threshold compare's float sensitivity
+    (engine partial sums vs DuckDB's avg) is measured in a pytest —
+    quantities are integers, thresholds are fractional averages, gap
+    >> summation error."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+
+    bp = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "in", list(Q17_BRANDS))],
+    )["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bp = np.sort(bp)
+    bref = ray.put(bp)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        hit = np.isin(lk, keys, kind="sort")
+        b = batch.filter(pa.array(hit))
+        pk2 = b["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk2, return_inverse=True)
+        s = np.zeros(uk.size)
+        np.add.at(s, inv, q)
+        n = np.bincount(inv, minlength=uk.size).astype(np.int64)
+        return pa.table({
+            "p_partkey": pa.array(uk),
+            "s": pa.array(s, pa.float64()),
+            "n": pa.array(n),
+        })
+
+    li_cols = _read(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice"])
+    avg = (
+        li_cols.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # brand-subset-sized
+    )
+    tk = avg["p_partkey"].to_numpy(np.int64)
+    o = np.argsort(tk)
+    thresh = (
+        Q17_QTY_FRAC
+        * (avg["s"].to_numpy() / avg["n"].to_numpy())
+    )[o]
+    tref = ray.put((tk[o], thresh))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys, th = ray.get(tref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = np.searchsorted(keys, lk)
+        pos = np.minimum(pos, max(keys.size - 1, 0))
+        hit = (keys[pos] == lk) if keys.size else np.zeros(lk.size, bool)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        small = hit & (q < np.where(hit, th[pos], 0.0))
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([int(small.sum())], pa.int64()),
+            "rev": pa.array([float(np.sum(ep[small]))], pa.float64()),
+        })
+
+    import pandas as pd
+
+    parts = li_cols.map_batches(
+        rev_partial, batch_format="pyarrow"
+    ).to_pandas()
+    return pa.table({
+        "n_lineitems": pa.array([int(parts["n"].sum())], pa.int64()),
+        "revenue_cents": pa.array(
+            [int(round(float(parts["rev"].sum()) * 100.0))], pa.int64()
+        ),
+    })
+
+
+def q17_small_quantity_revenue_sql() -> str:
+    brands = ", ".join(f"'{b}'" for b in Q17_BRANDS)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand IN ({brands})
+  AND l1.l_quantity < {Q17_QTY_FRAC} * (
+    -- the outer table MUST be aliased: an unqualified l_partkey here
+    -- binds to the inner l2 (always-true), silently averaging the
+    -- whole table
+    SELECT avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+  )
+"""

@@ -270,3 +270,37 @@ def test_q22_cutoff_gap_dominates_float_error():
     err = abs(np.sum(pos)) * pos.size * np.finfo(np.float64).eps
     gap = np.min(np.abs(bal - cutoff))
     assert gap > 1e6 * err, (gap, err)
+
+
+def test_q17_threshold_bit_identical_across_summation_orders():
+    """q17's correlated threshold (0.2 x per-part avg qty) IS hit
+    exactly by some rows (part 1: avg 25.0, threshold 5.0, quantity 5
+    exists — gap 0), so 'gap >> error' cannot be the safety argument
+    here. The real invariant: quantities are INTEGERS and per-part
+    sums stay far below 2^53, so every partial sum is exact in
+    float64 regardless of summation order — engine partials and
+    DuckDB's streaming avg produce the bit-identical threshold, and
+    the strict < resolves the boundary rows the same way on both
+    sides. Pin the two facts that proof rests on."""
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.relational import Q17_BRANDS
+
+    sf = "/root/testdata/sf0.001"
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    ).to_pandas()
+    bp = pq.read_table(
+        f"{sf}/part.parquet", columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "in", list(Q17_BRANDS))],
+    )["p_partkey"].to_pylist()
+    sub = li[li["l_partkey"].isin(bp)]
+    q = sub["l_quantity"].to_numpy()
+    assert (q == np.floor(q)).all()  # integral quantities
+    s = sub.groupby("l_partkey")["l_quantity"].sum()
+    assert float(s.max()) < 2.0**53  # sums exact in float64
+    # and the boundary case is really present (the test's raison
+    # d'etre): some row sits EXACTLY on its part's threshold
+    th = 0.2 * sub.groupby("l_partkey")["l_quantity"].mean()
+    gaps = np.abs(q - sub["l_partkey"].map(th).to_numpy())
+    assert gaps.min() == 0.0
