@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q18_large_volume_customers,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
         "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
         "q9_product_type_profit": relational.q9_product_type_profit,
         "q12_shipmode_priority": relational.q12_shipmode_priority,
         "q15_top_supplier": relational.q15_top_supplier,
@@ -572,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
             relational.q18_large_volume_customers_sql(),
         "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
         "q7_volume_shipping": relational.q7_volume_shipping_sql(),
+        "q8_market_share": relational.q8_market_share_sql(),
         "q9_product_type_profit":
             relational.q9_product_type_profit_sql(),
         "q12_shipmode_priority":

@@ -530,6 +530,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.q15_top_supplier(sf_dir))
     timed("q17_small_quantity_revenue",
           lambda: relational.q17_small_quantity_revenue(sf_dir))
+    timed("q8_market_share",
+          lambda: relational.q8_market_share(sf_dir))
     return out
 
 

@@ -4706,3 +4706,226 @@ WHERE p_brand IN ({brands})
     WHERE l2.l_partkey = l1.l_partkey
   )
 """
+
+
+Q8_REGION = 1
+Q8_TYPE = "STANDARD"
+Q8_NATION = 3
+Q8_LO = np.datetime64("1996-01-01")
+Q8_HI = np.datetime64("1998-01-01")
+
+
+def q8_market_share(sf_dir: str):
+    """(yr, mkt_share): the TPC-H Q8 shape — one supplier nation's
+    share of a region's yearly volume in one product line. The Q7
+    two-exchange pyramid plus a RATIO aggregate: nation (25 rows) and
+    the product partkeys broadcast; customer x orders on the coarse
+    custkey exchange keeps only in-region orders (tagged with order
+    YEAR — the grouping key rides the build side); lineitem collapses
+    per batch to (orderkey, is_target_nation) volume partials in
+    EXACT int64 e-4 units (volume is a 4-decimal value, so numerator
+    and denominator are integer-exact at any summation order and the
+    final share is ONE division of identical integers — bit-identical
+    both sides, no rounding contract)."""
+    import ray
+
+    import pandas as pd
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    in_region = np.sort(np.concatenate([
+        np.asarray(b["n_nationkey"], dtype=np.int64)[
+            np.asarray(b["n_regionkey"], dtype=np.int64) == Q8_REGION
+        ]
+        for b in nat.iter_batches(batch_format="numpy", batch_size=None)
+    ] + [np.zeros(0, np.int64)]))
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    pkeys = np.sort(np.concatenate([
+        b["p_partkey"].to_numpy(zero_copy_only=False)[
+            np.asarray(b["p_type"]) == Q8_TYPE
+        ].astype(np.int64)
+        for b in part.iter_batches(batch_format="pyarrow",
+                                   batch_size=None)
+    ] + [np.zeros(0, np.int64)]))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk, sn = [], []
+    for b in sup.iter_batches(batch_format="numpy", batch_size=None):
+        sk.append(np.asarray(b["s_suppkey"], dtype=np.int64))
+        sn.append(np.asarray(b["s_nationkey"], dtype=np.int64))
+    sk = np.concatenate(sk + [np.zeros(0, np.int64)])
+    sn = np.concatenate(sn + [np.zeros(0, np.int64)])
+    so = np.argsort(sk)
+    side = ray.put((in_region, pkeys, sk[so], sn[so]))
+
+    # exchange 1: in-region orders tagged with year (custkey hash)
+    def tag_c(batch: pa.Table) -> pa.Table:
+        reg, _, _, _ = ray.get(side)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = batch.filter(pa.array(np.isin(cn, reg, kind="sort")))
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ukey": _ukey(k),
+            "key": pa.array(k),
+            "val": pa.array(np.zeros(k.size, np.int64)),
+            "is_build": pa.array(np.ones(k.size, bool)),
+        })
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((od >= Q8_LO) & (od < Q8_HI)))
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        yr = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pa.table({
+            "ukey": _ukey(k),
+            "key": pa.array(k),
+            "val": pa.array((okey << 11) | (yr - 1990)),
+            "is_build": pa.array(np.zeros(k.size, bool)),
+        })
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        keys = g["key"].to_numpy()
+        seen = np.unique(keys[build])
+        keep = ~build & np.isin(keys, seen)
+        v = g["val"].to_numpy()[keep]
+        return pd.DataFrame({
+            "okey": (v >> 11).astype("int64"),
+            "yr": (v & 0x7FF).astype("int64") + 1990,
+        })
+
+    tagged = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(tag_c, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(tag_o, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(semi, batch_format="pandas")
+    )
+
+    # exchange 2: region-order years x lineitem volume partials
+    def order_side(batch: pa.Table) -> pa.Table:
+        okey = batch["okey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "yr": batch["yr"],
+            "tgt": pa.array(np.zeros(okey.size, np.int64)),
+            "vol": pa.array(np.zeros(okey.size, np.int64)),
+            "is_build": pa.array(np.ones(okey.size, bool)),
+        })
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        _, pk2, skeys, snat = ray.get(side)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = batch.filter(pa.array(np.isin(lk, pk2, kind="sort")))
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        spos = np.minimum(np.searchsorted(skeys, lsk),
+                          max(skeys.size - 1, 0))
+        tgt = (snat[spos] == Q8_NATION).astype(np.int64) \
+            if skeys.size else np.zeros(lsk.size, np.int64)
+        vol = np.round((
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        ) * 10000.0).astype(np.int64)  # exact 4-decimal value
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        key = (okey << 1) | tgt
+        uk, inv = np.unique(key, return_inverse=True)
+        part_ = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(part_, inv, vol)
+        return pa.table({
+            "ukey": _ukey(uk >> 1),
+            "okey": pa.array((uk >> 1).astype(np.int64)),
+            "yr": pa.array(np.zeros(uk.size, np.int64)),
+            "tgt": pa.array((uk & 1).astype(np.int64)),
+            "vol": pa.array(part_, pa.int64()),
+            "is_build": pa.array(np.zeros(uk.size, bool)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        build = g["is_build"].to_numpy()
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk, byr = bk[o], g["yr"].to_numpy()[build][o]
+        pk2 = g["okey"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk2)
+        ok = (
+            (pos < bk.size) & (bk[np.minimum(pos, max(bk.size - 1, 0))]
+                               == pk2)
+        ) if bk.size else np.zeros(pk2.size, bool)
+        yr = byr[pos[ok]]
+        tgt = g["tgt"].to_numpy()[~build][ok]
+        vol = g["vol"].to_numpy()[~build][ok]
+        key = (yr - 1990) * 2 + tgt
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(s, inv, vol)
+        return pd.DataFrame({
+            "yr": (uk // 2).astype("int64") + 1990,
+            "tgt": (uk % 2).astype("int64"),
+            "vol": s,
+        })
+
+    parts = (
+        tagged.map_batches(order_side, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount"])
+            .map_batches(li_partial, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # (years x 2) x 64 partials
+    )
+    agg = parts.groupby(["yr", "tgt"], as_index=False)["vol"].sum()
+    years = sorted(agg["yr"].unique())
+    num = {
+        int(y): int(agg[(agg["yr"] == y) & (agg["tgt"] == 1)]["vol"].sum())
+        for y in years
+    }
+    den = {
+        int(y): int(agg[agg["yr"] == y]["vol"].sum()) for y in years
+    }
+    return pa.table({
+        "yr": pa.array([int(y) for y in years], pa.int64()),
+        "mkt_share": pa.array(
+            [num[y] / den[y] if den[y] else 0.0 for y in years],
+            pa.float64(),
+        ),
+    })
+
+
+def q8_market_share_sql() -> str:
+    e4 = ("CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) "
+          "AS BIGINT)")
+    return f"""
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+       sum(CASE WHEN s_nationkey = {Q8_NATION} THEN {e4} ELSE 0 END)
+         ::DOUBLE / sum({e4}) AS mkt_share
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+WHERE n_regionkey = {Q8_REGION} AND p_type = '{Q8_TYPE}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
