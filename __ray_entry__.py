@@ -95,6 +95,8 @@ from sotohp_ray.pipelines.fulltext import (
     suggest_terms_sql,
     spell_correct,
     spell_correct_sql,
+    suggest_phrase,
+    suggest_phrase_sql,
     contains_search,
     contains_search_sql,
     suffix_search,
@@ -194,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": lambda sf: prefix_search(sf),
         "suggest_terms": lambda sf: suggest_terms(sf),
         "spell_correct": lambda sf: spell_correct(sf),
+        "suggest_phrase": lambda sf: suggest_phrase(sf),
         "contains_search": lambda sf: contains_search(sf),
         "suffix_search": lambda sf: suffix_search(sf),
         "bm25_min_should_match": lambda sf: bm25_min_should_match(sf),
@@ -437,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_search": prefix_search_sql(),
         "suggest_terms": suggest_terms_sql(),
         "spell_correct": spell_correct_sql(),
+        "suggest_phrase": suggest_phrase_sql(),
         "contains_search": contains_search_sql(),
         "suffix_search": suffix_search_sql(),
         "bm25_min_should_match": bm25_min_should_match_sql(),

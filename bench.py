@@ -532,6 +532,9 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.q17_small_quantity_revenue(sf_dir))
     timed("q8_market_share",
           lambda: relational.q8_market_share(sf_dir))
+    from sotohp_ray.pipelines.fulltext import suggest_phrase
+
+    timed("suggest_phrase", lambda: suggest_phrase(sf_dir))
     return out
 
 

@@ -4204,3 +4204,144 @@ FROM documents
 WHERE len(list_intersect({texpr}, [{lst}])) >= 1 + doc_id % 3
 ORDER BY doc_id
 """
+
+
+PHRASE_SUGGEST_QUERIES = (("hash", "joinn"), ("merge", "sortt"))
+PHRASE_SUGGEST_K = 3
+
+
+def suggest_phrase(
+    sf_dir: str, queries=PHRASE_SUGGEST_QUERIES,
+    k: int = PHRASE_SUGGEST_K,
+) -> pa.Table:
+    """(probe, suggestion, bigram_n, df): the ES PHRASE suggester —
+    'did you mean' for a two-term query whose second term is
+    misspelled: candidates come from the dictionary (edit distance
+    <= 1, the term suggester's generator) and are RE-RANKED by the
+    collection bigram count of (context_term, candidate) — the
+    language-model smoothing step that makes 'hash joni' -> 'hash
+    join' beat higher-df but contextually wrong corrections.
+    Candidate generation is dictionary-only (zero postings decode);
+    bigram support is ONE pass over the analyzed-tokens sidecar with
+    vectorized adjacent-pair masks (doc-boundary positions excluded),
+    per-batch partials folded on the driver (candidate-set-sized).
+    Zero-support candidates stay, ranked after supported ones
+    (ES suggest_mode=always)."""
+    from sotohp_ray.pipelines.query import Searcher
+    from sotohp_ray.pipelines.textops import _docs_tokens
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    probes = []
+    for t1, t2 in queries:
+        cands, dfs = s.suggest_corrections(t2, k=10**9)
+        probes.append((t1, t2, list(cands),
+                       {c: int(d) for c, d in zip(cands, dfs)}))
+
+    cand_sets = [
+        (t1, pa.array(cands, pa.string()))
+        for t1, _t2, cands, _ in probes
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = batch["toks"]
+        lists = (
+            lists.combine_chunks()
+            if isinstance(lists, pa.ChunkedArray) else lists
+        )
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        total = len(flat)
+        out_p, out_c, out_n = [], [], []
+        if total >= 2:
+            # positions whose successor crosses a doc boundary
+            ends = np.cumsum(n[n > 0]) - 1
+            valid = np.ones(total - 1, dtype=bool)
+            valid[ends[ends < total - 1]] = False
+            first = flat.slice(0, total - 1)
+            second = flat.slice(1)
+            for pi, (t1, cset) in enumerate(cand_sets):
+                m = (
+                    pc.equal(first, t1).to_numpy(zero_copy_only=False)
+                    & valid
+                    & pc.is_in(second, value_set=cset).to_numpy(
+                        zero_copy_only=False)
+                )
+                if not m.any():
+                    continue
+                hits = second.take(pa.array(np.flatnonzero(m)))
+                g = pa.table({"c": hits}).group_by("c").aggregate(
+                    [([], "count_all")]
+                )
+                out_p += [pi] * len(g)
+                out_c += g["c"].to_pylist()
+                out_n += g["count_all"].to_pylist()
+        return pa.table({
+            "probe_i": pa.array(out_p, pa.int64()),
+            "cand": pa.array(out_c, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    import pandas as pd
+
+    parts = (
+        _docs_tokens(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # candidate-set x blocks: tiny
+    )
+    counts = (
+        parts.groupby(["probe_i", "cand"])["n"].sum()
+        if len(parts) else pd.Series(dtype="int64")
+    )
+    rows = []
+    for pi, (t1, t2, cands, dfs) in enumerate(probes):
+        scored = sorted(
+            (
+                (
+                    -int(counts.get((pi, c), 0)),
+                    -dfs[c], c,
+                )
+                for c in cands
+            ),
+        )[:k]
+        for negn, negdf, c in scored:
+            rows.append((f"{t1} {t2}", c, -negn, -negdf))
+    return pa.table({
+        "probe": pa.array([r[0] for r in rows], pa.string()),
+        "suggestion": pa.array([r[1] for r in rows], pa.string()),
+        "bigram_n": pa.array([r[2] for r in rows], pa.int64()),
+        "df": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def suggest_phrase_sql(
+    queries=PHRASE_SUGGEST_QUERIES, k: int = PHRASE_SUGGEST_K,
+) -> str:
+    texpr = sql_token_expr("text")
+    parts = []
+    for t1, t2 in queries:
+        l1, l2 = _sql_lit(t1), _sql_lit(t2)
+        parts.append(f"""
+(SELECT '{l1} {l2}' AS probe, d.term AS suggestion,
+        coalesce(b.n, 0) AS bigram_n, d.df
+ FROM df d
+ LEFT JOIN big b ON b.t1 = '{l1}' AND b.t2 = d.term
+ WHERE levenshtein(d.term, '{l2}') <= 1
+ ORDER BY bigram_n DESC, d.df DESC, d.term ASC LIMIT {k})""")
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS n
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+d0 AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*) AS df FROM d0 GROUP BY term)
+{body}
+"""
