@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_matrix_stats": relational.events_matrix_stats,
         "events_moving_avg": relational.events_moving_avg,
         "events_running_total": relational.events_running_total,
+        "events_markov_transitions":
+            relational.events_markov_transitions,
         "lang_ctfidf": textops.lang_ctfidf,
         "knn_hard_negatives": ann.knn_hard_negatives,
         "customer_geo_centroid": relational.customer_geo_centroid,
@@ -588,6 +590,8 @@ def oracle_sql() -> dict[str, str]:
         "events_matrix_stats": relational.events_matrix_stats_sql(),
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_running_total": relational.events_running_total_sql(),
+        "events_markov_transitions":
+            relational.events_markov_transitions_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "knn_hard_negatives": ann.knn_hard_negatives_sql(),
         "customer_geo_centroid": relational.customer_geo_centroid_sql(),

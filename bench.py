@@ -535,6 +535,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     from sotohp_ray.pipelines.fulltext import suggest_phrase
 
     timed("suggest_phrase", lambda: suggest_phrase(sf_dir))
+    timed("events_markov_transitions",
+          lambda: relational.events_markov_transitions(sf_dir))
     return out
 
 

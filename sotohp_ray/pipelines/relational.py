@@ -4929,3 +4929,87 @@ WHERE n_regionkey = {Q8_REGION} AND p_type = '{Q8_TYPE}'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY 1 ORDER BY 1
 """
+
+
+def events_markov_transitions(sf_dir: str):
+    """(from_type, to_type, n, p): first-order Markov chain estimation
+    over per-user event streams — counts of consecutive (from -> to)
+    event-type transitions in (ts, event_id) order, with the row-
+    normalized transition probability (the user-journey / sequence-
+    mining statistic behind funnel design). ONE coarse user-hash
+    exchange; each group lexsorts once and takes adjacent pairs whose
+    successor is the SAME user (vectorized shift compare, no per-user
+    loop), emitting (from, to) count partials; the final fold is
+    (types^2)-sized. p = n / row_total computed from the SUMMED
+    integer counts on both sides — identical division operands, no
+    rounding contract."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(u),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        order = np.lexsort((
+            g["event_id"].to_numpy(), g["ts"].to_numpy(), u,
+        ))
+        u = u[order]
+        t = g["event_type"].to_numpy()[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({
+            "from_type": t[:-1][same], "to_type": t[1:][same],
+        })
+        out = df.groupby(["from_type", "to_type"], as_index=False)
+        return out.size().rename(columns={"size": "n"})
+
+    parts = (
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()  # types^2 x 64 partials: tiny
+    )
+    out = (
+        parts.groupby(["from_type", "to_type"], as_index=False)["n"]
+        .sum().sort_values(["from_type", "to_type"])
+    )
+    row_tot = out.groupby("from_type")["n"].transform("sum")
+    return pa.table({
+        "from_type": pa.array(out["from_type"].astype(str)),
+        "to_type": pa.array(out["to_type"].astype(str)),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "p": pa.array(
+            out["n"].to_numpy(np.int64)
+            / row_tot.to_numpy(np.int64).astype(np.float64)
+        ),
+    })
+
+
+def events_markov_transitions_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*)::BIGINT AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS p
+FROM c
+ORDER BY from_type, to_type
+"""
