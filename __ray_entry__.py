@@ -389,7 +389,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": relational.events_running_total,
         "events_markov_transitions":
             relational.events_markov_transitions,
+        "events_attribution": relational.events_attribution,
         "lang_ctfidf": textops.lang_ctfidf,
+        "lang_token_fertility": textops.lang_token_fertility,
         "knn_hard_negatives": ann.knn_hard_negatives,
         "customer_geo_centroid": relational.customer_geo_centroid,
         "customer_geo_bounds": relational.customer_geo_bounds,
@@ -592,7 +594,9 @@ def oracle_sql() -> dict[str, str]:
         "events_running_total": relational.events_running_total_sql(),
         "events_markov_transitions":
             relational.events_markov_transitions_sql(),
+        "events_attribution": relational.events_attribution_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
+        "lang_token_fertility": textops.lang_token_fertility_sql(),
         "knn_hard_negatives": ann.knn_hard_negatives_sql(),
         "customer_geo_centroid": relational.customer_geo_centroid_sql(),
         "customer_geo_bounds": relational.customer_geo_bounds_sql(),

@@ -537,6 +537,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("suggest_phrase", lambda: suggest_phrase(sf_dir))
     timed("events_markov_transitions",
           lambda: relational.events_markov_transitions(sf_dir))
+    timed("events_attribution",
+          lambda: relational.events_attribution(sf_dir))
+    timed("lang_token_fertility",
+          lambda: textops.lang_token_fertility(sf_dir))
     return out
 
 

@@ -5013,3 +5013,105 @@ SELECT from_type, to_type, n,
 FROM c
 ORDER BY from_type, to_type
 """
+
+
+ATTR_TARGET = "purchase"
+ATTR_SOURCES = ("view", "click")
+
+
+def events_attribution(sf_dir: str):
+    """(event_id, user_id, ts, source_event_id, source_type): LAST-
+    TOUCH ATTRIBUTION — each purchase attributed to the same user's
+    most recent PRIOR view/click (strictly earlier ts; ties broken by
+    the later event_id, NULL when no touch precedes). The as-of join
+    turned inward on one table: ONE coarse user exchange, each group
+    lexsorts once into a 128-bit (user, ts, event_id) struct order
+    and answers every purchase with one vectorized searchsorted
+    against its touch subsequence — no per-user loop, no window
+    materialization."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ukey": _ukey(u),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+
+    def _kte(k, t, e):
+        out = np.empty(k.size, dtype=[("k", np.int64), ("t", np.int64),
+                                      ("e", np.int64)])
+        out["k"], out["t"], out["e"] = k, t, e
+        return out
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        e = g["event_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        tsi = ts.astype("datetime64[us]").astype(np.int64)
+        is_src = np.isin(t, ATTR_SOURCES)
+        is_tgt = t == ATTR_TARGET
+        su, stsi = u[is_src], tsi[is_src]
+        se, sty = e[is_src], t[is_src]
+        o = np.lexsort((se, stsi, su))
+        side = _kte(su[o], stsi[o], se[o])
+        tu, ttsi = u[is_tgt], tsi[is_tgt]
+        # probe (user, target_ts, INT64_MIN) 'left': lands after every
+        # STRICTLY-earlier-ts touch of this user; cut-1 is then the
+        # latest-ts, latest-event_id prior touch (the tie rule)
+        cut = np.searchsorted(
+            side,
+            _kte(tu, ttsi, np.full(tu.size, np.iinfo(np.int64).min)),
+            side="left",
+        )
+        hit = (cut > 0) & (side["k"][np.maximum(cut - 1, 0)] == tu)
+        src_idx = o[cut[hit] - 1]
+        # id as float64-with-NaN: the SQL LEFT JOIN surfaces BIGINT
+        # NULLs as float64 NaN through pandas, so the engine emits
+        # the same physical type for the hash compare
+        res_id = np.full(tu.size, np.nan)
+        res_ty = np.full(tu.size, None, dtype=object)
+        res_id[hit] = se[src_idx].astype(np.float64)
+        res_ty[hit] = sty[src_idx]
+        return pd.DataFrame({
+            "event_id": e[is_tgt].astype("int64"),
+            "user_id": tu.astype("int64"),
+            "ts": ts[is_tgt],
+            "source_event_id": res_id,
+            "source_type": res_ty,
+        })
+
+    return (
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+
+def events_attribution_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in ATTR_SOURCES)
+    return f"""
+WITH touches AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE event_type IN ({srcs})
+),
+targets AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = '{ATTR_TARGET}'
+)
+SELECT t.event_id, t.user_id, t.ts,
+       s.event_id AS source_event_id,
+       s.event_type AS source_type
+FROM targets t
+LEFT JOIN LATERAL (
+  SELECT event_id, event_type FROM touches s
+  WHERE s.user_id = t.user_id AND s.ts < t.ts
+  ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
+) s ON TRUE
+"""

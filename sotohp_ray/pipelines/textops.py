@@ -4864,3 +4864,72 @@ QUALIFY row_number() OVER (
 ) <= {k}
 ORDER BY lang, ct.term
 """
+
+
+def lang_token_fertility(sf_dir: str):
+    """(lang, n_docs, n_tokens, n_chars, fertility): tokenizer
+    FERTILITY by language — tokens emitted per input character, the
+    standard tokenizer-quality metric a multilingual pipeline tracks
+    before committing a vocab (a lang whose fertility spikes is being
+    shredded). Two tiny passes of integer partials: token counts from
+    the analyzed-tokens sidecar, char counts from the raw table's
+    n_chars column; fertility is ONE division of identical integer
+    sums on both sides — bit-identical, no rounding contract."""
+    import pandas as pd
+
+    import pyarrow.parquet as _pq
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({
+                "lang": batch["lang"],
+                "n_tokens": batch["n_tokens"],
+            })
+            .group_by("lang")
+            .aggregate([("n_tokens", "sum"), ([], "count_all")])
+        )
+        return agg_select(g, {
+            "lang": "lang", "n_tokens_sum": "n_tokens",
+            "count_all": "n_docs",
+        })
+
+    toks = (
+        _docs_tokens(sf_dir)
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .to_pandas()  # langs x blocks
+        .groupby("lang", as_index=False)
+        .agg(n_tokens=("n_tokens", "sum"), n_docs=("n_docs", "sum"))
+    )
+    ch = (
+        _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)["n_chars"].sum()
+    )
+    out = toks.merge(ch, on="lang").sort_values("lang")
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str)),
+        "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+        "n_chars": pa.array(out["n_chars"].to_numpy(np.int64)),
+        "fertility": pa.array(
+            out["n_tokens"].to_numpy(np.int64)
+            / out["n_chars"].to_numpy(np.int64).astype(np.float64)
+        ),
+    })
+
+
+def lang_token_fertility_sql() -> str:
+    texpr = sql_token_expr("text")
+    return f"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(coalesce(len({texpr}), 0))::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars,
+       sum(coalesce(len({texpr}), 0))::DOUBLE / sum(n_chars)
+         AS fertility
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
