@@ -304,3 +304,118 @@ def test_q17_threshold_bit_identical_across_summation_orders():
     th = 0.2 * sub.groupby("l_partkey")["l_quantity"].mean()
     gaps = np.abs(q - sub["l_partkey"].map(th).to_numpy())
     assert gaps.min() == 0.0
+
+
+def _write_events_table(tmp_path, n_users=7, n_events=400, seed=0):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, n_users, n_events)
+    # non-monotonic timestamps with duplicates across and within users
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 5000, n_events), unit="m"
+    )
+    types = rng.choice(["view", "click", "purchase", "error"], n_events)
+    t = pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(
+            np.round(rng.uniform(0.01, 99.99, n_events), 2), pa.float64()
+        ),
+        "props": pa.array(["{}"] * n_events, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d), t.to_pandas()
+
+
+def test_running_total_matches_pandas_cumsum(tmp_path):
+    from sotohp_ray.pipelines.relational import events_running_total
+
+    d, df = _write_events_table(tmp_path)
+    got = events_running_total(d).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["running"] = df.groupby("user_id")["value"].cumsum().round(2)
+    want = df.sort_values("event_id")
+    got = got.set_index("event_id")
+    for _, r in want.iterrows():
+        assert got.loc[r["event_id"], "running"] == pytest.approx(
+            r["running"], abs=1e-9)
+
+
+def test_markov_transitions_match_pandas_shift(tmp_path):
+    from sotohp_ray.pipelines.relational import events_markov_transitions
+
+    d, df = _write_events_table(tmp_path, seed=1)
+    got = events_markov_transitions(d).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["next"] = df.groupby("user_id")["event_type"].shift(-1)
+    want = (
+        df.dropna(subset=["next"])
+        .groupby(["event_type", "next"]).size()
+    )
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(r["from_type"], r["to_type"])] == r["n"]
+    # row-normalized probabilities sum to 1 per from_type
+    sums = got.groupby("from_type")["p"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0)
+
+
+def test_attribution_matches_bruteforce(tmp_path):
+    from sotohp_ray.pipelines.relational import events_attribution
+
+    d, df = _write_events_table(tmp_path, seed=2)
+    got = events_attribution(d).to_pandas().set_index("event_id")
+    touches = df[df["event_type"].isin(["view", "click"])]
+    targets = df[df["event_type"] == "purchase"]
+    assert len(got) == len(targets) > 0
+    n_null = 0
+    for _, r in targets.iterrows():
+        prior = touches[
+            (touches["user_id"] == r["user_id"])
+            & (touches["ts"] < r["ts"])
+        ].sort_values(["ts", "event_id"])
+        g = got.loc[r["event_id"]]
+        if len(prior):
+            assert g["source_event_id"] == prior.iloc[-1]["event_id"]
+            assert g["source_type"] == prior.iloc[-1]["event_type"]
+        else:
+            n_null += 1
+            assert pd.isna(g["source_event_id"])
+    assert n_null > 0  # the NULL branch is actually exercised
+
+
+def test_moving_avg_fills_hour_gaps(tmp_path):
+    """The sf events table is hourly-dense, so the ES min_doc_count=0
+    gap-fill branch never fires in the oracle run — plant a series
+    with a 3-hour hole and check the zero buckets, partial head
+    windows, and derivative across the hole."""
+    from sotohp_ray.pipelines.relational import events_moving_avg
+
+    rows = [  # (hour offset, count)
+        (0, 2), (1, 4), (5, 6),  # hours 2, 3, 4 are EMPTY
+    ]
+    eid, ts = [], []
+    for off, n in rows:
+        for _ in range(n):
+            eid.append(len(eid))
+            ts.append(pd.Timestamp("2024-03-01") + pd.Timedelta(hours=off))
+    t = pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * len(eid), pa.int64()),
+        "event_type": pa.array(["view"] * len(eid), pa.string()),
+        "value": pa.array([1.0] * len(eid), pa.float64()),
+        "props": pa.array(["{}"] * len(eid), pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = events_moving_avg(str(d)).to_pandas()
+    assert list(out["n"]) == [2, 4, 0, 0, 0, 6]
+    assert list(out["mavg"]) == [2.0, 3.0, 2.0, 4.0 / 3.0, 0.0, 2.0]
+    assert pd.isna(out["delta"].iloc[0])
+    assert list(out["delta"][1:]) == [2.0, -4.0, 0.0, 0.0, 6.0]
