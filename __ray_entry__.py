@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": training.dsir_weights,
         "training_shards": training.training_shards,
         "doc_span_corruption": training.doc_span_corruption,
+        "dataset_split": training.dataset_split,
         "doc_packing": training.doc_packing,
         "training_curriculum": training.training_curriculum,
         "lang_guess": textops.lang_guess,
@@ -315,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mmr": ann.knn_mmr,                             # rows-only
         "knn_cosine_pq": ann.knn_cosine_pq,                 # rows-only
         "knn_cosine_pq_fullrerank": ann.knn_cosine_pq_fullrerank,
+        "knn_cosine_binary": ann.knn_cosine_binary,  # rows-only (approximate; exact twin below)
+        "knn_cosine_binary_fullrerank":
+            ann.knn_cosine_binary_fullrerank,
         "ann_ivfpq_search": ann.ann_ivfpq_search,          # rows-only
         "ann_ivfpq_fullprobe_fullrerank":
             ann.ann_ivfpq_fullprobe_fullrerank,
@@ -512,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": training.dsir_weights_sql(),
         "training_shards": training.training_shards_sql(),
         "doc_span_corruption": training.doc_span_corruption_sql(),
+        "dataset_split": training.dataset_split_sql(),
         "doc_packing": training.doc_packing_sql(),
         "training_curriculum": training.training_curriculum_sql(),
         "quality_stats": f"""
@@ -638,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         # full-re-rank quantized search == brute-force kNN, same oracle
         "knn_cosine_quantized_fullrerank": _KNN_COSINE_SQL,
         "knn_cosine_pq_fullrerank": _KNN_COSINE_SQL,
+        "knn_cosine_binary_fullrerank": _KNN_COSINE_SQL,
         "ann_ivfpq_fullprobe_fullrerank": _KNN_COSINE_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

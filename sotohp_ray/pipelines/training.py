@@ -1360,3 +1360,54 @@ SELECT doc_id,
 FROM masked
 ORDER BY doc_id, span_start
 """
+
+
+SPLIT_MULT = 2654435761  # Knuth multiplicative hash (shared constant)
+SPLIT_FRACS = (0.8, 0.1)  # train, val; test = remainder
+
+
+def dataset_split(sf_dir: str, fracs=SPLIT_FRACS):
+    """(doc_id, split): deterministic TRAIN/VAL/TEST assignment — the
+    first operator every training pipeline runs and the one that must
+    NEVER depend on row order, partitioning, or cluster size: split =
+    pure function of doc_id (Knuth hash bucketed by cumulative
+    fractions in exact integer arithmetic), so re-runs, resumes and
+    repartitions assign identically, and a joined table can recover
+    the same split from the key alone. One stateless map over a
+    single pruned column; thresholds compare in integers (no float
+    fraction-of-hash), bit-identical to the SQL oracle."""
+    import ray.data
+
+    t_train = int(fracs[0] * 4294967296)
+    t_val = int((fracs[0] + fracs[1]) * 4294967296)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = (ids * SPLIT_MULT) % 4294967296
+        split = np.where(
+            h < t_train, "train", np.where(h < t_val, "val", "test")
+        )
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "split": pa.array(split.astype("O").tolist(), pa.string()),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
+def dataset_split_sql(fracs=SPLIT_FRACS) -> str:
+    t_train = int(fracs[0] * 4294967296)
+    t_val = int((fracs[0] + fracs[1]) * 4294967296)
+    return f"""
+SELECT doc_id,
+       CASE WHEN (doc_id * {SPLIT_MULT}) % 4294967296 < {t_train}
+            THEN 'train'
+            WHEN (doc_id * {SPLIT_MULT}) % 4294967296 < {t_val}
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

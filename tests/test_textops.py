@@ -1916,3 +1916,26 @@ def test_knn_hard_negatives_labels_and_ordering():
         )["score"].to_numpy()
         n = min(len(s), len(p))
         assert (s[:n] <= p[:n] + 1e-12).all()
+
+
+def test_binary_quantized_knn_recall_and_twin():
+    """1-bit sign codes at the default re-rank depth must hold
+    recall@10 >= 0.85 vs brute force, and the fullrerank twin must
+    EQUAL brute force exactly (it shares the kNN SQL oracle too)."""
+    from sotohp_ray.pipelines.ann import (
+        knn_cosine,
+        knn_cosine_binary,
+        knn_cosine_binary_fullrerank,
+    )
+
+    brute = knn_cosine(SF).to_pandas()
+    full = knn_cosine_binary_fullrerank(SF).to_pandas()
+    b = brute.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert b.equals(f)
+    appr = knn_cosine_binary(SF).to_pandas()
+    recs = []
+    for q, g in brute.groupby("query_id"):
+        a = set(appr[appr["query_id"] == q]["vec_id"])
+        recs.append(len(a & set(g["vec_id"])) / len(g))
+    assert sum(recs) / len(recs) >= 0.85
