@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_transitions":
             relational.events_markov_transitions,
         "events_attribution": relational.events_attribution,
+        "events_ab_ztest": relational.events_ab_ztest,
+        "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
         "knn_hard_negatives": ann.knn_hard_negatives,
@@ -600,6 +602,8 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions":
             relational.events_markov_transitions_sql(),
         "events_attribution": relational.events_attribution_sql(),
+        "events_ab_ztest": relational.events_ab_ztest_sql(),
+        "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),
         "knn_hard_negatives": ann.knn_hard_negatives_sql(),

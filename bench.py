@@ -543,6 +543,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: textops.lang_token_fertility(sf_dir))
     timed("dataset_split", lambda: training.dataset_split(sf_dir))
     timed("knn_cosine_binary", lambda: ann.knn_cosine_binary(sf_dir))
+    timed("events_ab_ztest",
+          lambda: relational.events_ab_ztest(sf_dir))
+    timed("customer_spend_gini",
+          lambda: relational.customer_spend_gini(sf_dir))
     return out
 
 

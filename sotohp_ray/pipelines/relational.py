@@ -5115,3 +5115,155 @@ LEFT JOIN LATERAL (
   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
 ) s ON TRUE
 """
+
+
+AB_GROUP_A = "click"
+AB_GROUP_B = "view"
+
+
+def events_ab_ztest(sf_dir: str):
+    """(group_a, group_b, n_a, n_b, mean_a, mean_b, z): two-sample
+    z-test on event values between two event-type cohorts — the A/B
+    readout every product pipeline computes. ONE streaming pass of
+    per-group (n, sum, sumsq) moment partials (three scalars per
+    group per block — the matrix_stats discipline);
+    z = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b) with population
+    variances from raw moments on BOTH sides (estimator-identical),
+    6-dp grid with the usual orders of headroom over summation
+    error."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        rows = []
+        for g in (AB_GROUP_A, AB_GROUP_B):
+            x = v[t == g]
+            rows.append((g, x.size, float(np.sum(x)),
+                         float(np.sum(x * x))))
+        return pa.table({
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2] for r in rows], pa.float64()),
+            "ss": pa.array([r[3] for r in rows], pa.float64()),
+        })
+
+    p = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # 2 x blocks
+        .groupby("g")
+        .agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+    )
+    na, nb = int(p.loc[AB_GROUP_A, "n"]), int(p.loc[AB_GROUP_B, "n"])
+    ma = p.loc[AB_GROUP_A, "s"] / na
+    mb = p.loc[AB_GROUP_B, "s"] / nb
+    va = p.loc[AB_GROUP_A, "ss"] / na - ma * ma
+    vb = p.loc[AB_GROUP_B, "ss"] / nb - mb * mb
+    z = (ma - mb) / np.sqrt(va / na + vb / nb)
+    return pa.table({
+        "group_a": pa.array([AB_GROUP_A], pa.string()),
+        "group_b": pa.array([AB_GROUP_B], pa.string()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mean_a": pa.array([round(float(ma), 6)], pa.float64()),
+        "mean_b": pa.array([round(float(mb), 6)], pa.float64()),
+        "z": pa.array([round(float(z), 6)], pa.float64()),
+    })
+
+
+def events_ab_ztest_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT event_type AS g, count(*)::BIGINT AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+  GROUP BY 1
+),
+a AS (SELECT * FROM m WHERE g = '{AB_GROUP_A}'),
+b AS (SELECT * FROM m WHERE g = '{AB_GROUP_B}')
+SELECT '{AB_GROUP_A}' AS group_a, '{AB_GROUP_B}' AS group_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.s / a.n, 6) AS mean_a,
+       round(b.s / b.n, 6) AS mean_b,
+       round((a.s / a.n - b.s / b.n)
+             / sqrt((a.ss / a.n - (a.s / a.n) * (a.s / a.n)) / a.n
+                    + (b.ss / b.n - (b.s / b.n) * (b.s / b.n)) / b.n),
+             6) AS z
+FROM a, b
+"""
+
+
+def customer_spend_gini(sf_dir: str):
+    """(n_customers, total_cents, gini): the Gini concentration
+    coefficient of customer spend — the inequality statistic behind
+    'top x% of customers drive y% of revenue'. Per-customer totals
+    fold on ONE coarse custkey exchange (cents partials); the sorted
+    rank-weighted sum G = sum((2i - n - 1) * x_(i)) / (n * sum x)
+    runs on the customer-totals vector (driver-side here; the
+    documented scale path replaces the exact sort with the KLL/
+    value-histogram rank machinery the RFM op already uses). Totals
+    are exact cents int64, the numerator is an exact integer, and
+    gini is ONE division of identical integers — bit-identical both
+    sides. Rank ties are safe: within a tied block the coefficient
+    sum is permutation-invariant."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "ukey": _ukey(uk),
+            "c": pa.array(uk),
+            "cents": pa.array(s),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c", as_index=False)["cents"].sum()
+        return out
+
+    totals = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # customer-sized
+    )
+    x = np.sort(totals["cents"].to_numpy(np.int64))
+    n = x.size
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(np.sum((2 * i - n - 1) * x))
+    den = int(n) * int(x.sum())
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_cents": pa.array([int(x.sum())], pa.int64()),
+        "gini": pa.array([num / den if den else 0.0], pa.float64()),
+    })
+
+
+def customer_spend_gini_sql() -> str:
+    return """
+WITH totals AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i,
+         count(*) OVER () AS n
+  FROM totals
+)
+SELECT max(n)::BIGINT AS n_customers,
+       sum(cents)::BIGINT AS total_cents,
+       sum((2 * i - n - 1) * cents)::DOUBLE
+         / (max(n) * sum(cents)) AS gini
+FROM ranked
+"""
