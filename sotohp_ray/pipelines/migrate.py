@@ -311,3 +311,38 @@ def _main() -> None:
 
 if __name__ == "__main__":
     _main()
+
+
+def reindex(
+    corpus_dir: str, index_dir: str, config=None,
+) -> dict:
+    """The ES ``_reindex``-with-new-settings analog: rebuild
+    ``index_dir`` from ``corpus_dir`` under a NEW IndexConfig (changed
+    tokenizer rules, codec, sharding) while the old index stays live
+    and intact until ONE atomic directory swap at the end — a crash
+    at any point leaves either the old or the new index, never a mix
+    (the migrate/restore swap discipline). Returns the build stats of
+    the new index. The build itself is the normal streaming build
+    (SPIMI actor pool -> bucketed merge) into a staging dir beside
+    the target."""
+    import shutil
+    import tempfile
+
+    from sotohp_ray.pipelines.build_index import build_index
+
+    parent = os.path.dirname(os.path.abspath(index_dir)) or "."
+    staging = tempfile.mkdtemp(dir=parent, prefix=".reindex-")
+    try:
+        stats = build_index(corpus_dir, staging, config=config)
+        if os.path.isdir(index_dir):
+            old = index_dir + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(index_dir, old)
+            os.replace(staging, index_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(staging, index_dir)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return stats

@@ -74,3 +74,34 @@ def test_snapshot_restore_point_in_time(snap_env, tmp_path_factory):
     r2 = str(tmp_path_factory.mktemp("restore2")) + "/idx2"
     restore_snapshot(repo, "s2", r2)
     assert Searcher(r2).search_exact(QUERY, k=20) == after
+
+
+def test_reindex_new_tokenizer_atomic_swap(
+    ray_session, tiny_corpus, tmp_path_factory
+):
+    """_reindex analog: rebuilding with a changed tokenizer config
+    swaps in atomically; the new behavior (an added stopword stops
+    matching) is live after the swap, everything else still ranks,
+    and the swap replaced (not merged) the old directory."""
+    from sotohp_ray.config import IndexConfig, TokenizerRules
+    from sotohp_ray.pipelines.migrate import reindex
+
+    corpus_dir, _ = tiny_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_reindex")) + "/idx"
+    build_index(corpus_dir, index_dir)
+    s0 = Searcher(index_dir)
+    assert s0.search_exact("return", k=5)  # matches before
+    keep = s0.search_exact("batch", k=5)
+    assert keep
+
+    reindex(
+        corpus_dir, index_dir,
+        config=IndexConfig(
+            tokenizer=TokenizerRules(stopwords=frozenset({"return"}))
+        ),
+    )
+    s1 = Searcher(index_dir)
+    assert s1.search_exact("return", k=5) == []  # stopworded away
+    got = s1.search_exact("batch", k=5)
+    assert [d for d, _ in got] == [d for d, _ in keep]
+    assert not os.path.isdir(index_dir + ".old")  # swap cleaned up
