@@ -2597,13 +2597,14 @@ def basket_part_pairs(
     Shape: ONE coarse-orderkey exchange of per-batch-DISTINCT
     (order, part) rows; per-group VECTORIZED triangular pair
     expansion (segment-offset arithmetic — no per-order Python loop)
-    with within-group pair pre-counts; a pair-keyed groupby sums
-    supports; per-block top-k partials after the support filter
-    (O6 rule) and a tiny driver merge. Pair volume is
+    with within-group pair pre-counts packed into ONE int64 pair
+    key; a coarse pair-hash exchange sums supports (a multi-key Ray
+    groupby here measured 50 s for 119k pair rows at sf0.01 — packed
+    single-key coarse folds are the rule); per-group support filter
+    + top-k partials (O6) and a tiny driver merge. Pair volume is
     sum_orders L(L-1)/2 ~ a small multiple of lineitem — the
     classic a-priori bound, not all-parts quadratic."""
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     def tag(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -2623,8 +2624,8 @@ def basket_part_pairs(
         uniq[1:] = (ok[1:] != ok[:-1]) | (pt[1:] != pt[:-1])
         ok, pt = ok[uniq], pt[uniq]
         empty = pd.DataFrame({
-            "part_a": pd.Series(dtype="int64"),
-            "part_b": pd.Series(dtype="int64"),
+            "ukey2": pd.Series(dtype="int64"),
+            "pkey": pd.Series(dtype="int64"),
             "n_partial": pd.Series(dtype="int64"),
         })
         if ok.size < 2:
@@ -2645,32 +2646,42 @@ def basket_part_pairs(
         base = np.concatenate(([0], np.cumsum(reps)[:-1]))
         second = first + (np.arange(total) - np.repeat(base, reps)) + 1
         pa_, pb_ = pt[first], pt[second]
-        swap = pa_ > pb_
-        pa_[swap], pb_[swap] = pb_[swap], pa_[swap].copy()
-        df = pd.DataFrame({"part_a": pa_, "part_b": pb_})
-        out = df.groupby(["part_a", "part_b"]).size() \
-            .rename("n_partial").reset_index()
-        return out
+        lo = np.minimum(pa_, pb_)
+        hi = np.maximum(pa_, pb_)
+        # pack the unordered pair into ONE int64 key: a multi-key Ray
+        # groupby over the pair table measured 50 s for 119k rows
+        # (sf0.01) where this packed single-key coarse fold takes
+        # milliseconds — pair keys stay packed until the final unpack
+        pkey = (lo << 32) | hi
+        uk, cnt = np.unique(pkey, return_counts=True)
+        return pd.DataFrame({
+            "ukey2": ((uk ^ (uk >> 7)) & 0x3F).astype("int64"),
+            "pkey": uk.astype("int64"),
+            "n_partial": cnt.astype("int64"),
+        })
 
-    def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["n_orders"] >= min_support]
-        if not len(g):
-            return g[["part_a", "part_b", "n_orders"]]
-        g = g.sort_values(
-            ["n_orders", "part_a", "part_b"],
-            ascending=[False, True, True],
-        ).head(k)
-        return g[["part_a", "part_b", "n_orders"]]
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pkey"].to_numpy(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        tot = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(tot, inv, g["n_partial"].to_numpy(np.int64))
+        keep = tot >= min_support
+        uk, tot = uk[keep], tot[keep]
+        take = np.lexsort((uk, -tot))[: min(k, uk.size)]
+        return pd.DataFrame({
+            "part_a": (uk[take] >> 32).astype("int64"),
+            "part_b": (uk[take] & 0xFFFFFFFF).astype("int64"),
+            "n_orders": tot[take],
+        })
 
     parts = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("ukey")
         .map_groups(pairs_of, batch_format="pandas")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("n_partial", alias_name="n_orders"))
-        .map_batches(topk_partial, batch_format="pandas")
-        .to_pandas()  # <= k per block: tiny driver merge
+        .groupby("ukey2")
+        .map_groups(fold_topk, batch_format="pandas")
+        .to_pandas()  # <= k per pair-hash group: tiny driver merge
     )
     win = parts.sort_values(
         ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
