@@ -1093,6 +1093,22 @@ def events_rolling_max_sql(w: int = ROLL_W) -> str:
 _COARSE_MASK = 0x3F  # 64 coarse user-hash groups for the window ops
 
 
+def _with_cols(df, cols: dict):
+    """Give an EMPTY driver-side collect its schema back: when every
+    group of a ``map_groups`` returns zero rows, ``to_pandas()`` comes
+    back with NO columns at all and the driver fold's own groupby
+    raises KeyError — an edge the sf tables never hit but a selective
+    filter will. ``cols`` is {name: numpy dtype} for the empty case;
+    non-empty frames pass through untouched."""
+    import pandas as pd
+
+    if len(df) and all(c in df.columns for c in cols):
+        return df
+    return pd.DataFrame({
+        c: pd.Series(dtype=t) for c, t in cols.items()
+    })
+
+
 def _ukey(arr):
     """Coarse co-partitioning key for per-user window kernels — ONE
     definition so both sides of a co-partitioned join always agree."""
@@ -2683,6 +2699,9 @@ def basket_part_pairs(
         .map_groups(fold_topk, batch_format="pandas")
         .to_pandas()  # <= k per pair-hash group: tiny driver merge
     )
+    parts = _with_cols(parts, {
+        "part_a": "int64", "part_b": "int64", "n_orders": "int64",
+    })
     win = parts.sort_values(
         ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
     ).head(k)
@@ -3383,6 +3402,7 @@ def q13_customer_distribution(sf_dir: str):
     parts = both.groupby("ukey").map_groups(
         hist, batch_format="pandas"
     ).to_pandas()  # histogram-sized partials: tiny driver merge
+    parts = _with_cols(parts, {"c_count": "int64", "ncust": "int64"})
     out = (
         parts.groupby("c_count", as_index=False)["ncust"].sum()
         .rename(columns={"ncust": "custdist"})
@@ -3613,6 +3633,9 @@ def q22_sales_opportunity(sf_dir: str):
     parts = both.groupby("ukey").map_groups(
         anti_partial, batch_format="pandas"
     ).to_pandas()  # nations x 64 partials: tiny driver merge
+    parts = _with_cols(parts, {
+        "cntrycode": "int64", "n": "int64", "bal": "float64",
+    })
     out = (
         parts.groupby("cntrycode", as_index=False)
         .agg(numcust=("n", "sum"), bal=("bal", "sum"))
@@ -4186,6 +4209,10 @@ def q7_volume_shipping(sf_dir: str):
         .map_groups(join_fold, batch_format="pandas")
         .to_pandas()  # (nations^2 x years) x 64 partials: tiny
     )
+    parts = _with_cols(parts, {
+        "supp_nation": "int64", "cust_nation": "int64",
+        "yr": "int64", "vol": "float64",
+    })
     out = (
         parts.groupby(["supp_nation", "cust_nation", "yr"],
                       as_index=False)["vol"].sum()
@@ -4374,6 +4401,9 @@ def q9_product_type_profit(sf_dir: str):
         .map_groups(join_fold, batch_format="pandas")
         .to_pandas()  # (nations x years) x 64 partials
     )
+    parts = _with_cols(parts, {
+        "supp_nation": "int64", "yr": "int64", "profit": "int64",
+    })
     out = (
         parts.groupby(["supp_nation", "yr"], as_index=False)["profit"]
         .sum().sort_values(["supp_nation", "yr"])
@@ -4495,6 +4525,9 @@ def q12_shipmode_priority(sf_dir: str):
         .map_groups(fold, batch_format="pandas")
         .to_pandas()  # flags x 64 partials
     )
+    parts = _with_cols(parts, {
+        "l_returnflag": "object", "high": "int64", "low": "int64",
+    })
     out = (
         parts.groupby("l_returnflag", as_index=False)
         .agg(high_line_count=("high", "sum"),
@@ -4904,6 +4937,9 @@ def q8_market_share(sf_dir: str):
         .map_groups(fold, batch_format="pandas")
         .to_pandas()  # (years x 2) x 64 partials
     )
+    parts = _with_cols(parts, {
+        "yr": "int64", "tgt": "int64", "vol": "int64",
+    })
     agg = parts.groupby(["yr", "tgt"], as_index=False)["vol"].sum()
     years = sorted(agg["yr"].unique())
     num = {
@@ -4988,6 +5024,9 @@ def events_markov_transitions(sf_dir: str):
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()  # types^2 x 64 partials: tiny
     )
+    parts = _with_cols(parts, {
+        "from_type": "object", "to_type": "object", "n": "int64",
+    })
     out = (
         parts.groupby(["from_type", "to_type"], as_index=False)["n"]
         .sum().sort_values(["from_type", "to_type"])
@@ -5247,6 +5286,7 @@ def customer_spend_gini(sf_dir: str):
         .map_groups(fold, batch_format="pandas")
         .to_pandas()  # customer-sized
     )
+    totals = _with_cols(totals, {"c": "int64", "cents": "int64"})
     x = np.sort(totals["cents"].to_numpy(np.int64))
     n = x.size
     i = np.arange(1, n + 1, dtype=np.int64)

@@ -419,3 +419,55 @@ def test_moving_avg_fills_hour_gaps(tmp_path):
     assert list(out["mavg"]) == [2.0, 3.0, 2.0, 4.0 / 3.0, 0.0, 2.0]
     assert pd.isna(out["delta"].iloc[0])
     assert list(out["delta"][1:]) == [2.0, -4.0, 0.0, 0.0, 6.0]
+
+
+def test_join_pyramids_survive_empty_selections(tmp_path):
+    """When a selective predicate leaves ZERO qualifying rows, every
+    map_groups group returns empty and Ray's to_pandas() comes back
+    with NO columns — the driver fold must not KeyError (found by
+    probing q7 with a same-bloc-only corpus; guarded via _with_cols
+    across the session-3 driver folds)."""
+    from sotohp_ray.pipelines.relational import (
+        q7_volume_shipping,
+        q8_market_share,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # customers and suppliers all in bloc A -> q7 pair set is EMPTY;
+    # q8: region-1 customers exist but the target nation never supplies
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([1, 2], pa.int32()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_nationkey": pa.array([4], pa.int32()),  # not Q8_NATION
+    }), str(d / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1996-06-01", "us")]),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10], pa.int64()),
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_shipdate": pa.array([np.datetime64("1996-06-02", "us")]),
+        "l_extendedprice": pa.array([100.0]),
+        "l_discount": pa.array([0.0]),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_type": pa.array(["STANDARD"]),
+    }), str(d / "part.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2, 4], pa.int32()),
+        "n_regionkey": pa.array([1, 1, 2], pa.int32()),
+    }), str(d / "nation.parquet"))
+    assert len(q7_volume_shipping(str(d))) == 0
+    t8 = q8_market_share(str(d)).to_pandas()
+    # the region-1 order exists with nation-3 supplier volume: one
+    # year row, zero market share
+    assert list(t8["mkt_share"]) == [0.0]
