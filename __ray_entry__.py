@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.events_markov_transitions,
         "events_attribution": relational.events_attribution,
         "events_ab_ztest": relational.events_ab_ztest,
+        "events_profile": relational.events_profile,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -603,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
             relational.events_markov_transitions_sql(),
         "events_attribution": relational.events_attribution_sql(),
         "events_ab_ztest": relational.events_ab_ztest_sql(),
+        "events_profile": relational.events_profile_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

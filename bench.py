@@ -547,6 +547,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_ab_ztest(sf_dir))
     timed("customer_spend_gini",
           lambda: relational.customer_spend_gini(sf_dir))
+    timed("events_profile",
+          lambda: relational.events_profile(sf_dir))
     return out
 
 

@@ -5318,3 +5318,158 @@ SELECT max(n)::BIGINT AS n_customers,
          / (max(n) * sum(cents)) AS gini
 FROM ranked
 """
+
+
+def events_profile(sf_dir: str):
+    """(column, n, n_null, n_distinct, min_num, max_num, min_str,
+    max_str): the data-PROFILING operator (the Deequ / TFDV
+    statistics pass a pipeline runs before trusting a new drop) over
+    every events column. Two sized passes: (1) per-batch scalar
+    partials (count, nulls, min, max — six scalars per column per
+    block); (2) exact distinct counts via per-batch-DISTINCT
+    (column, value) pairs through ONE column-keyed exchange, each
+    group counting its unique values (numerics ride as int64 — ts as
+    epoch-us, the 2-dp value column on the exact cents grid — and
+    strings as strings, so no float-to-text formatting contract is
+    needed anywhere). Scale note: the exact-distinct exchange is
+    bounded by per-column cardinality; the HLL op
+    (events_user_hll) is the documented sketch path when a column's
+    distinct set outgrows a group."""
+    import pandas as pd
+
+    NUM_COLS = ("event_id", "ts", "user_id", "value")
+    STR_COLS = ("event_type", "props")
+
+    def _ival(batch: pa.Table, c: str) -> np.ndarray:
+        if c == "ts":
+            return batch["ts"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]"
+            ).astype(np.int64)
+        if c == "value":
+            return np.round(
+                batch["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+        return batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in NUM_COLS + STR_COLS:
+            col = batch[c]
+            nn = len(batch) - col.null_count
+            if c in NUM_COLS:
+                v = _ival(batch, c)
+                rows.append((c, len(batch), col.null_count,
+                             float(v.min()) if nn else None,
+                             float(v.max()) if nn else None,
+                             None, None))
+            else:
+                v = col.to_numpy(zero_copy_only=False)
+                rows.append((c, len(batch), col.null_count, None, None,
+                             str(v.min()) if nn else None,
+                             str(v.max()) if nn else None))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64()),
+            "min_num": pa.array([r[3] for r in rows], pa.float64()),
+            "max_num": pa.array([r[4] for r in rows], pa.float64()),
+            "min_str": pa.array([r[5] for r in rows], pa.string()),
+            "max_str": pa.array([r[6] for r in rows], pa.string()),
+        })
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        cols, ivals, svals = [], [], []
+        for c in NUM_COLS:
+            u = np.unique(_ival(batch, c))
+            cols += [c] * u.size
+            ivals += u.tolist()
+            svals += [None] * u.size
+        for c in STR_COLS:
+            u = pc.unique(
+                batch[c].combine_chunks()
+                if isinstance(batch[c], pa.ChunkedArray) else batch[c]
+            )
+            cols += [c] * len(u)
+            ivals += [0] * len(u)
+            svals += u.to_pylist()
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "ival": pa.array(ivals, pa.int64()),
+            "sval": pa.array(svals, pa.string()),
+        })
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["column"].iloc[0]
+        if c in NUM_COLS:
+            nd = int(np.unique(g["ival"].to_numpy()).size)
+        else:
+            nd = int(g["sval"].nunique(dropna=False))
+        return pd.DataFrame({"column": [c], "n_distinct": [nd]})
+
+    ds = _read(sf_dir, "events")
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()  # 6 x blocks
+    )
+    agg = stats.groupby("column").agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        min_num=("min_num", "min"), max_num=("max_num", "max"),
+        min_str=("min_str", "min"), max_str=("max_str", "max"),
+    )
+    nd = (
+        ds.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby("column")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()
+        .set_index("column")["n_distinct"]
+    )
+    names = sorted(NUM_COLS + STR_COLS)
+    return pa.table({
+        "column": pa.array(names, pa.string()),
+        "n": pa.array([int(agg.loc[c, "n"]) for c in names], pa.int64()),
+        "n_null": pa.array(
+            [int(agg.loc[c, "n_null"]) for c in names], pa.int64()),
+        "n_distinct": pa.array(
+            [int(nd[c]) for c in names], pa.int64()),
+        "min_num": pa.array(
+            [agg.loc[c, "min_num"] for c in names], pa.float64()),
+        "max_num": pa.array(
+            [agg.loc[c, "max_num"] for c in names], pa.float64()),
+        "min_str": pa.array(
+            [None if pd.isna(agg.loc[c, "min_str"])
+             else str(agg.loc[c, "min_str"]) for c in names],
+            pa.string()),
+        "max_str": pa.array(
+            [None if pd.isna(agg.loc[c, "max_str"])
+             else str(agg.loc[c, "max_str"]) for c in names],
+            pa.string()),
+    })
+
+
+def events_profile_sql() -> str:
+    num = {
+        "event_id": "event_id",
+        "ts": "epoch_us(ts)",
+        "user_id": "user_id",
+        "value": "CAST(round(value * 100.0) AS BIGINT)",
+    }
+    parts = []
+    for c, expr in num.items():
+        parts.append(f"""
+(SELECT '{c}' AS "column", count(*)::BIGINT AS n,
+        (count(*) - count({c}))::BIGINT AS n_null,
+        count(DISTINCT {expr})::BIGINT AS n_distinct,
+        CAST(min({expr}) AS DOUBLE) AS min_num,
+        CAST(max({expr}) AS DOUBLE) AS max_num,
+        NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+ FROM events)""")
+    for c in ("event_type", "props"):
+        parts.append(f"""
+(SELECT '{c}' AS "column", count(*)::BIGINT AS n,
+        (count(*) - count({c}))::BIGINT AS n_null,
+        count(DISTINCT {c})::BIGINT AS n_distinct,
+        NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+        min({c}) AS min_str, max({c}) AS max_str
+ FROM events)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f'SELECT * FROM (\n{body}\n) ORDER BY "column"'
