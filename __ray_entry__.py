@@ -381,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers":
             relational.q18_large_volume_customers,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
+        "q21_suppliers_who_kept_waiting":
+            relational.q21_suppliers_who_kept_waiting,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "q9_product_type_profit": relational.q9_product_type_profit,
@@ -588,6 +590,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers":
             relational.q18_large_volume_customers_sql(),
         "q22_sales_opportunity": relational.q22_sales_opportunity_sql(),
+        "q21_suppliers_who_kept_waiting":
+            relational.q21_suppliers_who_kept_waiting_sql(),
         "q7_volume_shipping": relational.q7_volume_shipping_sql(),
         "q8_market_share": relational.q8_market_share_sql(),
         "q9_product_type_profit":

@@ -5473,3 +5473,166 @@ def events_profile_sql() -> str:
  FROM events)""")
     body = "\nUNION ALL\n".join(parts)
     return f'SELECT * FROM (\n{body}\n) ORDER BY "column"'
+
+
+Q21_LATE_DAYS = 60
+
+
+def q21_suppliers_who_kept_waiting(sf_dir: str, k: int = 100):
+    """(s_name, n_name, numwait): the TPC-H Q21 shape — for finished
+    orders ('F'), count late lineitems whose supplier was the ONLY
+    late supplier in a MULTI-supplier order (correlated EXISTS +
+    NOT EXISTS against the same fact table — the hardest TPC-H
+    subquery shape; reference analog: the multi-way bag assembly of
+    SURVEY J2). The reference tables carry no commit/receipt dates,
+    so late = l_shipdate > o_orderdate + 60 days — the same
+    documented convention as q4_order_priority.
+
+    Shape: orders('F') ship (okey, odate); lineitem ships (okey,
+    suppkey, shipdate); ONE shared coarse-orderkey exchange
+    co-locates each order with all its lineitems. Inside each group
+    everything is vectorized: searchsorted odate attach, packed
+    (okey<<20|supp) keys for the two distinct-supplier counts, a
+    bincount per late row — no per-order Python loop. Partials are
+    (suppkey, n) — at most #suppliers rows per group — and the final
+    fold + supplier/nation name attach happens on small dims read
+    once on the driver (J1 broadcast-dim discipline)."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(st == "F"))
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "ship": b["o_orderdate"],  # carries odate on build rows
+            "supp": pa.array(np.full(okey.size, -1, np.int64)),
+            "is_build": pa.array(np.ones(okey.size, bool)),
+        })
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table({
+            "ukey": _ukey(okey),
+            "okey": pa.array(okey),
+            "ship": batch["l_shipdate"],
+            "supp": batch["l_suppkey"].cast(pa.int64()),
+            "is_build": pa.array(np.zeros(okey.size, bool)),
+        })
+
+    def waiting_partial(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "supp": pd.Series(dtype="int64"),
+            "n_partial": pd.Series(dtype="int64"),
+        })
+        build = g["is_build"].to_numpy()
+        if not build.any() or build.all():
+            return empty
+        bk = g["okey"].to_numpy()[build]
+        o = np.argsort(bk, kind="stable")
+        bk = bk[o]
+        bdate = g["ship"].to_numpy()[build][o]
+        pk = g["okey"].to_numpy()[~build]
+        ship = g["ship"].to_numpy()[~build]
+        supp = g["supp"].to_numpy()[~build]
+        pos = np.searchsorted(bk, pk)
+        ok = (pos < bk.size) & (bk[np.minimum(pos, bk.size - 1)] == pk)
+        if not ok.any():
+            return empty
+        pk, ship, supp = pk[ok], ship[ok], supp[ok]
+        odate = bdate[pos[ok]]
+        late = ship > odate + np.timedelta64(Q21_LATE_DAYS, "D")
+        # packed (order, supplier) keys for the two distinct counts
+        assert supp.max() < (1 << 20), "suppkey exceeds pack width"
+        assert pk.max() < (1 << 43), "orderkey exceeds pack width"
+        pair = (pk << 20) | supp
+        def _nuniq(keys, orders):
+            up = np.unique(keys)
+            if not up.size:
+                return np.zeros(orders.size, np.int64)
+            uo, cnt = np.unique(up >> 20, return_counts=True)
+            out = np.zeros(orders.size, np.int64)
+            m = np.searchsorted(uo, orders)
+            hit = (m < uo.size) & (uo[np.minimum(m, uo.size - 1)]
+                                   == orders)
+            out[hit] = cnt[m[hit]]
+            return out
+        n_supp = _nuniq(pair, pk)           # distinct suppliers/order
+        n_late = _nuniq(pair[late], pk)     # distinct LATE suppliers
+        keep = late & (n_supp >= 2) & (n_late == 1)
+        if not keep.any():
+            return empty
+        u, c = np.unique(supp[keep], return_counts=True)
+        return pd.DataFrame({"supp": u, "n_partial": c.astype(np.int64)})
+
+    parts = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderstatus"])
+        .map_batches(tag_orders, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate"])
+            .map_batches(tag_lineitem, batch_format="pyarrow")
+        )
+        .groupby("ukey")
+        .map_groups(waiting_partial, batch_format="pandas")
+        .to_pandas()  # <= n_suppliers per group: output-sized
+    )
+    if len(parts):
+        agg = parts.groupby("supp")["n_partial"].sum()
+    else:
+        agg = pd.Series(dtype="int64")
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()  # small dim, driver-side (J1)
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    sup = sup.merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    ).set_index("s_suppkey")
+    df = pd.DataFrame({
+        "s_name": sup.loc[agg.index, "s_name"].to_numpy(),
+        "n_name": sup.loc[agg.index, "n_name"].to_numpy(),
+        "numwait": agg.to_numpy(np.int64),
+    }).sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).head(k)
+    return pa.table({
+        "s_name": pa.array(df["s_name"], pa.string()),
+        "n_name": pa.array(df["n_name"], pa.string()),
+        "numwait": pa.array(df["numwait"].to_numpy(np.int64)),
+    })
+
+
+def q21_suppliers_who_kept_waiting_sql(k: int = 100) -> str:
+    return f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+           AS late
+  FROM lineitem JOIN orders
+    ON l_orderkey = o_orderkey AND o_orderstatus = 'F')
+SELECT s_name, n_name, count(*)::BIGINT AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT {k}
+"""

@@ -471,3 +471,57 @@ def test_join_pyramids_survive_empty_selections(tmp_path):
     # the region-1 order exists with nation-3 supplier volume: one
     # year row, zero market share
     assert list(t8["mkt_share"]) == [0.0]
+
+
+def test_q21_exclusive_late_supplier_semantics(tmp_path):
+    """Q21's correlated EXISTS/NOT-EXISTS corners: a single-supplier
+    order never qualifies (EXISTS other-supplier fails), two late
+    suppliers disqualify BOTH (NOT EXISTS fails), a non-'F' order is
+    out entirely, and numwait counts LINEITEM rows — a supplier with
+    two late lines in one qualifying order counts twice (TPC-H
+    count(*) over l1, not count(DISTINCT order))."""
+    from sotohp_ray.pipelines.relational import (
+        q21_suppliers_who_kept_waiting,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    day0 = np.datetime64("2020-01-01", "us")
+    late = day0 + np.timedelta64(90, "D")   # > 60-day threshold
+    ontime = day0 + np.timedelta64(10, "D")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_orderdate": pa.array([day0] * 5, pa.timestamp("us")),
+        "o_orderstatus": pa.array(["F", "F", "F", "F", "O"]),
+    }), str(d / "orders.parquet"))
+    rows = [
+        # order 1: supp 10 late twice, supp 11 on time -> 10 counts 2
+        (1, 10, late), (1, 10, late), (1, 11, ontime),
+        # order 2: single supplier, late -> excluded (no other supp)
+        (2, 10, late),
+        # order 3: two DIFFERENT late suppliers -> both excluded
+        (3, 10, late), (3, 11, late),
+        # order 4: supp 11 sole late among two -> 11 counts 1
+        (4, 11, late), (4, 10, ontime),
+        # order 5: status 'O' -> excluded even though sole-late
+        (5, 10, late), (5, 11, ontime),
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_shipdate": pa.array(
+            [r[2] for r in rows], pa.timestamp("us")),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11], pa.int64()),
+        "s_name": pa.array(["S10", "S11"]),
+        "s_nationkey": pa.array([0, 0], pa.int64()),
+    }), str(d / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["N0"]),
+    }), str(d / "nation.parquet"))
+    out = q21_suppliers_who_kept_waiting(str(d)).to_pandas()
+    got = dict(zip(out["s_name"], out["numwait"]))
+    assert got == {"S10": 2, "S11": 1}
+    assert list(out["s_name"]) == ["S10", "S11"]  # numwait DESC
