@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         "ann_lsh_buckets": ann.ann_lsh_buckets,             # rows-only
         "embedding_near_dup": ann.embedding_near_dup,
+        "semdedup": ann.semdedup,
         "ann_lsh_search": ann.ann_lsh_search,               # rows-only
         # zero hyperplanes = one universal bucket = every row is a
         # candidate, so the LSH path degenerates to exact brute force
@@ -398,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": relational.events_attribution,
         "events_ab_ztest": relational.events_ab_ztest,
         "events_profile": relational.events_profile,
+        "events_rollup": relational.events_rollup,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -609,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": relational.events_attribution_sql(),
         "events_ab_ztest": relational.events_ab_ztest_sql(),
         "events_profile": relational.events_profile_sql(),
+        "events_rollup": relational.events_rollup_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),
@@ -628,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": textops.doc_keywords_sql(),
         "vocabulary_stats": textops.vocabulary_stats_sql(),
         "embedding_near_dup": ann.embedding_near_dup_sql(),
+        "semdedup": ann.semdedup_sql(),
         "knn_label_consensus": ann.knn_label_consensus_sql(),
         "events_asof_orders": relational.events_asof_orders_sql(),
         "events_sessionize": relational.events_sessionize_sql(),

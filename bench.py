@@ -549,6 +549,11 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.customer_spend_gini(sf_dir))
     timed("events_profile",
           lambda: relational.events_profile(sf_dir))
+    # round-5 session-4 additions
+    timed("q21_suppliers_who_kept_waiting",
+          lambda: relational.q21_suppliers_who_kept_waiting(sf_dir))
+    timed("events_rollup", lambda: relational.events_rollup(sf_dir))
+    timed("semdedup", lambda: ann.semdedup(sf_dir))
     return out
 
 

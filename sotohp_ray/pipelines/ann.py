@@ -1453,3 +1453,139 @@ def knn_cosine_binary_fullrerank(
     force, so the kNN SQL oracle gates the pack/XOR/popcount/merge
     plumbing end to end."""
     return knn_cosine_binary(sf_dir, query_ids, k=k, depth=1 << 62)
+
+
+SEMDEDUP_CLUSTERS = 8
+SEMDEDUP_TAU = 0.30
+
+
+class _ClusterAssigner:
+    """Actor-pool assignment stage: the (tiny) centroid matrix is
+    fetched ONCE per actor from the object store; each batch is one
+    matmul batch x K. Tie-break on equal rounded similarity is the
+    LOWEST centroid id (np.argmax returns the first maximum and the
+    columns are cid-ascending — the SQL oracle's row_number ORDER BY
+    sim DESC, cid)."""
+
+    def __init__(self, cref):
+        import ray
+
+        self.cids, self.C = ray.get(cref)  # C already normalized
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        S = np.round(Xn @ self.C.T, 5)  # (batch, K)
+        a = np.argmax(S, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(self.cids[a].astype(np.int64)),
+            "embedding": batch["embedding"],
+        })
+
+
+def semdedup(
+    sf_dir: str,
+    n_clusters: int = SEMDEDUP_CLUSTERS,
+    tau: float = SEMDEDUP_TAU,
+):
+    """(vec_id, cluster): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, arXiv:2303.09540) — cluster the embedding
+    space, then drop near-duplicates WITHIN each cluster so the
+    pairwise work is K small problems instead of one N^2 one. Kept =
+    vectors with NO same-cluster neighbor of lower vec_id at
+    round(cosine, 5) >= tau (the anti-join keep-lowest-id rule; the
+    paper keeps the member farthest from the centroid — the
+    deterministic id rule is chosen so the whole operator is
+    SQL-expressible and driver-gated). Centroids are the embeddings
+    of vec_id < n_clusters (deterministic, shared with the oracle;
+    a production run would plug sampled k-means means from the IVF
+    trainer here — same shape, no oracle).
+
+    Scale shape: centroids broadcast once via ray.put (K x dim);
+    assignment is one actor-pool matmul pass; ONE groupby exchange
+    co-locates each cluster; the in-cluster pair test is a chunked
+    matmul bounded by cluster size (K scales with N so clusters stay
+    ~N/K — the paper's point). No all-pairs, no driver-side matrix."""
+    import pandas as pd
+    import ray
+
+    c_ids, C = _query_matrix(sf_dir, list(range(n_clusters)))
+    cref = ray.put((c_ids.astype(np.int64), C))
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb = np.stack(g["embedding"].to_numpy()[order]).astype(
+            np.float64
+        )
+        Xn = _normalize(emb)
+        keep = np.ones(ids.size, bool)
+        # chunked lower-triangle test: x is dropped iff ANY y < x
+        # (kept or not — the anti-join rule) has sim >= tau
+        step = 1024
+        for lo in range(1, ids.size, step):
+            hi = min(lo + step, ids.size)
+            S = np.round(Xn[lo:hi] @ Xn[:hi].T, 5)  # rows lo..hi
+            for r in range(hi - lo):
+                row = S[r, : lo + r]
+                if row.size and np.max(row) >= tau:
+                    keep[lo + r] = False
+        return pd.DataFrame({
+            "vec_id": ids[keep].astype(np.int64),
+            "cluster": g["cluster"].to_numpy()[order][keep].astype(
+                np.int64
+            ),
+        })
+
+    out = (
+        _emb(sf_dir)
+        .map_batches(
+            _ClusterAssigner,
+            fn_constructor_args=(cref,),
+            concurrency=_pool(),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster")
+        .map_groups(cluster_dedup, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+        "cluster": pa.array(out["cluster"].to_numpy(np.int64)),
+    })
+
+
+def semdedup_sql(
+    n_clusters: int = SEMDEDUP_CLUSTERS, tau: float = SEMDEDUP_TAU
+) -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cemb
+  FROM embeddings WHERE vec_id < {n_clusters}),
+s AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(
+           e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 5) AS sim
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM s) WHERE rn = 1)
+SELECT a.vec_id, a.cluster
+FROM a
+WHERE NOT EXISTS (
+  SELECT 1
+  FROM a a2
+  JOIN embeddings e1 ON e1.vec_id = a.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+  WHERE a2.cluster = a.cluster AND a2.vec_id < a.vec_id
+    AND round(list_cosine_similarity(
+          e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 5)
+        >= {tau})
+ORDER BY a.vec_id
+"""

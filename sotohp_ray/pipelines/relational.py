@@ -5636,3 +5636,82 @@ GROUP BY s_name, n_name
 ORDER BY numwait DESC, s_name
 LIMIT {k}
 """
+
+
+def events_rollup(sf_dir: str):
+    """(event_type, hod, n, sum_value): GROUP BY ROLLUP(event_type,
+    hour-of-day) — the three aggregation levels (finest, per-type
+    subtotal, grand total) of a single pass, NULL marking each
+    rolled-up column (the OLAP rollup shape; SURVEY A2's multi-level
+    generalization). ONE map_batches pass computes finest-level
+    (type, hod) partials per block — types x 24 rows, output-sized —
+    the driver folds them once, and BOTH coarser levels are derived
+    from the folded finest table (no second scan, no extra exchange:
+    at 100 TB the rollup costs exactly what the finest groupby
+    costs). sum_value rounded to 2dp per level AFTER the fold, the
+    module rounding contract."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hod = pc.hour(batch["ts"]).cast(pa.int64())
+        t = pa.table({
+            "event_type": batch["event_type"].cast(pa.string()),
+            "hod": hod,
+            "value": batch["value"],
+        })
+        g = t.group_by(["event_type", "hod"]).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return agg_select(g, {
+            "event_type": "event_type", "hod": "hod",
+            "count_all": "n", "value_sum": "sv",
+        })
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # <= types x 24 rows per block: output-sized
+    )
+    fine = (
+        parts.groupby(["event_type", "hod"], as_index=False)
+        .agg(n=("n", "sum"), sv=("sv", "sum"))
+    )
+    by_type = fine.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sv=("sv", "sum"))
+    by_type["hod"] = pd.array([pd.NA] * len(by_type), dtype="Int64")
+    total = pd.DataFrame({
+        "event_type": [None],
+        "hod": pd.array([pd.NA], dtype="Int64"),
+        "n": [int(fine["n"].sum())],
+        "sv": [float(fine["sv"].sum())],
+    })
+    fine["hod"] = fine["hod"].astype("Int64")
+    out = pd.concat(
+        [fine, by_type, total], ignore_index=True
+    )[["event_type", "hod", "n", "sv"]]
+    out = out.sort_values(
+        ["event_type", "hod"], na_position="first"
+    ).reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(
+            [None if v is None or v is pd.NA else str(v)
+             for v in out["event_type"]], pa.string()),
+        "hod": pa.array(
+            [None if v is pd.NA else int(v) for v in out["hod"]],
+            pa.int64()),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "sum_value": pa.array(
+            np.round(out["sv"].to_numpy(np.float64), 2)),
+    })
+
+
+def events_rollup_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, hod)
+ORDER BY event_type NULLS FIRST, hod NULLS FIRST
+"""

@@ -1939,3 +1939,42 @@ def test_binary_quantized_knn_recall_and_twin():
         a = set(appr[appr["query_id"] == q]["vec_id"])
         recs.append(len(a & set(g["vec_id"])) / len(g))
     assert sum(recs) / len(recs) >= 0.85
+
+
+def test_semdedup_within_cluster_anti_join_rule(tmp_path):
+    """SemDeDup semantics on a planted fixture: (a) duplicates are
+    removed only WITHIN a cluster — an identical pair assigned to
+    different centroids survives intact; (b) the keep rule is the
+    anti-join (no lower-id same-cluster neighbor >= tau), so in a
+    duplicate chain x<y<z only x survives; (c) centroid rows
+    themselves participate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sotohp_ray.pipelines.ann import semdedup
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # two orthogonal centroid directions (vec_id 0 and 1)
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    mix = [0.8, 0.0, 0.6, 0.0]   # cluster 0, sim(e0)=0.8 >= tau
+    far = [0.0, 0.6, 0.0, 0.8]   # cluster 1, sim(e1)=0.6 < 0.7
+    vecs = [e0, e1,
+            e0,    # 2: dup of centroid 0 -> dropped (0 < 2, sim 1.0)
+            mix,   # 3: cluster 0, sim 0.8 -> dropped at tau=0.7
+            e1,    # 4: dup of centroid 1 -> dropped
+            far]   # 5: cluster 1, sim 0.6 -> KEPT at tau=0.7
+    t = pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    out = semdedup(str(d), n_clusters=2, tau=0.7).to_pandas()
+    assert list(out["vec_id"]) == [0, 1, 5]
+    assert list(out["cluster"]) == [0, 1, 1]
+    # cross-cluster identical pair survives: centroids 0 and 1 both
+    # kept even though vecs 2/4 duplicated them within-cluster only
+    out2 = semdedup(str(d), n_clusters=2, tau=1.1).to_pandas()
+    assert len(out2) == len(vecs)  # tau above max sim: nothing drops
