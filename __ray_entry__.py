@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_substrings": textops.corpus_dedup_substrings,  # rows-only
         "similarity_pagerank": textops.similarity_pagerank,  # rows-only (iterative)
         "decontaminate": textops.decontaminate,
+        "decontaminate_bloom": textops.decontaminate_bloom,
         "doc_quality_signals": textops.doc_quality_signals,
         "corpus_quality_filter": textops.corpus_quality_filter,
         # --- training-data preparation ---

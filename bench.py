@@ -554,6 +554,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.q21_suppliers_who_kept_waiting(sf_dir))
     timed("events_rollup", lambda: relational.events_rollup(sf_dir))
     timed("semdedup", lambda: ann.semdedup(sf_dir))
+    timed("decontaminate_bloom",
+          lambda: textops.decontaminate_bloom(sf_dir))
     return out
 
 

@@ -1253,6 +1253,128 @@ ORDER BY doc_id
 """
 
 
+BLOOM_BITS_PER_GRAM = 16
+BLOOM_K = 8
+
+
+def _bloom_mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanches the rolling hashes' weak low
+    bits before the power-of-two mask takes them."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _bloom_build(h1: np.ndarray, h2: np.ndarray,
+                 bits_per_item: int = BLOOM_BITS_PER_GRAM,
+                 k: int = BLOOM_K) -> np.ndarray:
+    """Packed-bit Bloom filter over 128-bit gram hashes via
+    Kirsch-Mitzenmacher double hashing (probe_i = h1 + i*h2, all
+    uint64 wraparound). m is the next power of two >= n*bits_per_item
+    so the mask is one AND."""
+    n = max(int(h1.size), 1)
+    m = 1 << max(int(n * bits_per_item - 1).bit_length(), 6)
+    bits = np.zeros(m >> 3, np.uint8)
+    mask = np.uint64(m - 1)
+    h1 = _bloom_mix(h1)
+    h2 = (_bloom_mix(h2) << np.uint64(1)) | np.uint64(1)  # odd stride
+    for i in range(k):                        # probes mod 2^log2(m)
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bits
+
+
+def _bloom_test(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                k: int = BLOOM_K) -> np.ndarray:
+    m = np.uint64(bits.size << 3)
+    mask = m - np.uint64(1)
+    hit = np.ones(h1.size, bool)
+    h1 = _bloom_mix(h1)
+    h2 = (_bloom_mix(h2) << np.uint64(1)) | np.uint64(1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        b = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        hit &= (b >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        if not hit.any():
+            break
+    return hit
+
+
+def decontaminate_bloom(
+    sf_dir: str, n_bench: int = DECON_BENCH_DOCS, L: int = DUP_GRAM_L,
+    bits_per_gram: int = BLOOM_BITS_PER_GRAM, k: int = BLOOM_K,
+):
+    """(doc_id, n_contaminated): ``decontaminate``'s scale path — the
+    benchmark gram set broadcast as a BLOOM FILTER instead of the
+    exact sorted hash array. At 100 TB the eval suite itself can be
+    large (every held-out benchmark x every paraphrase); the exact
+    set costs 16 bytes/gram to broadcast and log(n) probes, the Bloom
+    costs ``bits_per_gram``/8 bytes (8x smaller at defaults) and k=8
+    O(1) probes. Contract: NO false negatives — every contaminated
+    gram instance is counted; false positives can only ADD counts
+    (over-flagging is the safe direction for decontamination: you
+    drop a clean doc, never keep a contaminated one). Probes are
+    splitmix64-avalanched Kirsch-Mitzenmacher double hashes with an
+    odd stride, so power-of-two masking keeps the designed FP rate
+    (~(1-e^(-k*n/m))^k ~ 4e-5 at 16 bits/gram). Rows-only by design —
+    FPs are inherent to the sketch; the pytest pins the superset
+    contract (flagged-docs superset, per-doc counts >= the exact
+    twin's) and bit-identity to the exact twin at 64 bits/gram."""
+    import ray
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=pads.field("doc_id") < n_bench,
+    )
+    btext = bench["text"].combine_chunks().cast(pa.large_string())
+    bflat, blens = _codepoints_flat(btext)
+    bh1, bh2, _, _bp = _gram_hashes(bflat, blens, L)
+    bu = np.unique(_pair_struct(bh1, bh2))
+    bits = _bloom_build(
+        bu["a"], bu["b"], bits_per_item=bits_per_gram, k=k,
+    )
+    bref = ray.put(bits)
+
+    def f(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        text = _text_col(batch)
+        flat, lens = _codepoints_flat(text)
+        h1, h2, did, _gpos = _gram_hashes(flat, lens, L)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_contaminated": pa.array([], pa.int64()),
+        })
+        if h1.size == 0:
+            return empty
+        keep = ids[did] >= n_bench
+        h1, h2, did = h1[keep], h2[keep], did[keep]
+        hit = _bloom_test(bs, h1, h2, k=k)
+        if not hit.any():
+            return empty
+        n = np.bincount(did[hit], minlength=ids.size)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_contaminated": pa.array(n[nz].astype(np.int64)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def doc_dup_grams_sql(L: int = DUP_GRAM_L) -> str:
     return f"""
 WITH grams AS (

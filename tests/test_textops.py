@@ -1978,3 +1978,28 @@ def test_semdedup_within_cluster_anti_join_rule(tmp_path):
     # kept even though vecs 2/4 duplicated them within-cluster only
     out2 = semdedup(str(d), n_clusters=2, tau=1.1).to_pandas()
     assert len(out2) == len(vecs)  # tau above max sim: nothing drops
+
+
+def test_decontaminate_bloom_superset_and_convergence():
+    """The Bloom scale path's contract: (a) NO false negatives — its
+    flagged-doc set is a superset of the exact twin's and every
+    per-doc count is >= the exact count (FPs only ADD); (b) a
+    generously-sized filter (64 bits/gram) is bit-identical to the
+    exact twin on the real corpus."""
+    from sotohp_ray.pipelines.textops import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (decontaminate(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (decontaminate_bloom(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    ea = a.set_index("doc_id")["n_contaminated"]
+    eb = b.set_index("doc_id")["n_contaminated"]
+    assert set(ea.index) <= set(eb.index)
+    assert all(eb.loc[i] >= ea.loc[i] for i in ea.index)
+    c = (decontaminate_bloom(sf, bits_per_gram=64).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert c.equals(a)
