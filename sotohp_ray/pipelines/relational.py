@@ -2505,7 +2505,14 @@ def customers_rfm(sf_dir: str, qs=RFM_QS):
             "monetary_cents": pa.array(cents),
         })
 
-    metrics = rfm.map_batches(to_metrics, batch_format="pyarrow")
+    # consumed twice (histogram pass + score pass): materialize the
+    # CUSTOMER-AGGREGATE-sized intermediate once instead of lazily
+    # re-running the orders scan + custkey exchange for each consumer
+    # (bounded by #customers — the op's own output size, never the
+    # raw orders table)
+    metrics = rfm.map_batches(
+        to_metrics, batch_format="pyarrow"
+    ).materialize()
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         ms, vs, ns = [], [], []
@@ -2523,13 +2530,16 @@ def customers_rfm(sf_dir: str, qs=RFM_QS):
             "n_partial": pa.array(np.concatenate(ns)),
         })
 
-    from ray.data.aggregate import Sum as _Sum
-
+    # per-block distinct partials fold on the driver — the old
+    # distributed (metric, value) groupby shipped the SAME rows to
+    # the driver afterwards anyway, so the exchange was a pure fixed
+    # cost (~2 s of sort/shuffle overhead at any sf)
     hist = (
         metrics.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["metric", "value"])
-        .aggregate(_Sum("n_partial", alias_name="n"))
-        .to_pandas()  # distinct-values-sized
+        .to_pandas()  # distinct-values-per-block-sized
+        .groupby(["metric", "value"], as_index=False)["n_partial"]
+        .sum()
+        .rename(columns={"n_partial": "n"})
     )
     cuts = {}
     for mi in range(3):
