@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_binary_fullrerank":
             ann.knn_cosine_binary_fullrerank,
         "ann_ivfpq_search": ann.ann_ivfpq_search,          # rows-only
+        "ann_index_search": ann.ann_index_search,          # rows-only
+        "ann_index_fullprobe": ann.ann_index_fullprobe,
         "ann_ivfpq_fullprobe_fullrerank":
             ann.ann_ivfpq_fullprobe_fullrerank,
 
@@ -660,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_pq_fullrerank": _KNN_COSINE_SQL,
         "knn_cosine_binary_fullrerank": _KNN_COSINE_SQL,
         "ann_ivfpq_fullprobe_fullrerank": _KNN_COSINE_SQL,
+        "ann_index_fullprobe": _KNN_COSINE_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100.0) AS BIGINT)

@@ -556,6 +556,10 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("semdedup", lambda: ann.semdedup(sf_dir))
     timed("decontaminate_bloom",
           lambda: textops.decontaminate_bloom(sf_dir))
+    timed("ann_index_build",          # cold: caches wiped at start
+          lambda: ann.build_ann_index(sf_dir))
+    timed("ann_index_search",         # warm: artifact reused
+          lambda: ann.ann_index_search(sf_dir))
     return out
 
 

@@ -956,6 +956,37 @@ class _IVFPQScorer:
         })
 
 
+def _train_residual_books(
+    sf_dir: str, C: np.ndarray, m: int = PQ_M, ksub: int = PQ_KSUB,
+    seed: int = 42,
+) -> np.ndarray:
+    """Residual PQ codebooks trained on (sample - assigned centroid)
+    — the classic accuracy win over raw-vector PQ. Seeded and shared
+    by the inline IVF-PQ search and the persisted ANN index so both
+    paths encode identically."""
+    Xn = _unbiased_sample_matrix(sf_dir)
+    assign = np.argmax(Xn @ C.T, axis=1)
+    resid = Xn - C[assign]
+    n, dim = resid.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    kk = min(ksub, n)
+    books = np.zeros((m, kk, dsub), dtype=np.float64)
+    for s in range(m):
+        Rs = resid[:, s * dsub:(s + 1) * dsub]
+        Cb = Rs[rng.choice(n, size=kk, replace=False)].copy()
+        for _ in range(8):
+            a = np.argmax(Rs @ Cb.T - 0.5 * (Cb * Cb).sum(axis=1), axis=1)
+            for j in range(kk):
+                sel = a == j
+                if sel.any():
+                    Cb[j] = Rs[sel].mean(axis=0)
+        books[s] = Cb
+    return books
+
+
 def ann_ivfpq_search(
     sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
     n_centroids: int = 32, n_probe: int = 8,
@@ -972,27 +1003,7 @@ def ann_ivfpq_search(
     import ray
 
     C = _train_centroids(sf_dir, n_centroids)
-    # residual codebooks: PQ trained on sample residuals
-    Xn = _unbiased_sample_matrix(sf_dir)
-    assign = np.argmax(Xn @ C.T, axis=1)
-    resid = Xn - C[assign]
-    n, dim = resid.shape
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    rng = np.random.RandomState(42)
-    kk = min(ksub, n)
-    books = np.zeros((m, kk, dsub), dtype=np.float64)
-    for s in range(m):
-        Rs = resid[:, s * dsub:(s + 1) * dsub]
-        Cb = Rs[rng.choice(n, size=kk, replace=False)].copy()
-        for _ in range(8):
-            a = np.argmax(Rs @ Cb.T - 0.5 * (Cb * Cb).sum(axis=1), axis=1)
-            for j in range(kk):
-                sel = a == j
-                if sel.any():
-                    Cb[j] = Rs[sel].mean(axis=0)
-        books[s] = Cb
+    books = _train_residual_books(sf_dir, C, m=m, ksub=ksub)
     q_ids, Q = _query_matrix(sf_dir, query_ids)
     qc = Q @ C.T
     probes = np.argsort(-qc, axis=1)[:, :n_probe]
@@ -1589,3 +1600,252 @@ WHERE NOT EXISTS (
         >= {tau})
 ORDER BY a.vec_id
 """
+
+
+# ---- persisted ANN index (build once, query many) -------------------
+
+ANN_INDEX_VERSION = 1
+
+
+def _ann_index_dir(
+    sf_dir: str, n_centroids: int, m: int, ksub: int
+) -> str:
+    import hashlib
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"c{n_centroids}:m{m}:k{ksub}:v{ANN_INDEX_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp", "sotohp_ray_cache", f"annidx-{key}")
+
+
+class _IndexEncoder:
+    """Build-side actor stage: centroids + codebooks fetched once per
+    actor; each batch is assigned (one matmul) and residual-PQ-encoded
+    (m small matmuls). Emits the ORIGINAL float32 embedding alongside
+    the code so query-time exact re-rank uses bit-identical operands
+    to the brute-force baseline (normalize-in-float64-at-read, never a
+    stored normalized float32)."""
+
+    def __init__(self, ref):
+        import ray
+
+        self.C, self.books = ray.get(ref)
+        m, _, dsub = self.books.shape
+        self.m, self.dsub = m, dsub
+        self.cnorm = -0.5 * (self.books * self.books).sum(axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        cent = np.argmax(Xn @ self.C.T, axis=1)
+        resid = Xn - self.C[cent]
+        codes = np.empty((Xn.shape[0], self.m), dtype=np.uint8)
+        for s in range(self.m):
+            Rs = resid[:, s * self.dsub:(s + 1) * self.dsub]
+            codes[:, s] = np.argmax(
+                Rs @ self.books[s].T + self.cnorm[s], axis=1
+            )
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            # `cell` rides INSIDE the files; `cluster` becomes the hive
+            # partition directory (and is stripped from the files), so
+            # partition-dir reads keep the assignment column
+            "cell": pa.array(cent.astype(np.int64)),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), self.m
+            ),
+            "embedding": batch["embedding"],
+            "cluster": pa.array(cent.astype(np.int64)),
+        })
+
+
+def build_ann_index(
+    sf_dir: str, n_centroids: int = 32, m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """Build the PERSISTED IVF-PQ index artifact and return its
+    directory — the vector-side mirror of the fulltext index's
+    build-once/serve-many discipline (reference analog: the search
+    index the reference maintains beside its stores, SURVEY S6/J7).
+    Layout: ``vectors/cluster=<cell>/*.parquet`` (hive-partitioned by
+    coarse cell: a query touching n_probe of n_centroids cells reads
+    ONLY those directories off disk — at 100 TB the pruning happens at
+    the STORAGE layer, not after a full scan), plus ``centroids.npy``
+    / ``books.npy`` / ``meta.json``. Fingerprint-keyed under the
+    shared /tmp cache family (corpus identity + params + format
+    version), atomic tmp+rename, concurrent-builder safe — the same
+    discipline as the analyzed-tokens sidecar."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    d = _ann_index_dir(sf_dir, n_centroids, m, ksub)
+    if os.path.isdir(d):
+        return d
+    C = _train_centroids(sf_dir, n_centroids)
+    books = _train_residual_books(sf_dir, C, m=m, ksub=ksub)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    tmp = tempfile.mkdtemp(
+        dir=os.path.dirname(d), prefix=os.path.basename(d) + ".tmp-"
+    )
+    try:
+        ref = ray.put((C, books))
+        _emb(sf_dir).map_batches(
+            _IndexEncoder,
+            fn_constructor_args=(ref,),
+            concurrency=_pool(),
+            batch_format="pyarrow",
+        ).write_parquet(
+            os.path.join(tmp, "vectors"), partition_cols=["cluster"]
+        )
+        np.save(os.path.join(tmp, "centroids.npy"), C)
+        np.save(os.path.join(tmp, "books.npy"), books)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump({
+                "version": ANN_INDEX_VERSION,
+                "n_centroids": int(C.shape[0]), "m": int(m),
+                "ksub": int(ksub), "dim": int(C.shape[1]),
+            }, f)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent builder won
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+class _IndexScorer:
+    """Query-side actor stage over PRE-ENCODED index partitions: no
+    assignment, no encoding — gather the centroid dot + m table
+    lookups per candidate (ADC), exact-re-rank the per-batch
+    top-``depth`` from the stored raw floats."""
+
+    def __init__(self, ref, k: int, depth: int):
+        import ray
+
+        (self.q_ids, self.Q, self.C, self.probes,
+         self.books) = ray.get(ref)
+        m, _, dsub = self.books.shape
+        self.m, self.dsub = m, dsub
+        self.T = np.einsum(
+            "qsd,scd->qsc",
+            self.Q.reshape(self.q_ids.size, m, dsub),
+            self.books,
+        )
+        self.qc = self.Q @ self.C.T
+        self.k, self.depth = k, depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _emb_matrix(batch)
+        Xn = _normalize(X)
+        cell = batch["cell"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        code_col = batch["code"]
+        code_col = (code_col.combine_chunks()
+                    if isinstance(code_col, pa.ChunkedArray) else code_col)
+        codes = code_col.flatten().to_numpy(
+            zero_copy_only=False
+        ).reshape(len(ids), self.m).astype(np.int64)
+        rows_m = np.arange(self.m)
+        out_q, out_v, out_s = [], [], []
+        for j in range(self.q_ids.size):
+            rows = np.flatnonzero(
+                np.isin(cell, self.probes[j]) & (ids != self.q_ids[j])
+            )
+            if rows.size == 0:
+                continue
+            approx = (
+                self.qc[j][cell[rows]]
+                + self.T[j][rows_m[None, :], codes[rows]].sum(axis=1)
+            )
+            d = min(self.depth, rows.size)
+            order = np.lexsort((ids[rows], -approx))[:d]
+            sel = rows[order]
+            exact = np.round(Xn[sel] @ self.Q[j], 5)
+            take = min(self.k, d)
+            fin = np.lexsort((ids[sel], -exact))[:take]
+            out_q.extend([int(self.q_ids[j])] * take)
+            out_v.extend(ids[sel][fin].tolist())
+            out_s.extend(exact[fin].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_index_search(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10,
+    n_probe: int = 8, depth: int = PQ_DEPTH,
+    n_centroids: int = 32, m: int = PQ_M, ksub: int = PQ_KSUB,
+    index_dir: str | None = None,
+):
+    """(query_id, vec_id, score): IVF-PQ search over the PERSISTED
+    index — builds (or cache-hits) the artifact, then reads ONLY the
+    probed ``cluster=<cell>`` partition directories: pruning is
+    structural (directory selection), not a post-scan filter, so at
+    scale a default query reads n_probe/n_centroids of the index
+    bytes. Scoring matches the inline IVF-PQ path (same centroids,
+    same codebooks, same ADC + exact-re-rank rule); the full-probe
+    full-re-rank twin below degenerates to brute-force kNN and shares
+    its SQL oracle."""
+    import os
+
+    import ray
+    import ray.data
+
+    d = index_dir or build_ann_index(
+        sf_dir, n_centroids=n_centroids, m=m, ksub=ksub
+    )
+    C = np.load(os.path.join(d, "centroids.npy"))
+    books = np.load(os.path.join(d, "books.npy"))
+    q_ids, Q = _query_matrix(sf_dir, query_ids)
+    qc = Q @ C.T
+    npb = min(n_probe, C.shape[0])
+    probes = np.argsort(-qc, axis=1)[:, :npb]
+    probed = np.unique(probes)
+    import glob
+
+    dirs = [
+        f for c in probed
+        for f in sorted(glob.glob(os.path.join(
+            d, "vectors", f"cluster={int(c)}", "*.parquet")))
+    ]
+    if not dirs:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+    ref = ray.put((
+        q_ids, Q, C, [probes[j] for j in range(q_ids.size)], books
+    ))
+    ds = ray.data.read_parquet(dirs).map_batches(
+        _IndexScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k, "depth": depth},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _topk_merge(ds, k)
+
+
+def ann_index_fullprobe(
+    sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = 10
+):
+    """Persisted-index twin at probe = every cell, depth = everything:
+    the ADC order is fully re-ranked exactly, so the result IS
+    brute-force kNN — the index build + partition read + decode
+    plumbing gated end-to-end by the kNN SQL oracle."""
+    return ann_index_search(
+        sf_dir, query_ids, k=k, n_probe=1 << 30, depth=1 << 62
+    )

@@ -2003,3 +2003,42 @@ def test_decontaminate_bloom_superset_and_convergence():
     c = (decontaminate_bloom(sf, bits_per_gram=64).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert c.equals(a)
+
+
+def test_ann_index_persisted_build_query_contract(tmp_path, monkeypatch):
+    """The persisted IVF-PQ index: (a) the full-probe full-re-rank
+    twin over the artifact is BIT-IDENTICAL to brute-force kNN (the
+    build + hive-partition + decode plumbing proves itself against
+    the exact baseline); (b) a second build is a pure cache hit —
+    training is never re-entered; (c) default-probe search over the
+    artifact reaches the same recall as the inline IVF-PQ path (same
+    centroids, same codebooks)."""
+    import sotohp_ray.pipelines.ann as ann
+
+    sf = "/root/testdata/sf0.001"
+    d = ann.build_ann_index(sf)
+    cols = ["query_id", "vec_id", "score"]
+
+    def table(x):
+        x = x.to_pandas() if hasattr(x, "to_pandas") else x
+        return x[cols].sort_values(cols).reset_index(drop=True)
+
+    fp = table(ann.ann_index_fullprobe(sf))
+    bf = table(ann.knn_cosine(sf))
+    assert fp.equals(bf)
+
+    def boom(*a, **k):
+        raise AssertionError("cache miss: training re-entered")
+
+    real_train = ann._train_centroids
+    monkeypatch.setattr(ann, "_train_centroids", boom)
+    assert ann.build_ann_index(sf) == d  # cache hit, no training
+    got = ann.ann_index_search(sf).to_pandas()  # also cache-served
+    monkeypatch.setattr(ann, "_train_centroids", real_train)
+    inline = ann.ann_ivfpq_search(sf)
+    inline = inline.to_pandas() if hasattr(inline, "to_pandas") else inline
+    r_idx = len(got.merge(bf[["query_id", "vec_id"]],
+                          on=["query_id", "vec_id"])) / len(bf)
+    r_inl = len(inline.merge(bf[["query_id", "vec_id"]],
+                             on=["query_id", "vec_id"])) / len(bf)
+    assert r_idx >= r_inl - 1e-9  # persisted path loses no recall
