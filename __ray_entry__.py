@@ -403,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_ztest": relational.events_ab_ztest,
         "events_profile": relational.events_profile,
         "events_rollup": relational.events_rollup,
+        "events_global_running_total":
+            relational.events_global_running_total,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -615,6 +617,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_ztest": relational.events_ab_ztest_sql(),
         "events_profile": relational.events_profile_sql(),
         "events_rollup": relational.events_rollup_sql(),
+        "events_global_running_total":
+            relational.events_global_running_total_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

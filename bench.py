@@ -560,6 +560,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: ann.build_ann_index(sf_dir))
     timed("ann_index_search",         # warm: artifact reused
           lambda: ann.ann_index_search(sf_dir))
+    timed("events_global_running_total",
+          lambda: relational.events_global_running_total(sf_dir))
     return out
 
 

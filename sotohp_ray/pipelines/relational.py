@@ -5725,3 +5725,90 @@ FROM events
 GROUP BY ROLLUP(event_type, hod)
 ORDER BY event_type NULLS FIRST, hod NULLS FIRST
 """
+
+
+def events_global_running_total(sf_dir: str):
+    """(event_id, running): the GLOBAL cumulative value sum in
+    (ts, event_id) order — the distributed prefix-scan primitive
+    (running ledger balance / cumulative-traffic curve). Unlike
+    ``events_running_total`` there is no partitioning key to hide
+    behind: the scan couples every row to every earlier row.
+
+    Two-phase exclusive-scan shape (Blelloch): phase 1 buckets rows
+    by calendar day — CONTIGUOUS in the scan order, so bucket sums
+    compose — and each group emits (day, sum, rows) partials; the
+    driver folds the day-sized table into exclusive prefix OFFSETS;
+    phase 2 re-streams each day group, lexsorts (ts, event_id) once,
+    cumsums vectorized, and adds the broadcast day offset. No global
+    sort, no serial pass: both phases are ONE coarse exchange each,
+    and the only driver state is days-sized. Rounded to 2 dp (the
+    running_total rounding contract: 2-dp cent grid, float error five
+    orders below; also absorbs DuckDB's segment-tree summation
+    order)."""
+    import pandas as pd
+    import ray
+
+    def tag(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        return pa.table({
+            "day": day.cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "value": batch["value"],
+        })
+
+    tagged = _read(sf_dir, "events", ["event_id", "ts", "value"]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(ud.size, np.float64)
+        np.add.at(s, inv, v)
+        return pa.table({
+            "day": pa.array(ud),
+            "s": pa.array(s, pa.float64()),
+        })
+
+    days = (
+        tagged.map_batches(day_partial, batch_format="pyarrow")
+        .to_pandas()  # days-per-block-sized partials
+        .groupby("day", as_index=False)["s"].sum()
+        .sort_values("day")
+    )
+    offsets = dict(zip(
+        days["day"].to_numpy(np.int64),
+        np.concatenate([[0.0], days["s"].to_numpy(np.float64)
+                        .cumsum()[:-1]]),
+    ))
+    oref = ray.put(offsets)
+
+    def scan_day(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(g["day"].iloc[0])]
+        order = np.lexsort((
+            g["event_id"].to_numpy(), g["ts"].to_numpy(),
+        ))
+        v = g["value"].to_numpy()[order]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[order],
+            "running": np.round(v.cumsum() + off, 2),
+        })
+
+    return (
+        tagged.groupby("day")
+        .map_groups(scan_day, batch_format="pandas")
+        .select_columns(["event_id", "running"])
+    )
+
+
+def events_global_running_total_sql() -> str:
+    return """
+SELECT event_id,
+       round(sum(value) OVER (
+         ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running
+FROM events
+ORDER BY ts, event_id
+"""

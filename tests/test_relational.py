@@ -525,3 +525,39 @@ def test_q21_exclusive_late_supplier_semantics(tmp_path):
     got = dict(zip(out["s_name"], out["numwait"]))
     assert got == {"S10": 2, "S11": 1}
     assert list(out["s_name"]) == ["S10", "S11"]  # numwait DESC
+
+
+def test_global_running_total_crosses_day_boundaries(tmp_path):
+    """The two-phase exclusive scan must compose across its day
+    buckets: a fixture spanning three days with deliberately
+    shuffled row order (the parquet layout is NOT scan-ordered) must
+    reproduce the sequential cumsum exactly, including ts ties broken
+    by event_id."""
+    from sotohp_ray.pipelines.relational import (
+        events_global_running_total,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = np.datetime64("2024-03-01T22:00:00", "us")
+    hours = [0, 3, 26, 26, 30, 49, 51]  # days 1, 2, 3; one ts tie
+    eids = [4, 2, 7, 3, 1, 6, 5]        # shuffled vs time order
+    vals = [1.25, 2.5, -0.75, 4.0, 10.0, 0.5, 3.25]
+    order = np.argsort(np.arange(len(eids)) % 3)  # shuffle file order
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.array(eids)[order], pa.int64()),
+        "ts": pa.array(
+            [base + np.timedelta64(hours[i] * 3600, "s")
+             for i in order], pa.timestamp("us")),
+        "value": pa.array(np.array(vals)[order], pa.float64()),
+    }), str(d / "events.parquet"))
+    out = events_global_running_total(str(d)).to_pandas()
+    # sequential truth in (ts, event_id) order; the ts tie at hour 26
+    # orders event 3 before event 7
+    seq = np.lexsort((np.array(eids), np.array(hours)))
+    want = dict(zip(
+        np.array(eids)[seq],
+        np.round(np.array(vals)[seq].cumsum(), 2),
+    ))
+    got = dict(zip(out["event_id"], out["running"]))
+    assert got == want
