@@ -743,30 +743,38 @@ def training_curriculum_sql(
 LM_VOCAB_SIZE = 512
 
 
-def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
-    """(doc_id, n_bigrams, cross_entropy): per-document cross-entropy
-    under an add-one-smoothed bigram language model trained on the
-    corpus itself — the CCNet/Wenzek-style "perplexity under a
-    reference LM" quality signal (low = fluent/typical, high =
-    boilerplate, noise, or wrong-register text), computable without
-    external model weights. Tokens outside the top-``vocab_size``
-    vocabulary (by collection frequency, term-asc ties) map to an
-    ``<unk>`` id, so the model is bounded by (V+1)^2 REGARDLESS of
-    corpus size. P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V+1) with c(w1·)
-    the bigram-start count (sum over w2 of c(w1,w2)), which makes the
-    distribution proper per w1 row.
+_LM_MEMO: dict = {}
 
-    Three streaming passes, zero wide shuffles beyond tiny aggregates:
-    (1) top-V vocabulary via the A1 partial+final count (doc_oov_rate's
-    pass); (2) bigram counts as int64 keys id1*(V+1)+id2 — per-batch
-    ``np.unique`` combiner then one (<= (V+1)^2)-row groupby; (3) the
-    dense (V+1)^2 count array (2 MB at V=512; a sparse/hash layout is
-    the large-V variant) broadcast via ray.put, each batch scores its
-    adjacent same-doc pairs with two gathers + one log + one bincount.
-    Docs with < 2 tokens have no bigrams and are excluded (same rows
-    the oracle's bigram join drops)."""
+
+def _lm_model(sf_dir: str, vocab_size: int):
+    """(v, vocab_terms, bigram_counts, start_counts) of the add-one
+    bigram LM — trained ONCE per (corpus, tokenizer-config,
+    vocab_size) and served from an in-process memo plus a durable
+    .npz under the shared /tmp cache family (tokens-sidecar
+    discipline, atomic tmp+rename): doc_lm_score, training_curriculum
+    and any future LM consumer share the two training passes instead
+    of each re-running them."""
+    import os
+    import tempfile
+
     import ray
     from ray.data.aggregate import Sum
+
+    from sotohp_ray.pipelines.textops import _tokens_cache_dir
+
+    key = (
+        os.path.basename(_tokens_cache_dir(sf_dir))
+        + f"-v{vocab_size}"
+    )
+    if key in _LM_MEMO:
+        return _LM_MEMO[key]
+    root = os.path.join("/tmp", "sotohp_ray_cache")
+    path = os.path.join(root, f"lm-{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        out = (int(z["v"]), list(z["terms"]), z["bc"], z["uc"])
+        _LM_MEMO[key] = out
+        return out
 
     def counts(batch: pa.Table) -> pa.Table:
         lists = _toklists_of(batch)
@@ -786,11 +794,10 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
         .head(vocab_size)
     )
     v = len(top)  # actual vocabulary size (may be < vocab_size)
-    vref = ray.put(pa.array(top["term"].tolist(), pa.large_string()))
+    terms = [str(t) for t in top["term"].tolist()]
+    vref = ray.put(pa.array(terms, pa.large_string()))
 
-    def _adj_ids(batch: pa.Table):
-        """(parents, ids): per-token doc row index and vocab id
-        (v = <unk>) for the batch's flattened analyzed tokens."""
+    def bpartial(batch: pa.Table) -> pa.Table:
         lists = _toklists_of(batch)
         flat = pc.list_flatten(lists)
         parents = pc.list_parent_indices(lists).to_numpy(
@@ -799,10 +806,6 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
         ids = pc.fill_null(
             pc.index_in(flat, value_set=ray.get(vref)), v
         ).to_numpy(zero_copy_only=False).astype(np.int64)
-        return parents, ids
-
-    def bpartial(batch: pa.Table) -> pa.Table:
-        parents, ids = _adj_ids(batch)
         if ids.size < 2:
             return pa.table({
                 "key": pa.array([], pa.int64()),
@@ -827,6 +830,62 @@ def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
     if len(model):
         bc[model["key"].to_numpy()] = model["n"].to_numpy()
     uc = bc.reshape(v + 1, v + 1).sum(axis=1)
+    os.makedirs(root, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        np.savez(tmp, v=np.int64(v),
+                 terms=np.array(terms, dtype=np.str_), bc=bc, uc=uc)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    out = (v, terms, bc, uc)
+    _LM_MEMO[key] = out
+    return out
+
+
+def doc_lm_score(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
+    """(doc_id, n_bigrams, cross_entropy): per-document cross-entropy
+    under an add-one-smoothed bigram language model trained on the
+    corpus itself — the CCNet/Wenzek-style "perplexity under a
+    reference LM" quality signal (low = fluent/typical, high =
+    boilerplate, noise, or wrong-register text), computable without
+    external model weights. Tokens outside the top-``vocab_size``
+    vocabulary (by collection frequency, term-asc ties) map to an
+    ``<unk>`` id, so the model is bounded by (V+1)^2 REGARDLESS of
+    corpus size. P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V+1) with c(w1·)
+    the bigram-start count (sum over w2 of c(w1,w2)), which makes the
+    distribution proper per w1 row.
+
+    Three streaming passes, zero wide shuffles beyond tiny aggregates:
+    (1) top-V vocabulary via the A1 partial+final count (doc_oov_rate's
+    pass); (2) bigram counts as int64 keys id1*(V+1)+id2 — per-batch
+    ``np.unique`` combiner then one (<= (V+1)^2)-row groupby; (3) the
+    dense (V+1)^2 count array (2 MB at V=512; a sparse/hash layout is
+    the large-V variant) broadcast via ray.put, each batch scores its
+    adjacent same-doc pairs with two gathers + one log + one bincount.
+    Docs with < 2 tokens have no bigrams and are excluded (same rows
+    the oracle's bigram join drops)."""
+    import ray
+
+    v, terms, bc, uc = _lm_model(sf_dir, vocab_size)
+    vref = ray.put(pa.array(terms, pa.large_string()))
+
+    def _adj_ids(batch: pa.Table):
+        """(parents, ids): per-token doc row index and vocab id
+        (v = <unk>) for the batch's flattened analyzed tokens."""
+        lists = _toklists_of(batch)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False
+        )
+        ids = pc.fill_null(
+            pc.index_in(flat, value_set=ray.get(vref)), v
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return parents, ids
+
     bref, uref = ray.put(bc), ray.put(uc)
 
     def score(batch: pa.Table) -> pa.Table:

@@ -608,3 +608,29 @@ def test_span_corruption_schedule_invariants():
         assert (s + ln <= n_of[int(doc)]).all()  # in bounds
         assert (s[1:] >= s[:-1] + ln[:-1]).all()  # disjoint, sorted
         assert list(g["sentinel_id"]) == list(range(len(g)))
+
+
+def test_lm_model_trained_once_and_durable(monkeypatch):
+    """The shared bigram-LM artifact: after one consumer trains it,
+    (a) the in-process memo serves every later consumer without
+    touching the corpus, and (b) clearing the memo still serves from
+    the durable .npz — the corpus is never re-read. Guarded by
+    replacing the token stream with a tripwire."""
+    import sotohp_ray.pipelines.training as tr
+
+    sf = "/root/testdata/sf0.001"
+    v, terms, bc, uc = tr._lm_model(sf, 512)
+    assert v > 0 and bc.shape == ((v + 1) * (v + 1),)
+
+    def boom(*a, **k):
+        raise AssertionError("LM retrained: corpus re-read")
+
+    monkeypatch.setattr(tr, "_docs_tokens", boom)
+    v2, terms2, bc2, uc2 = tr._lm_model(sf, 512)  # memo hit
+    assert v2 == v and terms2 == terms
+    key = [k for k in tr._LM_MEMO if k.endswith("-v512")]
+    for k in key:
+        del tr._LM_MEMO[k]
+    v3, terms3, bc3, uc3 = tr._lm_model(sf, 512)  # npz hit
+    assert v3 == v and terms3 == terms
+    assert np.allclose(bc3, bc) and np.allclose(uc3, uc)
