@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": textops.corpus_stats,
         "bigram_counts": textops.bigram_counts,
         "bigram_pmi": textops.bigram_pmi,
+        "skipgram_pmi": textops.skipgram_pmi,
         "sample_stratified": textops.sample_stratified,
         "sample_weighted": textops.sample_weighted,
         "sample_random": textops.sample_random,
@@ -415,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "events_value_outliers": relational.events_value_outliers,
         "basket_part_pairs": relational.basket_part_pairs,
+        "basket_rules": relational.basket_rules,
         "customers_rfm": relational.customers_rfm,
         "events_range_join": relational.events_range_join,
         "events_user_pivot": relational.events_user_pivot,
@@ -568,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": textops.corpus_stats_sql(),
         "bigram_counts": textops.bigram_counts_sql(),
         "bigram_pmi": textops.bigram_pmi_sql(),
+        "skipgram_pmi": textops.skipgram_pmi_sql(),
         "sample_stratified": textops.sample_stratified_sql(),
         "sample_weighted": textops.sample_weighted_sql(),
         "sample_random": textops.sample_random_sql(),
@@ -630,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_outliers":
             relational.events_value_outliers_sql(),
         "basket_part_pairs": relational.basket_part_pairs_sql(),
+        "basket_rules": relational.basket_rules_sql(),
         "customers_rfm": relational.customers_rfm_sql(),
         "events_range_join": relational.events_range_join_sql(),
         "events_user_pivot": relational.events_user_pivot_sql(),

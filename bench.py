@@ -562,6 +562,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: ann.ann_index_search(sf_dir))
     timed("events_global_running_total",
           lambda: relational.events_global_running_total(sf_dir))
+    timed("skipgram_pmi", lambda: textops.skipgram_pmi(sf_dir))
+    timed("basket_rules", lambda: relational.basket_rules(sf_dir))
     return out
 
 

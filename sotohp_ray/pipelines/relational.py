@@ -5812,3 +5812,135 @@ SELECT event_id,
 FROM events
 ORDER BY ts, event_id
 """
+
+
+def basket_rules(
+    sf_dir: str, min_support: int = BASKET_MIN_SUPPORT,
+    k: int = BASKET_K,
+):
+    """(antecedent, consequent, n_ab, confidence, lift): association
+    rules over the surviving top-k 2-itemsets — both directions of
+    each pair with confidence = s(ab)/s(a) and lift =
+    n_baskets*s(ab) / (s(a)*s(b)) (Agrawal & Srikant 1994's rule
+    step on top of basket_part_pairs' candidate step).
+
+    Shape: the pair mining reuses ``basket_part_pairs`` wholesale;
+    item supports are then counted for ONLY the parts appearing in
+    the top-k rule set (broadcast-needed-set, the bigram_pmi
+    discipline) in one coarse-orderkey exchange that also counts
+    distinct baskets via per-group sentinel rows (order-key space is
+    partitioned by the exchange, so per-group distinct counts sum
+    exactly). Ratios are single divisions of identical integer
+    operands on both engines, rounded to 6dp."""
+    import pandas as pd
+    import ray
+
+    top = basket_part_pairs(sf_dir, min_support, k).to_pandas()
+    empty = pa.table({
+        "antecedent": pa.array([], pa.int64()),
+        "consequent": pa.array([], pa.int64()),
+        "n_ab": pa.array([], pa.int64()),
+        "confidence": pa.array([], pa.float64()),
+        "lift": pa.array([], pa.float64()),
+    })
+    if not len(top):
+        return empty
+    need = np.unique(np.concatenate(
+        [top["part_a"].to_numpy(np.int64),
+         top["part_b"].to_numpy(np.int64)]
+    ))
+    nref = ray.put(need)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nd = ray.get(nref)
+        t = pa.table({
+            "okey": batch["l_orderkey"].cast(pa.int64()),
+            "part": batch["l_partkey"].cast(pa.int64()),
+        }).group_by(["okey", "part"]).aggregate([])
+        ok = t["okey"].to_numpy(zero_copy_only=False)
+        pt = t["part"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pt, nd)
+        uok = np.unique(ok)
+        okk = np.concatenate([ok[keep], uok])
+        ptt = np.concatenate([pt[keep],
+                              np.full(uok.size, -1, np.int64)])
+        return pa.table({
+            "ukey": _ukey(okk),
+            "okey": pa.array(okk),
+            "part": pa.array(ptt),
+        })
+
+    def support_partial(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["okey"].to_numpy(np.int64)
+        pt = g["part"].to_numpy(np.int64)
+        order = np.lexsort((pt, ok))
+        ok, pt = ok[order], pt[order]
+        uniq = np.ones(ok.size, dtype=bool)
+        uniq[1:] = (ok[1:] != ok[:-1]) | (pt[1:] != pt[:-1])
+        ok, pt = ok[uniq], pt[uniq]
+        up, cnt = np.unique(pt, return_counts=True)
+        return pd.DataFrame({
+            "part": up.astype("int64"),
+            "s_partial": cnt.astype("int64"),
+        })
+
+    sup = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(support_partial, batch_format="pandas")
+        .to_pandas()  # <= needed-parts + 1 rows per group
+        .groupby("part", as_index=False)["s_partial"].sum()
+    )
+    smap = dict(zip(sup["part"], sup["s_partial"].astype(np.int64)))
+    n_baskets = int(smap.pop(-1))
+    a = np.concatenate([top["part_a"].to_numpy(np.int64),
+                        top["part_b"].to_numpy(np.int64)])
+    b = np.concatenate([top["part_b"].to_numpy(np.int64),
+                        top["part_a"].to_numpy(np.int64)])
+    nab = np.concatenate([top["n_orders"].to_numpy(np.int64)] * 2)
+    sa = np.array([smap[x] for x in a], dtype=np.int64)
+    sb = np.array([smap[x] for x in b], dtype=np.int64)
+    conf = np.round(nab.astype(np.float64) / sa.astype(np.float64), 6)
+    lift = np.round(
+        (n_baskets * nab).astype(np.float64)
+        / (sa * sb).astype(np.float64), 6,
+    )
+    order = np.lexsort((b, a))
+    return pa.table({
+        "antecedent": pa.array(a[order]),
+        "consequent": pa.array(b[order]),
+        "n_ab": pa.array(nab[order]),
+        "confidence": pa.array(conf[order], pa.float64()),
+        "lift": pa.array(lift[order], pa.float64()),
+    })
+
+
+def basket_rules_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = BASKET_K
+) -> str:
+    top = basket_part_pairs_sql(min_support, k).strip()
+    return f"""
+WITH top AS ({top}),
+bparts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+isup AS (
+  SELECT l_partkey, count(*)::BIGINT AS s FROM bparts GROUP BY 1),
+tot AS (
+  SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets
+  FROM lineitem),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_orders AS n_ab
+  FROM top
+  UNION ALL
+  SELECT part_b, part_a, n_orders FROM top)
+SELECT r.antecedent, r.consequent, r.n_ab,
+       round(CAST(r.n_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(t.n_baskets * r.n_ab AS DOUBLE)
+             / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+FROM rules r
+JOIN isup sa ON sa.l_partkey = r.antecedent
+JOIN isup sb ON sb.l_partkey = r.consequent
+CROSS JOIN tot t
+ORDER BY antecedent, consequent
+"""

@@ -5055,3 +5055,168 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+
+SKIPGRAM_WINDOW = 4
+
+
+def skipgram_counts(
+    sf_dir: str, window: int = SKIPGRAM_WINDOW, min_count: int = 5
+):
+    """(t1, t2, n): DIRECTIONAL skip-gram co-occurrence frequencies —
+    (t1 at position p, t2 at p+d) for 1 <= d <= ``window`` within a
+    document, n >= min_count — the window statistic word2vec/GloVe
+    train on (bigram_counts is the window=1 special case). Per batch:
+    ``window`` vectorized shifted-slice compares (no per-token loop),
+    an in-batch Arrow combiner, then ONE (t1, t2) exchange of
+    partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parents, flat = _exploded_of(batch)
+        pn = parents.to_numpy(zero_copy_only=False)
+        nt = len(flat)
+        parts = []
+        for d in range(1, window + 1):
+            if nt <= d:
+                break
+            same = pa.array(pn[:-d] == pn[d:])
+            parts.append(pa.table({
+                "t1": flat.slice(0, nt - d).filter(same),
+                "t2": flat.slice(d, nt - d).filter(same),
+            }))
+        if not parts:
+            return pa.table({
+                "t1": pa.array([], pa.large_string()),
+                "t2": pa.array([], pa.large_string()),
+                "n_partial": pa.array([], pa.int64()),
+            })
+        t = pa.concat_tables(parts)
+        g = t.group_by(["t1", "t2"]).aggregate([("t1", "count")])
+        return agg_select(
+            g, {"t1": "t1", "t2": "t2", "t1_count": "n_partial"}
+        )
+
+    agg = (
+        _docs_tokens(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n"], min_count))
+
+    return agg.map_batches(threshold, batch_format="pyarrow")
+
+
+def skipgram_pmi(
+    sf_dir: str, window: int = SKIPGRAM_WINDOW, min_count: int = 5
+):
+    """(t1, t2, n, pmi): PMI over the skip-gram window pairs —
+    ln( (n/M) / ((c1/N)(c2/N)) ) with M = total within-window pairs —
+    the distributional-association statistic behind embedding
+    objectives (Levy & Goldberg 2014: SGNS factorizes shifted PMI).
+    Same discipline as bigram_pmi: the survivor term set broadcasts,
+    each batch counts ONLY those unigrams plus its (N, M) totals, one
+    small exchange folds them."""
+    import ray
+
+    bi = skipgram_counts(sf_dir, window, min_count).to_pandas()
+    if not len(bi):
+        return pa.table({
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        })
+    need = np.unique(np.concatenate(
+        [bi["t1"].to_numpy().astype("O"), bi["t2"].to_numpy().astype("O")]
+    ))
+    nref = ray.put(pa.array(need.tolist(), pa.string()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        needed = ray.get(nref)
+        parents, flat = _exploded_of(batch)
+        pn = parents.to_numpy(zero_copy_only=False)
+        nt = len(flat)
+        m = sum(
+            int((pn[:-d] == pn[d:]).sum())
+            for d in range(1, window + 1) if nt > d
+        )
+        keep = pc.is_in(flat, value_set=needed.cast(flat.type))
+        t = pa.table({"term": pc.filter(flat, keep)})
+        g = t.group_by("term").aggregate([([], "count_all")])
+        out = agg_select(g, {"term": "term", "count_all": "c_partial"})
+        tot = pa.table({
+            "term": pa.array(
+                ["\x00N", "\x00M"], type=out.schema.field("term").type
+            ),
+            "c_partial": pa.array(
+                [nt, m], out.schema.field("c_partial").type
+            ),
+        })
+        return pa.concat_tables([out, tot])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs_tokens(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_partial", alias_name="c"))
+        .to_pandas()
+    )
+    cmap = dict(zip(counts["term"], counts["c"].astype(np.int64)))
+    N = float(cmap.pop("\x00N", 0))
+    M = float(cmap.pop("\x00M", 0))
+    c1 = np.array([cmap[t] for t in bi["t1"]], dtype=np.float64)
+    c2 = np.array([cmap[t] for t in bi["t2"]], dtype=np.float64)
+    nn = bi["n"].to_numpy().astype(np.float64)
+    pmi = np.round(np.log((nn / M) / ((c1 / N) * (c2 / N))), 6)
+    order = np.lexsort((bi["t2"].to_numpy().astype("O"),
+                        bi["t1"].to_numpy().astype("O")))
+    return pa.table({
+        "t1": pa.array(bi["t1"].to_numpy()[order], pa.string()),
+        "t2": pa.array(bi["t2"].to_numpy()[order], pa.string()),
+        "n": pa.array(bi["n"].to_numpy().astype(np.int64)[order]),
+        "pmi": pa.array(pmi[order], pa.float64()),
+    })
+
+
+def skipgram_pmi_sql(
+    window: int = SKIPGRAM_WINDOW, min_count: int = 5
+) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({texpr}) AS term,
+         generate_subscripts({texpr}, 1) AS pos
+  FROM documents
+),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos + 1 AND a.pos + {window}
+),
+bi AS (
+  SELECT t1, t2, count(*) AS n FROM pairs
+  GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+uni AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM toks)::DOUBLE AS n_tok,
+         (SELECT count(*) FROM pairs)::DOUBLE AS m
+)
+SELECT bi.t1, bi.t2, bi.n,
+       round(ln((bi.n / t.m) / ((u1.c / t.n_tok) * (u2.c / t.n_tok))), 6)
+         AS pmi
+FROM bi
+JOIN uni u1 ON u1.term = bi.t1
+JOIN uni u2 ON u2.term = bi.t2
+CROSS JOIN tot t
+ORDER BY t1, t2
+"""

@@ -561,3 +561,28 @@ def test_global_running_total_crosses_day_boundaries(tmp_path):
     ))
     got = dict(zip(out["event_id"], out["running"]))
     assert got == want
+
+
+def test_basket_rules_directional_confidence(tmp_path):
+    """Association-rule semantics: confidence is DIRECTIONAL —
+    s(ab)/s(a) != s(ab)/s(b) when item supports differ — and lift is
+    symmetric; a planted 3-basket fixture pins both plus the exact
+    ratios."""
+    from sotohp_ray.pipelines.relational import basket_rules
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # baskets: {1,2} {1,2} {1}  -> s(1)=3, s(2)=2, s(12)=2, N=3
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    }), str(d / "lineitem.parquet"))
+    out = basket_rules(str(d), min_support=1, k=10).to_pandas()
+    r = {(a, c): (cf, lf) for a, c, cf, lf in zip(
+        out["antecedent"], out["consequent"],
+        out["confidence"], out["lift"])}
+    assert r[(1, 2)][0] == round(2 / 3, 6)    # conf(1->2) = 2/3 (6dp)
+    assert r[(2, 1)][0] == 1.0                # conf(2->1) = 1
+    assert r[(1, 2)][1] == r[(2, 1)][1]       # lift symmetric
+    assert r[(1, 2)][1] == 1.0                # lift = (3*2)/(3*2)

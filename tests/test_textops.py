@@ -2042,3 +2042,24 @@ def test_ann_index_persisted_build_query_contract(tmp_path, monkeypatch):
     r_inl = len(inline.merge(bf[["query_id", "vec_id"]],
                              on=["query_id", "vec_id"])) / len(bf)
     assert r_idx >= r_inl - 1e-9  # persisted path loses no recall
+
+
+def test_skipgram_window1_equals_bigram_counts():
+    """The skip-gram generalization must degenerate exactly to the
+    adjacent-bigram op at window=1 (same survivors, same counts)."""
+    from sotohp_ray.pipelines.textops import (
+        bigram_counts,
+        skipgram_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = bigram_counts(sf).to_pandas().sort_values(
+        ["t1", "t2"]).reset_index(drop=True)
+    b = skipgram_counts(sf, window=1).to_pandas().sort_values(
+        ["t1", "t2"]).reset_index(drop=True)
+    assert a.equals(b)
+    # wider windows only ADD pair mass: every bigram survivor's count
+    # is <= its window-4 count
+    c = skipgram_counts(sf, window=4).to_pandas()
+    m = a.merge(c, on=["t1", "t2"], suffixes=("_bi", "_sk"))
+    assert len(m) and (m["n_sk"] >= m["n_bi"]).all()
