@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": relational.events_rollup,
         "events_global_running_total":
             relational.events_global_running_total,
+        "events_cross_correlation":
+            relational.events_cross_correlation,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -622,6 +624,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": relational.events_rollup_sql(),
         "events_global_running_total":
             relational.events_global_running_total_sql(),
+        "events_cross_correlation":
+            relational.events_cross_correlation_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

@@ -564,6 +564,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_global_running_total(sf_dir))
     timed("skipgram_pmi", lambda: textops.skipgram_pmi(sf_dir))
     timed("basket_rules", lambda: relational.basket_rules(sf_dir))
+    timed("events_cross_correlation",
+          lambda: relational.events_cross_correlation(sf_dir))
     return out
 
 

@@ -5944,3 +5944,130 @@ JOIN isup sb ON sb.l_partkey = r.consequent
 CROSS JOIN tot t
 ORDER BY antecedent, consequent
 """
+
+
+XCORR_TYPE_A = "click"
+XCORR_TYPE_B = "purchase"
+XCORR_MAX_LAG = 6
+
+
+def events_cross_correlation(
+    sf_dir: str, type_a: str = XCORR_TYPE_A, type_b: str = XCORR_TYPE_B,
+    max_lag: int = XCORR_MAX_LAG,
+):
+    """(lag, r): Pearson cross-correlation between the DENSE hourly
+    count series of two event types at lags -max_lag..max_lag
+    (does `type_a` activity lead `type_b` conversions? — the
+    time-series lead/lag diagnostic). Per-batch (type, hour) count
+    partials (types x hours-sized), ONE driver fold; the dense grid,
+    the lag shifts and the moment sums are all hours-sized driver
+    math (the events_moving_avg discipline). r is computed from the
+    INTEGER moment sums (n, Sx, Sy, Sxx, Syy, Sxy — exact int64 on
+    both engines) with one double division, rounded to 6dp — no
+    accumulation-order contract needed."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = pc.divide(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                    pa.int64()),
+            3600 * 1_000_000,
+        )
+        t = pa.table({
+            "event_type": batch["event_type"].cast(pa.string()),
+            "hr": hr,
+        })
+        g = t.group_by(["event_type", "hr"]).aggregate(
+            [([], "count_all")]
+        )
+        from sotohp_ray.utils import agg_select
+
+        return agg_select(g, {
+            "event_type": "event_type", "hr": "hr",
+            "count_all": "n_partial",
+        })
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # (types x hours)-per-block partials
+        .groupby(["event_type", "hr"], as_index=False)["n_partial"]
+        .sum()
+    )
+    if not len(parts):
+        return pa.table({
+            "lag": pa.array([], pa.int64()),
+            "r": pa.array([], pa.float64()),
+        })
+    lo, hi = int(parts["hr"].min()), int(parts["hr"].max())
+    H = hi - lo + 1
+
+    def series(t: str) -> np.ndarray:
+        s = np.zeros(H, np.int64)
+        sel = parts[parts["event_type"] == t]
+        s[sel["hr"].to_numpy(np.int64) - lo] = \
+            sel["n_partial"].to_numpy(np.int64)
+        return s
+
+    A, B = series(type_a), series(type_b)
+    lags, rs = [], []
+    for lag in range(-max_lag, max_lag + 1):
+        # y = B at (hr + lag): pair A[t] with B[t + lag], both in grid
+        if lag >= 0:
+            x, y = A[: H - lag], B[lag:]
+        else:
+            x, y = A[-lag:], B[: H + lag]
+        n = np.int64(x.size)
+        sx, sy = x.sum(), y.sum()
+        sxx, syy = (x * x).sum(), (y * y).sum()
+        sxy = (x * y).sum()
+        num = np.float64(n * sxy - sx * sy)
+        den = np.sqrt(
+            np.float64(n * sxx - sx * sx) * np.float64(n * syy - sy * sy)
+        )
+        lags.append(lag)
+        rs.append(round(float(num / den), 6) if den else None)
+    return pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "r": pa.array(rs, pa.float64()),
+    })
+
+
+def events_cross_correlation_sql(
+    type_a: str = XCORR_TYPE_A, type_b: str = XCORR_TYPE_B,
+    max_lag: int = XCORR_MAX_LAG,
+) -> str:
+    return f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+         event_type
+  FROM events),
+bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+grid AS (
+  SELECT unnest(generate_series(lo, hi)) AS hr FROM bounds),
+a AS (SELECT hr, count(*)::BIGINT AS n FROM h
+      WHERE event_type = '{type_a}' GROUP BY 1),
+b AS (SELECT hr, count(*)::BIGINT AS n FROM h
+      WHERE event_type = '{type_b}' GROUP BY 1),
+sa AS (SELECT g.hr, coalesce(a.n, 0)::BIGINT AS x
+       FROM grid g LEFT JOIN a USING (hr)),
+sb AS (SELECT g.hr, coalesce(b.n, 0)::BIGINT AS y
+       FROM grid g LEFT JOIN b USING (hr)),
+lags AS (SELECT unnest(generate_series(-{max_lag}, {max_lag})) AS lag),
+joined AS (
+  SELECT l.lag, sa.x, sb.y
+  FROM lags l
+  JOIN sa ON TRUE
+  JOIN sb ON sb.hr = sa.hr + l.lag),
+m AS (
+  SELECT lag, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM joined GROUP BY lag)
+SELECT lag,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+FROM m ORDER BY lag
+"""

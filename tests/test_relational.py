@@ -586,3 +586,37 @@ def test_basket_rules_directional_confidence(tmp_path):
     assert r[(2, 1)][0] == 1.0                # conf(2->1) = 1
     assert r[(1, 2)][1] == r[(2, 1)][1]       # lift symmetric
     assert r[(1, 2)][1] == 1.0                # lift = (3*2)/(3*2)
+
+
+def test_cross_correlation_detects_planted_lag(tmp_path):
+    """On a fixture where type B's hourly series is EXACTLY type A's
+    shifted by +2 hours, the correlogram must peak (r = 1.0) at
+    lag = +2 and stay below it elsewhere; the dense grid must zero-fill
+    missing hours for the shift to line up."""
+    from sotohp_ray.pipelines.relational import (
+        events_cross_correlation,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rng = np.random.RandomState(7)
+    counts = rng.randint(1, 6, size=24)
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(int(c)):        # A fires in hour h
+            rows.append((eid, h, "click")); eid += 1
+        for _ in range(int(c)):        # B fires in hour h + 2
+            rows.append((eid, h + 2, "purchase")); eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [base + np.timedelta64(r[1] * 3600, "s") for r in rows],
+            pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(d / "events.parquet"))
+    out = events_cross_correlation(str(d), max_lag=4).to_pandas()
+    r = dict(zip(out["lag"], out["r"]))
+    assert r[2] == 1.0
+    assert all(v < 1.0 for k, v in r.items() if k != 2 and v is not None)
