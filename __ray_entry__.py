@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.events_global_running_total,
         "events_cross_correlation":
             relational.events_cross_correlation,
+        "customer_cohort_ltv": relational.customer_cohort_ltv,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -626,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
             relational.events_global_running_total_sql(),
         "events_cross_correlation":
             relational.events_cross_correlation_sql(),
+        "customer_cohort_ltv": relational.customer_cohort_ltv_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

@@ -566,6 +566,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("basket_rules", lambda: relational.basket_rules(sf_dir))
     timed("events_cross_correlation",
           lambda: relational.events_cross_correlation(sf_dir))
+    timed("customer_cohort_ltv",
+          lambda: relational.customer_cohort_ltv(sf_dir))
     return out
 
 

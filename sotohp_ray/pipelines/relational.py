@@ -6071,3 +6071,102 @@ SELECT lag,
                     * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
 FROM m ORDER BY lag
 """
+
+
+def customer_cohort_ltv(sf_dir: str):
+    """(cohort_month, age_months, n_orders, revenue_cents): cohort
+    lifetime-value matrix — customers grouped by FIRST-order month,
+    each order attributed to its cohort at its age in months (0 =
+    the acquisition month); the cumulative row-sum of revenue_cents
+    is the classic LTV curve (events_retention's revenue-weighted
+    generalization). ONE coarse-custkey exchange co-locates each
+    customer's orders; per group a vectorized segment-min finds every
+    customer's cohort and every order self-attributes — partials are
+    (cohorts x ages)-sized, the driver fold is matrix-sized. Revenue
+    in exact e-2 cents (int64), the q9/q17 integer-units rule."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        mon = od.astype(np.int64)  # months since the 1970 epoch
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "ukey": _ukey(ck),
+            "ck": pa.array(ck),
+            "mon": pa.array(mon.astype(np.int64)),
+            "cents": pa.array(cents),
+        })
+
+    def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy(np.int64)
+        mon = g["mon"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((mon, ck))
+        ck, mon, cents = ck[order], mon[order], cents[order]
+        new = np.ones(ck.size, dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        seg = np.cumsum(new) - 1
+        first = mon[new][seg]          # per-order cohort month
+        age = mon - first
+        key = first * 10_000 + age     # packed (cohort, age)
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        rev = np.zeros(uk.size, np.int64)
+        np.add.at(rev, inv, cents)
+        return pd.DataFrame({
+            "key": uk.astype("int64"),
+            "n_partial": n,
+            "rev_partial": rev,
+        })
+
+    parts = (
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(cohort_partial, batch_format="pandas")
+        .to_pandas()  # (cohorts x ages) per group: matrix-sized
+    )
+    agg = parts.groupby("key", as_index=False).agg(
+        n_orders=("n_partial", "sum"),
+        revenue_cents=("rev_partial", "sum"),
+    ).sort_values("key")
+    key = agg["key"].to_numpy(np.int64)
+    mon0 = key // 10_000
+    yr, mo = mon0 // 12 + 1970, mon0 % 12 + 1
+    return pa.table({
+        "cohort_month": pa.array(
+            [f"{y:04d}-{m:02d}" for y, m in zip(yr, mo)], pa.string()),
+        "age_months": pa.array((key % 10_000).astype(np.int64)),
+        "n_orders": pa.array(agg["n_orders"].to_numpy(np.int64)),
+        "revenue_cents": pa.array(
+            agg["revenue_cents"].to_numpy(np.int64)),
+    })
+
+
+def customer_cohort_ltv_sql() -> str:
+    return """
+WITH o AS (
+  SELECT o_custkey,
+         (CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+          + CAST(extract(month FROM o_orderdate) AS BIGINT) - 1)
+           AS mon,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+c AS (SELECT o_custkey, min(mon) AS first_mon FROM o GROUP BY 1)
+SELECT printf('%04d-%02d', first_mon // 12, first_mon % 12 + 1)
+         AS cohort_month,
+       (o.mon - c.first_mon)::BIGINT AS age_months,
+       count(*)::BIGINT AS n_orders,
+       sum(o.cents)::BIGINT AS revenue_cents
+FROM o JOIN c USING (o_custkey)
+GROUP BY c.first_mon, age_months
+ORDER BY cohort_month, age_months
+"""

@@ -620,3 +620,36 @@ def test_cross_correlation_detects_planted_lag(tmp_path):
     r = dict(zip(out["lag"], out["r"]))
     assert r[2] == 1.0
     assert all(v < 1.0 for k, v in r.items() if k != 2 and v is not None)
+
+
+def test_cohort_ltv_attributes_orders_to_first_month(tmp_path):
+    """Cohort semantics: every order lands in its customer's FIRST-
+    order month cohort at the right month age, across a year boundary
+    (Dec cohort, Feb order = age 2); revenue in exact cents."""
+    from sotohp_ray.pipelines.relational import customer_cohort_ltv
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    def ts(s):
+        return np.datetime64(s, "us")
+    rows = [
+        (1, ts("2023-12-15"), 10.00),   # cohort 2023-12, age 0
+        (1, ts("2024-02-01"), 20.50),   # age 2 (year boundary)
+        (2, ts("2024-02-20"), 5.25),    # cohort 2024-02, age 0
+        (2, ts("2024-02-25"), 1.00),    # same month, age 0
+    ]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }), str(d / "orders.parquet"))
+    out = customer_cohort_ltv(str(d)).to_pandas()
+    got = {(c, a): (n, r) for c, a, n, r in zip(
+        out["cohort_month"], out["age_months"],
+        out["n_orders"], out["revenue_cents"])}
+    assert got == {
+        ("2023-12", 0): (1, 1000),
+        ("2023-12", 2): (1, 2050),
+        ("2024-02", 0): (2, 625),
+    }
