@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": textops.bigram_counts,
         "bigram_pmi": textops.bigram_pmi,
         "skipgram_pmi": textops.skipgram_pmi,
+        "corpus_zipf_fit": textops.corpus_zipf_fit,
         "sample_stratified": textops.sample_stratified,
         "sample_weighted": textops.sample_weighted,
         "sample_random": textops.sample_random,
@@ -574,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": textops.bigram_counts_sql(),
         "bigram_pmi": textops.bigram_pmi_sql(),
         "skipgram_pmi": textops.skipgram_pmi_sql(),
+        "corpus_zipf_fit": textops.corpus_zipf_fit_sql(),
         "sample_stratified": textops.sample_stratified_sql(),
         "sample_weighted": textops.sample_weighted_sql(),
         "sample_random": textops.sample_random_sql(),

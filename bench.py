@@ -568,6 +568,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_cross_correlation(sf_dir))
     timed("customer_cohort_ltv",
           lambda: relational.customer_cohort_ltv(sf_dir))
+    timed("corpus_zipf_fit", lambda: textops.corpus_zipf_fit(sf_dir))
     return out
 
 

@@ -5220,3 +5220,82 @@ JOIN uni u2 ON u2.term = bi.t2
 CROSS JOIN tot t
 ORDER BY t1, t2
 """
+
+
+ZIPF_TOP_R = 1000
+
+
+def corpus_zipf_fit(sf_dir: str, top_r: int = ZIPF_TOP_R):
+    """(n_terms, slope, intercept): least-squares fit of
+    ln(frequency) ~ slope * ln(rank) + intercept over the top-``top_r``
+    collection-frequency terms — the Zipf exponent (slope ~ -1 for
+    natural language; deviations flag templated/boilerplate corpora,
+    a corpus-health diagnostic next to doc_entropy). ONE vocab-sized
+    count exchange (A1 partial+final, cardinality needs it), then the
+    rank/log/moment math is top_r-sized on the driver; slope and
+    intercept are single divisions of double moment sums, rounded to
+    6dp (the summation-order contract: ~1e-12 relative error, six
+    orders under the grid)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = _toklists_of(batch)
+        vc = pc.list_flatten(lists).value_counts()
+        return pa.table({
+            "term": vc.field("values").cast(pa.string()),
+            "c_partial": vc.field("counts").cast(pa.int64()),
+        })
+
+    cf = (
+        _docs_tokens(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_partial", alias_name="c"))
+        .to_pandas()
+        .sort_values(["c", "term"], ascending=[False, True])
+        .head(top_r)
+    )
+    n = len(cf)
+    if n < 2:
+        return pa.table({
+            "n_terms": pa.array([n], pa.int64()),
+            "slope": pa.array([None], pa.float64()),
+            "intercept": pa.array([None], pa.float64()),
+        })
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(cf["c"].to_numpy(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "slope": pa.array([round(float(slope), 6)], pa.float64()),
+        "intercept": pa.array(
+            [round(float(intercept), 6)], pa.float64()),
+    })
+
+
+def corpus_zipf_fit_sql(top_r: int = ZIPF_TOP_R) -> str:
+    from sotohp_ray.functions.tokenizer import sql_token_expr
+
+    texpr = sql_token_expr("text")
+    return f"""
+WITH toks AS (SELECT unnest({texpr}) AS term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term)
+             AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y,
+         row_number() OVER (ORDER BY c DESC, term) AS rn
+  FROM cf),
+top AS (SELECT x, y FROM ranked WHERE rn <= {top_r}),
+m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM top)
+SELECT n AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept
+FROM m
+"""
