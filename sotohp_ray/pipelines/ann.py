@@ -1534,15 +1534,15 @@ def semdedup(
         Xn = _normalize(emb)
         keep = np.ones(ids.size, bool)
         # chunked lower-triangle test: x is dropped iff ANY y < x
-        # (kept or not — the anti-join rule) has sim >= tau
+        # (kept or not — the anti-join rule) has sim >= tau; the
+        # triangle mask is vectorized per chunk (no per-row loop)
         step = 1024
         for lo in range(1, ids.size, step):
             hi = min(lo + step, ids.size)
             S = np.round(Xn[lo:hi] @ Xn[:hi].T, 5)  # rows lo..hi
-            for r in range(hi - lo):
-                row = S[r, : lo + r]
-                if row.size and np.max(row) >= tau:
-                    keep[lo + r] = False
+            tri = (np.arange(hi)[None, :]
+                   < (lo + np.arange(hi - lo))[:, None])
+            keep[lo:hi] = ~((S >= tau) & tri).any(axis=1)
         return pd.DataFrame({
             "vec_id": ids[keep].astype(np.int64),
             "cluster": g["cluster"].to_numpy()[order][keep].astype(
@@ -1685,12 +1685,36 @@ def build_ann_index(
 
     import ray
 
+    if ksub > 256:
+        # codes persist as uint8 (the FAISS 8-bit layout); a larger
+        # ksub would wrap silently on assignment
+        raise ValueError("persisted index requires ksub <= 256")
     d = _ann_index_dir(sf_dir, n_centroids, m, ksub)
     if os.path.isdir(d):
         return d
     C = _train_centroids(sf_dir, n_centroids)
     books = _train_residual_books(sf_dir, C, m=m, ksub=ksub)
     os.makedirs(os.path.dirname(d), exist_ok=True)
+    # evict stale artifacts of the SAME corpus path + params whose
+    # fingerprint changed (the tokens-sidecar .src-tag sweep — without
+    # it every corpus rewrite would orphan an index forever)
+    import glob
+
+    tag = (f"{os.path.abspath(sf_dir)}|annidx"
+           f"|c{n_centroids}|m{m}|k{ksub}")
+    for srcf in glob.glob(
+        os.path.join(os.path.dirname(d), "annidx-*.src")
+    ):
+        if srcf == d + ".src":
+            continue
+        try:
+            with open(srcf) as f:
+                if f.read() != tag:
+                    continue
+            shutil.rmtree(srcf[: -len(".src")], ignore_errors=True)
+            os.remove(srcf)
+        except OSError:
+            pass
     tmp = tempfile.mkdtemp(
         dir=os.path.dirname(d), prefix=os.path.basename(d) + ".tmp-"
     )
@@ -1717,6 +1741,8 @@ def build_ann_index(
         raise
     try:
         os.rename(tmp, d)
+        with open(d + ".src", "w") as f:
+            f.write(tag)
     except OSError:  # concurrent builder won
         shutil.rmtree(tmp, ignore_errors=True)
     return d

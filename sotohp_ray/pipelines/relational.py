@@ -5559,8 +5559,10 @@ def q21_suppliers_who_kept_waiting(sf_dir: str, k: int = 100):
         odate = bdate[pos[ok]]
         late = ship > odate + np.timedelta64(Q21_LATE_DAYS, "D")
         # packed (order, supplier) keys for the two distinct counts
-        assert supp.max() < (1 << 20), "suppkey exceeds pack width"
-        assert pk.max() < (1 << 43), "orderkey exceeds pack width"
+        # (ValueError, not assert: -O must not strip the guard into
+        # silent key collisions — suppkey tops 2^20 past sf~100)
+        if supp.max() >= (1 << 20) or pk.max() >= (1 << 43):
+            raise ValueError("q21 pack width exceeded; widen the key")
         pair = (pk << 20) | supp
         def _nuniq(keys, orders):
             up = np.unique(keys)
@@ -5980,8 +5982,6 @@ def events_cross_correlation(
         g = t.group_by(["event_type", "hr"]).aggregate(
             [([], "count_all")]
         )
-        from sotohp_ray.utils import agg_select
-
         return agg_select(g, {
             "event_type": "event_type", "hr": "hr",
             "count_all": "n_partial",
@@ -6017,13 +6017,20 @@ def events_cross_correlation(
             x, y = A[: H - lag], B[lag:]
         else:
             x, y = A[-lag:], B[: H + lag]
-        n = np.int64(x.size)
-        sx, sy = x.sum(), y.sum()
-        sxx, syy = (x * x).sum(), (y * y).sum()
-        sxy = (x * y).sum()
-        num = np.float64(n * sxy - sx * sy)
+        # moment products in PYTHON ints (arbitrary precision): at
+        # year-scale windows with large hourly counts n*sxy tops
+        # int64 and numpy would wrap silently where the SQL side
+        # errors loudly — exactness is kept at any magnitude
+        n = int(x.size)
+        xi = [int(v) for v in x]  # hours-sized driver lists
+        yi = [int(v) for v in y]
+        sx, sy = sum(xi), sum(yi)
+        sxx = sum(v * v for v in xi)
+        syy = sum(v * v for v in yi)
+        sxy = sum(a * b for a, b in zip(xi, yi))
+        num = float(n * sxy - sx * sy)
         den = np.sqrt(
-            np.float64(n * sxx - sx * sx) * np.float64(n * syy - sy * sy)
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
         )
         lags.append(lag)
         rs.append(round(float(num / den), 6) if den else None)

@@ -310,6 +310,26 @@ _CMS_SEEDS = np.array(
 )
 
 
+def _term_count_rows(
+    batch: pa.Table, term_name: str = "term",
+    count_name: str = "cnt", term_type=None,
+) -> pa.Table:
+    """Per-batch (term, count) collection-frequency combiner over the
+    analyzed-token lists — ONE definition for every cf partial
+    (term_heavy_hitters, nb_lang_scores' vocab pass, corpus_zipf_fit,
+    training's LM vocab pass), so dtype/null-handling changes can't
+    diverge between them."""
+    _p, flat = _exploded_of(batch)
+    vc = flat.value_counts()
+    terms = vc.field("values")
+    if term_type is not None:
+        terms = terms.cast(term_type)
+    return pa.table({
+        term_name: terms,
+        count_name: vc.field("counts").cast(pa.int64()),
+    })
+
+
 def term_heavy_hitters(sf_dir: str, k: int = HH_K):
     """(term, cf): top-``k`` terms by COLLECTION frequency (total
     occurrences), total order (cf desc, term asc) — the exact twin
@@ -320,12 +340,8 @@ def term_heavy_hitters(sf_dir: str, k: int = HH_K):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        _p, flat = _exploded_of(batch)
-        vc = flat.value_counts()
-        return pa.table({
-            "term": vc.field("values").cast(pa.large_string()),
-            "cf_partial": vc.field("counts").cast(pa.int64()),
-        })
+        return _term_count_rows(
+            batch, "term", "cf_partial", pa.large_string())
 
     cf = (
         _docs_tokens(sf_dir)
@@ -1775,12 +1791,7 @@ def nb_lang_scores(sf_dir: str, vocab_size: int = NB_VOCAB_SIZE):
 
     # ---- pass 1: top-V vocabulary by collection frequency ----
     def counts(batch: pa.Table) -> pa.Table:
-        _p, flat = _exploded_of(batch)
-        vc = flat.value_counts()
-        return pa.table({
-            "term": vc.field("values").cast(pa.string()),
-            "cnt": vc.field("counts").cast(pa.int64()),
-        })
+        return _term_count_rows(batch, "term", "cnt", pa.string())
 
     top = (
         _docs_tokens(sf_dir)
@@ -5239,12 +5250,7 @@ def corpus_zipf_fit(sf_dir: str, top_r: int = ZIPF_TOP_R):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        lists = _toklists_of(batch)
-        vc = pc.list_flatten(lists).value_counts()
-        return pa.table({
-            "term": vc.field("values").cast(pa.string()),
-            "c_partial": vc.field("counts").cast(pa.int64()),
-        })
+        return _term_count_rows(batch, "term", "c_partial", pa.string())
 
     cf = (
         _docs_tokens(sf_dir)

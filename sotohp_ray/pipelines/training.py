@@ -776,13 +776,10 @@ def _lm_model(sf_dir: str, vocab_size: int):
         _LM_MEMO[key] = out
         return out
 
+    from sotohp_ray.pipelines.textops import _term_count_rows
+
     def counts(batch: pa.Table) -> pa.Table:
-        lists = _toklists_of(batch)
-        vc = pc.list_flatten(lists).value_counts()
-        return pa.table({
-            "term": vc.field("values").cast(pa.string()),
-            "cnt": vc.field("counts").cast(pa.int64()),
-        })
+        return _term_count_rows(batch, "term", "cnt", pa.string())
 
     top = (
         _docs_tokens(sf_dir)
@@ -831,12 +828,32 @@ def _lm_model(sf_dir: str, vocab_size: int):
         bc[model["key"].to_numpy()] = model["n"].to_numpy()
     uc = bc.reshape(v + 1, v + 1).sum(axis=1)
     os.makedirs(root, exist_ok=True)
+    # .src-tag sweep (tokens-sidecar discipline): evict stale models
+    # of the same corpus path + vocab whose fingerprint changed
+    import glob
+
+    tag = f"{os.path.abspath(sf_dir)}|lm|v{vocab_size}"
+    for srcf in glob.glob(os.path.join(root, "lm-*.src")):
+        if srcf == path + ".src":
+            continue
+        try:
+            with open(srcf) as f:
+                if f.read() != tag:
+                    continue
+            stale = srcf[: -len(".src")]
+            if os.path.exists(stale):
+                os.remove(stale)
+            os.remove(srcf)
+        except OSError:
+            pass
     fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp.npz")
     os.close(fd)
     try:
         np.savez(tmp, v=np.int64(v),
                  terms=np.array(terms, dtype=np.str_), bc=bc, uc=uc)
         os.replace(tmp, path)
+        with open(path + ".src", "w") as f:
+            f.write(tag)
     except BaseException:
         if os.path.exists(tmp):
             os.remove(tmp)
