@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cross_correlation":
             relational.events_cross_correlation,
         "customer_cohort_ltv": relational.customer_cohort_ltv,
+        "events_rolling_active_users":
+            relational.events_rolling_active_users,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -630,6 +632,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cross_correlation":
             relational.events_cross_correlation_sql(),
         "customer_cohort_ltv": relational.customer_cohort_ltv_sql(),
+        "events_rolling_active_users":
+            relational.events_rolling_active_users_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

@@ -569,6 +569,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("customer_cohort_ltv",
           lambda: relational.customer_cohort_ltv(sf_dir))
     timed("corpus_zipf_fit", lambda: textops.corpus_zipf_fit(sf_dir))
+    timed("events_rolling_active_users",
+          lambda: relational.events_rolling_active_users(sf_dir))
     return out
 
 

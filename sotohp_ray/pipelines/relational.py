@@ -6177,3 +6177,108 @@ FROM o JOIN c USING (o_custkey)
 GROUP BY c.first_mon, age_months
 ORDER BY cohort_month, age_months
 """
+
+
+RAU_WINDOW_DAYS = 7
+
+
+def events_rolling_active_users(
+    sf_dir: str, window_days: int = RAU_WINDOW_DAYS
+):
+    """(day, active_users): trailing-window distinct actives — for
+    every day in the dense grid, the number of DISTINCT users with an
+    event in the last ``window_days`` days (the WAU/rolling-actives
+    product metric; COUNT(DISTINCT) OVER a range frame, which window
+    engines can't stream). ONE coarse user-hash exchange: within a
+    group each user's event days expand to the <= 7 window-end days
+    they cover and dedup LOCALLY (user is the partition key, so
+    per-user dedup IS global dedup — no second distinct exchange);
+    partials are (days x groups)-sized per-day user counts, the
+    driver folds and zero-fills the grid. Packed (user<<16 | dayidx)
+    keys, guarded."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.int64()
+        ).to_numpy(zero_copy_only=False) // (86_400 * 1_000_000)
+        t = pa.table({
+            "ukey": _ukey(u),
+            "user_id": pa.array(u),
+            "day": pa.array(day.astype(np.int64)),
+        })
+        return t.group_by(
+            ["ukey", "user_id", "day"]
+        ).aggregate([])  # per-batch distinct
+
+    def window_partial(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        if d.size == 0:
+            return pd.DataFrame({
+                "day": pd.Series(dtype="int64"),
+                "n_partial": pd.Series(dtype="int64"),
+            })
+        base = d.min()
+        rel = d - base
+        if rel.max() + window_days >= (1 << 16):
+            raise ValueError("day span exceeds pack width")
+        # expand each (user, day) to its window-end days, dedup per
+        # user via the packed key (user is the exchange key: local
+        # dedup is global dedup)
+        wd = (rel[:, None] + np.arange(window_days)).ravel()
+        uu = np.repeat(u, window_days)
+        key = np.unique((uu << 16) | wd)
+        days = (key & 0xFFFF) + base
+        ud, cnt = np.unique(days, return_counts=True)
+        return pd.DataFrame({
+            "day": ud.astype("int64"),
+            "n_partial": cnt.astype("int64"),
+        })
+
+    parts = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(window_partial, batch_format="pandas")
+        .to_pandas()  # (days x groups)-sized
+    )
+    agg = parts.groupby("day")["n_partial"].sum()
+    # the data's day range defines the grid; windows ending past the
+    # last observed day are not reported (the SQL grid rule)
+    ev_days = agg.index.to_numpy()
+    # recover observed event-day range: window-end days run from
+    # min_event_day to max_event_day + window_days - 1; the grid is
+    # [min_event_day, max_event_day]
+    lo = int(ev_days.min())
+    hi = int(ev_days.max()) - (window_days - 1)
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    vals = np.zeros(grid.size, np.int64)
+    present = np.isin(grid, ev_days)
+    vals[present] = agg.reindex(grid[present]).to_numpy(np.int64)
+    return pa.table({
+        "day": pa.array(grid),
+        "active_users": pa.array(vals),
+    })
+
+
+def events_rolling_active_users_sql(
+    window_days: int = RAU_WINDOW_DAYS,
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day
+  FROM events),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+w AS (
+  SELECT g.day, dd.user_id
+  FROM grid g JOIN d dd
+    ON dd.day BETWEEN g.day - {window_days - 1} AND g.day)
+SELECT day, count(DISTINCT user_id)::BIGINT AS active_users
+FROM w GROUP BY day ORDER BY day
+"""

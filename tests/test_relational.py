@@ -653,3 +653,36 @@ def test_cohort_ltv_attributes_orders_to_first_month(tmp_path):
         ("2023-12", 2): (1, 2050),
         ("2024-02", 0): (2, 625),
     }
+
+
+def test_rolling_active_users_window_semantics(tmp_path):
+    """WAU semantics on a planted fixture: a user active on one day
+    counts toward exactly the next window_days window-end days; two
+    events by the SAME user in one window count once; the grid
+    zero-fills quiet days."""
+    from sotohp_ray.pipelines.relational import (
+        events_rolling_active_users,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = np.datetime64("2024-05-01T12:00:00", "us")
+    #           user, day-offset
+    rows = [(1, 0), (1, 0), (1, 2),   # u1: days 0 and 2 (dup day 0)
+            (2, 0),                   # u2: day 0 only
+            (3, 9)]                   # u3: day 9 (gap days 3-8 quiet)
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [base + np.timedelta64(r[1] * 86400, "s") for r in rows],
+            pa.timestamp("us")),
+    }), str(d / "events.parquet"))
+    out = events_rolling_active_users(str(d), window_days=3) \
+        .to_pandas()
+    got = dict(zip(out["day"] - int(out["day"].min()),
+                   out["active_users"]))
+    # grid runs day 0..9; window_days=3 trailing
+    assert got == {0: 2, 1: 2, 2: 2,  # u1+u2 (day2 window: u1 twice = once)
+                   3: 1, 4: 1,        # only u1's day-2 activity
+                   5: 0, 6: 0, 7: 0, 8: 0,  # quiet
+                   9: 1}              # u3
