@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_cohort_ltv": relational.customer_cohort_ltv,
         "events_rolling_active_users":
             relational.events_rolling_active_users,
+        "events_stickiness": relational.events_stickiness,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -634,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_cohort_ltv": relational.customer_cohort_ltv_sql(),
         "events_rolling_active_users":
             relational.events_rolling_active_users_sql(),
+        "events_stickiness": relational.events_stickiness_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

@@ -571,6 +571,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("corpus_zipf_fit", lambda: textops.corpus_zipf_fit(sf_dir))
     timed("events_rolling_active_users",
           lambda: relational.events_rolling_active_users(sf_dir))
+    timed("events_stickiness",
+          lambda: relational.events_stickiness(sf_dir))
     return out
 
 

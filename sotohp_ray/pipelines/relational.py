@@ -6282,3 +6282,71 @@ w AS (
 SELECT day, count(DISTINCT user_id)::BIGINT AS active_users
 FROM w GROUP BY day ORDER BY day
 """
+
+
+STICKINESS_MAU_DAYS = 28
+
+
+def events_stickiness(
+    sf_dir: str, mau_days: int = STICKINESS_MAU_DAYS
+):
+    """(day, dau, mau, stickiness): the DAU/MAU engagement ratio per
+    dense day (trailing ``mau_days`` actives as the denominator) —
+    the product-analytics composition of two rolling-active windows.
+    Reuses ``events_rolling_active_users`` wholesale at W=1 and
+    W=mau_days (two exchanges total); both grids are the same
+    [min_day, max_day] so the join is a driver-side zip. stickiness
+    = dau/mau from identical integer operands, 6dp."""
+    dau = events_rolling_active_users(sf_dir, 1).to_pandas()
+    mau = events_rolling_active_users(sf_dir, mau_days).to_pandas()
+    m = dau.merge(mau, on="day", suffixes=("_d", "_m"))
+    d = m["active_users_d"].to_numpy(np.int64)
+    u = m["active_users_m"].to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        st = np.where(
+            u > 0,
+            np.round(d.astype(np.float64) / u.astype(np.float64), 6),
+            np.nan,
+        )
+    return pa.table({
+        "day": pa.array(m["day"].to_numpy(np.int64)),
+        "dau": pa.array(d),
+        "mau": pa.array(u),
+        "stickiness": pa.array(
+            [None if not np.isfinite(v) else float(v) for v in st],
+            pa.float64()),
+    })
+
+
+def events_stickiness_sql(
+    mau_days: int = STICKINESS_MAU_DAYS,
+) -> str:
+    def win(w: int, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT g.day, count(DISTINCT dd.user_id)::BIGINT AS n
+  FROM grid g JOIN d dd
+    ON dd.day BETWEEN g.day - {w - 1} AND g.day
+  GROUP BY g.day)"""
+
+    return f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day
+  FROM events),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+{win(1, 'dau_t')},
+{win(mau_days, 'mau_t')}
+SELECT g.day,
+       coalesce(dau_t.n, 0)::BIGINT AS dau,
+       coalesce(mau_t.n, 0)::BIGINT AS mau,
+       CASE WHEN coalesce(mau_t.n, 0) > 0
+            THEN round(CAST(coalesce(dau_t.n, 0) AS DOUBLE)
+                       / CAST(mau_t.n AS DOUBLE), 6)
+            ELSE NULL END AS stickiness
+FROM grid g
+LEFT JOIN dau_t ON dau_t.day = g.day
+LEFT JOIN mau_t ON mau_t.day = g.day
+ORDER BY g.day
+"""
