@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active_users":
             relational.events_rolling_active_users,
         "events_stickiness": relational.events_stickiness,
+        "events_type_cooccurrence":
+            relational.events_type_cooccurrence,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -636,6 +638,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_active_users":
             relational.events_rolling_active_users_sql(),
         "events_stickiness": relational.events_stickiness_sql(),
+        "events_type_cooccurrence":
+            relational.events_type_cooccurrence_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

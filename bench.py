@@ -573,6 +573,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_rolling_active_users(sf_dir))
     timed("events_stickiness",
           lambda: relational.events_stickiness(sf_dir))
+    timed("events_type_cooccurrence",
+          lambda: relational.events_type_cooccurrence(sf_dir))
     return out
 
 

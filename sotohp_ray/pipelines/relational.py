@@ -6350,3 +6350,120 @@ LEFT JOIN dau_t ON dau_t.day = g.day
 LEFT JOIN mau_t ON mau_t.day = g.day
 ORDER BY g.day
 """
+
+
+def events_type_cooccurrence(sf_dir: str):
+    """(type_a, type_b, n_both, n_a, n_b, jaccard): user-level
+    co-engagement between event types — for each unordered type pair,
+    how many distinct users did BOTH, and the Jaccard overlap
+    |A∩B| / |A∪B| (the "users who X also Y" product analytic). ONE
+    coarse user-hash exchange; within a group each user's distinct
+    type set (<= n_types) expands to its triangular type pairs
+    VECTORIZED (segment-offset arithmetic, no per-user loop); partials
+    are (types^2 + types)-sized. Jaccard divides identical integer
+    operands on both engines, 6dp."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = pa.table({
+            "ukey": _ukey(u),
+            "user_id": pa.array(u),
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+        return t.group_by(
+            ["ukey", "user_id", "event_type"]
+        ).aggregate([])  # per-batch distinct
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy().astype("O")
+        order = np.lexsort((ty, u))
+        u, ty = u[order], ty[order]
+        uniq = np.ones(u.size, dtype=bool)
+        uniq[1:] = (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])
+        u, ty = u[uniq], ty[uniq]
+        empty = pd.DataFrame({
+            "type_a": pd.Series(dtype="object"),
+            "type_b": pd.Series(dtype="object"),
+            "n_partial": pd.Series(dtype="int64"),
+        })
+        if u.size == 0:
+            return empty
+        # singles: (t, t) rows carry per-type distinct-user counts
+        st, sc = np.unique(ty, return_counts=True)
+        rows = [pd.DataFrame({
+            "type_a": st, "type_b": st,
+            "n_partial": sc.astype("int64"),
+        })]
+        # triangular pair expansion per user segment (basket kernel)
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, u.size))
+        local = np.arange(u.size) - starts[seg]
+        reps = lens[seg] - 1 - local
+        total = int(reps.sum())
+        if total:
+            first = np.repeat(np.arange(u.size), reps)
+            base = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            second = first + (np.arange(total)
+                              - np.repeat(base, reps)) + 1
+            ta, tb = ty[first], ty[second]  # sorted within user
+            pairs = pd.DataFrame({"type_a": ta, "type_b": tb})
+            rows.append(
+                pairs.groupby(["type_a", "type_b"], as_index=False)
+                .size().rename(columns={"size": "n_partial"})
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    parts = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(pair_partial, batch_format="pandas")
+        .to_pandas()  # (types^2)-sized per group
+    )
+    agg = parts.groupby(["type_a", "type_b"])["n_partial"].sum()
+    singles = {t: int(agg.loc[(t, t)])
+               for (t, tb) in agg.index if t == tb}
+    out = []
+    for (a, b), nab in agg.items():
+        if a == b:
+            continue
+        na, nb = singles[a], singles[b]
+        union = na + nb - int(nab)
+        out.append((a, b, int(nab), na, nb,
+                    round(int(nab) / union, 6) if union else None))
+    out.sort()
+    return pa.table({
+        "type_a": pa.array([r[0] for r in out], pa.string()),
+        "type_b": pa.array([r[1] for r in out], pa.string()),
+        "n_both": pa.array([r[2] for r in out], pa.int64()),
+        "n_a": pa.array([r[3] for r in out], pa.int64()),
+        "n_b": pa.array([r[4] for r in out], pa.int64()),
+        "jaccard": pa.array([r[5] for r in out], pa.float64()),
+    })
+
+
+def events_type_cooccurrence_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(p.n_both AS DOUBLE)
+             / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6) AS jaccard
+FROM p
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
+"""
