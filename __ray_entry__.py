@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stickiness": relational.events_stickiness,
         "events_type_cooccurrence":
             relational.events_type_cooccurrence,
+        "parts_brand_type_chi2": relational.parts_brand_type_chi2,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -640,6 +641,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stickiness": relational.events_stickiness_sql(),
         "events_type_cooccurrence":
             relational.events_type_cooccurrence_sql(),
+        "parts_brand_type_chi2":
+            relational.parts_brand_type_chi2_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

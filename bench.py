@@ -575,6 +575,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_stickiness(sf_dir))
     timed("events_type_cooccurrence",
           lambda: relational.events_type_cooccurrence(sf_dir))
+    timed("parts_brand_type_chi2",
+          lambda: relational.parts_brand_type_chi2(sf_dir))
     return out
 
 

@@ -6467,3 +6467,86 @@ JOIN s sa ON sa.event_type = p.type_a
 JOIN s sb ON sb.event_type = p.type_b
 ORDER BY type_a, type_b
 """
+
+
+def parts_brand_type_chi2(sf_dir: str):
+    """(chi2, dof, n): Pearson chi-square independence statistic over
+    the brand x type contingency table of parts — "is product type
+    distributed independently of brand?" (the categorical sibling of
+    events_ab_ztest's two-sample test; A2 multi-aggregate family).
+    Per-batch (brand, type) count partials — (brands x types)-sized —
+    ONE driver fold; chi2 = sum (O - E)^2 / E with E = row*col/n
+    computed from the folded EXACT integer counts identically on both
+    engines (row/col/n products as Python ints, one double division
+    per cell), rounded to 6dp."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "brand": batch["p_brand"].cast(pa.string()),
+            "ptype": batch["p_type"].cast(pa.string()),
+        })
+        g = t.group_by(["brand", "ptype"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg_select(g, {
+            "brand": "brand", "ptype": "ptype",
+            "count_all": "n_partial",
+        })
+
+    parts = (
+        _read(sf_dir, "part", ["p_brand", "p_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # (brands x types)-per-block partials
+        .groupby(["brand", "ptype"], as_index=False)["n_partial"]
+        .sum()
+    )
+    if not len(parts):
+        return pa.table({
+            "chi2": pa.array([None], pa.float64()),
+            "dof": pa.array([0], pa.int64()),
+            "n": pa.array([0], pa.int64()),
+        })
+    obs = parts.pivot_table(
+        index="brand", columns="ptype", values="n_partial",
+        fill_value=0, aggfunc="sum",
+    )
+    O = obs.to_numpy(np.int64)
+    row = O.sum(axis=1)
+    col = O.sum(axis=0)
+    n = int(O.sum())
+    chi2 = 0.0
+    for i in range(O.shape[0]):
+        for j in range(O.shape[1]):
+            e = (int(row[i]) * int(col[j])) / n  # exact ints -> one div
+            if e > 0:
+                d = float(O[i, j]) - e
+                chi2 += d * d / e
+    dof = (O.shape[0] - 1) * (O.shape[1] - 1)
+    return pa.table({
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+    })
+
+
+def parts_brand_type_chi2_sql() -> str:
+    return """
+WITH o AS (
+  SELECT p_brand AS brand, p_type AS ptype, count(*)::BIGINT AS obs
+  FROM part GROUP BY 1, 2),
+r AS (SELECT brand, sum(obs)::BIGINT AS rn FROM o GROUP BY 1),
+c AS (SELECT ptype, sum(obs)::BIGINT AS cn FROM o GROUP BY 1),
+t AS (SELECT sum(obs)::BIGINT AS n FROM o),
+cells AS (
+  SELECT r.brand, c.ptype,
+         coalesce(o.obs, 0)::BIGINT AS obs,
+         CAST(r.rn * c.cn AS DOUBLE) / t.n AS e
+  FROM r CROSS JOIN c CROSS JOIN t
+  LEFT JOIN o ON o.brand = r.brand AND o.ptype = c.ptype)
+SELECT round(sum((obs - e) * (obs - e) / e), 6) AS chi2,
+       ((SELECT count(*) FROM r) - 1)
+         * ((SELECT count(*) FROM c) - 1) AS dof,
+       (SELECT n FROM t) AS n
+FROM cells WHERE e > 0
+"""
