@@ -2063,3 +2063,43 @@ def test_skipgram_window1_equals_bigram_counts():
     c = skipgram_counts(sf, window=4).to_pandas()
     m = a.merge(c, on=["t1", "t2"], suffixes=("_bi", "_sk"))
     assert len(m) and (m["n_sk"] >= m["n_bi"]).all()
+
+
+def test_ann_index_build_crash_leaves_no_corrupt_artifact(
+    tmp_path, monkeypatch
+):
+    """The persisted-index build contract: a crash mid-write must
+    leave NO directory at the final path (tmp+rename atomicity), and
+    the next build must succeed cleanly from scratch."""
+    import os
+    import shutil
+
+    import sotohp_ray.pipelines.ann as ann
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet",
+                str(d / "embeddings.parquet"))
+    target = ann._ann_index_dir(str(d), 32, ann.PQ_M, ann.PQ_KSUB)
+    shutil.rmtree(target, ignore_errors=True)
+
+    real_books = ann._train_residual_books
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash mid-build")
+
+    monkeypatch.setattr(ann, "_train_residual_books", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ann.build_ann_index(str(d))
+    assert not os.path.isdir(target)         # nothing at final path
+    assert not os.path.exists(target + ".src")
+    leftovers = [p for p in os.listdir(os.path.dirname(target))
+                 if p.startswith(os.path.basename(target) + ".tmp-")]
+    assert leftovers == []                   # tmp dir cleaned up
+
+    monkeypatch.setattr(ann, "_train_residual_books", real_books)
+    rebuilt = ann.build_ann_index(str(d))    # recovery: clean rebuild
+    assert rebuilt == target and os.path.isdir(target)
+    out = ann.ann_index_fullprobe(str(d))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(out) > 0
