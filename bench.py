@@ -577,6 +577,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_type_cooccurrence(sf_dir))
     timed("parts_brand_type_chi2",
           lambda: relational.parts_brand_type_chi2(sf_dir))
+    timed("orders_skyline", lambda: relational.orders_skyline(sf_dir))
     return out
 
 

@@ -6550,3 +6550,91 @@ SELECT round(sum((obs - e) * (obs - e) / e), 6) AS chi2,
        (SELECT n FROM t) AS n
 FROM cells WHERE e > 0
 """
+
+
+def orders_skyline(sf_dir: str):
+    """(o_orderkey, o_totalprice, o_orderdate): the SKYLINE
+    (Pareto-front) preference query — orders not DOMINATED in
+    (totalprice, orderdate), where a dominates b iff a is >= on both
+    dimensions and > on at least one (Borzsony et al. ICDE 2001).
+    Duplicated (price, date) points all survive (no strict edge).
+
+    Distribution soundness: the skyline operator is a semilattice —
+    a locally dominated row is globally dominated — so each batch
+    emits only ITS skyline (vectorized: per-price-level max date +
+    exclusive running max across descending price levels) and the
+    driver re-runs the same kernel on the candidate union, which is
+    skyline-per-block-sized, never the table."""
+    import pandas as pd
+
+    def _sky(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+        """Boolean skyline mask, exact tie semantics."""
+        keep = np.zeros(p.size, bool)
+        if not p.size:
+            return keep
+        up, inv = np.unique(-p, return_inverse=True)  # price desc
+        lvl_max = np.full(up.size, np.iinfo(np.int64).min)
+        np.maximum.at(lvl_max, inv, d)
+        prevmax = np.concatenate((
+            [np.iinfo(np.int64).min],
+            np.maximum.accumulate(lvl_max)[:-1],
+        ))
+        lvl_ok = lvl_max > prevmax
+        keep = lvl_ok[inv] & (d == lvl_max[inv])
+        return keep
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = _sky(p, dt)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64())
+            .filter(pa.array(keep)),
+            "p": pa.array(p[keep], pa.float64()),
+            "d": pa.array(dt[keep]),
+        })
+
+    cand = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # skyline-per-block-sized candidates
+    )
+    if not len(cand):
+        return pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        })
+    p = cand["p"].to_numpy(np.float64)
+    dt = cand["d"].to_numpy(np.int64)
+    keep = _sky(p, dt)
+    out = cand[keep].sort_values("o_orderkey")
+    return pa.table({
+        "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+        "o_totalprice": pa.array(out["p"].to_numpy(np.float64)),
+        "o_orderdate": pa.array(
+            out["d"].to_numpy(np.int64).astype("datetime64[us]"),
+            pa.timestamp("us")),
+    })
+
+
+def orders_skyline_sql() -> str:
+    return """
+WITH lv AS (
+  SELECT o_totalprice AS p, max(o_orderdate) AS d
+  FROM orders GROUP BY 1),
+sky AS (
+  SELECT p, d FROM (
+    SELECT p, d,
+           max(d) OVER (ORDER BY p DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prevmax
+    FROM lv)
+  WHERE prevmax IS NULL OR d > prevmax)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN sky
+  ON o.o_totalprice = sky.p AND o.o_orderdate = sky.d
+ORDER BY o_orderkey
+"""

@@ -686,3 +686,32 @@ def test_rolling_active_users_window_semantics(tmp_path):
                    3: 1, 4: 1,        # only u1's day-2 activity
                    5: 0, 6: 0, 7: 0, 8: 0,  # quiet
                    9: 1}              # u3
+
+
+def test_skyline_dominance_edge_semantics(tmp_path):
+    """Skyline tie rules: duplicated (price, date) points BOTH
+    survive (no strict edge); equal-price lower-date is dominated;
+    equal-date lower-price is dominated; an incomparable point
+    (higher price, lower date) survives."""
+    from sotohp_ray.pipelines.relational import orders_skyline
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    def ts(s):
+        return np.datetime64(s, "us")
+    rows = [
+        (1, 100.0, ts("2024-03-01")),   # dup A
+        (2, 100.0, ts("2024-03-01")),   # dup A (both survive)
+        (3, 100.0, ts("2024-02-01")),   # same price, older: dominated
+        (4, 90.0, ts("2024-03-01")),    # same date, cheaper: dominated
+        (5, 120.0, ts("2024-01-01")),   # pricier but older: survives
+        (6, 80.0, ts("2024-04-01")),    # cheaper but newest: survives
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[2] for r in rows],
+                                pa.timestamp("us")),
+    }), str(d / "orders.parquet"))
+    out = orders_skyline(str(d)).to_pandas()
+    assert list(out["o_orderkey"]) == [1, 2, 5, 6]
