@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.events_type_cooccurrence,
         "parts_brand_type_chi2": relational.parts_brand_type_chi2,
         "orders_skyline": relational.orders_skyline,
+        "events_hourly_ewma": relational.events_hourly_ewma,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -645,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_brand_type_chi2":
             relational.parts_brand_type_chi2_sql(),
         "orders_skyline": relational.orders_skyline_sql(),
+        "events_hourly_ewma": relational.events_hourly_ewma_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

@@ -578,6 +578,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("parts_brand_type_chi2",
           lambda: relational.parts_brand_type_chi2(sf_dir))
     timed("orders_skyline", lambda: relational.orders_skyline(sf_dir))
+    timed("events_hourly_ewma",
+          lambda: relational.events_hourly_ewma(sf_dir))
     return out
 
 

@@ -6638,3 +6638,79 @@ FROM orders o JOIN sky
   ON o.o_totalprice = sky.p AND o.o_orderdate = sky.d
 ORDER BY o_orderkey
 """
+
+
+EWMA_ALPHA = 0.3
+
+
+def events_hourly_ewma(sf_dir: str, alpha: float = EWMA_ALPHA):
+    """(hr, n, ewma): exponentially weighted moving average over the
+    DENSE hourly event-count series — v_t = alpha*x_t +
+    (1-alpha)*v_{t-1}, v_0 = x_0 (the ES moving_fn ewma / holt
+    family's first member; the recency-weighted smoother the plain
+    moving average can't express). Per-batch (hour, n) partials, ONE
+    driver fold, the recurrence runs over the hours-sized series —
+    and the SQL oracle is a RECURSIVE CTE evaluating the IDENTICAL
+    recurrence, so both engines execute the same float sequence
+    (rounded to 6dp at the end only)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = pc.divide(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                    pa.int64()),
+            3600 * 1_000_000,
+        )
+        t = pa.table({"hr": hr})
+        g = t.group_by("hr").aggregate([([], "count_all")])
+        return agg_select(g, {"hr": "hr", "count_all": "n_partial"})
+
+    parts = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("hr", as_index=False)["n_partial"].sum()
+    )
+    if not len(parts):
+        return pa.table({
+            "hr": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "ewma": pa.array([], pa.float64()),
+        })
+    lo, hi = int(parts["hr"].min()), int(parts["hr"].max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    n = np.zeros(grid.size, np.int64)
+    n[parts["hr"].to_numpy(np.int64) - lo] = \
+        parts["n_partial"].to_numpy(np.int64)
+    ew = np.empty(grid.size, np.float64)
+    ew[0] = float(n[0])
+    a = float(alpha)
+    for i in range(1, grid.size):  # hours-sized driver recurrence
+        ew[i] = a * float(n[i]) + (1.0 - a) * ew[i - 1]
+    return pa.table({
+        "hr": pa.array(grid),
+        "n": pa.array(n),
+        "ewma": pa.array(np.round(ew, 6), pa.float64()),
+    })
+
+
+def events_hourly_ewma_sql(alpha: float = EWMA_ALPHA) -> str:
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+grid AS (
+  SELECT g.hr, row_number() OVER (ORDER BY g.hr) - 1 AS i,
+         coalesce(c.n, 0)::BIGINT AS n
+  FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+  LEFT JOIN c USING (hr)),
+r AS (
+  SELECT hr, i, n, CAST(n AS DOUBLE) AS ewma FROM grid WHERE i = 0
+  UNION ALL
+  SELECT g.hr, g.i, g.n,
+         {alpha} * CAST(g.n AS DOUBLE) + (1.0 - {alpha}) * r.ewma
+  FROM grid g JOIN r ON g.i = r.i + 1)
+SELECT hr, n, round(ewma, 6) AS ewma FROM r ORDER BY hr
+"""
