@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_brand_type_chi2": relational.parts_brand_type_chi2,
         "orders_skyline": relational.orders_skyline,
         "events_hourly_ewma": relational.events_hourly_ewma,
+        "events_hourly_holt": relational.events_hourly_holt,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -647,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
             relational.parts_brand_type_chi2_sql(),
         "orders_skyline": relational.orders_skyline_sql(),
         "events_hourly_ewma": relational.events_hourly_ewma_sql(),
+        "events_hourly_holt": relational.events_hourly_holt_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

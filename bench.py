@@ -580,6 +580,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("orders_skyline", lambda: relational.orders_skyline(sf_dir))
     timed("events_hourly_ewma",
           lambda: relational.events_hourly_ewma(sf_dir))
+    timed("events_hourly_holt",
+          lambda: relational.events_hourly_holt(sf_dir))
     return out
 
 

@@ -6714,3 +6714,107 @@ r AS (
   FROM grid g JOIN r ON g.i = r.i + 1)
 SELECT hr, n, round(ewma, 6) AS ewma FROM r ORDER BY hr
 """
+
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def events_hourly_holt(
+    sf_dir: str, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA
+):
+    """(hr, n, level, trend): Holt double-exponential smoothing over
+    the dense hourly count series — level l_t = a*x_t +
+    (1-a)*(l_{t-1}+b_{t-1}), trend b_t = g*(l_t-l_{t-1}) +
+    (1-g)*b_{t-1}, initialized l_0 = x_0, b_0 = x_1-x_0 (the ES
+    moving_fn holt member; EWMA can't express drift). Same shape as
+    events_hourly_ewma: one fold, hours-sized driver recurrence; the
+    oracle's RECURSIVE CTE evaluates the identical two-variable float
+    sequence, 6dp at the end only. Series shorter than 2 hours
+    returns the level-only degenerate row."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = pc.divide(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                    pa.int64()),
+            3600 * 1_000_000,
+        )
+        t = pa.table({"hr": hr})
+        g = t.group_by("hr").aggregate([([], "count_all")])
+        return agg_select(g, {"hr": "hr", "count_all": "n_partial"})
+
+    parts = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("hr", as_index=False)["n_partial"].sum()
+    )
+    empty = pa.table({
+        "hr": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "level": pa.array([], pa.float64()),
+        "trend": pa.array([], pa.float64()),
+    })
+    if not len(parts):
+        return empty
+    lo, hi = int(parts["hr"].min()), int(parts["hr"].max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    n = np.zeros(grid.size, np.int64)
+    n[parts["hr"].to_numpy(np.int64) - lo] = \
+        parts["n_partial"].to_numpy(np.int64)
+    if grid.size < 2:
+        return pa.table({
+            "hr": pa.array(grid),
+            "n": pa.array(n),
+            "level": pa.array(n.astype(np.float64)),
+            "trend": pa.array([0.0] * grid.size, pa.float64()),
+        })
+    a, g = float(alpha), float(beta)
+    lv = np.empty(grid.size, np.float64)
+    tr = np.empty(grid.size, np.float64)
+    lv[0] = float(n[0])
+    tr[0] = float(n[1]) - float(n[0])
+    for i in range(1, grid.size):  # hours-sized driver recurrence
+        lv[i] = a * float(n[i]) + (1.0 - a) * (lv[i - 1] + tr[i - 1])
+        tr[i] = g * (lv[i] - lv[i - 1]) + (1.0 - g) * tr[i - 1]
+    return pa.table({
+        "hr": pa.array(grid),
+        "n": pa.array(n),
+        "level": pa.array(np.round(lv, 6), pa.float64()),
+        "trend": pa.array(np.round(tr, 6), pa.float64()),
+    })
+
+
+def events_hourly_holt_sql(
+    alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA
+) -> str:
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+grid AS (
+  SELECT g.hr, row_number() OVER (ORDER BY g.hr) - 1 AS i,
+         coalesce(c.n, 0)::BIGINT AS n
+  FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+  LEFT JOIN c USING (hr)),
+r AS (
+  SELECT g0.hr, g0.i, g0.n,
+         CAST(g0.n AS DOUBLE) AS level,
+         CAST(g1.n AS DOUBLE) - CAST(g0.n AS DOUBLE) AS trend
+  FROM grid g0 JOIN grid g1 ON g1.i = 1
+  WHERE g0.i = 0
+  UNION ALL
+  SELECT g.hr, g.i, g.n,
+         {alpha} * CAST(g.n AS DOUBLE)
+           + (1.0 - {alpha}) * (r.level + r.trend),
+         {beta} * (({alpha} * CAST(g.n AS DOUBLE)
+                    + (1.0 - {alpha}) * (r.level + r.trend))
+                   - r.level)
+           + (1.0 - {beta}) * r.trend
+  FROM grid g JOIN r ON g.i = r.i + 1)
+SELECT hr, n, round(level, 6) AS level, round(trend, 6) AS trend
+FROM r ORDER BY hr
+"""
