@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": relational.orders_skyline,
         "events_hourly_ewma": relational.events_hourly_ewma,
         "events_hourly_holt": relational.events_hourly_holt,
+        "orders_benford": relational.orders_benford,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -649,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_skyline": relational.orders_skyline_sql(),
         "events_hourly_ewma": relational.events_hourly_ewma_sql(),
         "events_hourly_holt": relational.events_hourly_holt_sql(),
+        "orders_benford": relational.orders_benford_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

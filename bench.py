@@ -582,6 +582,7 @@ def run_sf_pipelines(sf_dir: str) -> dict:
           lambda: relational.events_hourly_ewma(sf_dir))
     timed("events_hourly_holt",
           lambda: relational.events_hourly_holt(sf_dir))
+    timed("orders_benford", lambda: relational.orders_benford(sf_dir))
     return out
 
 

@@ -6818,3 +6818,80 @@ r AS (
 SELECT hr, n, round(level, 6) AS level, round(trend, 6) AS trend
 FROM r ORDER BY hr
 """
+
+
+def orders_benford(sf_dir: str):
+    """(digit, n, observed_p, benford_p, deviation): first-significant-
+    digit distribution of order amounts vs Benford's law — the classic
+    fraud / data-quality screen (synthetic or fabricated amounts
+    rarely follow log-uniform digit frequencies). The digit is
+    extracted from EXACT integer cents (v*100 rounded once) by
+    repeated integer division — no log10 on doubles, so no libm-ulp
+    digit flips at power boundaries. Per-batch 9-bucket partials, one
+    driver fold; observed_p = n/total (identical int operands),
+    benford_p = log10(1+1/d), deviation = observed - benford, 6dp."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        v = np.abs(cents)
+        v = v[v > 0]
+        for _ in range(19):  # 19 int divisions >= any int64 magnitude
+            big = v >= 10
+            if not big.any():
+                break
+            v = np.where(big, v // 10, v)
+        dg, cnt = np.unique(v, return_counts=True)
+        return pa.table({
+            "digit": pa.array(dg.astype(np.int64)),
+            "n_partial": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # <= 9 rows per block
+        .groupby("digit", as_index=False)["n_partial"].sum()
+    )
+    digits = np.arange(1, 10, dtype=np.int64)
+    n = np.zeros(9, np.int64)
+    for d, c in zip(parts["digit"], parts["n_partial"]):
+        if 1 <= int(d) <= 9:
+            n[int(d) - 1] = int(c)
+    total = int(n.sum())
+    obs = (np.round(n.astype(np.float64) / total, 6)
+           if total else np.full(9, np.nan))
+    ben = np.round(np.log10(1.0 + 1.0 / digits.astype(np.float64)), 6)
+    return pa.table({
+        "digit": pa.array(digits),
+        "n": pa.array(n),
+        "observed_p": pa.array(obs, pa.float64()),
+        "benford_p": pa.array(ben, pa.float64()),
+        "deviation": pa.array(np.round(obs - ben, 6), pa.float64()),
+    })
+
+
+def orders_benford_sql() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100.0)
+                                   AS BIGINT)) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+  WHERE round(o_totalprice * 100.0) <> 0),
+o AS (SELECT digit, count(*)::BIGINT AS n FROM c GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total FROM o),
+d AS (SELECT unnest(generate_series(1, 9)) AS digit)
+SELECT d.digit,
+       coalesce(o.n, 0)::BIGINT AS n,
+       round(CAST(coalesce(o.n, 0) AS DOUBLE) / t.total, 6)
+         AS observed_p,
+       round(log10(1.0 + 1.0 / d.digit), 6) AS benford_p,
+       round(round(CAST(coalesce(o.n, 0) AS DOUBLE) / t.total, 6)
+             - round(log10(1.0 + 1.0 / d.digit), 6), 6) AS deviation
+FROM d LEFT JOIN o USING (digit) CROSS JOIN t
+ORDER BY d.digit
+"""
