@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_ewma": relational.events_hourly_ewma,
         "events_hourly_holt": relational.events_hourly_holt,
         "orders_benford": relational.orders_benford,
+        "events_user_entropy": relational.events_user_entropy,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -651,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_ewma": relational.events_hourly_ewma_sql(),
         "events_hourly_holt": relational.events_hourly_holt_sql(),
         "orders_benford": relational.orders_benford_sql(),
+        "events_user_entropy": relational.events_user_entropy_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

@@ -583,6 +583,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("events_hourly_holt",
           lambda: relational.events_hourly_holt(sf_dir))
     timed("orders_benford", lambda: relational.orders_benford(sf_dir))
+    timed("events_user_entropy",
+          lambda: relational.events_user_entropy(sf_dir))
     return out
 
 

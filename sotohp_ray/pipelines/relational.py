@@ -6895,3 +6895,76 @@ SELECT d.digit,
 FROM d LEFT JOIN o USING (digit) CROSS JOIN t
 ORDER BY d.digit
 """
+
+
+def events_user_entropy(sf_dir: str):
+    """(user_id, n_events, entropy): Shannon entropy of each user's
+    event-type distribution — the behavioral-diversity signal (0 =
+    single-type bots, ln(n_types) = uniform explorers; the user-level
+    sibling of textops.doc_entropy). ONE coarse user-hash exchange;
+    per group a vectorized (user, type) count fold, then entropy =
+    -sum p*ln(p) from each user's <= n_types counts. 6dp (a <= 5-term
+    double sum; ulp is 1e-16, ten orders under the grid)."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = pa.table({
+            "ukey": _ukey(u),
+            "user_id": pa.array(u),
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+        g = t.group_by(["ukey", "user_id", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg_select(g, {
+            "ukey": "ukey", "user_id": "user_id",
+            "event_type": "event_type", "count_all": "n_partial",
+        })
+
+    def entropy_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"])["n_partial"].sum()
+        df = agg.reset_index()
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["n_partial"].to_numpy(np.int64)
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1
+        tot = np.zeros(seg[-1] + 1 if u.size else 0, np.int64)
+        np.add.at(tot, seg, c)
+        p = c / tot[seg]
+        contrib = -p * np.log(p)
+        ent = np.zeros(tot.size, np.float64)
+        np.add.at(ent, seg, contrib)
+        return pd.DataFrame({
+            "user_id": u[new],
+            "n_events": tot,
+            "entropy": np.round(ent, 6),
+        })
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ukey")
+        .map_groups(entropy_fold, batch_format="pandas")
+        .select_columns(["user_id", "n_events", "entropy"])
+    )
+
+
+def events_user_entropy_sql() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+SELECT c.user_id, t.tot AS n_events,
+       round(-sum((CAST(c.n AS DOUBLE) / t.tot)
+                  * ln(CAST(c.n AS DOUBLE) / t.tot)), 6) AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id, t.tot
+ORDER BY c.user_id
+"""
