@@ -421,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_holt": relational.events_hourly_holt,
         "orders_benford": relational.orders_benford,
         "events_user_entropy": relational.events_user_entropy,
+        "supplier_part_degree_hist":
+            relational.supplier_part_degree_hist,
         "customer_spend_gini": relational.customer_spend_gini,
         "lang_ctfidf": textops.lang_ctfidf,
         "lang_token_fertility": textops.lang_token_fertility,
@@ -653,6 +655,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_holt": relational.events_hourly_holt_sql(),
         "orders_benford": relational.orders_benford_sql(),
         "events_user_entropy": relational.events_user_entropy_sql(),
+        "supplier_part_degree_hist":
+            relational.supplier_part_degree_hist_sql(),
         "customer_spend_gini": relational.customer_spend_gini_sql(),
         "lang_ctfidf": textops.lang_ctfidf_sql(),
         "lang_token_fertility": textops.lang_token_fertility_sql(),

@@ -585,6 +585,8 @@ def run_sf_pipelines(sf_dir: str) -> dict:
     timed("orders_benford", lambda: relational.orders_benford(sf_dir))
     timed("events_user_entropy",
           lambda: relational.events_user_entropy(sf_dir))
+    timed("supplier_part_degree_hist",
+          lambda: relational.supplier_part_degree_hist(sf_dir))
     return out
 
 

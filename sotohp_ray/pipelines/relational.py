@@ -6968,3 +6968,83 @@ FROM c JOIN t USING (user_id)
 GROUP BY c.user_id, t.tot
 ORDER BY c.user_id
 """
+
+
+def supplier_part_degree_hist(sf_dir: str):
+    """(side, degree, n_nodes): degree distributions of BOTH sides of
+    the supplier-part bipartite graph induced by lineitem (side 's' =
+    distinct parts per supplier, side 'p' = distinct suppliers per
+    part) — the graph-shape statistic behind partitioning and
+    hot-key decisions (a power-law side predicts skewed joins). Two
+    coarse-key exchanges (one per side, each co-locating its node's
+    edges); per group a vectorized distinct-neighbor fold emits
+    (degree, count) partials — histogram-sized — and the driver sums.
+    Edges dedup inside the exchange (lineitem repeats pairs)."""
+    import pandas as pd
+
+    def side_hist(key_col: str, nbr_col: str, side: str):
+        def tag(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            t = pa.table({
+                "ukey": _ukey(k),
+                "k": pa.array(k),
+                "nbr": batch[nbr_col].cast(pa.int64()),
+            })
+            return t.group_by(["ukey", "k", "nbr"]).aggregate([])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            k = g["k"].to_numpy(np.int64)
+            nb = g["nbr"].to_numpy(np.int64)
+            order = np.lexsort((nb, k))
+            k, nb = k[order], nb[order]
+            uniq = np.ones(k.size, dtype=bool)
+            uniq[1:] = (k[1:] != k[:-1]) | (nb[1:] != nb[:-1])
+            k = k[uniq]
+            uk, deg = np.unique(k, return_counts=True)
+            ud, cnt = np.unique(deg, return_counts=True)
+            return pd.DataFrame({
+                "degree": ud.astype("int64"),
+                "n_partial": cnt.astype("int64"),
+            })
+
+        parts = (
+            _read(sf_dir, "lineitem", [key_col, nbr_col])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("ukey")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()  # histogram-sized per group
+            .groupby("degree", as_index=False)["n_partial"].sum()
+        )
+        parts["side"] = side
+        return parts
+
+    s = side_hist("l_suppkey", "l_partkey", "s")
+    p = side_hist("l_partkey", "l_suppkey", "p")
+    import pandas as pd
+
+    out = pd.concat([s, p], ignore_index=True).sort_values(
+        ["side", "degree"], ascending=[False, True]
+    )
+    return pa.table({
+        "side": pa.array(out["side"].tolist(), pa.string()),
+        "degree": pa.array(out["degree"].to_numpy(np.int64)),
+        "n_nodes": pa.array(out["n_partial"].to_numpy(np.int64)),
+    })
+
+
+def supplier_part_degree_hist_sql() -> str:
+    return """
+WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+sd AS (SELECT l_suppkey, count(*)::BIGINT AS degree
+       FROM e GROUP BY 1),
+pd AS (SELECT l_partkey, count(*)::BIGINT AS degree
+       FROM e GROUP BY 1)
+SELECT 's' AS side, degree, count(*)::BIGINT AS n_nodes
+FROM sd GROUP BY degree
+UNION ALL
+SELECT 'p' AS side, degree, count(*)::BIGINT AS n_nodes
+FROM pd GROUP BY degree
+ORDER BY side DESC, degree
+"""
